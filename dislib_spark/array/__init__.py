@@ -1,0 +1,41 @@
+"""DsArray: distributed 2-D array facade over DataFrame (SURVEY §1.4)."""
+
+from dislib_spark.array.core import (
+    DsArray,
+    apply_along_axis,
+    array,
+    concat_columns,
+    concat_rows,
+    eye,
+    full,
+    identity,
+    random_array,
+    zeros,
+)
+from dislib_spark.array.linalg import (
+    kron,
+    matmul,
+    matmul_sql,
+    qr_economic,
+    svd,
+    transpose,
+)
+
+__all__ = [
+    "DsArray",
+    "apply_along_axis",
+    "array",
+    "concat_columns",
+    "concat_rows",
+    "eye",
+    "full",
+    "identity",
+    "random_array",
+    "zeros",
+    "kron",
+    "matmul",
+    "matmul_sql",
+    "qr_economic",
+    "svd",
+    "transpose",
+]

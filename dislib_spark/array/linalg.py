@@ -1,0 +1,186 @@
+"""Distributed linear algebra for DsArray.
+
+Reference: dislib matmul (``dislib/data/array.py:92-122, 1650-1736``),
+transpose (``array.py:1047-1098``), kron (``dislib/math/base.py:15-93``).
+
+Spark-first design: two matmul strategies ——
+
+1. ``matmul`` (default): MLlib ``BlockMatrix.multiply`` — the JVM
+   block-partitioned algorithm (grid shuffle, per-block GEMM). This is
+   the same blocked-outer-product plan dislib hand-schedules
+   (``_multiply_block_groups`` array.py:1784-1809), but executed by
+   Spark's shuffle machinery.
+2. ``matmul_sql``: the relational form (explode → equi-join on the
+   contraction index → hash agg). Checkable against a SQL oracle, and
+   preferable when one side is small enough to broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dislib_spark.array.core import DsArray, _FEAT, _ROW
+
+
+def _to_block_matrix(arr: DsArray, rows_per_block: int = 1024):
+    from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
+
+    rdd = arr.df.rdd.map(lambda r: IndexedRow(r[0], r[1]))
+    irm = IndexedRowMatrix(rdd, numRows=arr.shape[0], numCols=arr.shape[1])
+    return irm.toBlockMatrix(rowsPerBlock=rows_per_block, colsPerBlock=rows_per_block)
+
+
+def _from_block_matrix(bm, spark, shape: tuple[int, int]) -> DsArray:
+    irm = bm.toIndexedRowMatrix()
+    rdd = irm.rows.map(lambda r: (int(r.index), [float(v) for v in r.vector]))
+    df = spark.createDataFrame(rdd, f"{_ROW} long, {_FEAT} array<double>")
+    return DsArray(df, shape)
+
+
+def matmul(
+    a: DsArray,
+    b: DsArray,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+) -> DsArray:
+    """A @ B via BlockMatrix (reference matmul array.py:1650-1730)."""
+    bm_a = _to_block_matrix(a)
+    bm_b = _to_block_matrix(b)
+    if transpose_a:
+        bm_a = bm_a.transpose()
+    if transpose_b:
+        bm_b = bm_b.transpose()
+    sa = (a.shape[1], a.shape[0]) if transpose_a else a.shape
+    sb = (b.shape[1], b.shape[0]) if transpose_b else b.shape
+    if sa[1] != sb[0]:
+        raise ValueError(f"shape mismatch for matmul: {sa} @ {sb}")
+    res = bm_a.multiply(bm_b)
+    return _from_block_matrix(res, a.spark, (sa[0], sb[1]))
+
+
+def matmul_sql(a: DsArray, b: DsArray) -> DsArray:
+    """Relational matmul: SELECT a.i, b.j, SUM(a.v*b.v) ... GROUP BY
+    (SURVEY.md §2.3). Broadcast-joins when B is small."""
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"shape mismatch for matmul: {a.shape} @ {b.shape}")
+    cells_a = a.df.select(
+        F.col(_ROW).alias("i"), F.posexplode(_FEAT).alias("k", "av")
+    )
+    cells_b = b.df.select(
+        F.col(_ROW).alias("k_row"), F.posexplode(_FEAT).alias("j", "bv")
+    )
+    if b.shape[0] * b.shape[1] <= 1_000_000:
+        cells_b = F.broadcast(cells_b)
+    prod = (
+        cells_a.join(cells_b, cells_a.k == cells_b.k_row)
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("av") * F.col("bv")).alias("v"))
+    )
+    rows = prod.groupBy("i").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "v"))), lambda s: s["v"]
+        ).alias(_FEAT)
+    )
+    df = rows.select(F.col("i").alias(_ROW), _FEAT)
+    return DsArray(df, (a.shape[0], b.shape[1]))
+
+
+def transpose(arr: DsArray) -> DsArray:
+    """Blockwise transpose (reference array.py:1047-1098) as the
+    relational pivot: explode to cells, regroup by column index.
+    One shuffle of n·d cells — inherent to transposition."""
+    cells = arr.df.select(F.col(_ROW).alias("i"), F.posexplode(_FEAT).alias("j", "v"))
+    rows = cells.groupBy("j").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "v"))), lambda s: s["v"]
+        ).alias(_FEAT)
+    )
+    df = rows.select(F.col("j").cast("long").alias(_ROW), _FEAT)
+    return DsArray(df, (arr.shape[1], arr.shape[0]))
+
+
+def kron(a: DsArray, b: DsArray) -> DsArray:
+    """Kronecker product (reference math/base.py:15-93) via crossJoin
+    of cell tables — Catalyst handles it as a cartesian with the small
+    side broadcast."""
+    n, m = a.shape
+    p, q = b.shape
+    ca = a.df.select(F.col(_ROW).alias("i"), F.posexplode(_FEAT).alias("j", "av"))
+    cb = b.df.select(F.col(_ROW).alias("k"), F.posexplode(_FEAT).alias("l", "bv"))
+    if p * q <= 1_000_000:
+        cb = F.broadcast(cb)
+    cells = ca.crossJoin(cb).select(
+        (F.col("i") * p + F.col("k")).alias("out_i"),
+        (F.col("j") * q + F.col("l")).alias("out_j"),
+        (F.col("av") * F.col("bv")).alias("v"),
+    )
+    rows = cells.groupBy("out_i").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("out_j", "v"))), lambda s: s["v"]
+        ).alias(_FEAT)
+    )
+    df = rows.select(F.col("out_i").cast("long").alias(_ROW), _FEAT)
+    return DsArray(df, (n * p, m * q))
+
+
+def svd(arr: DsArray, k: int | None = None):
+    """SVD via RowMatrix.computeSVD (ARPACK Lanczos — covers the
+    reference's block-Jacobi ``math/base.py:95-216``, lanczos
+    ``decomposition/lanczos/base.py``, and random SVD
+    ``decomposition/randomsvd/base.py`` semantics).
+
+    Returns (U: DsArray, S: np.ndarray, V: np.ndarray).
+    """
+    from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
+
+    n, d = arr.shape
+    k = k or min(n, d)
+    rdd = arr.df.rdd.map(lambda r: IndexedRow(r[0], r[1]))
+    irm = IndexedRowMatrix(rdd, numRows=n, numCols=d)
+    svd_model = irm.computeSVD(k, computeU=True)
+    u_rdd = svd_model.U.rows.map(
+        lambda r: (int(r.index), [float(v) for v in r.vector])
+    )
+    u_df = arr.spark.createDataFrame(u_rdd, f"{_ROW} long, {_FEAT} array<double>")
+    u = DsArray(u_df, (n, k))
+    s = np.array(svd_model.s.toArray())
+    v = np.array(svd_model.V.toArray())
+    return u, s, v
+
+
+def qr_economic(arr: DsArray):
+    """Economic QR via RowMatrix.tallSkinnyQR — the communication-
+    avoiding TSQR the reference implements by hand
+    (``decomposition/tsqr/base.py:11-740``; QR family
+    ``decomposition/qr/base.py``).
+
+    Returns (Q: DsArray (n×d), R: np.ndarray (d×d)).
+    """
+    from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
+
+    n, d = arr.shape
+    rdd = arr.df.rdd.map(lambda r: IndexedRow(r[0], r[1]))
+    irm = IndexedRowMatrix(rdd, numRows=n, numCols=d)
+    qr = irm.toRowMatrix().tallSkinnyQR(computeQ=True)
+    # tallSkinnyQR drops row indices; re-key Q by zipWithIndex order is
+    # not stable, so recompute Q = A @ R^{-1} keyed by original row_id.
+    r = np.array(qr.R.toArray())
+    r_inv = np.linalg.inv(r)
+    q = _matmul_local(arr, r_inv)
+    return q, r
+
+
+def _matmul_local(arr: DsArray, local: np.ndarray) -> DsArray:
+    """A @ M for a small driver-side matrix M: broadcast M into a
+    JVM expression — narrow map, no shuffle at any scale."""
+    d_out = local.shape[1]
+    cols = []
+    for j in range(d_out):
+        col_expr = None
+        for i in range(local.shape[0]):
+            term = F.element_at(F.col(_FEAT), i + 1) * F.lit(float(local[i, j]))
+            col_expr = term if col_expr is None else col_expr + term
+        cols.append(col_expr)
+    df = arr.df.select(_ROW, F.array(*cols).alias(_FEAT))
+    return DsArray(df, (arr.shape[0], d_out))

@@ -1,0 +1,138 @@
+"""Feature scalers with inverse transforms.
+
+Reference: ``dislib/preprocessing/standard_scaler.py:38-135`` (mean +
+population variance, ddof=0) and ``minmax_scaler.py:31-129``.
+
+Spark-first: fit is ONE global aggregation (map-side partials); the
+transform/inverse are narrow column maps — no MLlib model objects, so
+the inverse transform the reference has and MLlib lacks is trivial.
+Works both on raw DataFrame columns and on DsArray feature vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dislib_spark.array.core import DsArray, _FEAT, _ROW
+
+
+def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column mean / population std / min / max in one pass.
+    Returns one row per column: (col_name, mean, std_pop, cmin, cmax)."""
+    selects = []
+    for c in cols:
+        selects.append(
+            df.agg(
+                F.lit(c).alias("col_name"),
+                F.round(F.avg(c), 6).alias("mean"),
+                F.round(F.stddev_pop(c), 6).alias("std_pop"),
+                F.round(F.min(c).cast("double"), 6).alias("cmin"),
+                F.round(F.max(c).cast("double"), 6).alias("cmax"),
+            )
+        )
+    out = selects[0]
+    for s in selects[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+class StandardScaler:
+    """(x - μ) / σ with exact inverse (reference
+    standard_scaler.py:38-135; variance ddof=0 per ``_compute_var``
+    :279-299)."""
+
+    def __init__(self):
+        self.mean_: np.ndarray | None = None
+        self.scale_: np.ndarray | None = None
+
+    def fit(self, x: DsArray) -> "StandardScaler":
+        d = x.shape[1]
+        exprs = []
+        for j in range(d):
+            e = F.element_at(F.col(_FEAT), j + 1)
+            exprs.append(F.avg(e).alias(f"m{j}"))
+            exprs.append(F.stddev_pop(e).alias(f"s{j}"))
+        row = x.df.agg(*exprs).collect()[0]
+        self.mean_ = np.array([row[f"m{j}"] for j in range(d)])
+        self.scale_ = np.array([row[f"s{j}"] or 0.0 for j in range(d)])
+        # zero-variance columns pass through (sklearn convention)
+        self.scale_[self.scale_ == 0.0] = 1.0
+        return self
+
+    def transform(self, x: DsArray) -> DsArray:
+        mu, sg = self.mean_, self.scale_
+        cols = [
+            (F.element_at(F.col(_FEAT), j + 1) - F.lit(float(mu[j])))
+            / F.lit(float(sg[j]))
+            for j in range(x.shape[1])
+        ]
+        df = x.df.select(_ROW, F.array(*cols).alias(_FEAT))
+        return DsArray(df, x.shape)
+
+    def fit_transform(self, x: DsArray) -> DsArray:
+        return self.fit(x).transform(x)
+
+    def inverse_transform(self, x: DsArray) -> DsArray:
+        mu, sg = self.mean_, self.scale_
+        cols = [
+            F.element_at(F.col(_FEAT), j + 1) * F.lit(float(sg[j]))
+            + F.lit(float(mu[j]))
+            for j in range(x.shape[1])
+        ]
+        df = x.df.select(_ROW, F.array(*cols).alias(_FEAT))
+        return DsArray(df, x.shape)
+
+
+class MinMaxScaler:
+    """Scale to [lo, hi] with exact inverse (reference
+    minmax_scaler.py:31-129)."""
+
+    def __init__(self, feature_range: tuple[float, float] = (0.0, 1.0)):
+        self.feature_range = feature_range
+        self.data_min_: np.ndarray | None = None
+        self.data_max_: np.ndarray | None = None
+
+    def fit(self, x: DsArray) -> "MinMaxScaler":
+        d = x.shape[1]
+        exprs = []
+        for j in range(d):
+            e = F.element_at(F.col(_FEAT), j + 1)
+            exprs.append(F.min(e).alias(f"mn{j}"))
+            exprs.append(F.max(e).alias(f"mx{j}"))
+        row = x.df.agg(*exprs).collect()[0]
+        self.data_min_ = np.array([row[f"mn{j}"] for j in range(d)])
+        self.data_max_ = np.array([row[f"mx{j}"] for j in range(d)])
+        return self
+
+    def transform(self, x: DsArray) -> DsArray:
+        lo, hi = self.feature_range
+        mn, mx = self.data_min_, self.data_max_
+        rng = np.where(mx - mn == 0.0, 1.0, mx - mn)
+        cols = [
+            (F.element_at(F.col(_FEAT), j + 1) - F.lit(float(mn[j])))
+            / F.lit(float(rng[j]))
+            * F.lit(hi - lo)
+            + F.lit(lo)
+            for j in range(x.shape[1])
+        ]
+        df = x.df.select(_ROW, F.array(*cols).alias(_FEAT))
+        return DsArray(df, x.shape)
+
+    def fit_transform(self, x: DsArray) -> DsArray:
+        return self.fit(x).transform(x)
+
+    def inverse_transform(self, x: DsArray) -> DsArray:
+        lo, hi = self.feature_range
+        mn, mx = self.data_min_, self.data_max_
+        rng = np.where(mx - mn == 0.0, 1.0, mx - mn)
+        cols = [
+            (F.element_at(F.col(_FEAT), j + 1) - F.lit(lo))
+            / F.lit(hi - lo)
+            * F.lit(float(rng[j]))
+            + F.lit(float(mn[j]))
+            for j in range(x.shape[1])
+        ]
+        df = x.df.select(_ROW, F.array(*cols).alias(_FEAT))
+        return DsArray(df, x.shape)

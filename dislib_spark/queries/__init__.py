@@ -1,0 +1,35 @@
+"""Declared query registry.
+
+Aggregates every queries/oracle pair the driver's correctness harness
+checks (``__spark_entry__.queries()`` / ``oracle_sql()``). Modules
+register here as they are implemented:
+
+- ``relational``: Q1–Q17 (SURVEY.md §2.12)
+- ``text``: text analysis + dedup extension queries
+- ``vector``: similarity-search extension queries
+- ``ml``: SQL-checkable ML kernels + rows-only estimator checks
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from dislib_spark.queries import relational, text, vector, ml
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in (relational, text, vector, ml):
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    from dislib_spark.queries import relational, text, vector, ml
+
+    out: dict[str, str] = {}
+    for mod in (relational, text, vector, ml):
+        out.update(mod.ORACLE)
+    return out

@@ -1,0 +1,173 @@
+"""Text-pipeline extension queries over ``documents`` with DuckDB
+oracles (exact-replayable: single-space tokenization + md5 + lambda
+list ops — no engine-specific tokenizer/regex divergence).
+
+MinHash-LSH and SimHash dedup are not ANSI-SQL replayable (xxhash64 is
+Spark-specific) → declared without oracles (driver records the weaker
+rows-only check); their *candidate verification* (exact Jaccard) IS
+oracle-checked via t04.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dislib_spark.tables import load_table
+from dislib_spark.text.analysis import with_text_features
+from dislib_spark.text.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+
+
+def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_text_features(load_table(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def t02_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_text_features(load_table(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pred_lang")
+    )
+
+
+def t03_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d).orderBy("fp")
+
+
+def t04_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, threshold=0.3, n=3).orderBy("a_id", "b_id")
+
+
+def t05_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.3).orderBy("a_id", "b_id")
+
+
+def t06_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=8).orderBy("a_id", "b_id")
+
+
+def t07_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_text_features(load_table(spark, sf_dir, "documents"))
+    return (
+        d.where(F.col("quality") >= 0.7)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+QUERIES = {
+    "t01_text_stats": t01_text_stats,
+    "t02_lang_predict": t02_lang_predict,
+    "t03_dedup_exact": t03_dedup_exact,
+    "t04_dedup_jaccard": t04_dedup_jaccard,
+    "t05_dedup_minhash": t05_dedup_minhash,
+    "t06_dedup_simhash": t06_dedup_simhash,
+    "t07_quality_filter": t07_quality_filter,
+}
+
+# DuckDB fragments mirroring dislib_spark.text.analysis exactly.
+_TOKENS = "string_split(text, ' ')"
+_N_TOK = f"len({_TOKENS})"
+_DIV = f"(len(list_distinct({_TOKENS}))::DOUBLE / len({_TOKENS})::DOUBLE)"
+_QUALITY = (
+    f"ROUND((least({_N_TOK}::DOUBLE / 50.0, 1.0) + {_DIV}) / 2.0, 6)"
+)
+
+
+def _lang_score(words: list[str]) -> str:
+    cond = " OR ".join(f"x = '{w}'" for w in words)
+    return f"len(list_filter({_TOKENS}, x -> {cond}))"
+
+
+_SCORES = {
+    "en": _lang_score(["the", "a", "of"]),
+    "de": _lang_score(["der", "die", "das"]),
+    "fr": _lang_score(["le", "la", "les"]),
+    "es": _lang_score(["el", "los", "una"]),
+    "zh": _lang_score(["de", "shi", "le"]),
+}
+_BEST = "GREATEST(" + ", ".join(f"s_{k}" for k in _SCORES) + ")"
+_PRED_LANG_CASE = (
+    "CASE WHEN " + _BEST + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{k} = {_BEST} THEN '{k}'" for k in sorted(_SCORES)
+    )
+    + " ELSE 'und' END"
+)
+
+ORACLE = {
+    "t01_text_stats": f"""
+        SELECT source, COUNT(*) AS n,
+               ROUND(AVG({_N_TOK}), 6) AS avg_tokens,
+               ROUND(AVG({_QUALITY}), 6) AS avg_quality
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "t02_lang_predict": f"""
+        SELECT pred_lang, COUNT(*) AS n FROM (
+            SELECT {_PRED_LANG_CASE} AS pred_lang FROM (
+                SELECT {", ".join(f"{v} AS s_{k}" for k, v in _SCORES.items())}
+                FROM documents
+            )
+        ) GROUP BY pred_lang ORDER BY pred_lang
+    """,
+    "t03_dedup_exact": """
+        SELECT md5(lower(text)) AS fp, MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY fp ORDER BY fp
+    """,
+    "t04_dedup_jaccard": f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                                  for i in range(1, len(toks) - 1)]) AS shingles
+            FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+        ),
+        inv AS (
+            SELECT doc_id, len(shingles) AS set_size,
+                   UNNEST(shingles) AS shingle
+            FROM sh
+        ),
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   ANY_VALUE(a.set_size) AS a_size,
+                   ANY_VALUE(b.set_size) AS b_size,
+                   COUNT(*) AS n_inter
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT a_id, b_id, jaccard FROM (
+            SELECT a_id, b_id,
+                   ROUND(n_inter::DOUBLE / (a_size + b_size - n_inter)::DOUBLE, 6)
+                       AS jaccard
+            FROM pairs
+        ) WHERE jaccard >= 0.3 ORDER BY a_id, b_id
+    """,
+    "t07_quality_filter": f"""
+        SELECT COUNT(*) AS n_kept, ROUND(AVG({_N_TOK}), 6) AS avg_tokens
+        FROM documents WHERE {_QUALITY} >= 0.7
+    """,
+    # t05/t06: xxhash64-based signatures — not ANSI-SQL replayable,
+    # rows-only check by design.
+}

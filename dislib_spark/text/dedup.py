@@ -1,0 +1,259 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all shuffle-architected for the 100 TB target:
+
+- exact: md5-keyed groupBy (one shuffle on the 16-byte key).
+- n-gram Jaccard: shingle-set self-join restricted to candidate
+  pairs (inverted index on shingles → pairs → exact Jaccard).
+- MinHash + LSH: shingles → xxhash64 → H permutation minima → b bands
+  → bucket join. Only documents sharing a band bucket are paired, so
+  the candidate join is output-linear rather than O(n²).
+- SimHash: 64-bit signature from per-token hash bit votes; near-dup =
+  small Hamming distance within blocking buckets.
+
+Everything is JVM-side (split/transform/aggregate/xxhash64 — no
+Python UDFs); the wide operations are groupBy on signature keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dislib_spark.text.analysis import fingerprint, tokens
+
+# Mersenne prime 2^31-1 for the affine MinHash permutations: keeps
+# h*a+b under 2^63 (ANSI overflow-safe) while giving 31-bit minhashes.
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per content fingerprint.
+    Returns (fingerprint, keep_id, n_copies)."""
+    return (
+        df.groupBy(fingerprint(F.col(text_col)).alias("fp"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, JVM-side: slide over the token
+    array with transform(sequence)."""
+    toks = tokens(text)
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via inverted shingle
+    index: explode shingles → self-join on shingle → per-pair
+    intersection counts → Jaccard from set sizes. The join is on the
+    shingle key (co-partitioned shuffle), never a full cross join.
+
+    Returns (a_id, b_id, jaccard) with a_id < b_id.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    ).withColumn("set_size", F.size("shingles"))
+    inv = sh.select("id", "set_size", F.explode("shingles").alias("shingle"))
+    a = inv.select(
+        F.col("id").alias("a_id"),
+        F.col("set_size").alias("a_size"),
+        "shingle",
+    )
+    b = inv.select(
+        F.col("id").alias("b_id"),
+        F.col("set_size").alias("b_size"),
+        "shingle",
+    )
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "a_size", "b_size")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = inter.select(
+        "a_id",
+        "b_id",
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("a_size") + F.col("b_size") - F.col("n_inter")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+    return jac.where(F.col("jaccard") >= threshold)
+
+
+def _minhash_signature(shingles: Column, num_hashes: int, seed: int = 7) -> Column:
+    """H affine permutations over xxhash64(shingle):
+    min((a_i * h + b_i) mod M) — all inside one JVM expression."""
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+    def _permuted_min(a: int, b: int):
+        return F.array_min(
+            F.transform(
+                base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+            )
+        )
+
+    sigs = []
+    for i in range(num_hashes):
+        a = (seed * 1_000_003 + i * 2_147_483_647) % _MERSENNE or 1
+        b = (seed * 998_244_353 + i * 1_000_000_007) % _MERSENNE
+        sigs.append(_permuted_min(a, b))
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: candidates from band-bucket
+    collisions, then exact Jaccard on the candidates only.
+
+    bands=8 × rows=4 at threshold 0.5 → P(candidate) ≈ 1-(1-s⁴)⁸,
+    ≈0.9996 at s=0.8 (near-perfect recall on true dups).
+    Returns (a_id, b_id, jaccard) with a_id < b_id.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    sig = sh.withColumn("sig", _minhash_signature(F.col("shingles"), num_hashes))
+    banded = sig.select(
+        "id",
+        "shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(
+        F.col("id").alias("a_id"),
+        F.col("shingles").alias("a_sh"),
+        "band_idx",
+        "band_hash",
+    )
+    b = banded.select(
+        F.col("id").alias("b_id"),
+        F.col("shingles").alias("b_sh"),
+        "band_idx",
+        "band_hash",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sh", "b_sh")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    jac = cand.select(
+        "a_id",
+        "b_id",
+        F.round(
+            F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+            / F.size(F.array_union("a_sh", "b_sh")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+    return jac.where(F.col("jaccard") >= threshold)
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash signature: per-token xxhash64, each bit votes ±1,
+    sign of the vote sum sets the output bit. Pure JVM expression."""
+    tok_hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+
+    def _bit_vote(j: int):
+        return F.aggregate(
+            tok_hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_votes = [_bit_vote(j) for j in range(bits)]
+    out = F.lit(0).cast("long")
+    for j, vote in enumerate(bit_votes):
+        # bit 63 is the sign bit in a two's-complement long
+        bit_val = -(1 << 63) if j == 63 else (1 << j)
+        out = out + F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs with 4-block blocking: signatures within
+    Hamming distance ≤ max_hamming share at least one of 4 16-bit
+    blocks exactly (pigeonhole when max_hamming < 4·1+...) — candidate
+    join on block value, then exact popcount filter.
+
+    Returns (a_id, b_id, hamming) with a_id < b_id.
+    """
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig")
+    )
+    blocked = sig.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), 16 * blk)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .cast("int")
+                    for blk in range(4)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a = blocked.select(
+        F.col("id").alias("a_id"), F.col("sig").alias("a_sig"),
+        "block_idx", "block_val",
+    )
+    b = blocked.select(
+        F.col("id").alias("b_id"), F.col("sig").alias("b_sig"),
+        "block_idx", "block_val",
+    )
+    cand = (
+        a.join(b, ["block_idx", "block_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    ham = cand.select(
+        "a_id",
+        "b_id",
+        F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))).alias("hamming"),
+    )
+    return ham.where(F.col("hamming") <= max_hamming)

@@ -202,13 +202,13 @@ class DsArray:
 
     # -- elementwise math (reference array.py:1880-1950, 1209-1226) ----
     def exp(self) -> "DsArray":
-        return self._map_elements(F.exp)
+        return self._map_elements(lambda c: F.exp(c))
 
     def log(self) -> "DsArray":
-        return self._map_elements(F.log)
+        return self._map_elements(lambda c: F.log(c))
 
     def sqrt(self) -> "DsArray":
-        return self._map_elements(F.sqrt)
+        return self._map_elements(lambda c: F.sqrt(c))
 
     # -- reductions (reference array.py:1100-1207) ----------------------
     def _axis0_agg(self, make_expr) -> "DsArray":
@@ -420,9 +420,10 @@ def apply_along_axis(
 
     if axis == 1:
 
-        @pandas_udf("double")
-        def _row_udf(feats: pd.Series) -> pd.Series:
+        def _row_apply(feats):
             return feats.map(lambda v: float(func(np.asarray(v))))
+
+        _row_udf = pandas_udf(_row_apply, "double")
 
         df = arr.df.select(
             _ROW, F.array(_row_udf(F.col(_FEAT))).alias(_FEAT)

@@ -1,0 +1,14 @@
+from dislib_spark.classification.forest import (
+    DecisionTreeClassifier,
+    DecisionTreeRegressor,
+    RandomForestClassifier,
+    RandomForestRegressor,
+)
+from dislib_spark.classification.csvm import CascadeSVM, LinearSVC
+from dislib_spark.neighbors.knn import KNeighborsClassifier
+
+__all__ = [
+    "DecisionTreeClassifier", "DecisionTreeRegressor",
+    "RandomForestClassifier", "RandomForestRegressor",
+    "CascadeSVM", "LinearSVC", "KNeighborsClassifier",
+]

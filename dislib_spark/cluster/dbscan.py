@@ -1,0 +1,259 @@
+"""DBSCAN density clustering.
+
+Reference: ``dislib/cluster/dbscan/base.py:68-183`` + ``classes.py``
+— grid-partition feature space into n_regions^d cells, run a local
+DBSCAN per region, then merge labels across neighboring regions via
+equivalence lists + BFS connected components on the driver
+(``base.py:435-465``).
+
+Spark-first redesign (standard parallel grid DBSCAN, cell side=eps):
+
+1. grid keys as JVM expressions (narrow map); each point replicated
+   to its 3^d neighbor cells (halo) so every home cell sees the full
+   eps-ball of its own points;
+2. pass 1 — exact core flags: per-cell neighbor counts for HOME
+   points only (their eps-ball is fully inside cell+halo);
+3. pass 2 — per-cell BFS clustering from known-global core flags
+   (pure numpy, no sklearn);
+4. merge — two provisional labels merge iff they share a core point:
+   distributed min-label propagation to fixpoint (replaces the
+   reference's driver-side BFS, scales with boundary points only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dislib_spark.array.core import DsArray, _FEAT, _ROW
+
+
+def _core_counts(X: np.ndarray, home: np.ndarray, eps: float) -> np.ndarray:
+    """Exact eps-neighbor counts for the home points of one cell."""
+    Xh = X[home]
+    d2 = ((Xh[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    return (d2 <= eps * eps).sum(axis=1)
+
+
+def _bfs_cluster(X: np.ndarray, is_core: np.ndarray, eps: float) -> np.ndarray:
+    """BFS over core connectivity with GLOBAL core flags (replaces
+    per-region sklearn DBSCAN, reference dbscan/classes.py:33-67).
+    Border points attach to the first reaching cluster."""
+    n = len(X)
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    neigh = d2 <= eps * eps
+    labels = np.full(n, -1, dtype=np.int64)
+    cluster = 0
+    for i in range(n):
+        if labels[i] != -1 or not is_core[i]:
+            continue
+        labels[i] = cluster
+        stack = [i]
+        while stack:
+            p = stack.pop()
+            for q in np.nonzero(neigh[p])[0]:
+                if labels[q] == -1:
+                    labels[q] = cluster
+                    if is_core[q]:
+                        stack.append(q)
+        cluster += 1
+    return labels
+
+
+class DBSCAN:
+    """sklearn-style facade (reference cluster/dbscan/base.py:20-67;
+    the reference's n_regions grid becomes an eps-derived grid)."""
+
+    def __init__(self, eps: float = 0.5, min_samples: int = 5):
+        self.eps = eps
+        self.min_samples = min_samples
+        self.n_clusters_: int | None = None
+
+    def fit_predict(self, x: DsArray) -> DsArray:
+        import pandas as pd
+
+        eps, min_samples = self.eps, self.min_samples
+        n, d = x.shape
+        spark = x.spark
+
+        mins_row = x.df.agg(
+            *[
+                F.min(F.element_at(F.col(_FEAT), j + 1)).alias(f"m{j}")
+                for j in range(d)
+            ]
+        ).collect()[0]
+        mins = [float(mins_row[f"m{j}"]) for j in range(d)]
+
+        cell_cols = [
+            F.floor(
+                (F.element_at(F.col(_FEAT), j + 1) - F.lit(mins[j]))
+                / F.lit(eps)
+            ).cast("long").alias(f"c{j}")
+            for j in range(d)
+        ]
+        pts = x.df.select(_ROW, _FEAT, *cell_cols)
+
+        offsets = _neighbor_offsets(d)
+        off_df = spark.createDataFrame(
+            [(i, list(o)) for i, o in enumerate(offsets)],
+            "off_id int, off array<long>",
+        )
+        halo = pts.crossJoin(F.broadcast(off_df)).select(
+            _ROW,
+            _FEAT,
+            F.struct(
+                *[
+                    (F.col(f"c{j}") + F.element_at("off", j + 1)).alias(f"h{j}")
+                    for j in range(d)
+                ]
+            ).alias("cell"),
+            (F.col("off_id") == 0).alias("is_home"),
+        ).cache()
+
+        try:
+            # ---- pass 1: exact core flags --------------------------
+            def count_cores(pdf: pd.DataFrame) -> pd.DataFrame:
+                X = np.array(pdf[_FEAT].tolist(), dtype=np.float64)
+                home = pdf["is_home"].to_numpy()
+                if not home.any():
+                    return pd.DataFrame({"row_id": [], "is_core": []}).astype(
+                        {"row_id": "int64", "is_core": "bool"}
+                    )
+                cnt = _core_counts(X, home, eps)
+                return pd.DataFrame(
+                    {
+                        "row_id": pdf[_ROW].to_numpy()[home],
+                        "is_core": cnt >= min_samples,
+                    }
+                )
+
+            core_flags = halo.groupBy("cell").applyInPandas(
+                count_cores, "row_id long, is_core boolean"
+            )
+
+            # ---- pass 2: per-cell BFS with global core flags -------
+            halo_flag = halo.join(
+                core_flags.withColumnRenamed("row_id", _ROW), _ROW
+            )
+
+            def cell_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+                X = np.array(pdf[_FEAT].tolist(), dtype=np.float64)
+                is_core = pdf["is_core"].to_numpy()
+                labels = _bfs_cluster(X, is_core, eps)
+                cell = pdf.iloc[0]["cell"]
+                coords = tuple(
+                    cell.values() if isinstance(cell, dict) else cell
+                )
+                cell_key = hash(coords) & 0x7FFFFFFF
+                glob = [
+                    -1 if l < 0 else cell_key * 1_000_003 + int(l)
+                    for l in labels
+                ]
+                return pd.DataFrame(
+                    {
+                        "row_id": pdf[_ROW],
+                        "is_home": pdf["is_home"],
+                        "label": glob,
+                        "is_core": is_core,
+                    }
+                )
+
+            local = halo_flag.groupBy("cell").applyInPandas(
+                cell_cluster,
+                "row_id long, is_home boolean, label long, is_core boolean",
+            ).cache()
+
+            # ---- merge: min-label propagation to fixpoint ----------
+            core_memb = local.where(
+                (F.col("label") >= 0) & F.col("is_core")
+            ).select("row_id", "label").cache()
+            assign = core_memb.groupBy("row_id").agg(
+                F.min("label").alias("comp")
+            )
+            for _ in range(50):
+                label_comp = (
+                    core_memb.join(assign, "row_id")
+                    .groupBy("label")
+                    .agg(F.min("comp").alias("lcomp"))
+                )
+                new_assign = (
+                    core_memb.join(label_comp, "label")
+                    .groupBy("row_id")
+                    .agg(F.min("lcomp").alias("comp"))
+                )
+                changed = (
+                    new_assign.join(
+                        assign.withColumnRenamed("comp", "old"), "row_id"
+                    )
+                    .where(F.col("comp") != F.col("old"))
+                    .limit(1)
+                    .count()
+                )
+                assign = new_assign
+                if changed == 0:
+                    break
+
+            # border points: adopt their home-cell label's component
+            label_comp = (
+                core_memb.join(assign, "row_id")
+                .groupBy("label")
+                .agg(F.min("comp").alias("lcomp"))
+            )
+            border = local.where(
+                F.col("is_home") & (F.col("label") >= 0) & ~F.col("is_core")
+            ).select("row_id", "label")
+            border_assign = (
+                border.join(label_comp, "label")
+                .groupBy("row_id")
+                .agg(F.min("lcomp").alias("comp"))
+            )
+            full = assign.unionAll(border_assign).groupBy("row_id").agg(
+                F.min("comp").alias("comp")
+            )
+
+            # dense cluster ids (distinct comps are few — driver map)
+            comps = [
+                r["comp"]
+                for r in full.select("comp").distinct().orderBy("comp").collect()
+            ]
+            self.n_clusters_ = len(comps)
+            if comps:
+                mapping = F.create_map(
+                    *[
+                        F.lit(v)
+                        for kv in ((c, i) for i, c in enumerate(comps))
+                        for v in kv
+                    ]
+                )
+                labeled = full.select(
+                    F.col("row_id").alias("_lid"),
+                    mapping[F.col("comp")].cast("long").alias("cluster"),
+                )
+            else:
+                labeled = full.select(
+                    F.col("row_id").alias("_lid"),
+                    F.lit(-1).cast("long").alias("cluster"),
+                )
+            out = (
+                x.df.select(_ROW)
+                .join(labeled, F.col(_ROW) == F.col("_lid"), "left")
+                .select(
+                    F.col(_ROW),
+                    F.array(
+                        F.coalesce(F.col("cluster"), F.lit(-1)).cast("double")
+                    ).alias(_FEAT),
+                )
+            )
+            return DsArray(out, (n, 1))
+        finally:
+            halo.unpersist()
+
+
+def _neighbor_offsets(d: int):
+    """3^d offsets, zero offset first (off_id 0 = home cell)."""
+    from itertools import product
+
+    return sorted(
+        product([-1, 0, 1], repeat=d),
+        key=lambda o: (o != tuple([0] * d), o),
+    )

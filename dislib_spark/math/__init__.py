@@ -1,0 +1,3 @@
+from dislib_spark.array.linalg import kron, svd
+
+__all__ = ["kron", "svd"]

@@ -1,0 +1,3 @@
+from dislib_spark.recommendation.als import ALS
+
+__all__ = ["ALS"]

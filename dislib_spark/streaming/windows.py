@@ -1,0 +1,140 @@
+"""Structured Streaming operators over the events schema.
+
+N/A in the reference (SURVEY.md §2.10 — dislib has no streaming
+layer); required by the engine's north star. Everything here is
+built-in Structured Streaming: event-time windows + watermarks,
+late-data drop, streaming dedup, and a stateful custom operator via
+``applyInPandasWithState``.
+
+Batch/stream parity: each transformation takes a DataFrame that may
+be batch (``spark.read``) or streaming (``spark.readStream``) — the
+SAME code path, so the batch oracle (q15) certifies the streaming
+logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time window counts + sums with a watermark
+    (late rows beyond the watermark are dropped by the engine)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "avg_value"
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows per user (gap-based)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            F.session_window(ts_col, gap).alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup bounded by the watermark
+    (dropDuplicatesWithinWatermark); batch mode falls back to plain
+    dropDuplicates — same keys, same semantics within the horizon."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
+def running_user_stats(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum, max)
+    via applyInPandasWithState — the engine's §2.10
+    stateful-UDF surface. Streaming only."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        cnt, total, mx = (
+            state.get if state.exists else (0, 0.0, float("-inf"))
+        )
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((cnt, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [cnt],
+                "total": [total],
+                "vmax": [mx],
+            }
+        )
+
+    return (
+        events.withWatermark(ts_col, "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n long, total double, vmax double",
+            stateStructType="n long, total double, vmax double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

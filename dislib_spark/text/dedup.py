@@ -39,10 +39,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, JVM-side: slide over the token
-    array with transform(sequence)."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED
+    token array column. Callers must project the token split into a
+    named column first: expressions referenced inside higher-order-
+    function lambdas are re-evaluated per element (no CSE inside
+    lambda bodies), so an inline split() costs O(n_tokens) splits per
+    row — measured 7x slower."""
     k = F.size(toks) - F.lit(n - 1)
     grams = F.when(
         k >= 1,
@@ -52,6 +55,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from raw text. Prefer projecting
+    ``tokens(text)`` to a column and using ``shingles_from_tokens``
+    in multi-use plans (see its docstring)."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def jaccard_pairs(
@@ -68,26 +78,49 @@ def jaccard_pairs(
 
     Returns (a_id, b_id, jaccard) with a_id < b_id.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
-    ).withColumn("set_size", F.size("shingles"))
-    inv = sh.select("id", "set_size", F.explode("shingles").alias("shingle"))
-    a = inv.select(
-        F.col("id").alias("a_id"),
-        F.col("set_size").alias("a_size"),
-        "shingle",
+    # invert on the 64-bit shingle hash (identical pairs/counts —
+    # collisions over ~10^5 distinct shingles are ~2^-30-improbable).
+    # localCheckpoint breaks lineage so the shingle build runs ONCE:
+    # Catalyst has no CSE across a projection's consumers, so every
+    # downstream reference would otherwise recompute the split+grams.
+    # Bucket-based pair generation: one shuffle on the shingle key,
+    # pairs exploded inside buckets (never a self-join).
+    sh = (
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+        .select("id", shingles_from_tokens(F.col("_toks"), n).alias("shingles"))
+        .select(
+            "id",
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hashes"),
+        )
+        .localCheckpoint(eager=False)
     )
-    b = inv.select(
-        F.col("id").alias("b_id"),
-        F.col("set_size").alias("b_size"),
-        "shingle",
+    inv = sh.select(
+        "id",
+        F.size("hashes").alias("set_size"),
+        F.explode("hashes").alias("shingle"),
     )
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id", "a_size", "b_size")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    buckets = inv.groupBy("shingle").agg(
+        F.collect_list(F.struct("id", "set_size")).alias("ds")
+    )
+    pair_col = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x: F.transform(
+                    F.col("ds"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"]["id"] < p["b"]["id"],
+    )
+    pairs = buckets.select(F.explode(pair_col).alias("p")).select(
+        F.col("p.a.id").alias("a_id"),
+        F.col("p.a.set_size").alias("a_size"),
+        F.col("p.b.id").alias("b_id"),
+        F.col("p.b.set_size").alias("b_size"),
+    )
+    inter = pairs.groupBy("a_id", "b_id", "a_size", "b_size").agg(
+        F.count(F.lit(1)).alias("n_inter")
     )
     jac = inter.select(
         "a_id",
@@ -101,15 +134,17 @@ def jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold)
 
 
-def _minhash_signature(shingles: Column, num_hashes: int, seed: int = 7) -> Column:
-    """H affine permutations over xxhash64(shingle):
-    min((a_i * h + b_i) mod M) — all inside one JVM expression."""
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+def _minhash_signature(base_hashes: Column, num_hashes: int, seed: int = 7) -> Column:
+    """H affine permutations over pre-hashed shingles:
+    min((a_i * h + b_i) mod M) — one JVM expression per permutation.
+    ``base_hashes`` MUST be a materialized column (see
+    shingles_from_tokens on lambda-body re-evaluation)."""
 
     def _permuted_min(a: int, b: int):
         return F.array_min(
             F.transform(
-                base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+                base_hashes,
+                lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)),
             )
         )
 
@@ -138,11 +173,27 @@ def minhash_lsh_pairs(
     Returns (a_id, b_id, jaccard) with a_id < b_id.
     """
     rows_per_band = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
-    ).where(F.size("shingles") > 0)
-    sig = sh.withColumn("sig", _minhash_signature(F.col("shingles"), num_hashes))
+    # two lineage breaks: (1) the shingle+hash build feeds 32
+    # permutation lambdas, (2) the signature feeds `bands` band-hash
+    # lambdas — without checkpoints each lambda re-evaluates its whole
+    # upstream expression (no CSE inside lambda bodies).
+    hashed = (
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+        .select("id", shingles_from_tokens(F.col("_toks"), n).alias("shingles"))
+        .where(F.size("shingles") > 0)
+        .withColumn(
+            "_h",
+            F.transform(
+                F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sig = (
+        hashed.withColumn("sig", _minhash_signature(F.col("_h"), num_hashes))
+        .drop("_h")
+        .localCheckpoint(eager=False)
+    )
     banded = sig.select(
         "id",
         "shingles",
@@ -155,22 +206,33 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    a = banded.select(
-        F.col("id").alias("a_id"),
-        F.col("shingles").alias("a_sh"),
-        "band_idx",
-        "band_hash",
+    # bucket-based candidates: one pass over the signature build (a
+    # self-join would recompute shingles+signature per side), pairs
+    # exploded inside each band bucket.
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(F.struct("id", "shingles")).alias("ds"))
+        .where(F.size("ds") > 1)
     )
-    b = banded.select(
-        F.col("id").alias("b_id"),
-        F.col("shingles").alias("b_sh"),
-        "band_idx",
-        "band_hash",
+    pair_col = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x: F.transform(
+                    F.col("ds"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"]["id"] < p["b"]["id"],
     )
     cand = (
-        a.join(b, ["band_idx", "band_hash"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sh", "b_sh")
+        buckets.select(F.explode(pair_col).alias("p"))
+        .select(
+            F.col("p.a.id").alias("a_id"),
+            F.col("p.a.shingles").alias("a_sh"),
+            F.col("p.b.id").alias("b_id"),
+            F.col("p.b.shingles").alias("b_sh"),
+        )
         .dropDuplicates(["a_id", "b_id"])
     )
     jac = cand.select(
@@ -189,22 +251,31 @@ def simhash(text: Column, bits: int = 64) -> Column:
     """SimHash signature: per-token xxhash64, each bit votes ±1,
     sign of the vote sum sets the output bit. Pure JVM expression."""
     tok_hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
-
-    def _bit_vote(j: int):
-        return F.aggregate(
-            tok_hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_votes = [_bit_vote(j) for j in range(bits)]
-    out = F.lit(0).cast("long")
-    for j, vote in enumerate(bit_votes):
-        # bit 63 is the sign bit in a two's-complement long
-        bit_val = -(1 << 63) if j == 63 else (1 << j)
-        out = out + F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0))
-    return out
+    # single traversal: accumulate a 64-wide vote vector (±1 per bit
+    # per token), then assemble the signature from the vote signs.
+    votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda a, j: a + F.when(F.bit_get(h, j) == 1, 1).otherwise(-1),
+        ),
+    )
+    # bit 63 is the sign bit in a two's-complement long
+    powers = F.array(
+        *[
+            F.lit(-(1 << 63) if j == 63 else (1 << j)).cast("long")
+            for j in range(bits)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_pairs(

@@ -289,6 +289,66 @@ class DsArray:
         needed a deep block copy)."""
         return DsArray(self._df, self._shape)
 
+    # -- assignment as immutable rewrite (reference __setitem__
+    #    array.py:162-204, _set_column :719-748) ----------------------
+    def set_element(self, i: int, j: int, value: float) -> "DsArray":
+        """A[i, j] = v as a conditional projection (narrow map)."""
+        feat = F.transform(
+            F.col(_FEAT),
+            lambda x, idx: F.when(
+                (F.col(_ROW) == i) & (idx == j), F.lit(float(value))
+            ).otherwise(x),
+        )
+        return DsArray(self._df.select(_ROW, feat.alias(_FEAT)), self._shape)
+
+    def set_column(self, j: int, values: "DsArray") -> "DsArray":
+        """A[:, j] = vec via row_id join + positional rewrite."""
+        v = values.df.select(
+            _ROW, F.element_at(F.col(_FEAT), 1).alias("_new")
+        )
+        joined = self._df.join(v, _ROW)
+        feat = F.transform(
+            F.col(_FEAT),
+            lambda x, idx: F.when(idx == j, F.col("_new")).otherwise(x),
+        )
+        return DsArray(joined.select(_ROW, feat.alias(_FEAT)), self._shape)
+
+    def delete_rows(self, idx: list[int]) -> "DsArray":
+        """reference delete(i=...) array.py:1307-1358: anti-filter +
+        dense re-keying."""
+        drop = sorted(int(i) for i in idx)
+        kept = self._df.where(~F.col(_ROW).isin(drop))
+        # new_id = old_id - (#dropped below old_id): closed-form rank
+        # shift, no shuffle (drop list is a broadcast literal)
+        shift = sum(
+            (F.col(_ROW) > d).cast("long") for d in drop
+        )
+        df = kept.select((F.col(_ROW) - shift).alias(_ROW), _FEAT)
+        return DsArray(df, (self._shape[0] - len(drop), self._shape[1]))
+
+    def delete_columns(self, idx: list[int]) -> "DsArray":
+        """reference delete(j=...) array.py:1307-1358."""
+        drop = {int(j) for j in idx}
+        keep = [j for j in range(self._shape[1]) if j not in drop]
+        return self._select_cols(keep)
+
+    def gammaln(self) -> "DsArray":
+        """log-gamma elementwise (reference array.py:1928-1950 uses
+        scipy.special.gammaln). No JVM/scipy lgamma here → Arrow-
+        batched pandas UDF over math.lgamma (stdlib)."""
+        import math
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _lg(col):
+            return col.map(lambda arr: [math.lgamma(v) for v in arr])
+
+        udf = pandas_udf(_lg, "array<double>")
+        return DsArray(
+            self._df.select(_ROW, udf(F.col(_FEAT)).alias(_FEAT)), self._shape
+        )
+
 
 def _array_median(c):
     """Exact median of an array column, JVM-side: sort + midpoint."""

@@ -1,0 +1,348 @@
+"""Extended relational surface queries (x*) and streaming-module
+batch-form queries (s*), all DuckDB-oracle-checked.
+
+The x-queries exercise Spark-built-in categories the reference lacks
+(SURVEY.md §2 rows marked "N/A in reference → Spark built-in"):
+grouping sets, set operations, JSON functions, correlated subqueries,
+per-group percentiles, conditional aggregation/pivot, range joins.
+
+The s-queries run the REAL ``dislib_spark.streaming`` transformations
+in batch mode — batch/stream share one code path, so the oracle
+certifies the streaming logic (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dislib_spark.streaming.windows import (
+    dedup_within_watermark,
+    session_windows,
+    tumbling_counts,
+)
+from dislib_spark.tables import load_table
+
+
+# --- x1: ROLLUP grouping sets ----------------------------------------
+def x01_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- x2: INTERSECT / EXCEPT ------------------------------------------
+def x02_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k")
+    )
+    both = c.intersect(s).agg(F.count(F.lit(1)).alias("n_both"))
+    only_c = c.distinct().exceptAll(s.distinct()).agg(
+        F.count(F.lit(1)).alias("n_only_customer")
+    )
+    return both.crossJoin(only_c)
+
+
+# --- x3: JSON extraction over events.props ---------------------------
+def x03_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+# --- x4: correlated EXISTS subquery ----------------------------------
+def x04_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- x5: per-group exact percentiles ---------------------------------
+def x05_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- x6: conditional aggregation (manual pivot) ----------------------
+def x06_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    def status_sum(s: str):
+        return F.round(
+            F.sum(F.when(F.col("o_orderstatus") == s, F.col("o_totalprice")).otherwise(0.0)),
+            6,
+        )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            status_sum("F").alias("sum_f"),
+            status_sum("O").alias("sum_o"),
+            status_sum("P").alias("sum_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- x7: range (non-equi) join ---------------------------------------
+def x07_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    # bucket boundaries as a tiny broadcast dim; non-equi condition
+    buckets = spark.createDataFrame(
+        [(0, 0.0, 500.0), (1, 500.0, 1000.0), (2, 1000.0, 1500.0), (3, 1500.0, 1e9)],
+        "bucket int, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(buckets),
+            (p.p_retailprice >= buckets.lo) & (p.p_retailprice < buckets.hi),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- x8: string functions --------------------------------------------
+def x08_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.upper(F.substring("c_name", 1, 8)).alias("prefix"),
+            F.length("c_name").alias("name_len"),
+            F.col("c_name").like("%1%").alias("has_one"),
+        )
+        .groupBy("has_one")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("prefix").alias("min_prefix"),
+            F.round(F.avg("name_len"), 6).alias("avg_len"),
+        )
+        .orderBy("has_one")
+    )
+
+
+# --- x9: date arithmetic ----------------------------------------------
+def x09_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.dayofweek("o_orderdate").alias("dow"),
+        )
+        .groupBy("y", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("dow").alias("n_dow"),
+        )
+        .orderBy("y", "q")
+    )
+
+
+# --- x10: array functions over embeddings ----------------------------
+def x10_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    emb = F.col("embedding").cast("array<double>")
+    return (
+        e.select(
+            "vec_id",
+            F.round(F.array_max(emb), 6).alias("vmax"),
+            F.round(F.array_min(emb), 6).alias("vmin"),
+            F.size(F.filter(emb, lambda v: v > 0)).alias("n_pos"),
+            F.round(
+                F.aggregate(emb, F.lit(0.0), lambda a, v: a + v), 6
+            ).alias("vsum"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --- s1: streaming tumbling window (module code path, batch form) ----
+def s01_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_counts(ev).orderBy("w_start", "event_type")
+
+
+# --- s2: streaming session windows (module code path, batch form) ----
+def s02_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = session_windows(ev, gap="30 minutes")
+    return (
+        out.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("n_events"), 6).alias("avg_events"),
+            F.max("n_events").alias("max_events"),
+        )
+    )
+
+
+# --- s3: streaming dedup (module code path, batch form) --------------
+def s03_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # duplicate the stream then dedup by event_id: count must equal
+    # the distinct-event count
+    doubled = ev.unionAll(ev)
+    out = dedup_within_watermark(doubled, keys=["event_id"])
+    return out.agg(F.count(F.lit(1)).alias("n"))
+
+
+QUERIES = {
+    "x01_rollup": x01_rollup,
+    "x02_set_ops": x02_set_ops,
+    "x03_json_extract": x03_json_extract,
+    "x04_exists_subquery": x04_exists_subquery,
+    "x05_group_percentiles": x05_group_percentiles,
+    "x06_conditional_agg": x06_conditional_agg,
+    "x07_range_join": x07_range_join,
+    "x08_string_funcs": x08_string_funcs,
+    "x09_date_arith": x09_date_arith,
+    "x10_array_funcs": x10_array_funcs,
+    "s01_tumbling": s01_tumbling,
+    "s02_sessions": s02_sessions,
+    "s03_dedup": s03_dedup,
+}
+
+ORACLE = {
+    "x01_rollup": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 6) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "x02_set_ops": """
+        SELECT
+            (SELECT COUNT(*) FROM (
+                SELECT c_nationkey AS k FROM customer
+                INTERSECT
+                SELECT s_nationkey FROM supplier)) AS n_both,
+            (SELECT COUNT(*) FROM (
+                SELECT DISTINCT c_nationkey AS k FROM customer
+                EXCEPT ALL
+                SELECT DISTINCT s_nationkey FROM supplier)) AS n_only_customer
+    """,
+    "x03_json_extract": """
+        SELECT k % 10 AS k_mod, COUNT(*) AS n, ROUND(AVG(k), 6) AS avg_k
+        FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        GROUP BY k_mod ORDER BY k_mod
+    """,
+    "x04_exists_subquery": """
+        SELECT c_mktsegment, COUNT(*) AS n FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "x05_group_percentiles": """
+        SELECT l_returnflag,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS p50,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 6) AS p90
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "x06_conditional_agg": """
+        SELECT o_orderpriority,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 6) AS sum_f,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 6) AS sum_o,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 6) AS sum_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "x07_range_join": """
+        SELECT bucket, COUNT(*) AS n, ROUND(AVG(p_retailprice), 6) AS avg_price
+        FROM part
+        JOIN (VALUES (0, 0.0, 500.0), (1, 500.0, 1000.0),
+                     (2, 1000.0, 1500.0), (3, 1500.0, 1e9))
+             AS b(bucket, lo, hi)
+          ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY bucket ORDER BY bucket
+    """,
+    "x08_string_funcs": """
+        SELECT has_one, COUNT(*) AS n, MIN(prefix) AS min_prefix,
+               ROUND(AVG(name_len), 6) AS avg_len
+        FROM (SELECT UPPER(SUBSTRING(c_name, 1, 8)) AS prefix,
+                     CAST(LENGTH(c_name) AS INT) AS name_len,
+                     c_name LIKE '%1%' AS has_one
+              FROM customer)
+        GROUP BY has_one ORDER BY has_one
+    """,
+    "x09_date_arith": """
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+               EXTRACT(QUARTER FROM o_orderdate) AS q,
+               COUNT(*) AS n,
+               COUNT(DISTINCT EXTRACT(DOW FROM o_orderdate)) AS n_dow
+        FROM orders GROUP BY y, q ORDER BY y, q
+    """,
+    "x10_array_funcs": """
+        SELECT vec_id,
+               ROUND(list_max(embedding)::DOUBLE, 6) AS vmax,
+               ROUND(list_min(embedding)::DOUBLE, 6) AS vmin,
+               len(list_filter(embedding, v -> v > 0)) AS n_pos,
+               ROUND(list_sum(list_transform(embedding, v -> v::DOUBLE)), 6) AS vsum
+        FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
+    """,
+    "s01_tumbling": """
+        SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w_start,
+               CAST(DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS w_end,
+               event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+        FROM events GROUP BY w_start, w_end, event_type
+        ORDER BY w_start, event_type
+    """,
+    "s02_sessions": """
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM ordered
+        )
+        SELECT COUNT(*) AS n_sessions,
+               ROUND(AVG(n_events), 6) AS avg_events,
+               MAX(n_events) AS max_events
+        FROM (SELECT user_id, session_id, COUNT(*) AS n_events
+              FROM sess GROUP BY user_id, session_id)
+    """,
+    "s03_dedup": """
+        SELECT COUNT(DISTINCT event_id) AS n FROM events
+    """,
+}

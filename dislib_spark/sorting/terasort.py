@@ -1,0 +1,81 @@
+"""TeraSort.
+
+Reference: ``dislib/sorting/terasort/base.py:10-488`` — range-
+partition values into num_buckets by linspace(min, max·1.1), sort
+each bucket, reassemble; sorts the FLATTENED values globally, or each
+listed column independently.
+
+Spark-first: ``orderBy`` IS TeraSort — Spark's sort is a sampled
+RangePartitioner + per-partition sort (strictly better bucketing than
+the reference's min/max linspace, SURVEY.md §2.6). The class exists
+for API parity; ``num_buckets`` maps to shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dislib_spark.array.core import DsArray, _FEAT, _ROW
+
+
+def terasort(
+    x: DsArray,
+    column_indexes: list[int] | None = None,
+) -> DsArray:
+    """Global sort. Without column_indexes: flatten all values, sort
+    globally, refill row-major (reference _terasort :343-368). With
+    column_indexes: sort each listed column independently, leave the
+    others in place."""
+    n, d = x.shape
+    spark = x.spark
+    if column_indexes is None:
+        cells = x.df.select(F.explode(F.col(_FEAT)).alias("v"))
+        # distributed range-partitioned sort + dense re-keying
+        rdd = cells.orderBy("v").rdd.zipWithIndex().map(
+            lambda t: (t[1] // d, t[1] % d, t[0][0])
+        )
+        flat = spark.createDataFrame(rdd, "i long, k long, v double")
+        rows = flat.groupBy("i").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "v"))),
+                lambda s: s["v"],
+            ).alias(_FEAT)
+        )
+        return DsArray(
+            rows.select(F.col("i").alias(_ROW), _FEAT), (n, d)
+        )
+
+    out = x
+    for j in column_indexes:
+        col_sorted = (
+            x.df.select(F.element_at(F.col(_FEAT), j + 1).alias("v"))
+            .orderBy("v")
+            .rdd.zipWithIndex()
+            .map(lambda t: (t[1], [float(t[0][0])]))
+        )
+        col_df = spark.createDataFrame(
+            col_sorted, f"{_ROW} long, {_FEAT} array<double>"
+        )
+        out = out.set_column(j, DsArray(col_df, (n, 1)))
+    return out
+
+
+class TeraSort:
+    """API-parity facade (reference sorting/terasort/base.py:10-47).
+    range_min/range_max/num_buckets are accepted and ignored: Spark's
+    RangePartitioner samples real quantiles instead."""
+
+    def __init__(
+        self,
+        range_min: float | None = None,
+        range_max: float | None = None,
+        column_indexes: list[int] | None = None,
+        num_buckets: int | None = None,
+    ):
+        self.column_indexes = column_indexes
+
+    def fit(self, x: DsArray) -> "TeraSort":
+        return self  # sampling happens inside orderBy
+
+    def sort(self, x: DsArray) -> DsArray:
+        return terasort(x, self.column_indexes)

@@ -127,6 +127,44 @@ def load_npy_files(spark: SparkSession, path: str) -> DsArray:
     return _with_row_ids(ordered, "vals")
 
 
+def load_hstack_npy_files(spark: SparkSession, path: str) -> DsArray:
+    """Directory of .npy shards stacked BY COLUMNS (reference
+    data/io.py:229-306): each file holds the same rows, different
+    column slices; files sorted by path."""
+    import pandas as pd
+
+    bin_df = spark.read.format("binaryFile").load(path + "/*.npy")
+
+    def decode(batches):
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                arr = _parse_npy(bytes(content))
+                yield pd.DataFrame(
+                    {
+                        "path": [str(p)] * len(arr),
+                        "idx": range(len(arr)),
+                        "vals": [row.tolist() for row in arr.astype(float)],
+                    }
+                )
+
+    rows = bin_df.select("path", "content").mapInPandas(
+        decode, "path string, idx long, vals array<double>"
+    )
+    # concat column slices per row index, in path order
+    assembled = rows.groupBy("idx").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("path", "vals"))),
+                lambda s: s["vals"],
+            )
+        ).alias(_FEAT)
+    )
+    out = assembled.select(F.col("idx").alias(_ROW), _FEAT)
+    n = out.count()
+    width = len(out.first()[_FEAT]) if n else 0
+    return DsArray(out, (n, width))
+
+
 def load_mdcrd_file(
     spark: SparkSession, path: str, n_atoms: int
 ) -> DsArray:

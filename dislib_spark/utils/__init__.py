@@ -1,3 +1,4 @@
 from dislib_spark.utils.base import shuffle, to_ml_df, prediction_to_dsarray
+from dislib_spark.utils.model import load_model, save_model
 
-__all__ = ["shuffle", "to_ml_df", "prediction_to_dsarray"]
+__all__ = ["shuffle", "to_ml_df", "prediction_to_dsarray", "load_model", "save_model"]

@@ -127,3 +127,60 @@ def test_apply_along_axis(spark):
     assert np.allclose(r1.collect().ravel(), np.ptp(A, axis=1))
     r0 = ds.apply_along_axis(np.ptp, 0, a)
     assert np.allclose(r0.collect().ravel(), np.ptp(A, axis=0))
+
+
+def test_setitem_delete_gammaln(spark):
+    A = RNG.rand(10, 5)
+    a = ds.array(A, spark)
+
+    b = a.set_element(2, 3, 99.0)
+    B = A.copy()
+    B[2, 3] = 99.0
+    assert np.allclose(b.collect(), B)
+
+    col = ds.array(np.arange(10, dtype=float).reshape(-1, 1), spark)
+    c = a.set_column(1, col)
+    C = A.copy()
+    C[:, 1] = np.arange(10)
+    assert np.allclose(c.collect(), C)
+
+    d_ = a.delete_rows([1, 4, 7])
+    assert d_.shape == (7, 5)
+    assert np.allclose(d_.collect(), np.delete(A, [1, 4, 7], axis=0))
+
+    e = a.delete_columns([0, 2])
+    assert e.shape == (10, 3)
+    assert np.allclose(e.collect(), np.delete(A, [0, 2], axis=1))
+
+    import math
+    g = a.gammaln().collect()
+    expected = np.vectorize(math.lgamma)(A)
+    assert np.allclose(g, expected, atol=1e-12)
+
+
+def test_terasort(spark):
+    from dislib_spark.sorting import TeraSort, terasort
+
+    A = RNG.rand(8, 4)
+    a = ds.array(A, spark)
+    flat_sorted = terasort(a).collect()
+    assert np.allclose(flat_sorted.ravel(), np.sort(A.ravel()))
+
+    per_col = TeraSort(column_indexes=[1, 3]).fit(a).sort(a)
+    P = A.copy()
+    P[:, 1] = np.sort(A[:, 1])
+    P[:, 3] = np.sort(A[:, 3])
+    assert np.allclose(per_col.collect(), P)
+
+
+def test_hstack_npy(spark, tmp_path):
+    from dislib_spark.sources import load_hstack_npy_files
+
+    parts = [RNG.rand(6, 2), RNG.rand(6, 3)]
+    d = tmp_path / "h"
+    d.mkdir()
+    for i, p in enumerate(parts):
+        np.save(d / f"{i}.npy", p)
+    x = load_hstack_npy_files(spark, str(d))
+    assert x.shape == (6, 5)
+    assert np.allclose(x.collect(), np.hstack(parts))

@@ -1,0 +1,108 @@
+"""Model save/load, DsTensor, QR/TSQR modes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import dislib_spark as ds
+from dislib_spark.array.tensor import DsTensor, from_array, from_ds_array, random_tensors
+from dislib_spark.cluster import KMeans
+from dislib_spark.decomposition.qr import lanczos_svd, qr, random_svd, tsqr
+from dislib_spark.preprocessing import StandardScaler
+from dislib_spark.regression import LinearRegression
+from dislib_spark.utils.model import load_model, save_model
+
+RNG = np.random.RandomState(31)
+
+
+def test_save_load_json_roundtrip(spark, tmp_path):
+    X = RNG.randn(60, 3)
+    yv = X @ [1.0, 2.0, 3.0] + 0.5
+    x, y = ds.array(X, spark), ds.array(yv.reshape(-1, 1), spark)
+    lr = LinearRegression().fit(x, y)
+    save_model(lr, str(tmp_path / "lr.json"), save_format="json")
+    lr2 = load_model(str(tmp_path / "lr.json"), load_format="json")
+    assert np.allclose(lr2.coef_, lr.coef_)
+    assert np.isclose(lr2.intercept_, lr.intercept_)
+    # loaded model predicts identically
+    assert np.allclose(
+        lr2.predict(x).collect(), lr.predict(x).collect(), atol=1e-12
+    )
+
+
+def test_save_load_pickle_and_scaler(spark, tmp_path):
+    X = RNG.randn(50, 4)
+    x = ds.array(X, spark)
+    sc = StandardScaler().fit(x)
+    save_model(sc, str(tmp_path / "sc.pkl"), save_format="pickle")
+    sc2 = load_model(str(tmp_path / "sc.pkl"), load_format="pickle")
+    assert np.allclose(sc2.mean_, sc.mean_)
+    assert np.allclose(sc2.scale_, sc.scale_)
+
+
+def test_save_load_kmeans_centers(spark, tmp_path):
+    X = RNG.randn(90, 2) + 4
+    x = ds.array(X, spark)
+    km = KMeans(n_clusters=3, init="k-means||", random_state=1).fit(x)
+    save_model(km, str(tmp_path / "km.json"))
+    km2 = load_model(str(tmp_path / "km.json"))
+    # predict works via broadcast centers, no MLlib model needed
+    assert np.allclose(
+        km2.predict(x).collect(), km.predict(x).collect()
+    )
+
+
+def test_tensor_roundtrip_and_apply(spark):
+    T = RNG.randn(6, 3, 4)
+    t = from_array(T, spark)
+    assert t.tensor_shape == (3, 4)
+    assert np.allclose(t.collect(), T)
+
+    doubled = t.apply_to_tensors(lambda a: a * 2)
+    assert np.allclose(doubled.collect(), T * 2)
+
+    summed = t.apply_to_tensors(lambda a: a.sum(axis=1))
+    assert summed.tensor_shape == (3,)
+    assert np.allclose(summed.collect(), T.sum(axis=2))
+
+    arr = t.to_ds_array()
+    assert arr.shape == (6, 12)
+    assert np.allclose(arr.collect(), T.reshape(6, 12))
+
+    back = from_ds_array(arr, (3, 4))
+    assert np.allclose(back.collect(), T)
+
+
+def test_random_tensors(spark):
+    t = random_tensors(5, (2, 3), spark, random_state=8)
+    vals = t.collect()
+    assert vals.shape == (5, 2, 3)
+    assert 0.0 <= vals.min() and vals.max() < 1.0
+
+
+def test_qr_modes(spark):
+    A = RNG.randn(40, 6)
+    a = ds.array(A, spark)
+    q_da, r = qr(a, mode="economic")
+    Q = q_da.collect()
+    assert np.allclose(Q @ r, A, atol=1e-8)
+    r_only = qr(a, mode="r")
+    assert np.allclose(np.abs(r_only), np.abs(r), atol=1e-8)
+    with pytest.raises(NotImplementedError):
+        qr(a, mode="full")
+
+    # r_inv pairs with ITS OWN run's R (tallSkinnyQR row signs are
+    # run-dependent): Q·R = A ⇒ Q = A·R⁻¹ ⇒ Q·(R⁻¹)⁻¹ = A
+    q2, r_inv = tsqr(a, mode="reduced_inverse")
+    assert np.allclose(q2.collect() @ np.linalg.inv(r_inv), A, atol=1e-8)
+
+
+def test_svd_aliases(spark):
+    A = RNG.randn(50, 8)
+    a = ds.array(A, spark)
+    for fn in (lanczos_svd, random_svd):
+        u, s, v = fn(a, 3)
+        # leading singular values match numpy
+        s_np = np.linalg.svd(A, compute_uv=False)[:3]
+        assert np.allclose(s, s_np, atol=1e-6)

@@ -172,15 +172,24 @@ def qr_economic(arr: DsArray):
 
 
 def _matmul_local(arr: DsArray, local: np.ndarray) -> DsArray:
-    """A @ M for a small driver-side matrix M: broadcast M into a
-    JVM expression — narrow map, no shuffle at any scale."""
-    d_out = local.shape[1]
-    cols = []
-    for j in range(d_out):
-        col_expr = None
-        for i in range(local.shape[0]):
-            term = F.element_at(F.col(_FEAT), i + 1) * F.lit(float(local[i, j]))
-            col_expr = term if col_expr is None else col_expr + term
-        cols.append(col_expr)
-    df = arr.df.select(_ROW, F.array(*cols).alias(_FEAT))
-    return DsArray(df, (arr.shape[0], d_out))
+    """A @ M for a small driver-side matrix M: M broadcast as an
+    array-of-columns literal, one zip_with dot product per output
+    column — narrow map, no shuffle, and expression size O(in+out)
+    (expanded sum chains are O(in·out) codegen — measured quadratic
+    blowup at d=64)."""
+    m_cols = F.array(
+        *[
+            F.array(*[F.lit(float(local[i, j])) for i in range(local.shape[0])])
+            for j in range(local.shape[1])
+        ]
+    )
+    feat = F.transform(
+        m_cols,
+        lambda mcol: F.aggregate(
+            F.zip_with(F.col(_FEAT), mcol, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    df = arr.df.select(_ROW, feat.alias(_FEAT))
+    return DsArray(df, (arr.shape[0], local.shape[1]))

@@ -146,12 +146,12 @@ class GaussianMixture:
 
     def _em_pass(self, df, weights, means, cov) -> dict:
         """One E+partial-M pass: mapInPandas emits per-batch moment
-        partials; Spark sums them (tiny shuffle: k·(2d+2) doubles per
-        partition)."""
+        partials PACKED INTO ONE ARRAY (a k·(2d+2)-wide schema
+        triggers quadratic codegen in the merge agg — same lesson as
+        PCA); element-wise merge via posexplode + idx-grouped sum."""
         import pandas as pd
 
         k, d = means.shape
-        ct = self.covariance_type
         w_b, m_b, c_b = weights.copy(), means.copy(), cov.copy()
         log_resp_fn = self._log_resp
 
@@ -162,41 +162,31 @@ class GaussianMixture:
                     continue
                 log_r, norm = log_resp_fn(xb, w_b, m_b, c_b)
                 r = np.exp(log_r)  # (n,k)
-                nk = r.sum(axis=0)  # (k,)
-                mean_sum = r.T @ xb  # (k,d)
-                sq_sum = r.T @ (xb * xb)  # (k,d)
-                out = {"log_prob_sum": [float(norm.sum())]}
-                for c in range(k):
-                    out[f"nk_{c}"] = [float(nk[c])]
-                    for j in range(d):
-                        out[f"ms_{c}_{j}"] = [float(mean_sum[c, j])]
-                        out[f"ss_{c}_{j}"] = [float(sq_sum[c, j])]
-                yield pd.DataFrame(out)
+                vec = np.concatenate(
+                    [
+                        [norm.sum()],
+                        r.sum(axis=0),  # nk (k,)
+                        (r.T @ xb).ravel(),  # mean_sum (k·d,)
+                        (r.T @ (xb * xb)).ravel(),  # sq_sum (k·d,)
+                    ]
+                )
+                yield pd.DataFrame({"partial": [vec.tolist()]})
 
-        fields = ["log_prob_sum double"]
-        for c in range(k):
-            fields.append(f"nk_{c} double")
-            for j in range(d):
-                fields.append(f"ms_{c}_{j} double")
-                fields.append(f"ss_{c}_{j} double")
-        schema = ", ".join(fields)
-        partials = df.mapInPandas(emit, schema)
-        row = partials.agg(
-            *[F.sum(c).alias(c) for c in partials.columns]
-        ).collect()[0]
-
-        nk = np.array([row[f"nk_{c}"] or 0.0 for c in range(k)])
-        mean_sum = np.array(
-            [[row[f"ms_{c}_{j}"] or 0.0 for j in range(d)] for c in range(k)]
+        partials = df.mapInPandas(emit, "partial array<double>")
+        summed = (
+            partials.select(F.posexplode("partial").alias("idx", "v"))
+            .groupBy("idx")
+            .agg(F.sum("v").alias("s"))
+            .collect()
         )
-        sq_sum = np.array(
-            [[row[f"ss_{c}_{j}"] or 0.0 for j in range(d)] for c in range(k)]
-        )
+        vec = np.zeros(1 + k + 2 * k * d)
+        for r in summed:
+            vec[r["idx"]] = r["s"]
         return {
-            "nk": nk,
-            "mean_sum": mean_sum,
-            "sq_sum": sq_sum,
-            "log_prob_sum": row["log_prob_sum"] or 0.0,
+            "log_prob_sum": vec[0],
+            "nk": vec[1 : 1 + k],
+            "mean_sum": vec[1 + k : 1 + k + k * d].reshape(k, d),
+            "sq_sum": vec[1 + k + k * d :].reshape(k, d),
         }
 
     def _m_step_cov(self, stats, nk, means, d):

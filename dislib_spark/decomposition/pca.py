@@ -36,22 +36,49 @@ class PCA:
     def fit(self, x: DsArray) -> "PCA":
         n, d = x.shape
         k = self.n_components or d
-        e = [F.element_at(F.col(_FEAT), j + 1) for j in range(d)]
 
-        # one pass: means + upper-triangle second moments
-        exprs = [F.avg(e[j]).alias(f"m{j}") for j in range(d)]
-        for i in range(d):
-            for j in range(i, d):
-                exprs.append(F.sum(e[i] * e[j]).alias(f"s{i}_{j}"))
-        row = x.df.agg(*exprs).collect()[0]
+        # one Arrow-batched pass: per-batch (count, Σx, X'X) partials,
+        # summed by Spark. d² agg EXPRESSIONS would be quadratic
+        # codegen (measured 28 s at d=64); a numpy GEMM per batch is
+        # the reference's _partial_scatter (pca/base.py:316-372) with
+        # Arrow instead of COMPSs tasks.
+        import pandas as pd
 
-        mean = np.array([row[f"m{j}"] for j in range(d)])
+        n_triu = d * (d + 1) // 2
+
+        def partials(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(pdf[_FEAT].tolist(), dtype=np.float64)
+                vec = np.concatenate(
+                    [[float(len(X))], X.sum(axis=0), (X.T @ X)[np.triu_indices(d)]]
+                )
+                yield pd.DataFrame({"partial": [vec.tolist()]})
+
+        # partials packed into ONE array column (a 1+d+d(d+1)/2-wide
+        # schema triggers quadratic codegen in the final agg —
+        # measured 17 s at d=64); element-wise merge via posexplode +
+        # idx-grouped sum (tiny shuffle: one array per batch).
+        pdf = x.df.select(_FEAT).mapInPandas(partials, "partial array<double>")
+        summed = (
+            pdf.select(F.posexplode("partial").alias("idx", "v"))
+            .groupBy("idx")
+            .agg(F.sum("v").alias("s"))
+            .collect()
+        )
+        vec = np.zeros(1 + d + n_triu)
+        for r in summed:
+            vec[r["idx"]] = r["s"]
+
+        cnt = vec[0]
+        mean = vec[1 : 1 + d] / cnt
         s = np.zeros((d, d))
-        for i in range(d):
-            for j in range(i, d):
-                s[i, j] = s[j, i] = row[f"s{i}_{j}"]
+        iu = np.triu_indices(d)
+        s[iu] = vec[1 + d :]
+        s.T[iu] = vec[1 + d :]
         # covariance (ddof=0) from raw moments: E[xx']-μμ'
-        cov = s / n - np.outer(mean, mean)
+        cov = s / cnt - np.outer(mean, mean)
 
         w, v = np.linalg.eigh(cov)
         order = np.argsort(w)[::-1]
@@ -66,37 +93,38 @@ class PCA:
         return self
 
     def transform(self, x: DsArray) -> DsArray:
-        """Project onto components: (x-μ) Vᵀ as a narrow JVM map
-        (components broadcast as literals)."""
-        comps = self.components_
-        mu = self.mean_
-        k, d = comps.shape
-        cols = []
-        for c in range(k):
-            expr = None
-            for j in range(d):
-                term = (
-                    F.element_at(F.col(_FEAT), j + 1) - F.lit(float(mu[j]))
-                ) * F.lit(float(comps[c, j]))
-                expr = term if expr is None else expr + term
-            cols.append(expr)
-        df = x.df.select(_ROW, F.array(*cols).alias(_FEAT))
-        return DsArray(df, (x.shape[0], k))
+        """Project onto components: (x-μ) Vᵀ as a narrow JVM map —
+        components as an array-of-arrays literal + one dot product
+        per component (HOF form; k·d expanded expression chains are
+        quadratic codegen)."""
+        from dislib_spark.array.linalg import _matmul_local
+
+        centered = DsArray(
+            x.df.select(
+                _ROW,
+                F.zip_with(
+                    F.col(_FEAT),
+                    F.array(*[F.lit(float(m)) for m in self.mean_]),
+                    lambda v, m: v - m,
+                ).alias(_FEAT),
+            ),
+            x.shape,
+        )
+        return _matmul_local(centered, self.components_.T)
 
     def fit_transform(self, x: DsArray) -> DsArray:
         return self.fit(x).transform(x)
 
     def inverse_transform(self, x: DsArray) -> DsArray:
-        comps = self.components_
-        mu = self.mean_
-        k, d = comps.shape
-        cols = []
-        for j in range(d):
-            expr = F.lit(float(mu[j]))
-            for c in range(k):
-                expr = expr + F.element_at(F.col(_FEAT), c + 1) * F.lit(
-                    float(comps[c, j])
-                )
-            cols.append(expr)
-        df = x.df.select(_ROW, F.array(*cols).alias(_FEAT))
-        return DsArray(df, (x.shape[0], d))
+        from dislib_spark.array.linalg import _matmul_local
+
+        back = _matmul_local(x, self.components_)
+        df = back.df.select(
+            _ROW,
+            F.zip_with(
+                F.col(_FEAT),
+                F.array(*[F.lit(float(m)) for m in self.mean_]),
+                lambda v, m: v + m,
+            ).alias(_FEAT),
+        )
+        return DsArray(df, (x.shape[0], self.components_.shape[1]))

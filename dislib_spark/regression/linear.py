@@ -23,8 +23,15 @@ from dislib_spark.array.core import DsArray
 def ols_fit(df: DataFrame, x_cols: list[str], y_col: str,
             fit_intercept: bool = True) -> tuple[np.ndarray, float]:
     """Solve min ||Xw + b - y||² via normal equations in one
-    distributed pass. Returns (coef vector, intercept)."""
+    distributed pass. Returns (coef vector, intercept).
+
+    d ≤ 16: pure-JVM agg expressions (d² sums, whole-stage codegen).
+    d > 16: Arrow-batched packed Gramian partials (wide expression
+    sets trigger quadratic codegen — same lesson as PCA.fit).
+    """
     d = len(x_cols)
+    if d > 16:
+        return _ols_fit_wide(df, x_cols, y_col, fit_intercept)
     cols = [F.col(c).cast("double") for c in x_cols]
     y = F.col(y_col).cast("double")
 
@@ -58,6 +65,51 @@ def ols_fit(df: DataFrame, x_cols: list[str], y_col: str,
             ztz[i, j] = ztz[j, i] = row[f"sxx_{i}_{j}"]
         zty[i] = row[f"sxy_{i}"]
     w = np.linalg.solve(ztz, zty)
+    return w, 0.0
+
+
+def _ols_fit_wide(df: DataFrame, x_cols: list[str], y_col: str,
+                  fit_intercept: bool) -> tuple[np.ndarray, float]:
+    """Packed Z'Z / Z'y partials per Arrow batch (Z = [X, 1] when
+    fitting the intercept), merged by posexplode + idx-grouped sum —
+    the reference's Gramian tree (regression/linear/base.py:274-327)
+    with Arrow batches as the leaves."""
+    import pandas as pd
+
+    d = len(x_cols)
+    dz = d + 1 if fit_intercept else d
+    n_triu = dz * (dz + 1) // 2
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = pdf[x_cols].to_numpy(dtype=np.float64)
+            yv = pdf[y_col].to_numpy(dtype=np.float64)
+            Z = np.hstack([X, np.ones((len(X), 1))]) if fit_intercept else X
+            vec = np.concatenate(
+                [(Z.T @ Z)[np.triu_indices(dz)], Z.T @ yv]
+            )
+            yield pd.DataFrame({"partial": [vec.tolist()]})
+
+    pdf = df.select(*x_cols, y_col).mapInPandas(partials, "partial array<double>")
+    summed = (
+        pdf.select(F.posexplode("partial").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    vec = np.zeros(n_triu + dz)
+    for r in summed:
+        vec[r["idx"]] = r["s"]
+    ztz = np.zeros((dz, dz))
+    iu = np.triu_indices(dz)
+    ztz[iu] = vec[:n_triu]
+    ztz.T[iu] = vec[:n_triu]
+    zty = vec[n_triu:]
+    w = np.linalg.solve(ztz, zty)
+    if fit_intercept:
+        return w[:d], float(w[d])
     return w, 0.0
 
 

@@ -275,3 +275,18 @@ def test_shuffle_preserves_rows(spark):
     assert np.allclose(Xs[order], X, atol=1e-12)
     # actually permuted
     assert not np.allclose(Ys.ravel(), yv.ravel())
+
+
+def test_ols_wide_path(spark):
+    """d>16 routes through the packed-Gramian Arrow path; same
+    solution as numpy."""
+    X = RNG.randn(150, 20)
+    w_true = RNG.randn(20)
+    yv = X @ w_true + 1.5
+    x = ds.array(X, spark)
+    y = ds.array(yv.reshape(-1, 1), spark)
+    lr = LinearRegression().fit(x, y)
+    Z = np.hstack([X, np.ones((150, 1))])
+    w_np = np.linalg.solve(Z.T @ Z, Z.T @ yv)
+    assert np.allclose(lr.coef_, w_np[:20], atol=1e-8)
+    assert np.isclose(lr.intercept_, w_np[20], atol=1e-8)

@@ -28,20 +28,36 @@ from pyspark.sql import functions as F
 from dislib_spark.array.core import DsArray, _FEAT, _ROW
 
 
-def _core_counts(X: np.ndarray, home: np.ndarray, eps: float) -> np.ndarray:
-    """Exact eps-neighbor counts for the home points of one cell."""
+def _core_counts(
+    X: np.ndarray, home: np.ndarray, eps: float, block: int = 2048
+) -> np.ndarray:
+    """Exact eps-neighbor counts for the home points of one cell.
+    Blocked over home points so memory stays O(block·n) for dense
+    cells (the reference bounds the same blow-up with max_samples,
+    dbscan/base.py:20-67)."""
     Xh = X[home]
-    d2 = ((Xh[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
-    return (d2 <= eps * eps).sum(axis=1)
+    out = np.empty(len(Xh), dtype=np.int64)
+    for s in range(0, len(Xh), block):
+        blk = Xh[s : s + block]
+        d2 = ((blk[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+        out[s : s + block] = (d2 <= eps * eps).sum(axis=1)
+    return out
 
 
-def _bfs_cluster(X: np.ndarray, is_core: np.ndarray, eps: float) -> np.ndarray:
+def _bfs_cluster(
+    X: np.ndarray, is_core: np.ndarray, eps: float, block: int = 2048
+) -> np.ndarray:
     """BFS over core connectivity with GLOBAL core flags (replaces
     per-region sklearn DBSCAN, reference dbscan/classes.py:33-67).
-    Border points attach to the first reaching cluster."""
+    Border points attach to the first reaching cluster. Adjacency is
+    built blocked (lists, not an n×n mask) to bound memory on dense
+    cells."""
     n = len(X)
-    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
-    neigh = d2 <= eps * eps
+    neigh: list[np.ndarray] = []
+    for s in range(0, n, block):
+        d2 = ((X[s : s + block, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+        mask = d2 <= eps * eps
+        neigh.extend(np.nonzero(row)[0] for row in mask)
     labels = np.full(n, -1, dtype=np.int64)
     cluster = 0
     for i in range(n):
@@ -51,7 +67,7 @@ def _bfs_cluster(X: np.ndarray, is_core: np.ndarray, eps: float) -> np.ndarray:
         stack = [i]
         while stack:
             p = stack.pop()
-            for q in np.nonzero(neigh[p])[0]:
+            for q in neigh[p]:
                 if labels[q] == -1:
                     labels[q] = cluster
                     if is_core[q]:

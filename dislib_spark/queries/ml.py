@@ -77,11 +77,51 @@ def m04_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_classify(q, c, k=5).orderBy("q_id")
 
 
+def m05_pca_total_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA on embeddings: the eigenvalue sum must equal the total
+    per-column variance (trace identity) — checks the distributed
+    Gramian + eigh pipeline against a pure-SQL oracle."""
+    from dislib_spark.array.core import DsArray
+    from dislib_spark.decomposition import PCA
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("row_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    n = e.count()
+    pca = PCA().fit(DsArray(e, (n, 64)))
+    total = float(pca.explained_variance_.sum())
+    return spark.createDataFrame(
+        [(round(total, 6),)], "total_variance double"
+    )
+
+
+def m06_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS via the engine's normal equations vs a Cramer-
+    rule SQL oracle (multi-regressor REGR_* doesn't exist in SQL)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    coef, intercept = ols_fit(
+        li, ["l_quantity", "l_discount"], "l_extendedprice"
+    )
+    return spark.createDataFrame(
+        [
+            (
+                round(float(coef[0]), 6),
+                round(float(coef[1]), 6),
+                round(float(intercept), 6),
+            )
+        ],
+        "w_qty double, w_disc double, intercept double",
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
     "m03_kmeans_assign": m03_kmeans_assign,
     "m04_knn_classify": m04_knn_classify,
+    "m05_pca_total_variance": m05_pca_total_variance,
+    "m06_ols_two_features": m06_ols_two_features,
 }
 
 
@@ -137,6 +177,42 @@ ORACLE = {
                    END AS cluster
             FROM lineitem
         ) GROUP BY cluster ORDER BY cluster
+    """,
+    "m05_pca_total_variance": """
+        SELECT ROUND(SUM(v), 6) AS total_variance FROM (
+            SELECT VAR_POP(ev) AS v FROM (
+                SELECT GENERATE_SUBSCRIPTS(embedding, 1) AS k,
+                       CAST(UNNEST(embedding) AS DOUBLE) AS ev
+                FROM embeddings
+            ) GROUP BY k
+        )
+    """,
+    "m06_ols_two_features": """
+        WITH s AS (
+            SELECT COUNT(*)::DOUBLE AS n,
+                   SUM(l_quantity) AS sx1, SUM(l_discount) AS sx2,
+                   SUM(l_extendedprice) AS sy,
+                   SUM(l_quantity * l_quantity) AS s11,
+                   SUM(l_quantity * l_discount) AS s12,
+                   SUM(l_discount * l_discount) AS s22,
+                   SUM(l_quantity * l_extendedprice) AS s1y,
+                   SUM(l_discount * l_extendedprice) AS s2y
+            FROM lineitem
+        ),
+        d AS (
+            SELECT *,
+                   s11*(s22*n - sx2*sx2) - s12*(s12*n - sx2*sx1)
+                       + sx1*(s12*sx2 - s22*sx1) AS det
+            FROM s
+        )
+        SELECT
+            ROUND((s1y*(s22*n - sx2*sx2) - s12*(s2y*n - sx2*sy)
+                   + sx1*(s2y*sx2 - s22*sy)) / det, 6) AS w_qty,
+            ROUND((s11*(s2y*n - sy*sx2) - s1y*(s12*n - sx2*sx1)
+                   + sx1*(s12*sy - s2y*sx1)) / det, 6) AS w_disc,
+            ROUND((s11*(s22*sy - s2y*sx2) - s12*(s12*sy - s2y*sx1)
+                   + s1y*(s12*sx2 - s22*sx1)) / det, 6) AS intercept
+        FROM d
     """,
     "m04_knn_classify": """
         WITH cells AS (

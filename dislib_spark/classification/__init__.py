@@ -5,10 +5,11 @@ from dislib_spark.classification.forest import (
     RandomForestRegressor,
 )
 from dislib_spark.classification.csvm import CascadeSVM, LinearSVC
+from dislib_spark.classification.smo import SimpleSVC
 from dislib_spark.neighbors.knn import KNeighborsClassifier
 
 __all__ = [
     "DecisionTreeClassifier", "DecisionTreeRegressor",
     "RandomForestClassifier", "RandomForestRegressor",
-    "CascadeSVM", "LinearSVC", "KNeighborsClassifier",
+    "CascadeSVM", "LinearSVC", "SimpleSVC", "KNeighborsClassifier",
 ]

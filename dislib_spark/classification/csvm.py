@@ -23,11 +23,17 @@ from pyspark.sql import functions as F
 from dislib_spark.array.core import DsArray, _FEAT, _ROW
 from dislib_spark.utils.base import prediction_to_dsarray, to_ml_df
 
-_HAVE_SKLEARN = True
-try:  # gated: container may lack sklearn
-    from sklearn.svm import SVC  # noqa: F401
-except Exception:  # pragma: no cover
-    _HAVE_SKLEARN = False
+def _svc_factory(kernel: str, c: float, gamma, random_state: int):
+    """sklearn SVC when available (reference trains sklearn per node,
+    csvm/base.py:574-595); otherwise the in-repo SMO solver."""
+    try:
+        from sklearn.svm import SVC
+
+        return SVC(kernel=kernel, C=c, gamma=gamma, random_state=random_state)
+    except ImportError:
+        from dislib_spark.classification.smo import SimpleSVC
+
+        return SimpleSVC(kernel=kernel, C=c, gamma=gamma, random_state=random_state)
 
 
 class CascadeSVM:
@@ -43,8 +49,6 @@ class CascadeSVM:
         gamma: str | float = "auto",
         random_state: int = 0,
     ):
-        if not _HAVE_SKLEARN:
-            raise ImportError("CascadeSVM needs scikit-learn on executors")
         self.cascade_arity = cascade_arity
         self.max_iter = max_iter
         self.tol = tol
@@ -55,25 +59,19 @@ class CascadeSVM:
         self._clf = None  # final driver-side SVC over last SV set
 
     def _partition_svc(self, pdf):
-        """Train SVC on one cascade node's rows, emit its SVs."""
+        """Train an SVC on one cascade node's rows, emit its SVs."""
         import pandas as pd
-        from sklearn.svm import SVC
 
         X = np.array(pdf["x"].tolist())
         y = pdf["y"].to_numpy()
         if len(np.unique(y)) < 2:
             return pdf[["x", "y"]]
-        clf = SVC(
-            kernel=self.kernel, C=self.c, gamma=self.gamma,
-            random_state=self.random_state,
-        )
+        clf = _svc_factory(self.kernel, self.c, self.gamma, self.random_state)
         clf.fit(X, y)
         sv = clf.support_
         return pd.DataFrame({"x": pdf["x"].iloc[sv], "y": pdf["y"].iloc[sv]})
 
     def fit(self, x: DsArray, y: DsArray) -> "CascadeSVM":
-        from sklearn.svm import SVC
-
         paired = x.df.join(
             y.df.select(
                 _ROW, F.element_at(F.col(_FEAT), 1).alias("y")
@@ -114,9 +112,8 @@ class CascadeSVM:
             )
         X = np.array([r["x"] for r in svs])
         yv = np.array([r["y"] for r in svs])
-        self._clf = SVC(
-            kernel=self.kernel, C=self.c, gamma=self.gamma,
-            random_state=self.random_state,
+        self._clf = _svc_factory(
+            self.kernel, self.c, self.gamma, self.random_state
         )
         self._clf.fit(X, yv)
         return self

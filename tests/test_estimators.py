@@ -290,3 +290,26 @@ def test_ols_wide_path(spark):
     w_np = np.linalg.solve(Z.T @ Z, Z.T @ yv)
     assert np.allclose(lr.coef_, w_np[:20], atol=1e-8)
     assert np.isclose(lr.intercept_, w_np[20], atol=1e-8)
+
+
+def test_simple_svc_numpy():
+    from dislib_spark.classification.smo import SimpleSVC
+
+    X, labels = _blobs(80, centers=((0, 0), (5, 5)), spread=0.6)
+    for kernel in ("linear", "rbf"):
+        clf = SimpleSVC(kernel=kernel, C=1.0, random_state=0).fit(X, labels)
+        acc = (clf.predict(X) == labels).mean()
+        assert acc > 0.95, (kernel, acc)
+        assert 0 < len(clf.support_) < len(X)
+
+
+def test_cascade_svm(spark):
+    from dislib_spark.classification import CascadeSVM
+
+    X, labels = _blobs(120, centers=((0, 0), (6, 6)), spread=0.6)
+    perm = np.random.RandomState(3).permutation(len(X))
+    X, labels = X[perm], labels[perm]
+    x = ds.array(X, spark)
+    y = ds.array(labels.reshape(-1, 1), spark)
+    csvm = CascadeSVM(kernel="rbf", max_iter=2, random_state=0).fit(x, y)
+    assert csvm.score(x, y) > 0.93

@@ -29,6 +29,13 @@ from dislib_spark.array import (
     qr_economic,
     svd,
     transpose,
+    SparseDsArray,
+    load_svmlight_sparse,
+    DsTensor,
+    from_array,
+    from_ds_array,
+    load_dataset,
+    random_tensors,
 )
 
 __version__ = "0.1.0"
@@ -54,4 +61,11 @@ __all__ = [
     "qr_economic",
     "svd",
     "transpose",
+    "SparseDsArray",
+    "load_svmlight_sparse",
+    "DsTensor",
+    "from_array",
+    "from_ds_array",
+    "load_dataset",
+    "random_tensors",
 ]

@@ -20,6 +20,14 @@ from dislib_spark.array.linalg import (
     svd,
     transpose,
 )
+from dislib_spark.array.sparse import SparseDsArray, load_svmlight_sparse
+from dislib_spark.array.tensor import (
+    DsTensor,
+    from_array,
+    from_ds_array,
+    load_dataset,
+    random_tensors,
+)
 
 __all__ = [
     "DsArray",
@@ -38,4 +46,11 @@ __all__ = [
     "qr_economic",
     "svd",
     "transpose",
+    "SparseDsArray",
+    "load_svmlight_sparse",
+    "DsTensor",
+    "from_array",
+    "from_ds_array",
+    "load_dataset",
+    "random_tensors",
 ]

@@ -1,0 +1,217 @@
+"""SparseDsArray — sparse counterpart of DsArray.
+
+Reference: dislib's per-array sparse flag with scipy CSR blocks
+(``dislib/data/array.py:49-50, 1377-1380``; svmlight loader's
+``store_sparse``, ``data/io.py:15-75``).
+
+Spark-first: one row per sample, features as parallel
+``indices ARRAY<INT>`` / ``values ARRAY<DOUBLE>`` columns (CSR row
+layout relationally). Elementwise ops touch only stored values
+(narrow maps); axis-0 reductions explode to (col, v) cells — the
+shuffle is proportional to nnz, not n·d. Estimator hand-off via
+MLlib SparseVector without densifying.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_ROW = "row_id"
+
+
+class SparseDsArray:
+    """Distributed sparse 2-D array: (row_id, indices, values)."""
+
+    def __init__(self, df: DataFrame, shape: tuple[int, int]):
+        self._df = df
+        self._shape = (int(shape[0]), int(shape[1]))
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return self._shape
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def __repr__(self) -> str:
+        return f"SparseDsArray(shape={self._shape})"
+
+    # -- materialization ----------------------------------------------
+    def collect(self) -> np.ndarray:
+        rows = self._df.orderBy(_ROW).collect()
+        out = np.zeros(self._shape)
+        for r in rows:
+            out[r[_ROW], list(r["indices"])] = list(r["values"])
+        return out
+
+    def to_dense(self):
+        """→ DsArray (reference's sparse→dense toggle)."""
+        from dislib_spark.array.core import DsArray, _FEAT
+
+        d = self._shape[1]
+        # scatter values into a dense zero array, JVM-side
+        feat = F.aggregate(
+            F.arrays_zip(F.col("indices"), F.col("values")),
+            F.array_repeat(F.lit(0.0), d),
+            lambda acc, iv: F.transform(
+                acc,
+                lambda x, pos: F.when(
+                    pos == iv["indices"], iv["values"]
+                ).otherwise(x),
+            ),
+        )
+        df = self._df.select(_ROW, feat.alias(_FEAT))
+        return DsArray(df, self._shape)
+
+    def to_ml_df(self) -> DataFrame:
+        """(row_id, _v SparseVector) for MLlib estimators — never
+        densifies. RDD route: VectorUDT cannot ride Arrow batches
+        (mapInPandas rejects UDT output), and MLlib's own converters
+        use the same row path."""
+        from pyspark.ml.linalg import SparseVector, VectorUDT
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        d = self._shape[1]
+        schema = StructType(
+            [
+                StructField(_ROW, LongType(), False),
+                StructField("_v", VectorUDT(), False),
+            ]
+        )
+        rdd = self._df.rdd.map(
+            lambda r: (r[0], SparseVector(d, list(r[1]), list(r[2])))
+        )
+        return self._df.sparkSession.createDataFrame(rdd, schema)
+
+    # -- elementwise on stored values ---------------------------------
+    def _map_values(self, fn) -> "SparseDsArray":
+        df = self._df.select(
+            _ROW, "indices", F.transform(F.col("values"), fn).alias("values")
+        )
+        return SparseDsArray(df, self._shape)
+
+    def __mul__(self, scalar: float):
+        return self._map_values(lambda v: v * F.lit(float(scalar)))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, scalar: float):
+        return self._map_values(lambda v: v / F.lit(float(scalar)))
+
+    def __pow__(self, e: float):
+        return self._map_values(lambda v: F.pow(v, F.lit(float(e))))
+
+    def __neg__(self):
+        return self._map_values(lambda v: -v)
+
+    # -- reductions ----------------------------------------------------
+    def _cells(self) -> DataFrame:
+        return self._df.select(
+            _ROW,
+            F.explode(F.arrays_zip(F.col("indices"), F.col("values"))).alias("iv"),
+        ).select(
+            _ROW,
+            F.col("iv.indices").alias("j"),
+            F.col("iv.values").alias("v"),
+        )
+
+    def sum(self, axis: int = 0):
+        from dislib_spark.array.core import DsArray, _FEAT
+
+        if axis == 0:
+            # nnz-proportional shuffle; absent columns sum to 0
+            sums = self._cells().groupBy("j").agg(F.sum("v").alias("s"))
+            rows = sums.collect()
+            vec = np.zeros(self._shape[1])
+            for r in rows:
+                vec[r["j"]] = r["s"]
+            spark = self._df.sparkSession
+            df = spark.createDataFrame(
+                [(0, vec.tolist())], f"{_ROW} long, {_FEAT} array<double>"
+            )
+            return DsArray(df, (1, self._shape[1]))
+        df = self._df.select(
+            _ROW,
+            F.array(
+                F.aggregate(F.col("values"), F.lit(0.0), lambda a, v: a + v)
+            ).alias(_FEAT),
+        )
+        return DsArray(df, (self._shape[0], 1))
+
+    def mean(self, axis: int = 0):
+        out = self.sum(axis)
+        denom = float(self._shape[0] if axis == 0 else self._shape[1])
+        return out * (1.0 / denom)
+
+    def norm(self, axis: int = 0):
+        sq = self._map_values(lambda v: v * v).sum(axis)
+        return sq._map_elements(lambda c: F.sqrt(c))
+
+    def nnz(self) -> int:
+        return int(
+            self._df.agg(F.sum(F.size("values")).alias("n")).collect()[0]["n"]
+        )
+
+
+def from_scipy_like(
+    rows: list[tuple[int, list[int], list[float]]],
+    shape: tuple[int, int],
+    spark: SparkSession,
+) -> SparseDsArray:
+    """Build from (row_id, indices, values) triples."""
+    df = spark.createDataFrame(
+        rows, f"{_ROW} long, indices array<int>, values array<double>"
+    )
+    return SparseDsArray(df, shape)
+
+
+def load_svmlight_sparse(
+    spark: SparkSession, path: str, n_features: int
+) -> tuple[SparseDsArray, "object"]:
+    """store_sparse=True path of the reference's svmlight loader
+    (data/io.py:15-75): native libsvm source, kept sparse."""
+    from pyspark.ml.functions import vector_to_array  # noqa: F401
+    import pandas as pd
+
+    from dislib_spark.array.core import DsArray, _FEAT
+
+    raw = spark.read.format("libsvm").option("numFeatures", n_features).load(path)
+
+    def conv(batches):
+        for pdf in batches:
+            idxs, vals = [], []
+            for v in pdf["features"]:
+                # VectorUDT arrives as SparseVector or as its raw
+                # struct dict {type,size,indices,values} via Arrow
+                if hasattr(v, "indices"):
+                    iv, vv = v.indices, v.values
+                elif isinstance(v, dict) and v.get("indices") is not None:
+                    iv, vv = v["indices"], v["values"]
+                else:  # dense struct/vector: keep nonzeros
+                    dense = v["values"] if isinstance(v, dict) else list(v)
+                    iv = [i for i, x in enumerate(dense) if x != 0]
+                    vv = [dense[i] for i in iv]
+                idxs.append([int(i) for i in iv])
+                vals.append([float(x) for x in vv])
+            yield pd.DataFrame(
+                {"indices": idxs, "values": vals, "label": pdf["label"]}
+            )
+
+    conv_df = raw.mapInPandas(
+        conv, "indices array<int>, values array<double>, label double"
+    )
+    rdd = conv_df.rdd.zipWithIndex().map(
+        lambda t: (t[1], t[0]["indices"], t[0]["values"], t[0]["label"])
+    )
+    wide = spark.createDataFrame(
+        rdd, f"{_ROW} long, indices array<int>, values array<double>, _y double"
+    ).cache()
+    n = wide.count()
+    x = SparseDsArray(wide.select(_ROW, "indices", "values"), (n, n_features))
+    y = DsArray(
+        wide.select(_ROW, F.array(F.col("_y")).alias(_FEAT)), (n, 1)
+    )
+    return x, y

@@ -134,6 +134,50 @@ def from_ds_array(arr, tensor_shape: tuple[int, ...]) -> DsTensor:
     return DsTensor(df, arr.shape[0], tensor_shape)
 
 
+def load_dataset(
+    spark: SparkSession, path: str, glob: str = "*.npy"
+) -> DsTensor:
+    """Directory of .npy files → DsTensor, one tensor per file
+    (reference tensor.py:973-1035 load_dataset; torch .pt variant is
+    covered by from_pt_tensor). binaryFile scan + executor-side
+    decode; files keyed by sorted path order."""
+    import io as _io
+
+    import pandas as pd
+
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                arr = np.load(_io.BytesIO(bytes(content)), allow_pickle=False)
+                arr = np.asarray(arr, dtype=np.float64)
+                yield pd.DataFrame(
+                    {
+                        "path": [str(p)],
+                        "shape": [list(arr.shape)],
+                        "data": [arr.ravel().tolist()],
+                    }
+                )
+
+    decoded = bin_df.select("path", "content").mapInPandas(
+        decode, "path string, shape array<int>, data array<double>"
+    )
+    rdd = (
+        decoded.orderBy("path")
+        .rdd.zipWithIndex()
+        .map(lambda t: (t[1], t[0]["shape"], t[0]["data"]))
+    )
+    df = spark.createDataFrame(rdd, _SCHEMA)
+    first = df.first()
+    n = df.count()
+    return DsTensor(df, n, tuple(first["shape"]) if first else ())
+
+
 def from_pt_tensor(t, spark: SparkSession | None = None) -> DsTensor:
     """reference tensor.py:569-612 — torch optional, like the
     reference's import guard (dislib/__init__.py:6-11)."""

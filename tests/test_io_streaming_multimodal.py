@@ -156,3 +156,41 @@ def test_mdcrd_loader(spark, tmp_path):
     x = load_mdcrd_file(spark, str(p), n_atoms=4)
     assert x.shape == (2, 12)
     assert np.allclose(x.collect().ravel(), vals, atol=1e-3)
+
+
+def test_sparse_array(spark, tmp_path):
+    from dislib_spark.array.sparse import (
+        SparseDsArray,
+        from_scipy_like,
+        load_svmlight_sparse,
+    )
+
+    rows = [
+        (0, [0, 3], [1.0, 2.0]),
+        (1, [1], [5.0]),
+        (2, [], []),
+        (3, [0, 1, 2, 3], [1.0, 1.0, 1.0, 1.0]),
+    ]
+    x = from_scipy_like(rows, (4, 4), spark)
+    D = np.zeros((4, 4))
+    D[0, 0], D[0, 3], D[1, 1] = 1.0, 2.0, 5.0
+    D[3] = 1.0
+    assert np.allclose(x.collect(), D)
+    assert x.nnz() == 7
+    assert np.allclose((x * 2.0).collect(), D * 2)
+    assert np.allclose(x.sum(0).collect().ravel(), D.sum(0))
+    assert np.allclose(x.sum(1).collect().ravel(), D.sum(1))
+    assert np.allclose(x.norm(0).collect().ravel(), np.linalg.norm(D, axis=0))
+    assert np.allclose(x.to_dense().collect(), D)
+
+    # sparse svmlight path
+    p = tmp_path / "s.svm"
+    p.write_text("1 1:0.5 3:2.0\n0 2:1.5\n1 1:1.0 2:1.0 3:1.0\n")
+    xs, ys = load_svmlight_sparse(spark, str(p), n_features=3)
+    assert xs.shape == (3, 3)
+    assert xs.nnz() == 6
+    expected = np.array([[0.5, 0, 2.0], [0, 1.5, 0], [1.0, 1.0, 1.0]])
+    assert np.allclose(np.sort(xs.collect(), 0), np.sort(expected, 0))
+    ml = xs.to_ml_df()
+    assert ml.count() == 3
+    assert str(ml.schema["_v"].dataType) == "VectorUDT()"

@@ -106,3 +106,17 @@ def test_svd_aliases(spark):
         # leading singular values match numpy
         s_np = np.linalg.svd(A, compute_uv=False)[:3]
         assert np.allclose(s, s_np, atol=1e-6)
+
+
+def test_tensor_load_dataset(spark, tmp_path):
+    from dislib_spark.array.tensor import load_dataset
+
+    tensors = [RNG.rand(2, 3) for _ in range(4)]
+    d = tmp_path / "tds"
+    d.mkdir()
+    for i, t in enumerate(tensors):
+        np.save(d / f"t{i}.npy", t)
+    ds_t = load_dataset(spark, str(d))
+    assert ds_t.n_tensors == 4
+    assert ds_t.tensor_shape == (2, 3)
+    assert np.allclose(ds_t.collect(), np.stack(tensors))

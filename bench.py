@@ -41,6 +41,12 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record, keep benching
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        # release caches/localCheckpoint blocks between items so one
+        # query's storage doesn't skew the next one's timing
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
 
     # estimator fits (BASELINE.md ledger items)
     from pyspark.sql import functions as F

@@ -194,3 +194,62 @@ def test_sparse_array(spark, tmp_path):
     ml = xs.to_ml_df()
     assert ml.count() == 3
     assert str(ml.schema["_v"].dataType) == "VectorUDT()"
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics end-to-end: rows older than the watermark
+    horizon arriving in a later micro-batch are dropped from append-
+    mode windowed output."""
+    from datetime import datetime
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(src)
+
+    out_dir = str(tmp_path / "late_out")
+
+    def run_once(qname):
+        # memory sink can't recover from a checkpoint; parquet sink can
+        from dislib_spark.streaming import tumbling_counts
+
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            tumbling_counts(stream, window="1 hour", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: events up to 12:00 — watermark advances to 11:00
+    write_batch(
+        [
+            (1, datetime(2025, 1, 1, 8, 30), 1, "a", 1.0, "{}"),
+            (2, datetime(2025, 1, 1, 12, 0), 1, "a", 1.0, "{}"),
+        ],
+        "overwrite",
+    )
+    run_once("late1")
+    # batch 2: a VERY late row (8:40, watermark is 11:00) + a fresh row
+    write_batch(
+        [
+            (3, datetime(2025, 1, 1, 8, 40), 1, "a", 1.0, "{}"),
+            (4, datetime(2025, 1, 1, 15, 0), 1, "a", 1.0, "{}"),
+        ],
+        "append",
+    )
+    run_once("late2")
+
+    rows = spark.read.parquet(out_dir).collect()
+    # the 8:00 window was finalized by batch 1's watermark: the late
+    # 8:40 row must NOT re-emit or grow the 8:00 window beyond count 1
+    eight = [r for r in rows if r["w_start"].hour == 8]
+    assert all(r["n"] == 1 for r in eight)

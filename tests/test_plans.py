@@ -1,0 +1,62 @@
+"""Physical-plan regression tests: the optimizations we rely on at
+100 TB must stay in the plan (pushdown, pruning, broadcast, partial
+aggregation, no accidental cartesian products)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from dislib_spark.queries import all_queries
+from tests.conftest import SF_SMOKE
+
+# queries whose non-equi/broadcast-nested-loop joins are intentional
+_BNLJ_OK = {
+    "m04_knn_classify",
+    "v01_cosine_topk",
+    "v02_neardup_pairs",
+    "v04_ivf_topk",
+    "x02_set_ops",
+    "x07_range_join",
+}
+
+
+def _plan(spark, name):
+    df = all_queries()[name](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q01_filter_project")
+    assert "GreaterThan(l_quantity,30.0)" in plan  # filter reached the scan
+    assert "LessThan(l_discount,0.05)" in plan
+    # column pruning: only 4 columns read of 11
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert read.count(":") <= 5
+    assert "l_extendedprice" not in read
+
+
+def test_q06_broadcast_join(spark):
+    plan = _plan(spark, "q06_join_agg")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q03_partial_aggregation(spark):
+    plan = _plan(spark, "q03_group_agg")
+    # partial + final hash aggregate pair around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_unexpected_cartesian_or_python(spark):
+    for name in sorted(all_queries()):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+        if "BroadcastNestedLoopJoin" in plan:
+            assert name in _BNLJ_OK, f"{name}: unexpected BNLJ"

@@ -33,16 +33,24 @@ class GaussianMixture:
         tol: float = 1e-3,
         reg_covar: float = 1e-6,
         max_iter: int = 100,
+        init_params: str = "kmeans",
         random_state: int = 0,
+        backend: str = "native",
     ):
         if covariance_type not in ("full", "tied", "diag", "spherical"):
             raise ValueError(f"bad covariance_type {covariance_type}")
+        if init_params not in ("kmeans", "random"):
+            raise ValueError(f"bad init_params {init_params}")
+        if backend not in ("native", "mllib"):
+            raise ValueError(f"bad backend {backend}")
         self.n_components = n_components
         self.covariance_type = covariance_type
         self.tol = tol
         self.reg_covar = reg_covar
         self.max_iter = max_iter
+        self.init_params = init_params
         self.random_state = random_state
+        self.backend = backend
         self.weights_: np.ndarray | None = None
         self.means_: np.ndarray | None = None
         self.covariances_ = None
@@ -50,7 +58,13 @@ class GaussianMixture:
 
     # -- fit ----------------------------------------------------------
     def fit(self, x: DsArray) -> "GaussianMixture":
-        if self.covariance_type == "full":
+        """Default 'native' backend: the Arrow EM for ALL covariance
+        types with reference-faithful kmeans init (gm/base.py:44);
+        'mllib' delegates full-covariance to MLlib GaussianMixture
+        (random init only — MLlib exposes no initial model)."""
+        if self.backend == "mllib":
+            if self.covariance_type != "full":
+                raise ValueError("mllib backend supports covariance_type='full' only")
             return self._fit_mllib(x)
         return self._fit_custom(x)
 
@@ -88,10 +102,30 @@ class GaussianMixture:
         k = self.n_components
         rng = np.random.RandomState(self.random_state)
 
-        # init means from seeded sample rows, unit variances
-        idx = sorted(rng.choice(n, k, replace=False).tolist())
-        rows = x.df.where(F.col(_ROW).isin([int(i) for i in idx])).collect()
-        means = np.array([r[_FEAT] for r in sorted(rows, key=lambda r: r[_ROW])])
+        if self.init_params == "kmeans":
+            # reference default init_params='kmeans' (gm/base.py:44):
+            # a KMeans pass gives sharp initial responsibilities —
+            # essential for tied covariance, where a diffuse start
+            # inflates the shared scatter and EM can't recover.
+            # k-means|| seeding avoids Lloyd's bad local optima.
+            from dislib_spark.cluster.kmeans import KMeans
+
+            km = KMeans(
+                n_clusters=k,
+                init="k-means||",
+                max_iter=10,
+                random_state=self.random_state,
+            ).fit(x)
+            means = km.centers
+        else:
+            # random: seeded sample rows
+            idx = sorted(rng.choice(n, k, replace=False).tolist())
+            rows = x.df.where(
+                F.col(_ROW).isin([int(i) for i in idx])
+            ).collect()
+            means = np.array(
+                [r[_FEAT] for r in sorted(rows, key=lambda r: r[_ROW])]
+            )
         weights = np.full(k, 1.0 / k)
         cov = self._init_cov(d, k)
 
@@ -114,6 +148,8 @@ class GaussianMixture:
             df.unpersist()
 
     def _init_cov(self, d: int, k: int):
+        if self.covariance_type == "full":
+            return np.tile(np.eye(d), (k, 1, 1))
         if self.covariance_type == "tied":
             return np.eye(d)
         if self.covariance_type == "diag":
@@ -123,9 +159,19 @@ class GaussianMixture:
     def _log_resp(self, xb: np.ndarray, weights, means, cov):
         """Vectorized log responsibilities for one Arrow batch."""
         k, d = means.shape
-        if self.covariance_type == "tied":
-            prec = np.linalg.inv(cov + self.reg_covar * np.eye(d))
-            _, logdet = np.linalg.slogdet(cov + self.reg_covar * np.eye(d))
+        if self.covariance_type == "full":
+            maha = np.empty((len(xb), k))
+            log_det = np.empty(k)
+            for c in range(k):
+                reg = cov[c] + self.reg_covar * np.eye(d)
+                prec = np.linalg.inv(reg)
+                _, log_det[c] = np.linalg.slogdet(reg)
+                diff = xb - means[c]
+                maha[:, c] = np.einsum("ni,ij,nj->n", diff, prec, diff)
+        elif self.covariance_type == "tied":
+            reg = cov + self.reg_covar * np.eye(d)
+            prec = np.linalg.inv(reg)
+            _, logdet = np.linalg.slogdet(reg)
             diff = xb[:, None, :] - means[None, :, :]  # (n,k,d)
             maha = np.einsum("nkd,de,nke->nk", diff, prec, diff)
             log_det = np.full(k, logdet)
@@ -155,6 +201,9 @@ class GaussianMixture:
         w_b, m_b, c_b = weights.copy(), means.copy(), cov.copy()
         log_resp_fn = self._log_resp
 
+        tied = self.covariance_type == "tied"
+        full = self.covariance_type == "full"
+
         def emit(batches):
             for pdf in batches:
                 xb = np.array(pdf[_FEAT].tolist(), dtype=np.float64)
@@ -162,14 +211,23 @@ class GaussianMixture:
                     continue
                 log_r, norm = log_resp_fn(xb, w_b, m_b, c_b)
                 r = np.exp(log_r)  # (n,k)
-                vec = np.concatenate(
-                    [
-                        [norm.sum()],
-                        r.sum(axis=0),  # nk (k,)
-                        (r.T @ xb).ravel(),  # mean_sum (k·d,)
-                        (r.T @ (xb * xb)).ravel(),  # sq_sum (k·d,)
-                    ]
-                )
+                parts = [
+                    [norm.sum()],
+                    r.sum(axis=0),  # nk (k,)
+                    (r.T @ xb).ravel(),  # mean_sum (k·d,)
+                    (r.T @ (xb * xb)).ravel(),  # sq_sum (k·d,)
+                ]
+                if tied:
+                    # global second-moment matrix: tied covariance
+                    # needs the off-diagonals (Σ_n x xᵀ — the resp
+                    # weights sum to 1 per row, so they drop out)
+                    parts.append((xb.T @ xb)[np.triu_indices(d)])
+                if full:
+                    # per-component weighted scatter Σ_n r_nk x xᵀ
+                    iu = np.triu_indices(d)
+                    m2 = np.einsum("nk,ni,nj->kij", r, xb, xb)
+                    parts.append(m2[:, iu[0], iu[1]].ravel())
+                vec = np.concatenate(parts)
                 yield pd.DataFrame({"partial": [vec.tolist()]})
 
         partials = df.mapInPandas(emit, "partial array<double>")
@@ -179,36 +237,55 @@ class GaussianMixture:
             .agg(F.sum("v").alias("s"))
             .collect()
         )
-        vec = np.zeros(1 + k + 2 * k * d)
+        n_triu = d * (d + 1) // 2
+        extra = n_triu if tied else (k * n_triu if full else 0)
+        vec = np.zeros(1 + k + 2 * k * d + extra)
         for r in summed:
             vec[r["idx"]] = r["s"]
-        return {
+        out = {
             "log_prob_sum": vec[0],
             "nk": vec[1 : 1 + k],
             "mean_sum": vec[1 + k : 1 + k + k * d].reshape(k, d),
-            "sq_sum": vec[1 + k + k * d :].reshape(k, d),
+            "sq_sum": vec[1 + k + k * d : 1 + k + 2 * k * d].reshape(k, d),
         }
+        tail = vec[1 + k + 2 * k * d :]
+        iu = np.triu_indices(d)
+        if tied:
+            xx = np.zeros((d, d))
+            xx[iu] = tail
+            xx.T[iu] = tail
+            out["xx_sum"] = xx
+        if full:
+            m2 = np.zeros((k, d, d))
+            flat = tail.reshape(k, n_triu)
+            for c in range(k):
+                m2[c][iu] = flat[c]
+                m2[c].T[iu] = flat[c]
+            out["m2"] = m2
+        return out
 
     def _m_step_cov(self, stats, nk, means, d):
         """Covariance update per type (reference gm/base.py:738-886:
-        _update_covariance_{full,tied,diag,spherical}).
-
-        Divergence note: 'tied' here pools per-feature variances into
-        a DIAGONAL tied matrix (the partials carry d moments, not the
-        d×d scatter). Exact off-diagonal tied support would add k·d²
-        partials per batch; documented as a known approximation."""
+        _update_covariance_{full,tied,diag,spherical})."""
         sq_sum, mean_sum = stats["sq_sum"], stats["mean_sum"]
+        if self.covariance_type == "full":
+            # C_k = M2_k/n_k − μ_k μ_kᵀ
+            return (
+                stats["m2"] / nk[:, None, None]
+                - np.einsum("ki,kj->kij", means, means)
+            )
+        if self.covariance_type == "tied":
+            # exact tied: (Σ x xᵀ − Σ_k nk μk μkᵀ) / n  (the d(d+1)/2
+            # scatter partials ride the same packed array)
+            scatter = stats["xx_sum"] - np.einsum("k,ki,kj->ij", nk, means, means)
+            return scatter / nk.sum()
         # E[x²] - 2μE[x] + μ² per component/feature
         ex2 = sq_sum / nk[:, None]
         var = ex2 - 2 * means * (mean_sum / nk[:, None]) + means**2
         var = np.maximum(var, 0.0) + self.reg_covar
         if self.covariance_type == "diag":
             return var
-        if self.covariance_type == "spherical":
-            return var.mean(axis=1)
-        # tied: pooled diagonal approximation of the scatter
-        pooled = (var * nk[:, None]).sum(axis=0) / nk.sum()
-        return np.diag(pooled)
+        return var.mean(axis=1)  # spherical
 
     # -- inference ----------------------------------------------------
     def predict(self, x: DsArray) -> DsArray:

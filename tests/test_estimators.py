@@ -125,7 +125,7 @@ def test_lloyd_fit_matches_numpy_lloyd(spark):
 def test_gmm_diag_and_spherical(spark):
     X, labels = _blobs(150)
     x = ds.array(X, spark)
-    for ct in ("diag", "spherical", "full"):
+    for ct in ("diag", "spherical", "tied", "full"):
         gm = GaussianMixture(
             n_components=3, covariance_type=ct, max_iter=30, random_state=11
         ).fit(x)
@@ -313,3 +313,31 @@ def test_cascade_svm(spark):
     y = ds.array(labels.reshape(-1, 1), spark)
     csvm = CascadeSVM(kernel="rbf", max_iter=2, random_state=0).fit(x, y)
     assert csvm.score(x, y) > 0.93
+
+
+def test_gmm_mllib_backend(spark):
+    X, labels = _blobs(150)
+    x = ds.array(X, spark)
+    gm = GaussianMixture(
+        n_components=3, covariance_type="full", backend="mllib",
+        max_iter=30, random_state=7,
+    ).fit(x)
+    assert gm.weights_.shape == (3,)
+    assert gm.covariances_.shape == (3, 2, 2)
+    pred = gm.predict(x).collect().ravel()
+    assert len(np.unique(pred)) >= 2
+
+
+def test_gmm_full_matches_structure(spark):
+    """Native full EM recovers per-blob covariance scale."""
+    X, labels = _blobs(150, spread=0.5)
+    x = ds.array(X, spark)
+    gm = GaussianMixture(
+        n_components=3, covariance_type="full", max_iter=30, random_state=1
+    ).fit(x)
+    # each covariance ≈ 0.25·I (spread²)
+    for c in range(3):
+        diag = np.diag(gm.covariances_[c])
+        assert np.all(diag > 0.05) and np.all(diag < 1.0)
+        off = gm.covariances_[c][0, 1]
+        assert abs(off) < 0.2

@@ -97,10 +97,13 @@ def x05_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x06_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     def status_sum(s: str):
-        return F.round(
-            F.sum(F.when(F.col("o_orderstatus") == s, F.col("o_totalprice")).otherwise(0.0)),
-            6,
-        )
+        # Decimal sum: exact regardless of partial-sum ordering (the
+        # money values are 2-decimal doubles, so the cast is lossless).
+        return F.sum(
+            F.when(F.col("o_orderstatus") == s, F.col("o_totalprice"))
+            .otherwise(0.0)
+            .cast("decimal(18,2)")
+        ).cast("double")
     return (
         o.groupBy("o_orderpriority")
         .agg(
@@ -128,7 +131,10 @@ def x07_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+            (
+                F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
         )
         .orderBy("bucket")
     )
@@ -275,13 +281,15 @@ ORACLE = {
     """,
     "x06_conditional_agg": """
         SELECT o_orderpriority,
-               ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 6) AS sum_f,
-               ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 6) AS sum_o,
-               ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 6) AS sum_p
+               CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS sum_f,
+               CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS sum_o,
+               CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS sum_p
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "x07_range_join": """
-        SELECT bucket, COUNT(*) AS n, ROUND(AVG(p_retailprice), 6) AS avg_price
+        SELECT bucket, COUNT(*) AS n,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_price
         FROM part
         JOIN (VALUES (0, 0.0, 500.0), (1, 500.0, 1000.0),
                      (2, 1000.0, 1500.0), (3, 1500.0, 1e9))
@@ -316,7 +324,8 @@ ORACLE = {
     "s01_tumbling": """
         SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w_start,
                CAST(DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS w_end,
-               event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY w_start, w_end, event_type
         ORDER BY w_start, event_type
     """,

@@ -23,6 +23,24 @@ from pyspark.sql.window import Window
 from dislib_spark.tables import load_table
 
 
+def _exact_sum(col: str):
+    """Order-independent sum for 2-decimal money columns: cast to
+    DECIMAL(18,2) (lossless for the testdata's money values), sum as
+    decimal (exact, no float-ordering drift), cast back to double for
+    display. Matches the oracle's
+    ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`` bit-for-bit —
+    float partial-sum ordering varies with partitioning, and
+    ``ROUND(..., 6)`` cannot absorb ~1e-16 relative error on a ~1e9
+    sum (the round-1 q06 hash failure)."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+def _exact_avg(col: str):
+    """Deterministic average: exact decimal sum → double, divided by
+    the count (single IEEE division — identical in Spark and DuckDB)."""
+    return _exact_sum(col) / F.count(F.lit(1))
+
+
 # --- Q1: scan + filter + project (pushdown-checked) ------------------
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -37,8 +55,8 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.round(F.sum("l_extendedprice"), 6).alias("sum_extendedprice"),
-        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        _exact_sum("l_extendedprice").alias("sum_extendedprice"),
+        _exact_avg("l_discount").alias("avg_discount"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
         F.count(F.lit(1)).alias("n"),
@@ -53,7 +71,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            _exact_avg("l_extendedprice").alias("avg_price"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -86,7 +104,7 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.countDistinct("o_orderkey").alias("orders"),
-            F.round(F.sum("o_totalprice"), 6).alias("sum_totalprice"),
+            _exact_sum("o_totalprice").alias("sum_totalprice"),
         )
         .orderBy("c_mktsegment")
     )
@@ -206,7 +224,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            _exact_sum("value").alias("sum_value"),
         )
         .orderBy("w", "event_type")
     )
@@ -257,8 +275,10 @@ ORACLE = {
         ORDER BY l_orderkey, l_linenumber
     """,
     "q02_global_agg": """
-        SELECT ROUND(SUM(l_extendedprice), 6) AS sum_extendedprice,
-               ROUND(AVG(l_discount), 6) AS avg_discount,
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_extendedprice,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_discount,
                MIN(l_quantity) AS min_qty,
                MAX(l_quantity) AS max_qty,
                COUNT(*) AS n
@@ -267,7 +287,8 @@ ORACLE = {
     "q03_group_agg": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                ROUND(SUM(l_quantity), 6) AS sum_qty,
-               ROUND(AVG(l_extendedprice), 6) AS avg_price
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_price
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
@@ -282,7 +303,8 @@ ORACLE = {
     "q06_join_agg": """
         SELECT c.c_mktsegment,
                COUNT(DISTINCT o.o_orderkey) AS orders,
-               ROUND(SUM(o.o_totalprice), 6) AS sum_totalprice
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_totalprice
         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
     """,
@@ -346,7 +368,8 @@ ORACLE = {
     """,
     "q15_tumbling_window": """
         SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w, event_type,
-               COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY w, event_type ORDER BY w, event_type
     """,
     "q16_count_distinct": """

@@ -33,7 +33,12 @@ def tumbling_counts(
         src.groupBy(F.window(ts_col, window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # Decimal sum → double: exact for the 2-decimal event
+            # values, so the result is independent of partial-sum
+            # ordering (batch AND streaming incremental order).
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("w_start"),

@@ -31,7 +31,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Pure ``spark.read.parquet`` so Catalyst can push
     filters/projections into the scan (check: PushedFilters/ReadSchema
-    in ``.explain``)."""
+    in ``.explain``).
+
+    ``events.parquet`` stores INT64 TIMESTAMP(NANOS), which Spark's
+    vectorized parquet reader rejects unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is on. That flag is a
+    runtime SQL conf, so set it here rather than relying on the session
+    factory — any vanilla ``SparkSession`` (e.g. the correctness
+    harness's) must be able to read every table.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long via nanosAsLong → convert to

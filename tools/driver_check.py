@@ -1,0 +1,115 @@
+"""Local mimic of the driver's correctness gate.
+
+Differences from tests/test_queries_oracle.py (which is a tolerant
+dev-loop check):
+
+* uses a VANILLA SparkSession (no dislib_spark.session configs) — the
+  driver builds its own session, so every query must work without our
+  factory's conf workarounds;
+* EXACT value compare (no float tolerance) after sorting columns by
+  name and rows by repr — the driver hashes values, so 1e-6 drift is a
+  fail, not a pass.
+
+Usage: python tools/driver_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+import sys
+
+import duckdb
+from pyspark.sql import SparkSession
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def norm(v):
+    if isinstance(v, decimal.Decimal):
+        return f"{v:.6f}"
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return repr(v)
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out)
+
+
+def main():
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        rec = {}
+        try:
+            df = fn(spark, SF)
+            scols = df.columns
+            srows = [tuple(r) for r in df.collect()]
+            rec["spark_rows"] = len(srows)
+            if name in oracles:
+                duck = con.execute(oracles[name])
+                dcols = [d[0] for d in duck.description]
+                drows = duck.fetchall()
+                rec["oracle_rows"] = len(drows)
+                sc, sr = canon(scols, srows)
+                dc, dr = canon(dcols, drows)
+                rec["rows_match"] = len(sr) == len(dr)
+                rec["schema_match"] = sc == dc
+                rec["hash_match"] = sr == dr
+                if not rec["hash_match"] and rec["rows_match"] and rec["schema_match"]:
+                    diffs = [
+                        (a, b) for a, b in zip(sr, dr) if a != b
+                    ][:3]
+                    rec["first_diffs"] = diffs
+            else:
+                rec["oracle"] = "rows_only"
+        except Exception as e:  # noqa: BLE001
+            rec["err"] = f"{type(e).__name__}: {e}"[:400]
+        results[name] = rec
+        ok = rec.get("hash_match", "err" not in rec)
+        print(("PASS " if ok else "FAIL ") + name + (" " + json.dumps(rec, default=str)[:300] if not ok else ""))
+    n_bad = sum(
+        1
+        for r in results.values()
+        if not r.get("hash_match", "err" not in r)
+    )
+    print(f"\n{len(results) - n_bad}/{len(results)} green")
+    spark.stop()
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

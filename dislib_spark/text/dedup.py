@@ -283,48 +283,96 @@ def simhash_pairs(
     max_hamming: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bits: int = 64,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs with 4-block blocking: signatures within
-    Hamming distance ≤ max_hamming share at least one of 4 16-bit
-    blocks exactly (pigeonhole when max_hamming < 4·1+...) — candidate
-    join on block value, then exact popcount filter.
+    """SimHash near-dup pairs with multi-block pigeonhole blocking
+    (the Manku/Google scheme — public simhash-dedup literature).
+
+    The signature is split into ``k = n_blocks`` blocks; candidate
+    keys are every combination of ``t = k - max_hamming`` blocks. A
+    pair within Hamming distance ≤ max_hamming has its differing bits
+    in at most max_hamming blocks, leaving ≥ t blocks identical — so
+    some t-block key matches exactly. This is a COMPLETENESS
+    guarantee, which requires ``k > max_hamming`` (the round-1
+    4-block/h=8 version violated it and silently missed pairs whose
+    diffs spread ≥1-per-block; tests now assert equality with a
+    brute-force Hamming scan).
+
+    Scale knobs: replication per doc is C(k,t) key rows; key width is
+    ~t·bits/k bits, so selectivity per bucket is ~2^(t·bits/k).
+    Default k = max_hamming+2 (t=2: 45 keys of ~13 bits for h=8) —
+    far fewer false candidates than t=1's ~6-bit keys at a modest
+    replication cost; raise ``n_blocks`` further at larger corpus
+    sizes. Hot keys (many identical signatures) are true duplicates —
+    output-inherent — and AQE skew-join splitting absorbs residual
+    imbalance.
 
     Returns (a_id, b_id, hamming) with a_id < b_id.
     """
+    from itertools import combinations
+
+    k = n_blocks or min(max_hamming + 2, bits)
+    if k <= max_hamming:
+        raise ValueError(
+            f"n_blocks={k} must exceed max_hamming={max_hamming} for the "
+            "pigeonhole completeness guarantee"
+        )
+    t = k - max_hamming
+    base, rem = divmod(bits, k)
+    if base == 0:
+        raise ValueError(f"n_blocks={k} exceeds signature width {bits}")
+    widths = [base + 1 if i < rem else base for i in range(k)]
+    offsets = [sum(widths[:i]) for i in range(k)]
+
+    def block_val(i: int) -> Column:
+        return F.shiftrightunsigned(F.col("sig"), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    # key for a block combo: the t block values packed into one long
+    # (total width t·ceil(bits/k) ≤ 64 for any k > max_hamming ≥ 0).
+    def combo_key(combo: tuple[int, ...]) -> Column:
+        key = block_val(combo[0])
+        for i in combo[1:]:
+            key = F.shiftleft(key, widths[i]) + block_val(i)
+        return key
+
+    combos = list(combinations(range(k), t))
+    # localCheckpoint: the simhash fold is expensive and feeds C(k,t)
+    # key expressions — CollapseProject would otherwise inline (and
+    # re-evaluate) it once per key.
     sig = df.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig")
-    )
-    blocked = sig.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sig")
+    ).localCheckpoint(eager=False)
+    keyed = sig.select(
         "id",
         "sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("sig"), 16 * blk)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .cast("int")
-                    for blk in range(4)
-                ]
-            )
-        ).alias("block_idx", "block_val"),
+        F.posexplode(F.array(*[combo_key(c) for c in combos])).alias(
+            "combo_idx", "key"
+        ),
     )
-    a = blocked.select(
+    a = keyed.select(
         F.col("id").alias("a_id"), F.col("sig").alias("a_sig"),
-        "block_idx", "block_val",
+        "combo_idx", "key",
     )
-    b = blocked.select(
+    b = keyed.select(
         F.col("id").alias("b_id"), F.col("sig").alias("b_sig"),
-        "block_idx", "block_val",
+        "combo_idx", "key",
     )
-    cand = (
-        a.join(b, ["block_idx", "block_val"])
+    # popcount BEFORE the dedup shuffle: a pair can match many combo
+    # keys (near-identical sigs match all C(k,t)), so filtering first
+    # keeps only narrow (a_id, b_id, hamming) rows in the distinct.
+    ham = (
+        a.join(b, ["combo_idx", "key"])
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig")
-        .dropDuplicates(["a_id", "b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))).alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
     )
-    ham = cand.select(
-        "a_id",
-        "b_id",
-        F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))).alias("hamming"),
-    )
-    return ham.where(F.col("hamming") <= max_hamming)
+    return ham.dropDuplicates(["a_id", "b_id"])

@@ -56,18 +56,31 @@ def cosine_topk(
     """Exact top-k by cosine: broadcast the (small) query set against
     the corpus scan; rank per query with a window.
 
+    Norms are computed once per side in the projection (not per pair);
+    the per-pair work is a single zip_with/aggregate dot product. The
+    float ops per pair are identical to ``cosine_similarity`` (dot /
+    (norm_a * norm_b)), so results match the naive form bit-for-bit.
+
     Returns (q_id, c_id, sim, rank), rank 1..k, ties broken by c_id.
     """
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_nrm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_nrm"),
     )
     scored = F.broadcast(q).crossJoin(c).select(
         "q_id",
         "c_id",
-        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        F.round(
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_nrm") * F.col("c_nrm")),
+            6,
+        ).alias("sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "c_id")
     return (
@@ -81,23 +94,175 @@ def neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim ≥ threshold).
+    """Embedding-cosine near-duplicate pairs (sim ≥ threshold), exact.
 
-    Brute-force form (all-pairs); at scale use ``lsh_topk`` buckets to
-    restrict candidates first. Returns (a_id, b_id, sim), a_id < b_id.
+    Block-partitioned pair join (theta-join partitioning): each vector
+    is assigned a block ``p = xxhash64(id) mod B`` and replicated to
+    the ``B`` block-pair keys ``(min(p,q), max(p,q))``; pairs are then
+    enumerated by an EQUI-join on the key. Every unordered pair meets
+    in exactly one bucket (same-block pairs only in ``(p,p)``, guarded
+    by the block-match predicate), so no post-hoc dedup is needed.
+
+    Scale design: the inherent work for exact pair scoring is n²/2
+    dots, but unlike a broadcast nested-loop join the shuffle spreads
+    it across B(B+1)/2 key groups — replication factor B (rows), task
+    parallelism B², no driver-side broadcast of the corpus, plan is a
+    plain shuffled equi-join. Raise ``n_blocks`` with corpus size. For
+    high thresholds (≥0.8) prefer ``neardup_pairs_lsh``: banded
+    hyperplane-LSH candidates + the same exact re-rank, sub-quadratic.
+
+    Norms are computed once per vector before replication; per-pair
+    float ops (dot / (nrm_a * nrm_b)) are bit-identical to
+    ``cosine_similarity``. Returns (a_id, b_id, sim), a_id < b_id.
     """
-    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    B = n_blocks
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).alias("p"),
+    )
+    # Replicate each vector to its B block-pair keys via a narrow
+    # explode (no cross join in the plan).
+    rep = base.select(
+        "id",
+        "vec",
+        "nrm",
+        "p",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("q"),
+    ).select(
+        "id",
+        "vec",
+        "nrm",
+        "p",
+        F.least("p", "q").alias("lo"),
+        F.greatest("p", "q").alias("hi"),
+    )
+    a = rep.select(
+        F.col("id").alias("a_id"),
+        F.col("vec").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+        F.col("p").alias("a_p"),
+        "lo",
+        "hi",
+    )
+    b = rep.select(
+        F.col("id").alias("b_id"),
+        F.col("vec").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+        F.col("p").alias("b_p"),
+        "lo",
+        "hi",
+    )
+    # Each pair meets exactly once: in bucket (lo,hi) == their block
+    # multiset. a_p==lo & b_p==hi or a_p==hi & b_p==lo covers both
+    # cross-block orders and pins same-block pairs to (p,p).
+    pairs = a.join(b, ["lo", "hi"]).where(
+        (F.col("a_id") < F.col("b_id"))
+        & (
+            ((F.col("a_p") == F.col("lo")) & (F.col("b_p") == F.col("hi")))
+            | ((F.col("a_p") == F.col("hi")) & (F.col("b_p") == F.col("lo")))
+        )
+    )
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .select(
+        pairs.select(
             "a_id",
             "b_id",
-            F.round(cosine_similarity(F.col("a_vec"), F.col("b_vec")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_nrm") * F.col("b_nrm")),
+                6,
+            ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+def neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 16,
+    band_bits: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Sub-quadratic near-dup pairs for high thresholds: banded
+    random-hyperplane LSH candidates + exact cosine re-rank.
+
+    Candidate recall for a pair at similarity s is
+    ``1 - (1 - p^band_bits)^n_bands`` with ``p = 1 - acos(s)/pi``
+    (defaults: ≥0.99 at s=0.9 — gated by
+    tests/test_ann_quality_skew.py). Candidates come from per-band
+    bucket equi-joins, so the plan has no nested-loop join and work
+    scales with bucket occupancy, not corpus².
+    """
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    planes = _hyperplanes(dim, n_bands * band_bits, seed)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        *[
+            lsh_signature(
+                F.col(vec_col), planes[i * band_bits : (i + 1) * band_bits]
+            ).alias(f"band_{i}")
+            for i in range(n_bands)
+        ],
+    )
+    sigs = base.select(
+        "id",
+        "vec",
+        "nrm",
+        F.posexplode(F.array(*[f"band_{i}" for i in range(n_bands)])).alias(
+            "band_idx", "band_sig"
+        ),
+    )
+    a = sigs.select(
+        F.col("id").alias("a_id"),
+        F.col("vec").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+        "band_idx",
+        "band_sig",
+    )
+    b = sigs.select(
+        F.col("id").alias("b_id"),
+        F.col("vec").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+        "band_idx",
+        "band_sig",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_sig"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        cand.select(
+            "a_id",
+            "b_id",
+            F.round(
+                _dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_nrm") * F.col("b_nrm")),
+                6,
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Read the embedding width from the data (one tiny job) instead
+    of trusting a caller-supplied dim — a wrong dim would silently
+    truncate zip_with projections to the shorter length."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dim from column {vec_col!r}")
+    return int(row["d"])
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
@@ -130,7 +295,7 @@ def lsh_topk(
     corpus: DataFrame,
     k: int = 10,
     n_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -138,8 +303,12 @@ def lsh_topk(
     """Approximate top-k: join queries to corpus on the LSH bucket,
     exact cosine within the bucket. The bucket join replaces the full
     crossJoin — candidate count scales with bucket occupancy, not
-    corpus size. Returns (q_id, c_id, sim, rank).
+    corpus size. ``dim`` is inferred from the corpus when not given
+    (a stale caller-supplied dim would silently truncate the zip_with
+    projection). Returns (q_id, c_id, sim, rank).
     """
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
     planes = _hyperplanes(dim, n_planes, seed)
     q = queries.select(
         F.col(id_col).alias("q_id"),

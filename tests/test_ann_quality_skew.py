@@ -47,6 +47,89 @@ def test_lsh_and_ivf_recall(spark):
     assert set(exact) == set(lsh) == set(ivf)
 
 
+def test_simhash_pairs_complete_vs_exact_hamming(spark):
+    """Pigeonhole blocking is a GUARANTEE, not a heuristic: with
+    max_hamming+1 blocks, simhash_pairs must return exactly the pairs
+    a brute-force Hamming scan finds (the round-1 4-block version
+    silently missed spread-diff pairs)."""
+    from dislib_spark.text.dedup import simhash, simhash_pairs
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    sigs = {
+        r["id"]: r["sig"]
+        for r in d.select(
+            F.col("doc_id").alias("id"), simhash(F.col("text")).alias("sig")
+        ).collect()
+    }
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 8:
+                want.add((a, b))
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in simhash_pairs(d, max_hamming=8).collect()
+    }
+    assert got == want, (
+        f"missed={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )
+
+
+def test_neardup_blockjoin_matches_bruteforce(spark):
+    """The block-partitioned pair join must enumerate every unordered
+    pair exactly once (same-block pairs pinned to their (p,p) bucket,
+    cross-block to (lo,hi)) — compare against numpy all-pairs."""
+    from dislib_spark.vector.search import neardup_pairs
+
+    e = load_table(spark, SF_SMOKE, "embeddings").where(F.col("vec_id") < 150)
+    rows = e.select("vec_id", "embedding").collect()
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = np.round(Vn @ Vn.T, 6)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and S[i, j] >= 0.2:
+                want.add((int(ids[i]), int(ids[j])))
+    out = neardup_pairs(e, threshold=0.2, n_blocks=5).collect()
+    got = [(r["a_id"], r["b_id"]) for r in out]
+    assert len(got) == len(set(got)), "duplicate pairs from block join"
+    assert set(got) == want
+
+
+def test_neardup_lsh_recall_on_synthetic_dups(spark):
+    """Banded-LSH near-dup candidates must recover ≥95% of true
+    high-similarity pairs. The real embeddings have no high-sim pairs,
+    so plant them: a jittered copy of each of 60 vectors."""
+    from dislib_spark.vector.search import neardup_pairs, neardup_pairs_lsh
+
+    e = load_table(spark, SF_SMOKE, "embeddings").where(F.col("vec_id") < 60)
+    rows = e.select("vec_id", "embedding").collect()
+    rng = np.random.RandomState(3)
+    dup_rows = []
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float32)
+        v = v + rng.standard_normal(v.shape).astype(np.float32) * 0.05 * np.abs(v)
+        dup_rows.append((int(r["vec_id"]) + 10_000, [float(x) for x in v]))
+    dups = spark.createDataFrame(dup_rows, "vec_id long, embedding array<float>")
+    both = e.select("vec_id", "embedding").unionByName(dups)
+
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in neardup_pairs(both, threshold=0.9).collect()
+    }
+    approx = {
+        (r["a_id"], r["b_id"])
+        for r in neardup_pairs_lsh(both, threshold=0.9).collect()
+    }
+    assert len(exact) >= 50  # the planted dups are found by the exact path
+    assert not (approx - exact), "LSH emitted a pair the exact path rejects"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.95, f"neardup LSH recall {recall}"
+
+
 def test_salted_agg_matches_plain(spark):
     li = load_table(spark, SF_SMOKE, "lineitem")
     plain = {

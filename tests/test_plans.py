@@ -16,7 +16,6 @@ from tests.conftest import SF_SMOKE
 _BNLJ_OK = {
     "m04_knn_classify",
     "v01_cosine_topk",
-    "v02_neardup_pairs",
     "v04_ivf_topk",
     "x02_set_ops",
     "x07_range_join",

@@ -23,19 +23,52 @@ from pyspark.sql import functions as F
 from dislib_spark.array.core import DsArray, _FEAT, _ROW
 
 
-def _to_block_matrix(arr: DsArray, rows_per_block: int = 1024):
-    from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
+def _df_to_irm(arr: DsArray):
+    """DsArray → IndexedRowMatrix with the data staying JVM-side:
+    array→vector conversion and the IndexedRow wrapping both run as
+    JVM expressions (array_to_vector + convertVectorColumnsFromML +
+    the DataFrame-accepting IndexedRowMatrix constructor). The
+    round-1 ``df.rdd.map(lambda …)`` pickled every row through a
+    Python worker in both directions — the matmul bottleneck at
+    scale."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.mllib.linalg.distributed import IndexedRowMatrix
+    from pyspark.mllib.util import MLUtils
 
-    rdd = arr.df.rdd.map(lambda r: IndexedRow(r[0], r[1]))
-    irm = IndexedRowMatrix(rdd, numRows=arr.shape[0], numCols=arr.shape[1])
-    return irm.toBlockMatrix(rowsPerBlock=rows_per_block, colsPerBlock=rows_per_block)
+    df = arr.df.select(
+        F.col(_ROW).cast("long").alias("index"),
+        array_to_vector(F.col(_FEAT).cast("array<double>")).alias("vector"),
+    )
+    df = MLUtils.convertVectorColumnsFromML(df, "vector")
+    return IndexedRowMatrix(df, numRows=arr.shape[0], numCols=arr.shape[1])
+
+
+def _irm_to_df(irm, spark, shape: tuple[int, int]) -> DsArray:
+    """IndexedRowMatrix → DsArray, JVM-side: getIndexedRows hands back
+    a (index, vector) DataFrame directly (we deliberately skip the
+    pyspark ``rows`` property, whose .rdd.map would pull every row
+    through Python); vector_to_array accepts mllib vectors."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.mllib.common import callMLlibFunc
+
+    rows_df = callMLlibFunc(
+        "getIndexedRows", irm._java_matrix_wrapper._java_model
+    )
+    df = rows_df.select(
+        F.col("index").alias(_ROW),
+        vector_to_array(F.col("vector")).alias(_FEAT),
+    )
+    return DsArray(df, shape)
+
+
+def _to_block_matrix(arr: DsArray, rows_per_block: int = 1024):
+    return _df_to_irm(arr).toBlockMatrix(
+        rowsPerBlock=rows_per_block, colsPerBlock=rows_per_block
+    )
 
 
 def _from_block_matrix(bm, spark, shape: tuple[int, int]) -> DsArray:
-    irm = bm.toIndexedRowMatrix()
-    rdd = irm.rows.map(lambda r: (int(r.index), [float(v) for v in r.vector]))
-    df = spark.createDataFrame(rdd, f"{_ROW} long, {_FEAT} array<double>")
-    return DsArray(df, shape)
+    return _irm_to_df(bm.toIndexedRowMatrix(), spark, shape)
 
 
 def matmul(
@@ -132,18 +165,10 @@ def svd(arr: DsArray, k: int | None = None):
 
     Returns (U: DsArray, S: np.ndarray, V: np.ndarray).
     """
-    from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
-
     n, d = arr.shape
     k = k or min(n, d)
-    rdd = arr.df.rdd.map(lambda r: IndexedRow(r[0], r[1]))
-    irm = IndexedRowMatrix(rdd, numRows=n, numCols=d)
-    svd_model = irm.computeSVD(k, computeU=True)
-    u_rdd = svd_model.U.rows.map(
-        lambda r: (int(r.index), [float(v) for v in r.vector])
-    )
-    u_df = arr.spark.createDataFrame(u_rdd, f"{_ROW} long, {_FEAT} array<double>")
-    u = DsArray(u_df, (n, k))
+    svd_model = _df_to_irm(arr).computeSVD(k, computeU=True)
+    u = _irm_to_df(svd_model.U, arr.spark, (n, k))
     s = np.array(svd_model.s.toArray())
     v = np.array(svd_model.V.toArray())
     return u, s, v
@@ -157,12 +182,8 @@ def qr_economic(arr: DsArray):
 
     Returns (Q: DsArray (n×d), R: np.ndarray (d×d)).
     """
-    from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
-
     n, d = arr.shape
-    rdd = arr.df.rdd.map(lambda r: IndexedRow(r[0], r[1]))
-    irm = IndexedRowMatrix(rdd, numRows=n, numCols=d)
-    qr = irm.toRowMatrix().tallSkinnyQR(computeQ=True)
+    qr = _df_to_irm(arr).toRowMatrix().tallSkinnyQR(computeQ=True)
     # tallSkinnyQR drops row indices; re-key Q by zipWithIndex order is
     # not stable, so recompute Q = A @ R^{-1} keyed by original row_id.
     r = np.array(qr.R.toArray())

@@ -203,11 +203,10 @@ def load_svmlight_sparse(
     conv_df = raw.mapInPandas(
         conv, "indices array<int>, values array<double>, label double"
     )
-    rdd = conv_df.rdd.zipWithIndex().map(
-        lambda t: (t[1], t[0]["indices"], t[0]["values"], t[0]["label"])
-    )
-    wide = spark.createDataFrame(
-        rdd, f"{_ROW} long, indices array<int>, values array<double>, _y double"
+    from dislib_spark.utils.base import with_global_index
+
+    wide = with_global_index(conv_df, None, _ROW).select(
+        _ROW, "indices", "values", F.col("label").alias("_y")
     ).cache()
     n = wide.count()
     x = SparseDsArray(wide.select(_ROW, "indices", "values"), (n, n_features))

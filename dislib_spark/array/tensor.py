@@ -167,12 +167,11 @@ def load_dataset(
     decoded = bin_df.select("path", "content").mapInPandas(
         decode, "path string, shape array<int>, data array<double>"
     )
-    rdd = (
-        decoded.orderBy("path")
-        .rdd.zipWithIndex()
-        .map(lambda t: (t[1], t[0]["shape"], t[0]["data"]))
+    from dislib_spark.utils.base import with_global_index
+
+    df = with_global_index(decoded, ["path"], "tensor_id").select(
+        "tensor_id", "shape", "data"
     )
-    df = spark.createDataFrame(rdd, _SCHEMA)
     first = df.first()
     n = df.count()
     return DsTensor(df, n, tuple(first["shape"]) if first else ())

@@ -13,15 +13,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dislib_spark.array.core import DsArray, _FEAT, _ROW
+from dislib_spark.utils.base import with_global_index
 
 
 def _renumber(df, shape):
-    """Compact row ids after a filter (keeps DsArray contract)."""
-    rdd = df.orderBy(_ROW).rdd.zipWithIndex().map(
-        lambda t: (t[1], t[0][_FEAT])
-    )
-    out = df.sparkSession.createDataFrame(
-        rdd, f"{_ROW} long, {_FEAT} array<double>"
+    """Compact row ids after a filter (keeps DsArray contract),
+    JVM-side via utils.base.with_global_index."""
+    out = with_global_index(df.select(_ROW, _FEAT), [_ROW], "_new").select(
+        F.col("_new").alias(_ROW), _FEAT
     )
     return DsArray(out, shape)
 

@@ -65,14 +65,39 @@ def knn_classify(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    weights="uniform",
 ) -> DataFrame:
-    """Majority-vote kNN classification (uniform weights; reference
-    classification/knn/base.py:77-150). Ties → smaller label.
-    Returns (q_id, pred_label)."""
+    """Weighted-vote kNN classification (reference
+    classification/knn/base.py:29-39,77-150). Ties → smaller label.
+
+    ``weights``: ``'uniform'`` (each neighbor one vote),
+    ``'distance'`` (1/dist votes, with sklearn's exact-match rule:
+    if any neighbor is at distance 0, only zero-distance neighbors
+    vote), or a callable ``Column -> Column`` mapping the distance
+    column to a weight column (the Spark analogue of sklearn's
+    array-callable). Returns (q_id, pred_label)."""
     nn = kneighbors(
         queries, corpus, k, id_col, vec_col, extra_cols=[label_col]
     )
-    votes = nn.groupBy("q_id", label_col).agg(F.count(F.lit(1)).alias("votes"))
+    if weights == "uniform":
+        wt = F.lit(1.0)
+    elif weights == "distance":
+        per_q = Window.partitionBy("q_id")
+        has_zero = F.max((F.col("dist") == 0).cast("int")).over(per_q) == 1
+        wt = (
+            F.when(has_zero & (F.col("dist") == 0), F.lit(1.0))
+            .when(has_zero, F.lit(0.0))
+            .otherwise(F.lit(1.0) / F.col("dist"))
+        )
+    elif callable(weights):
+        wt = weights(F.col("dist"))
+    else:
+        raise ValueError(f"weights must be 'uniform', 'distance' or callable, got {weights!r}")
+    votes = (
+        nn.withColumn("_wt", wt)
+        .groupBy("q_id", label_col)
+        .agg(F.sum("_wt").alias("votes"))
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("votes"), F.col(label_col))
     return (
         votes.withColumn("rk", F.row_number().over(w))
@@ -110,8 +135,9 @@ class NearestNeighbors:
 class KNeighborsClassifier:
     """sklearn-style facade (reference classification/knn/base.py)."""
 
-    def __init__(self, n_neighbors: int = 5):
+    def __init__(self, n_neighbors: int = 5, weights="uniform"):
         self.n_neighbors = n_neighbors
+        self.weights = weights
         self._corpus: DataFrame | None = None
         self._cols = ("vec_id", "embedding", "label")
 
@@ -124,5 +150,6 @@ class KNeighborsClassifier:
     def predict(self, queries: DataFrame) -> DataFrame:
         id_col, vec_col, label_col = self._cols
         return knn_classify(
-            queries, self._corpus, self.n_neighbors, id_col, vec_col, label_col
+            queries, self._corpus, self.n_neighbors, id_col, vec_col,
+            label_col, weights=self.weights,
         )

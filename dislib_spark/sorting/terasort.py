@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dislib_spark.array.core import DsArray, _FEAT, _ROW
+from dislib_spark.utils.base import with_global_index
 
 
 def terasort(
@@ -25,16 +26,16 @@ def terasort(
     """Global sort. Without column_indexes: flatten all values, sort
     globally, refill row-major (reference _terasort :343-368). With
     column_indexes: sort each listed column independently, leave the
-    others in place."""
+    others in place. Re-keying after the range-partitioned sort is
+    JVM-side (utils.base.with_global_index) — no Python RDD hop."""
     n, d = x.shape
-    spark = x.spark
     if column_indexes is None:
         cells = x.df.select(F.explode(F.col(_FEAT)).alias("v"))
-        # distributed range-partitioned sort + dense re-keying
-        rdd = cells.orderBy("v").rdd.zipWithIndex().map(
-            lambda t: (t[1] // d, t[1] % d, t[0][0])
+        flat = with_global_index(cells, ["v"], "_g").select(
+            F.expr(f"_g DIV {d}").alias("i"),
+            F.pmod("_g", F.lit(d)).alias("k"),
+            "v",
         )
-        flat = spark.createDataFrame(rdd, "i long, k long, v double")
         rows = flat.groupBy("i").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("k", "v"))),
@@ -47,15 +48,11 @@ def terasort(
 
     out = x
     for j in column_indexes:
-        col_sorted = (
-            x.df.select(F.element_at(F.col(_FEAT), j + 1).alias("v"))
-            .orderBy("v")
-            .rdd.zipWithIndex()
-            .map(lambda t: (t[1], [float(t[0][0])]))
-        )
-        col_df = spark.createDataFrame(
-            col_sorted, f"{_ROW} long, {_FEAT} array<double>"
-        )
+        col_df = with_global_index(
+            x.df.select(F.element_at(F.col(_FEAT), j + 1).alias("v")),
+            ["v"],
+            _ROW,
+        ).select(_ROW, F.array(F.col("v").cast("double")).alias(_FEAT))
         out = out.set_column(j, DsArray(col_df, (n, 1)))
     return out
 

@@ -21,13 +21,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dislib_spark.array.core import DsArray, _FEAT, _ROW
+from dislib_spark.utils.base import with_global_index
 
 
 def _with_row_ids(df: DataFrame, value_col: str, n: int | None = None) -> DsArray:
-    """Attach dense row ids via zipWithIndex (order = input order)."""
-    rdd = df.rdd.zipWithIndex().map(lambda t: (t[1], t[0][value_col]))
-    spark = df.sparkSession
-    out = spark.createDataFrame(rdd, f"{_ROW} long, {_FEAT} array<double>")
+    """Attach dense row ids (order = input order), JVM-side."""
+    out = with_global_index(df, None, _ROW).select(
+        _ROW, F.col(value_col).cast("array<double>").alias(_FEAT)
+    )
     count = n if n is not None else out.count()
     width = len(out.first()[_FEAT]) if count else 0
     return DsArray(out, (count, width))
@@ -61,11 +62,10 @@ def load_svmlight_file(
 
     df = spark.read.format("libsvm").option("numFeatures", n_features).load(path)
     feats = df.select(vector_to_array(F.col("features")).alias("vals"), "label")
-    rdd = feats.rdd.zipWithIndex().map(
-        lambda t: (t[1], [float(v) for v in t[0]["vals"]], float(t[0]["label"]))
-    )
-    wide = spark.createDataFrame(
-        rdd, f"{_ROW} long, {_FEAT} array<double>, _y double"
+    wide = with_global_index(feats, None, _ROW).select(
+        _ROW,
+        F.col("vals").cast("array<double>").alias(_FEAT),
+        F.col("label").cast("double").alias("_y"),
     ).cache()
     n = wide.count()
     x = DsArray(wide.select(_ROW, _FEAT), (n, n_features))
@@ -173,11 +173,12 @@ def load_mdcrd_file(
     split/posexplode regrouping into fixed-width snapshots."""
     values_per_row = 3 * n_atoms
     lines = spark.read.text(path)
-    # first line is the title; numbers are whitespace-separated floats
+    # contiguous line index (input/file order) so the title line is
+    # EXACTLY index 0 — the previous monotonically_increasing_id() > 0
+    # filter only worked because partition 0/offset 0 happens to get
+    # raw id 0, an undocumented layout detail.
     nums = (
-        lines.select(
-            F.monotonically_increasing_id().alias("line_id"), "value"
-        )
+        with_global_index(lines, None, "line_id")
         .where(F.col("line_id") > 0)
         .select(
             "line_id",
@@ -188,13 +189,15 @@ def load_mdcrd_file(
         .where(F.col("v") != "")
     )
     # global value index via (line_id, pos) ordering
-    rdd = (
-        nums.orderBy("line_id", "pos")
-        .select(F.col("v").cast("double"))
-        .rdd.zipWithIndex()
-        .map(lambda t: (t[1] // values_per_row, t[1] % values_per_row, t[0][0]))
+    cells = with_global_index(
+        nums.select("line_id", "pos", F.col("v").cast("double").alias("v")),
+        ["line_id", "pos"],
+        "_g",
+    ).select(
+        F.expr(f"_g DIV {values_per_row}").alias("snap"),
+        F.pmod("_g", F.lit(values_per_row)).alias("k"),
+        "v",
     )
-    cells = spark.createDataFrame(rdd, "snap long, k long, v double")
     rows = cells.groupBy("snap").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("k", "v"))), lambda s: s["v"]

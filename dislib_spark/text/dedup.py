@@ -164,13 +164,18 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: candidates from band-bucket
     collisions, then exact Jaccard on the candidates only.
 
     bands=8 × rows=4 at threshold 0.5 → P(candidate) ≈ 1-(1-s⁴)⁸,
     ≈0.9996 at s=0.8 (near-perfect recall on true dups).
-    Returns (a_id, b_id, jaccard) with a_id < b_id.
+
+    Band buckets aggregate ids only (see inline comment) and are
+    capped at ``max_bucket_size`` ids (deterministic sorted-prefix
+    truncation; ``None`` disables). Returns (a_id, b_id, jaccard)
+    with a_id < b_id.
     """
     rows_per_band = num_hashes // bands
     # two lineage breaks: (1) the shingle+hash build feeds 32
@@ -196,7 +201,6 @@ def minhash_lsh_pairs(
     )
     banded = sig.select(
         "id",
-        "shingles",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -206,43 +210,54 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    # bucket-based candidates: one pass over the signature build (a
-    # self-join would recompute shingles+signature per side), pairs
-    # exploded inside each band bucket.
+    # Bucket-based candidates over IDS ONLY: a band bucket's
+    # aggregation buffer holds bare longs, never the shingle arrays —
+    # a hot bucket (boilerplate/empty docs) of a million docs is 8 MB,
+    # not gigabytes (the round-1 collect_list(struct(id, shingles))
+    # was the 100 TB OOM risk). Oversized buckets are truncated
+    # DETERMINISTICALLY (sorted ids, first max_bucket_size): beyond
+    # the cap, docs in such a bucket are near-certain duplicates of
+    # the kept prefix and still pair through their other bands.
+    ids_col = F.sort_array(F.collect_list("id"))
+    if max_bucket_size is not None:
+        ids_col = F.slice(ids_col, 1, max_bucket_size)
     buckets = (
         banded.groupBy("band_idx", "band_hash")
-        .agg(F.collect_list(F.struct("id", "shingles")).alias("ds"))
-        .where(F.size("ds") > 1)
+        .agg(ids_col.alias("ids"))
+        .where(F.size("ids") > 1)
     )
     pair_col = F.filter(
         F.flatten(
             F.transform(
-                F.col("ds"),
+                F.col("ids"),
                 lambda x: F.transform(
-                    F.col("ds"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                    F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
                 ),
             )
         ),
-        lambda p: p["a"]["id"] < p["b"]["id"],
+        lambda p: p["a"] < p["b"],
     )
     cand = (
         buckets.select(F.explode(pair_col).alias("p"))
-        .select(
-            F.col("p.a.id").alias("a_id"),
-            F.col("p.a.shingles").alias("a_sh"),
-            F.col("p.b.id").alias("b_id"),
-            F.col("p.b.shingles").alias("b_sh"),
-        )
+        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    jac = cand.select(
-        "a_id",
-        "b_id",
-        F.round(
-            F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
-            / F.size(F.array_union("a_sh", "b_sh")).cast("double"),
-            6,
-        ).alias("jaccard"),
+    # exact-Jaccard re-check: join the shingle sets back by id — two
+    # equi-joins on the (small) candidate set, not a shuffle of
+    # shingles through the band buckets.
+    sh = sig.select("id", "shingles")
+    jac = (
+        cand.join(sh.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_sh")), "a_id")
+        .join(sh.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_sh")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+                / F.size(F.array_union("a_sh", "b_sh")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
     )
     return jac.where(F.col("jaccard") >= threshold)
 

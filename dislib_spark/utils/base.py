@@ -12,6 +12,50 @@ from pyspark.sql import functions as F
 from dislib_spark.array.core import DsArray, _FEAT, _ROW
 
 
+def with_global_index(
+    df: DataFrame,
+    order_by: list | None = None,
+    idx_col: str = "_idx",
+) -> DataFrame:
+    """Contiguous 0-based global index (in ``order_by`` order, or the
+    input partition order when None), fully JVM-side.
+
+    Replaces ``rdd.zipWithIndex()`` — which pickles every row through
+    a Python worker twice (out and back through createDataFrame) —
+    with: sort (if requested) → ``monotonically_increasing_id`` (JVM;
+    partition id in the upper 31 bits, per-partition sequence in the
+    lower 33) → one tiny per-partition count collect → broadcast
+    offset join. The data-sized path stays in whole-stage codegen;
+    only num_partitions rows reach the driver (zipWithIndex runs the
+    same counting job internally). localCheckpoint pins the ids so
+    downstream actions don't recompute the sort with a different
+    partitioning.
+    """
+    s = df.orderBy(*order_by) if order_by else df
+    s = s.withColumn("_mid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=True
+    )
+    pid = F.shiftrightunsigned(F.col("_mid"), 33).cast("int")
+    counts = s.groupBy(pid.alias("_pid")).count().collect()
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        acc += r["count"]
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    )
+    return (
+        s.withColumn("_pid", pid)
+        .join(off, "_pid")
+        .withColumn(
+            idx_col,
+            F.col("_off") + F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)),
+        )
+        .drop("_pid", "_off", "_mid")
+    )
+
+
 def to_ml_df(x: DsArray, y: DsArray | None = None) -> DataFrame:
     """DsArray (+ optional (n,1) label DsArray) → DataFrame with an
     MLlib Vector ``_v`` column (and ``label``). The row_id join
@@ -41,28 +85,21 @@ def shuffle(x: DsArray, y: DsArray | None = None, random_state: int = 0):
     """Global row shuffle (reference utils/base.py:11-90): seeded
     random sort (range-partitioned, fully distributed — the same
     scatter dislib's hypergeometric block split hand-rolls) and dense
-    re-keying via zipWithIndex (no single-partition window)."""
-    spark = x.spark
+    JVM-side re-keying (no single-partition window, no Python hop)."""
     if y is not None:
         # co-shuffle features and labels in one pass (same permutation)
-        paired = x.df.join(
-            y.df.withColumnRenamed(_FEAT, "_y"), _ROW
-        )
-        rdd = (
-            paired.orderBy(F.rand(random_state), F.col(_ROW))
-            .rdd.zipWithIndex()
-            .map(lambda t: (t[1], t[0][_FEAT], t[0]["_y"]))
-        )
-        df = spark.createDataFrame(
-            rdd, f"{_ROW} long, {_FEAT} array<double>, _y array<double>"
-        )
+        paired = x.df.join(y.df.withColumnRenamed(_FEAT, "_y"), _ROW)
+        df = with_global_index(
+            paired.select(_FEAT, "_y", F.rand(random_state).alias("_r"), _ROW),
+            ["_r", _ROW],
+            "_new_row",
+        ).select(F.col("_new_row").alias(_ROW), _FEAT, "_y")
         xs = DsArray(df.select(_ROW, _FEAT), x.shape)
         ys = DsArray(df.select(_ROW, F.col("_y").alias(_FEAT)), y.shape)
         return xs, ys
-    rdd = (
-        x.df.orderBy(F.rand(random_state), F.col(_ROW))
-        .rdd.zipWithIndex()
-        .map(lambda t: (t[1], t[0][_FEAT]))
-    )
-    df = spark.createDataFrame(rdd, f"{_ROW} long, {_FEAT} array<double>")
+    df = with_global_index(
+        x.df.select(_FEAT, F.rand(random_state).alias("_r"), _ROW),
+        ["_r", _ROW],
+        "_new_row",
+    ).select(F.col("_new_row").alias(_ROW), _FEAT)
     return DsArray(df, x.shape)

@@ -130,6 +130,32 @@ def test_neardup_lsh_recall_on_synthetic_dups(spark):
     assert recall >= 0.95, f"neardup LSH recall {recall}"
 
 
+def test_minhash_hot_bucket_bounded_and_correct(spark):
+    """One pathological duplicate-heavy bucket: 120 identical docs
+    all but guarantee every band collides. Buckets must stay
+    id-only/bounded and the pair output must still be the full
+    duplicate clique; a small cap truncates deterministically without
+    erroring."""
+    from dislib_spark.text.dedup import minhash_lsh_pairs
+
+    dup_text = "the same boilerplate text repeated in every document " * 3
+    rows = [(i, dup_text) for i in range(120)]
+    rows += [(1000 + i, f"unique document number {i} with words {i * 7} {i * 13}")
+             for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = minhash_lsh_pairs(df, threshold=0.9).collect()
+    got = {(r["a_id"], r["b_id"]) for r in out}
+    want = {(a, b) for a in range(120) for b in range(120) if a < b}
+    assert got == want
+
+    capped = minhash_lsh_pairs(df, threshold=0.9, max_bucket_size=50).collect()
+    capped_pairs = {(r["a_id"], r["b_id"]) for r in capped}
+    # cap keeps the sorted-id prefix: the 50-doc clique survives
+    assert {(a, b) for a in range(50) for b in range(50) if a < b} <= capped_pairs
+    assert capped_pairs <= want
+
+
 def test_salted_agg_matches_plain(spark):
     li = load_table(spark, SF_SMOKE, "lineitem")
     plain = {

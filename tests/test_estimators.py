@@ -341,3 +341,68 @@ def test_gmm_full_matches_structure(spark):
         assert np.all(diag > 0.05) and np.all(diag < 1.0)
         off = gm.covariances_[c][0, 1]
         assert abs(off) < 0.2
+
+
+def test_knn_distance_weights_parity(spark):
+    """knn_classify(weights='distance') vs a numpy implementation of
+    sklearn's semantics (1/dist votes; exact matches take all).
+    Reference classification/knn/base.py:29-39."""
+    from dislib_spark.neighbors.knn import knn_classify
+
+    rng = np.random.RandomState(7)
+    X = rng.standard_normal((80, 4))
+    y = rng.randint(0, 3, 80)
+    # plant an exact duplicate so the zero-distance rule is exercised
+    X[41] = X[3]
+    y[41] = 2
+    y[3] = 2
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]], int(y[i])) for i in range(80)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    Q = np.vstack([X[:10], X[3:4]])  # query 10 includes an exact match
+    queries = spark.createDataFrame(
+        [(100 + i, [float(v) for v in Q[i]]) for i in range(len(Q))],
+        "vec_id long, embedding array<double>",
+    )
+    k = 5
+    got = {
+        r["q_id"]: r["pred_label"]
+        for r in knn_classify(queries, corpus, k=k, weights="distance").collect()
+    }
+    for qi in range(len(Q)):
+        d = np.round(np.sqrt(((X - Q[qi]) ** 2).sum(axis=1)), 6)
+        order = np.lexsort((np.arange(80), d))[:k]
+        dd, ll = d[order], y[order]
+        if (dd == 0).any():
+            w = (dd == 0).astype(float)
+        else:
+            w = 1.0 / dd
+        votes = {}
+        for wi, li in zip(w, ll):
+            votes[li] = votes.get(li, 0.0) + wi
+        best = sorted(votes.items(), key=lambda t: (-t[1], t[0]))[0][0]
+        assert got[100 + qi] == best, f"query {qi}"
+
+
+def test_knn_callable_weights(spark):
+    from pyspark.sql import functions as F
+
+    from dislib_spark.neighbors.knn import knn_classify
+
+    corpus = spark.createDataFrame(
+        [(0, [0.0, 0.0], 0), (1, [1.0, 0.0], 1), (2, [0.0, 1.1], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(9, [0.1, 0.0])], "vec_id long, embedding array<double>"
+    )
+    # exp(-d): the single close label-0 vote (e^-0.1 = 0.90) beats the
+    # two far label-1 votes (e^-0.9 + e^-1.10 = 0.74)…
+    out = knn_classify(
+        queries, corpus, k=3, weights=lambda d: F.exp(-d)
+    ).collect()
+    assert out[0]["pred_label"] == 0
+    # …while uniform voting flips it (two label-1 votes beat one)
+    out = knn_classify(queries, corpus, k=3, weights="uniform").collect()
+    assert out[0]["pred_label"] == 1

@@ -156,18 +156,21 @@ class DBSCAN:
                 X = np.array(pdf[_FEAT].tolist(), dtype=np.float64)
                 is_core = pdf["is_core"].to_numpy()
                 labels = _bfs_cluster(X, is_core, eps)
-                cell = pdf.iloc[0]["cell"]
-                coords = tuple(
-                    cell.values() if isinstance(cell, dict) else cell
-                )
-                cell_key = hash(coords) & 0x7FFFFFFF
-                glob = [
-                    -1 if l < 0 else cell_key * 1_000_003 + int(l)
-                    for l in labels
-                ]
+                # provisional label = MIN CORE row_id of the local
+                # cluster: globally collision-free by construction —
+                # if two cells emit the same label they share that
+                # core point, which is exactly the legitimate merge
+                # condition. (A truncated hash(cell) key could collide
+                # between unrelated cells and fuse their clusters.)
+                # Every local cluster has ≥1 core (BFS seeds on cores).
+                rows = pdf[_ROW].to_numpy()
+                glob = np.full(len(labels), -1, dtype=np.int64)
+                for l in np.unique(labels[labels >= 0]):
+                    m = labels == l
+                    glob[m] = rows[m & is_core].min()
                 return pd.DataFrame(
                     {
-                        "row_id": pdf[_ROW],
+                        "row_id": rows,
                         "is_home": pdf["is_home"],
                         "label": glob,
                         "is_core": is_core,

@@ -45,31 +45,51 @@ def qr(a: DsArray, mode: str = "economic"):
 def tsqr(a: DsArray, mode: str = "reduced", indexes=None):
     """reference decomposition/tsqr/base.py:11-740.
 
-    reduced / complete → (Q, R); r_reduced / r_complete → R only.
-    The *_inverse modes (reference: reconstruct Q backwards for
-    matrix inversion) are served by computing Q then a driver-side
-    solve — exposed as 'inverse' returning A⁻¹ᵀ-free (Q, R⁻¹).
+    reduced → (Q (n×d), R (d×d)); r_reduced → R only;
+    reduced_inverse → (Q, R⁻¹) (the reference's backward-Q
+    reconstruction for matrix inversion, served by a driver-side
+    solve on the small R).
+
+    complete / r_complete / complete_inverse raise: the reference's
+    complete mode materializes an n×n orthogonal Q
+    (tests/test_tsqr.py asserts those shapes) — anti-scale by
+    design here, and silently returning the economic (n×d) shape
+    would corrupt a caller's downstream math. Same policy as
+    ``qr(mode='full')``.
     """
-    if mode in ("reduced", "complete"):
+    if mode == "reduced":
         return qr_economic(a)
-    if mode in ("r_reduced", "r_complete"):
+    if mode == "r_reduced":
         _, r = qr_economic(a)
         return r
-    if mode in ("reduced_inverse", "complete_inverse"):
+    if mode == "reduced_inverse":
         q, r = qr_economic(a)
         return q, np.linalg.inv(r)
+    if mode in ("complete", "r_complete", "complete_inverse"):
+        raise NotImplementedError(
+            f"tsqr mode={mode!r} materializes an n×n orthogonal factor "
+            "(reference tsqr/base.py complete modes); unsupported by "
+            "design at scale — use mode='reduced' (economic shapes)"
+        )
     raise ValueError(f"unknown mode {mode}")
 
 
 def lanczos_svd(a: DsArray, k: int, *args, **kwargs):
     """reference decomposition/lanczos/base.py:314-455 — restarted
     block Lanczos for leading singular values. RowMatrix.computeSVD
-    is ARPACK Lanczos underneath; same semantics, returns (U, S, V)."""
+    is ARPACK Lanczos underneath; same semantics, returns (U, S, V).
+
+    Extra tolerance/iteration arguments are accepted for reference
+    API parity but IGNORED — computeSVD converges to machine
+    precision on the leading k values (a strict-accuracy superset)."""
     return svd(a, k=k)
 
 
 def random_svd(a: DsArray, nsv: int, *args, **kwargs):
     """reference decomposition/randomsvd/base.py:127-260 — randomized
     subspace iteration for leading singular values. Served by
-    computeSVD (exact leading-k; a strict-accuracy superset)."""
+    computeSVD (exact leading-k; a strict-accuracy superset).
+
+    Extra tolerance/iteration arguments are accepted for reference
+    API parity but IGNORED (see lanczos_svd)."""
     return svd(a, k=nsv)

@@ -40,11 +40,17 @@ def _encode(obj: Any) -> Any:
             "state": [state[0], state[1].tolist(), *state[2:]],
         }
     if hasattr(obj, "__dict__") and not isinstance(obj, type):
+        def _keep(k: str) -> bool:
+            return not k.startswith("_ml") and k != "model" and k != "_model"
+
         return {
             "_type": "estimator",
             "class": f"{type(obj).__module__}.{type(obj).__qualname__}",
-            "state": {k: _encode(v) for k, v in vars(obj).items()
-                      if not k.startswith("_ml") and k != "model" and k != "_model"},
+            "state": {k: _encode(v) for k, v in vars(obj).items() if _keep(k)},
+            # record what was excluded so _decode can restore the
+            # attributes as None — a loaded estimator must not raise
+            # AttributeError on e.g. `self._ml_model is not None`
+            "dropped": [k for k in vars(obj) if not _keep(k)],
         }
     if isinstance(obj, dict):
         return {k: _encode(v) for k, v in obj.items()}
@@ -71,6 +77,10 @@ def _decode(obj: Any) -> Any:
             inst = cls.__new__(cls)
             for k, v in obj["state"].items():
                 setattr(inst, k, _decode(v))
+            # attributes excluded at encode time (Spark-side handles)
+            # come back as None, matching the unfitted sentinel
+            for k in obj.get("dropped", ()):
+                setattr(inst, k, None)
             return inst
         return {k: _decode(v) for k, v in obj.items()}
     if isinstance(obj, list):

@@ -41,6 +41,23 @@ def test_save_load_pickle_and_scaler(spark, tmp_path):
     assert np.allclose(sc2.scale_, sc.scale_)
 
 
+def test_save_load_gmm_predict(spark, tmp_path):
+    """Round-trip an estimator whose predict path CHECKS an excluded
+    attribute (gmm._ml_model): _decode must restore dropped attrs as
+    None, not leave them missing (AttributeError regression)."""
+    from dislib_spark.cluster import GaussianMixture
+
+    X = np.vstack([RNG.randn(40, 2), RNG.randn(40, 2) + 6])
+    x = ds.array(X, spark)
+    gm = GaussianMixture(n_components=2, random_state=3, max_iter=20).fit(x)
+    save_model(gm, str(tmp_path / "gm.json"))
+    gm2 = load_model(str(tmp_path / "gm.json"))
+    assert gm2._ml_model is None
+    assert np.allclose(
+        gm2.predict(x).collect(), gm.predict(x).collect()
+    )
+
+
 def test_save_load_kmeans_centers(spark, tmp_path):
     X = RNG.randn(90, 2) + 4
     x = ds.array(X, spark)
@@ -96,6 +113,26 @@ def test_qr_modes(spark):
     # run-dependent): Q·R = A ⇒ Q = A·R⁻¹ ⇒ Q·(R⁻¹)⁻¹ = A
     q2, r_inv = tsqr(a, mode="reduced_inverse")
     assert np.allclose(q2.collect() @ np.linalg.inv(r_inv), A, atol=1e-8)
+
+
+def test_tsqr_mode_shapes(spark):
+    """Per-mode shape contract (reference tests/test_tsqr.py asserts
+    shapes): reduced modes return economic shapes; complete modes
+    raise rather than silently returning the wrong (economic) shape."""
+    A = RNG.randn(30, 4)
+    a = ds.array(A, spark)
+    q, r = tsqr(a, mode="reduced")
+    assert q.shape == (30, 4) and r.shape == (4, 4)
+    assert np.allclose(q.collect() @ r, A, atol=1e-8)
+    r_only = tsqr(a, mode="r_reduced")
+    assert r_only.shape == (4, 4)
+    q2, r_inv = tsqr(a, mode="reduced_inverse")
+    assert q2.shape == (30, 4) and r_inv.shape == (4, 4)
+    for mode in ("complete", "r_complete", "complete_inverse"):
+        with pytest.raises(NotImplementedError):
+            tsqr(a, mode=mode)
+    with pytest.raises(ValueError):
+        tsqr(a, mode="bogus")
 
 
 def test_svd_aliases(spark):

@@ -76,6 +76,74 @@ def _bfs_cluster(
     return labels
 
 
+def build_halo(x: DsArray, eps: float):
+    """Grid keys + 3^d halo replication (reference dbscan/base.py
+    region grid): each point is emitted to its home cell and every
+    neighbor cell, so a home cell sees the full eps-ball of its own
+    points. Returns a cached DataFrame
+    (row_id, feat, cell struct, is_home)."""
+    n, d = x.shape
+    spark = x.spark
+    mins_row = x.df.agg(
+        *[
+            F.min(F.element_at(F.col(_FEAT), j + 1)).alias(f"m{j}")
+            for j in range(d)
+        ]
+    ).collect()[0]
+    mins = [float(mins_row[f"m{j}"]) for j in range(d)]
+
+    cell_cols = [
+        F.floor(
+            (F.element_at(F.col(_FEAT), j + 1) - F.lit(mins[j]))
+            / F.lit(eps)
+        ).cast("long").alias(f"c{j}")
+        for j in range(d)
+    ]
+    pts = x.df.select(_ROW, _FEAT, *cell_cols)
+
+    offsets = _neighbor_offsets(d)
+    off_df = spark.createDataFrame(
+        [(i, list(o)) for i, o in enumerate(offsets)],
+        "off_id int, off array<long>",
+    )
+    return pts.crossJoin(F.broadcast(off_df)).select(
+        _ROW,
+        _FEAT,
+        F.struct(
+            *[
+                (F.col(f"c{j}") + F.element_at("off", j + 1)).alias(f"h{j}")
+                for j in range(d)
+            ]
+        ).alias("cell"),
+        (F.col("off_id") == 0).alias("is_home"),
+    ).cache()
+
+
+def core_flags(halo, eps: float, min_samples: int):
+    """Pass 1 — exact core flags per home point (its eps-ball is fully
+    inside cell+halo). Returns (row_id, is_core)."""
+    import pandas as pd
+
+    def count_cores(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.array(pdf[_FEAT].tolist(), dtype=np.float64)
+        home = pdf["is_home"].to_numpy()
+        if not home.any():
+            return pd.DataFrame({"row_id": [], "is_core": []}).astype(
+                {"row_id": "int64", "is_core": "bool"}
+            )
+        cnt = _core_counts(X, home, eps)
+        return pd.DataFrame(
+            {
+                "row_id": pdf[_ROW].to_numpy()[home],
+                "is_core": cnt >= min_samples,
+            }
+        )
+
+    return halo.groupBy("cell").applyInPandas(
+        count_cores, "row_id long, is_core boolean"
+    )
+
+
 class DBSCAN:
     """sklearn-style facade (reference cluster/dbscan/base.py:20-67;
     the reference's n_regions grid becomes an eps-derived grid)."""
@@ -90,66 +158,15 @@ class DBSCAN:
 
         eps, min_samples = self.eps, self.min_samples
         n, d = x.shape
-        spark = x.spark
 
-        mins_row = x.df.agg(
-            *[
-                F.min(F.element_at(F.col(_FEAT), j + 1)).alias(f"m{j}")
-                for j in range(d)
-            ]
-        ).collect()[0]
-        mins = [float(mins_row[f"m{j}"]) for j in range(d)]
-
-        cell_cols = [
-            F.floor(
-                (F.element_at(F.col(_FEAT), j + 1) - F.lit(mins[j]))
-                / F.lit(eps)
-            ).cast("long").alias(f"c{j}")
-            for j in range(d)
-        ]
-        pts = x.df.select(_ROW, _FEAT, *cell_cols)
-
-        offsets = _neighbor_offsets(d)
-        off_df = spark.createDataFrame(
-            [(i, list(o)) for i, o in enumerate(offsets)],
-            "off_id int, off array<long>",
-        )
-        halo = pts.crossJoin(F.broadcast(off_df)).select(
-            _ROW,
-            _FEAT,
-            F.struct(
-                *[
-                    (F.col(f"c{j}") + F.element_at("off", j + 1)).alias(f"h{j}")
-                    for j in range(d)
-                ]
-            ).alias("cell"),
-            (F.col("off_id") == 0).alias("is_home"),
-        ).cache()
-
+        halo = build_halo(x, eps)
         try:
             # ---- pass 1: exact core flags --------------------------
-            def count_cores(pdf: pd.DataFrame) -> pd.DataFrame:
-                X = np.array(pdf[_FEAT].tolist(), dtype=np.float64)
-                home = pdf["is_home"].to_numpy()
-                if not home.any():
-                    return pd.DataFrame({"row_id": [], "is_core": []}).astype(
-                        {"row_id": "int64", "is_core": "bool"}
-                    )
-                cnt = _core_counts(X, home, eps)
-                return pd.DataFrame(
-                    {
-                        "row_id": pdf[_ROW].to_numpy()[home],
-                        "is_core": cnt >= min_samples,
-                    }
-                )
-
-            core_flags = halo.groupBy("cell").applyInPandas(
-                count_cores, "row_id long, is_core boolean"
-            )
+            flags = core_flags(halo, eps, min_samples)
 
             # ---- pass 2: per-cell BFS with global core flags -------
             halo_flag = halo.join(
-                core_flags.withColumnRenamed("row_id", _ROW), _ROW
+                flags.withColumnRenamed("row_id", _ROW), _ROW
             )
 
             def cell_cluster(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -115,6 +115,99 @@ def m06_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed GMM parameters for the SQL-checkable E-step (diag covariance
+# over (l_quantity, l_discount); distinct variances per component so
+# the log-det term matters).
+_M07_W = [0.3, 0.4, 0.3]
+_M07_MU = [[10.0, 0.02], [25.0, 0.05], [40.0, 0.08]]
+_M07_VAR = [[16.0, 0.0004], [64.0, 0.0009], [25.0, 0.0016]]
+
+
+def m07_gmm_estep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One GMM E-step (hard assignment counts) with FIXED diag params
+    through the engine's native Arrow E-step (gmm._log_resp /
+    predict; reference cluster/gmm/base.py responsibilities) — the
+    oracle replays argmax_k [ln w_k - ½·ln|Σ_k| - ½·mahalanobis²]
+    in SQL."""
+    import numpy as np
+
+    from dislib_spark.array.core import DsArray
+    from dislib_spark.cluster import GaussianMixture
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("row_id"),
+        F.array(
+            F.col("l_quantity").cast("double"),
+            F.col("l_discount").cast("double"),
+        ).alias("features"),
+    )
+    n = li.count()
+    gm = GaussianMixture(n_components=3, covariance_type="diag", reg_covar=0.0)
+    gm.weights_ = np.array(_M07_W)
+    gm.means_ = np.array(_M07_MU)
+    gm.covariances_ = np.array(_M07_VAR)
+    pred = gm.predict(DsArray(li, (n, 2)))
+    return (
+        pred.df.select(F.element_at(F.col("features"), 1).cast("int").alias("component"))
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("component")
+    )
+
+
+def m08_dbscan_core_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN pass 1 (grid + 3^d halo + exact eps-ball counts) through
+    the engine's real applyInPandas path on 1-D p_retailprice — the
+    oracle is a range self-join (squared-distance predicate mirrors
+    the engine's d² ≤ eps² bit-for-bit)."""
+    from dislib_spark.array.core import DsArray
+    from dislib_spark.cluster.dbscan import build_halo, core_flags
+
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("row_id"),
+        F.array(F.col("p_retailprice").cast("double")).alias("features"),
+    )
+    n = p.count()
+    halo = build_halo(DsArray(p, (n, 1)), eps=5.0)
+    flags = core_flags(halo, eps=5.0, min_samples=5)
+    return flags.agg(
+        F.sum(F.col("is_core").cast("long")).alias("n_core"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+def m09_scaler_transform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardScaler fit → transform through the engine estimator
+    (reference preprocessing/standard_scaler.py transform), then
+    z-score extremes + |z|>2 outlier counts per column — SQL-replayable
+    standardization of the same three lineitem columns."""
+    from dislib_spark.array.core import DsArray
+    from dislib_spark.preprocessing import StandardScaler
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("row_id"),
+        F.array(*[F.col(c).cast("double") for c in cols]).alias("features"),
+    )
+    n = li.count()
+    z = StandardScaler().fit_transform(DsArray(li, (n, len(cols))))
+    parts = []
+    for j, c in enumerate(cols):
+        e = F.element_at(F.col("features"), j + 1)
+        parts.append(
+            z.df.agg(
+                F.lit(c).alias("col_name"),
+                F.round(F.min(e), 6).alias("min_z"),
+                F.round(F.max(e), 6).alias("max_z"),
+                F.sum((F.abs(e) > 2).cast("long")).alias("n_outliers"),
+            )
+        )
+    out = parts[0]
+    for s in parts[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("col_name")
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -122,7 +215,24 @@ QUERIES = {
     "m04_knn_classify": m04_knn_classify,
     "m05_pca_total_variance": m05_pca_total_variance,
     "m06_ols_two_features": m06_ols_two_features,
+    "m07_gmm_estep": m07_gmm_estep,
+    "m08_dbscan_core_count": m08_dbscan_core_count,
+    "m09_scaler_transform_stats": m09_scaler_transform_stats,
 }
+
+
+def _m07_score(k: int) -> str:
+    """ln w_k - ½·ln|Σ_k| - ½·Σ (x-μ)²/σ² — the same quantity (modulo
+    the shared d·ln2π constant) gmm._log_resp maximizes."""
+    w, (mq, md), (vq, vd) = _M07_W[k], _M07_MU[k], _M07_VAR[k]
+    return (
+        f"(LN({w}) - 0.5 * (LN({vq}) + LN({vd}))"
+        f" - 0.5 * ((l_quantity - {mq}) * (l_quantity - {mq}) / {vq}"
+        f" + (l_discount - {md}) * (l_discount - {md}) / {vd}))"
+    )
+
+
+_M07_S = [_m07_score(k) for k in range(3)]
 
 
 def _dist2(cx: float, cd: float) -> str:
@@ -213,6 +323,61 @@ ORACLE = {
             ROUND((s11*(s22*sy - s2y*sx2) - s12*(s12*sy - s2y*sx1)
                    + s1y*(s12*sx2 - s22*sx1)) / det, 6) AS intercept
         FROM d
+    """,
+    "m07_gmm_estep": f"""
+        SELECT component, COUNT(*) AS n FROM (
+            SELECT CASE
+                       WHEN {_M07_S[0]} >= {_M07_S[1]}
+                        AND {_M07_S[0]} >= {_M07_S[2]} THEN 0
+                       WHEN {_M07_S[1]} >= {_M07_S[2]} THEN 1
+                       ELSE 2
+                   END AS component
+            FROM lineitem
+        ) GROUP BY component ORDER BY component
+    """,
+    "m08_dbscan_core_count": """
+        WITH nb AS (
+            SELECT a.p_partkey AS id,
+                   SUM(CASE WHEN (a.p_retailprice - b.p_retailprice)
+                                * (a.p_retailprice - b.p_retailprice)
+                                <= 25.0
+                            THEN 1 ELSE 0 END) AS cnt
+            FROM part a CROSS JOIN part b
+            GROUP BY a.p_partkey
+        )
+        SELECT SUM(CASE WHEN cnt >= 5 THEN 1 ELSE 0 END) AS n_core,
+               COUNT(*) AS n_points
+        FROM nb
+    """,
+    "m09_scaler_transform_stats": """
+        WITH s AS (
+            SELECT AVG(l_quantity) AS mq, STDDEV_POP(l_quantity) AS sq,
+                   AVG(l_extendedprice) AS mp, STDDEV_POP(l_extendedprice) AS sp,
+                   AVG(l_discount) AS md, STDDEV_POP(l_discount) AS sd
+            FROM lineitem
+        )
+        SELECT col_name, min_z, max_z, n_outliers FROM (
+            SELECT 'l_quantity' AS col_name,
+                   ROUND(MIN((l_quantity - mq) / sq), 6) AS min_z,
+                   ROUND(MAX((l_quantity - mq) / sq), 6) AS max_z,
+                   SUM(CASE WHEN ABS((l_quantity - mq) / sq) > 2
+                            THEN 1 ELSE 0 END) AS n_outliers
+            FROM lineitem, s
+            UNION ALL
+            SELECT 'l_extendedprice',
+                   ROUND(MIN((l_extendedprice - mp) / sp), 6),
+                   ROUND(MAX((l_extendedprice - mp) / sp), 6),
+                   SUM(CASE WHEN ABS((l_extendedprice - mp) / sp) > 2
+                            THEN 1 ELSE 0 END)
+            FROM lineitem, s
+            UNION ALL
+            SELECT 'l_discount',
+                   ROUND(MIN((l_discount - md) / sd), 6),
+                   ROUND(MAX((l_discount - md) / sd), 6),
+                   SUM(CASE WHEN ABS((l_discount - md) / sd) > 2
+                            THEN 1 ELSE 0 END)
+            FROM lineitem, s
+        ) ORDER BY col_name
     """,
     "m04_knn_classify": """
         WITH cells AS (

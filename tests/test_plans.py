@@ -15,6 +15,7 @@ from tests.conftest import SF_SMOKE
 # queries whose non-equi/broadcast-nested-loop joins are intentional
 _BNLJ_OK = {
     "m04_knn_classify",
+    "m08_dbscan_core_count",  # 3^d halo offsets: tiny broadcast replication
     "v01_cosine_topk",
     "v04_ivf_topk",
     "x02_set_ops",

@@ -71,23 +71,100 @@ def _from_block_matrix(bm, spark, shape: tuple[int, int]) -> DsArray:
     return _irm_to_df(bm.toIndexedRowMatrix(), spark, shape)
 
 
+def _gram_matmul(a: DsArray, b: DsArray) -> DsArray:
+    """AᵀB for row-aligned tall matrices via one Arrow pass: per-batch
+    numpy GEMM partials packed into a single array column, merged by
+    posexplode + idx-grouped sum (the PCA/OLS packed-partial pattern —
+    reference _partial_scatter pca/base.py:316-372). No shuffle of
+    row data; only k·m doubles per batch cross the wire.
+
+    mapInArrow, not mapInPandas: the pandas bridge materializes one
+    Python ndarray object PER ROW for array columns (measured 26 s on
+    1M×20); reading the ListArray's flat value buffer is zero-copy
+    (~3 s)."""
+    n, k = a.shape
+    m = b.shape[1]
+    if a.df is b.df:
+        src = a.df.select(F.col(_FEAT).alias("_fa"), F.col(_FEAT).alias("_fb"))
+    else:
+        src = a.df.select(_ROW, F.col(_FEAT).alias("_fa")).join(
+            b.df.select(_ROW, F.col(_FEAT).alias("_fb")), _ROW
+        )
+
+    def partials(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            # flatten() honors list offsets; rows are fixed-length
+            A = np.asarray(batch.column(0).flatten(), dtype=np.float64)
+            B = np.asarray(batch.column(1).flatten(), dtype=np.float64)
+            out = A.reshape(nrows, -1).T @ B.reshape(nrows, -1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([out.ravel().tolist()], type=pa.list_(pa.float64()))],
+                ["partial"],
+            )
+
+    rows = (
+        src.select("_fa", "_fb")
+        .mapInArrow(partials, "partial array<double>")
+        .select(F.posexplode("partial").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    out = np.zeros(k * m)
+    for r in rows:
+        out[r["idx"]] = r["s"]
+    from dislib_spark.array.core import array as _mk
+
+    return _mk(out.reshape(k, m), a.spark)
+
+
 def matmul(
     a: DsArray,
     b: DsArray,
     transpose_a: bool = False,
     transpose_b: bool = False,
+    strategy: str = "auto",
 ) -> DsArray:
-    """A @ B via BlockMatrix (reference matmul array.py:1650-1730)."""
+    """A @ B (reference matmul array.py:1650-1730), strategy by shape:
+
+    - ``AᵀB`` with a small k×m result → one-pass packed-partial
+      aggregation (``_gram_matmul``) — the Gramian case; BlockMatrix
+      here wastes two full shuffles building block grids.
+    - small right operand → collect + broadcast (``_matmul_local``,
+      narrow map, no shuffle).
+    - genuinely large × large → MLlib BlockMatrix (grid shuffle +
+      per-block GEMM), data staying JVM-side end to end.
+
+    ``strategy='blocks'`` forces BlockMatrix (for tests/benchmarks).
+    """
+    sa = (a.shape[1], a.shape[0]) if transpose_a else a.shape
+    sb = (b.shape[1], b.shape[0]) if transpose_b else b.shape
+    if sa[1] != sb[0]:
+        raise ValueError(f"shape mismatch for matmul: {sa} @ {sb}")
+    if strategy == "auto":
+        if (
+            transpose_a
+            and not transpose_b
+            and a.shape[0] == b.shape[0]
+            and sa[0] * sb[1] <= 4_000_000
+        ):
+            return _gram_matmul(a, b)
+        if not transpose_a and sb[0] * sb[1] <= 1_000_000:
+            local = b.collect()
+            if transpose_b:
+                local = local.T
+            return _matmul_local(a, np.asarray(local, dtype=np.float64))
     bm_a = _to_block_matrix(a)
     bm_b = _to_block_matrix(b)
     if transpose_a:
         bm_a = bm_a.transpose()
     if transpose_b:
         bm_b = bm_b.transpose()
-    sa = (a.shape[1], a.shape[0]) if transpose_a else a.shape
-    sb = (b.shape[1], b.shape[0]) if transpose_b else b.shape
-    if sa[1] != sb[0]:
-        raise ValueError(f"shape mismatch for matmul: {sa} @ {sb}")
     res = bm_a.multiply(bm_b)
     return _from_block_matrix(res, a.spark, (sa[0], sb[1]))
 

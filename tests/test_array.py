@@ -98,6 +98,25 @@ def test_matmul_transpose_kron(spark):
     )
     assert np.allclose(ds.matmul_sql(a, b).collect(), A @ B)
     assert np.allclose(ds.transpose(a).collect(), A.T)
+    # every dispatch strategy agrees: gram (AᵀB packed partials),
+    # broadcast-local (small B), forced BlockMatrix, and AᵀBᵀ
+    b2 = ds.array(RNG.rand(6, 5), spark)
+    assert np.allclose(
+        ds.matmul(a, b2, transpose_a=True).collect(), A.T @ b2.collect()
+    )
+    assert np.allclose(
+        ds.matmul(a, b, strategy="blocks").collect(), A @ B
+    )
+    bt = ds.array(B.T, spark)
+    assert np.allclose(
+        ds.matmul(a, bt, transpose_b=True).collect(), A @ B
+    )
+    C2 = RNG.rand(3, 6)
+    c2 = ds.array(C2, spark)
+    assert np.allclose(
+        ds.matmul(a, c2, transpose_a=True, transpose_b=True).collect(),
+        A.T @ C2.T,
+    )
     C = RNG.rand(2, 3)
     D = RNG.rand(3, 2)
     c, d = ds.array(C, spark), ds.array(D, spark)

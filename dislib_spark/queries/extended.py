@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from dislib_spark.streaming.windows import (
     dedup_within_watermark,
     session_windows,
+    sliding_avg,
     tumbling_counts,
 )
 from dislib_spark.tables import load_table
@@ -195,6 +196,42 @@ def x10_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x11: native pivot (groupBy().pivot()) ----------------------------
+def x11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c.lower()}") for c in ("F", "O", "P")],
+    ).orderBy("o_orderpriority")
+
+
+# --- x12: correlated scalar subquery (orders above 1.5× their
+#          customer's average — decimal-exact averages both sides) -----
+def x12_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cavg = o.groupBy("o_custkey").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cavg")
+    )
+    return (
+        o.join(cavg, "o_custkey")
+        .where(F.col("o_totalprice") > F.col("cavg") * 1.5)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_big"),
+        )
+    )
+
+
 # --- s1: streaming tumbling window (module code path, batch form) ----
 def s01_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -212,6 +249,14 @@ def s02_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_events"), 6).alias("avg_events"),
             F.max("n_events").alias("max_events"),
         )
+    )
+
+
+# --- s4: streaming sliding window (module code path, batch form) -----
+def s04_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_avg(ev, window="1 hour", slide="15 minutes").orderBy(
+        "w_start", "event_type"
     )
 
 
@@ -236,9 +281,12 @@ QUERIES = {
     "x08_string_funcs": x08_string_funcs,
     "x09_date_arith": x09_date_arith,
     "x10_array_funcs": x10_array_funcs,
+    "x11_pivot": x11_pivot,
+    "x12_correlated_scalar": x12_correlated_scalar,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
+    "s04_sliding": s04_sliding,
 }
 
 ORACLE = {
@@ -321,6 +369,24 @@ ORACLE = {
                ROUND(list_sum(list_transform(embedding, v -> v::DOUBLE)), 6) AS vsum
         FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
     """,
+    "x11_pivot": """
+        SELECT o_orderpriority,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "x12_correlated_scalar": """
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_big
+        FROM orders o
+        WHERE o_totalprice > 1.5 * (
+            SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*)
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+    """,
     "s01_tumbling": """
         SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w_start,
                CAST(DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS w_end,
@@ -353,5 +419,20 @@ ORACLE = {
     """,
     "s03_dedup": """
         SELECT COUNT(DISTINCT event_id) AS n FROM events
+    """,
+    # each event belongs to the 4 epoch-aligned 15-min slide starts
+    # covering it — identical to Spark's window('1 hour','15 minutes')
+    "s04_sliding": """
+        SELECT CAST(w_start AS TIMESTAMP) AS w_start, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_value,
+               COUNT(*) AS n
+        FROM (
+            SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+                       - (k * INTERVAL 15 MINUTE) AS w_start,
+                   event_type, value
+            FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+        )
+        GROUP BY w_start, event_type ORDER BY w_start, event_type
     """,
 }

@@ -60,9 +60,17 @@ def sliding_avg(
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
-        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(
+            # exact decimal sum / count: deterministic under any
+            # partial-agg ordering (see tumbling_counts)
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .select(
-            F.col("w.start").alias("w_start"), "event_type", "avg_value"
+            F.col("w.start").alias("w_start"), "event_type", "avg_value", "n"
         )
     )
 

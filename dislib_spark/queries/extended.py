@@ -23,6 +23,7 @@ from dislib_spark.streaming.windows import (
     tumbling_counts,
 )
 from dislib_spark.tables import load_table
+from dislib_spark.temporal import asof_join, interval_join
 
 
 # --- x1: ROLLUP grouping sets ----------------------------------------
@@ -232,6 +233,37 @@ def x12_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x13: backward as-of join (click → latest prior view) ------------
+def x13_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join via ``temporal.asof_join`` — union + one
+    window pass per user, NOT a range join (scale-safe)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["event_id", "value"],
+        tiebreak="event_id",
+    )
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("asof_event_id").alias("view_id"),
+        F.col("asof_value").alias("view_value"),
+        (F.col("ts").cast("long") - F.col("asof_ts").cast("long")).alias(
+            "gap_s"
+        ),
+    ).orderBy("click_id")
+
+
 # --- s1: streaming tumbling window (module code path, batch form) ----
 def s01_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -260,6 +292,40 @@ def s04_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- s5: stream-stream interval join (module code path, batch form) --
+def s05_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases within 30 min after each click, via
+    ``temporal.interval_join`` (the stream-stream join path)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    j = interval_join(
+        c,
+        p,
+        on="user_id",
+        left_time="ts",
+        right_time="p_ts",
+        lower="0 seconds",
+        upper="30 minutes",
+        how="left",
+    )
+    return (
+        j.groupBy("click_id")
+        .agg(
+            F.count(F.col("p_ts")).alias("n_purch"),
+            F.coalesce(
+                F.sum(F.col("p_value").cast("decimal(18,2)")).cast("double"),
+                F.lit(0.0),
+            ).alias("sum_purch"),
+        )
+        .orderBy("click_id")
+    )
+
+
 # --- s3: streaming dedup (module code path, batch form) --------------
 def s03_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -283,10 +349,12 @@ QUERIES = {
     "x10_array_funcs": x10_array_funcs,
     "x11_pivot": x11_pivot,
     "x12_correlated_scalar": x12_correlated_scalar,
+    "x13_asof_join": x13_asof_join,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
     "s04_sliding": s04_sliding,
+    "s05_interval_join": s05_interval_join,
 }
 
 ORACLE = {
@@ -386,6 +454,38 @@ ORACLE = {
                        / COUNT(*)
             FROM orders o2 WHERE o2.o_custkey = o.o_custkey
         )
+    """,
+    "x13_asof_join": """
+        SELECT click_id, user_id, view_id, view_value, gap_s FROM (
+            SELECT c.event_id AS click_id, c.user_id AS user_id,
+                   v.event_id AS view_id, v.value AS view_value,
+                   CAST(date_diff('second', v.ts, c.ts) AS BIGINT)
+                       AS gap_s,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.event_id
+                       ORDER BY v.ts DESC, v.event_id DESC
+                   ) AS rn
+            FROM events c
+            JOIN events v
+              ON v.user_id = c.user_id AND v.ts <= c.ts
+            WHERE c.event_type = 'click' AND v.event_type = 'view'
+        ) WHERE rn = 1 ORDER BY click_id
+    """,
+    "s05_interval_join": """
+        SELECT c.event_id AS click_id,
+               COUNT(p.ts) AS n_purch,
+               COALESCE(
+                   CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE),
+                   0.0
+               ) AS sum_purch
+        FROM events c
+        LEFT JOIN events p
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click'
+        GROUP BY c.event_id ORDER BY click_id
     """,
     "s01_tumbling": """
         SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w_start,

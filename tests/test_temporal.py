@@ -1,0 +1,148 @@
+"""Temporal join tests: asof_join semantics vs pandas.merge_asof,
+interval_join batch + real stream-stream path, and plan shape (the
+as-of join must be a single-shuffle window pass, never a range join).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+
+from dislib_spark.temporal import asof_join, interval_join
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "a", _ts(10)),
+            (2, "a", _ts(20)),
+            (3, "b", _ts(5)),
+            (4, "b", _ts(30)),
+            (5, "c", _ts(15)),  # key with no right rows
+        ],
+        "lid long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts(8), 100, 1.0),
+            ("a", _ts(20), 101, 2.0),  # exact tie with lid=2 (inclusive)
+            ("a", _ts(25), 102, 3.0),
+            ("b", _ts(6), 103, 4.0),
+            ("b", _ts(6), 104, 5.0),  # same-ts tie → max rid wins
+        ],
+        "k string, t timestamp, rid long, v double",
+    )
+    return left, right
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    left, right = _frames(spark)
+    got = (
+        asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_cols=["rid", "v"], tiebreak="rid", how="left",
+        )
+        .orderBy("lid")
+        .toPandas()
+    )
+    lp = left.toPandas().sort_values("t")
+    # merge_asof needs sorted inputs; tiebreak: keep max rid per (k, t)
+    rp = (
+        right.toPandas()
+        .sort_values(["k", "t", "rid"])
+        .groupby(["k", "t"], as_index=False)
+        .last()
+        .sort_values("t")
+    )
+    exp = (
+        pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert got["lid"].tolist() == exp["lid"].tolist()
+    assert (
+        got["asof_rid"].fillna(-1).astype(int).tolist()
+        == exp["rid"].fillna(-1).astype(int).tolist()
+    )
+    # lid=2 matched the equal-timestamp right row (inclusive)
+    assert got.loc[got.lid == 2, "asof_rid"].iloc[0] == 101
+    # lid=3 (t=5): key b's earliest right row is t=6 → no match
+    assert pd.isna(got.loc[got.lid == 3, "asof_rid"].iloc[0])
+    # lid=4 (t=30): same-ts b@6 tie resolved to max rid
+    assert got.loc[got.lid == 4, "asof_rid"].iloc[0] == 104
+    # lid=5: no right rows for key c
+    assert pd.isna(got.loc[got.lid == 5, "asof_rid"].iloc[0])
+
+
+def test_asof_inner_and_tolerance(spark):
+    left, right = _frames(spark)
+    inner = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_cols=["rid"], tiebreak="rid", how="inner",
+    )
+    assert sorted(r.lid for r in inner.collect()) == [1, 2, 4]
+    tol = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_cols=["rid"], tiebreak="rid", tolerance="5 minutes",
+        how="left",
+    ).toPandas()
+    # lid=4 (t=30) matches b@6, but 24 min > 5 min → nulled
+    assert pd.isna(tol.loc[tol.lid == 4, "asof_rid"].iloc[0])
+    # lid=1 (t=10, match t=8) within 5 min → kept
+    assert tol.loc[tol.lid == 1, "asof_rid"].iloc[0] == 100
+
+
+def test_asof_plan_single_shuffle_no_range_join(spark):
+    left, right = _frames(spark)
+    j = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_cols=["rid"], tiebreak="rid",
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_interval_join_batch(spark):
+    left, right = _frames(spark)
+    j = interval_join(
+        left, right, on="k", left_time="t", right_time="t",
+        lower="0 seconds", upper="10 minutes",
+    )
+    pairs = sorted((r.lid, r.rid) for r in j.collect())
+    # lid=1 t=10: right a@20 within (10,20] → (1,101); lid=2 t=20:
+    # a@20,a@25 → (2,101),(2,102); lid=3 t=5: b@6 ×2; lid=4 t=30: none
+    assert pairs == [(1, 101), (2, 101), (2, 102), (3, 103), (3, 104)]
+
+
+def test_interval_join_stream_stream(spark, tmp_path):
+    """Real stream-stream interval join through readStream →
+    availableNow — proves the watermarked state-bounded join plan."""
+    left, right = _frames(spark)
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(ldir)
+    right.write.parquet(rdir)
+    ls = spark.readStream.schema(left.schema).parquet(ldir)
+    rs = spark.readStream.schema(right.schema).parquet(rdir)
+    rs = rs.withColumnRenamed("t", "rt")
+    j = interval_join(
+        ls, rs, on="k", left_time="t", right_time="rt",
+        lower="0 seconds", upper="10 minutes", watermark="1 hour",
+    )
+    q = (
+        j.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT lid, rid FROM t_ssjoin").collect()
+    assert sorted((r.lid, r.rid) for r in rows) == [
+        (1, 101), (2, 101), (2, 102), (3, 103), (3, 104),
+    ]

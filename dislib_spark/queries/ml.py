@@ -208,6 +208,58 @@ def m09_scaler_transform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("col_name")
 
 
+def m10_logreg_grad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One logistic-regression gradient step at fixed weights
+    w_j = ((j mod 7) - 3)/10 over the embeddings table (y = label<5).
+    The per-row dot product stays in a JVM higher-order fold; z/p are
+    projected to NAMED columns before the aggregate (Catalyst has no
+    CSE inside HOF lambda bodies). Distributed-gradient kernel of any
+    GLM fit — SQL-replayable via DuckDB list_inner_product."""
+    e = load_table(spark, sf_dir, "embeddings")
+    w = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: ((j % 7) - 3) / F.lit(10.0),
+    )
+    z = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), w, lambda a, b: a.cast("double") * b
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    staged = (
+        e.select("label", "embedding")
+        .withColumn("z", z)
+        .withColumn("p", 1.0 / (1.0 + F.exp(-F.col("z"))))
+        .withColumn(
+            "y", F.when(F.col("label") < 5, F.lit(1.0)).otherwise(0.0)
+        )
+    )
+    resid = F.col("p") - F.col("y")
+    grads = [
+        F.round(
+            F.avg(
+                resid * F.element_at(F.col("embedding"), j + 1).cast("double")
+            ),
+            6,
+        ).alias(f"g{j}")
+        for j in range(4)
+    ]
+    return staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.avg(
+                -(
+                    F.col("y") * F.log(F.col("p"))
+                    + (1.0 - F.col("y")) * F.log(1.0 - F.col("p"))
+                )
+            ),
+            6,
+        ).alias("loss"),
+        *grads,
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -218,6 +270,7 @@ QUERIES = {
     "m07_gmm_estep": m07_gmm_estep,
     "m08_dbscan_core_count": m08_dbscan_core_count,
     "m09_scaler_transform_stats": m09_scaler_transform_stats,
+    "m10_logreg_grad": m10_logreg_grad,
 }
 
 
@@ -411,5 +464,24 @@ ORACLE = {
                        PARTITION BY q_id ORDER BY votes DESC, label) AS rk
             FROM votes
         ) WHERE rk = 1 ORDER BY q_id
+    """,
+    "m10_logreg_grad": """
+        SELECT COUNT(*) AS n,
+               ROUND(AVG(-(y * ln(p) + (1 - y) * ln(1 - p))), 6) AS loss,
+               ROUND(AVG((p - y) * x0), 6) AS g0,
+               ROUND(AVG((p - y) * x1), 6) AS g1,
+               ROUND(AVG((p - y) * x2), 6) AS g2,
+               ROUND(AVG((p - y) * x3), 6) AS g3
+        FROM (
+            SELECT 1.0 / (1.0 + exp(-list_inner_product(
+                       list_transform(embedding, v -> v::DOUBLE),
+                       list_transform(range(0, 64),
+                                      j -> ((j % 7) - 3) / 10.0)
+                   ))) AS p,
+                   CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,
+                   embedding[1]::DOUBLE AS x0, embedding[2]::DOUBLE AS x1,
+                   embedding[3]::DOUBLE AS x2, embedding[4]::DOUBLE AS x3
+            FROM embeddings
+        )
     """,
 }

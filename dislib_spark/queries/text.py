@@ -13,8 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dislib_spark.sampling import stratified_hash_sample
 from dislib_spark.tables import load_table
-from dislib_spark.text.analysis import with_text_features
+from dislib_spark.text.analysis import normalize_text, with_text_features
+from dislib_spark.text.contamination import contamination_check
 from dislib_spark.text.dedup import (
     exact_dedup,
     jaccard_pairs,
@@ -76,6 +78,38 @@ def t07_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- t08: canonical normalization pipeline ---------------------------
+def t08_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.size(F.split(norm, " ", -1)).cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+# --- t09: benchmark-contamination check (4-gram overlap; real
+#          pipelines use 8-13 but the synthetic vocab is tiny) --------
+def t09_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("source") == "src0")
+    corpus = d.where(F.col("source") != "src0")
+    return contamination_check(corpus, bench, n=4).orderBy("doc_id")
+
+
+# --- t10: deterministic stratified hash sampling ---------------------
+def t10_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = stratified_hash_sample(
+        d,
+        strata_col="lang",
+        rates={"en": 0.2, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5},
+        key_col="doc_id",
+    )
+    return s.select("doc_id", "lang").orderBy("doc_id")
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -84,6 +118,9 @@ QUERIES = {
     "t05_dedup_minhash": t05_dedup_minhash,
     "t06_dedup_simhash": t06_dedup_simhash,
     "t07_quality_filter": t07_quality_filter,
+    "t08_normalize": t08_normalize,
+    "t09_contamination": t09_contamination,
+    "t10_stratified_sample": t10_stratified_sample,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -170,4 +207,45 @@ ORACLE = {
     """,
     # t05/t06: xxhash64-based signatures — not ANSI-SQL replayable,
     # rows-only check by design.
+    "t08_normalize": """
+        SELECT doc_id,
+               md5(norm) AS norm_md5,
+               CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+        FROM (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                       ' +', ' ', 'g')) AS norm
+            FROM documents
+        ) ORDER BY doc_id
+    """,
+    "t09_contamination": """
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, source,
+                   md5(array_to_string(w[i:i+3], ' ')) AS gk
+            FROM toks, UNNEST(range(1, len(w) - 2)) AS t(i)
+        ),
+        cg AS (SELECT DISTINCT doc_id, gk FROM g WHERE source <> 'src0'),
+        bg AS (SELECT DISTINCT gk FROM g WHERE source = 'src0'),
+        tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM cg GROUP BY doc_id),
+        sh AS (
+            SELECT doc_id, COUNT(*) AS n_shared FROM cg
+            WHERE gk IN (SELECT gk FROM bg) GROUP BY doc_id
+        )
+        SELECT t.doc_id AS doc_id, n_grams, n_shared,
+               ROUND(n_shared::DOUBLE / n_grams, 6) AS share_ratio
+        FROM tot t JOIN sh s ON t.doc_id = s.doc_id
+        ORDER BY doc_id
+    """,
+    "t10_stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS INTEGER) % 100
+              < CASE lang WHEN 'en' THEN 20 ELSE 50 END
+        ORDER BY doc_id
+    """,
 }

@@ -1,0 +1,72 @@
+"""Deterministic hash-based sampling and splitting for training-data
+pipelines.
+
+Unlike ``DataFrame.sample`` (seeded per-partition RNG → resample on
+repartition), these key every decision on a content hash of a stable
+id, so the SAME rows are selected on any cluster layout, any engine,
+any rerun — the property a 100 TB pipeline needs for reproducible
+train/val splits and quota sampling. N/A in the reference.
+
+The bucket hash is ``md5`` (first 4 hex chars → 0..65535 → mod
+``buckets``): byte-identical in Spark, DuckDB, Python — so sampling
+decisions can be audited off-cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Stable bucket 0..buckets-1 from md5 of the key's string form.
+    Pure JVM (md5 + conv), engine-portable (DuckDB:
+    ``CAST('0x' || substr(md5(k), 1, 4) AS INTEGER) % buckets``)."""
+    hx = F.substring(F.md5(key.cast("string")), 1, 4)
+    return (F.conv(hx, 16, 10).cast("int") % buckets).alias("bucket")
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    buckets: int = 100,
+) -> DataFrame:
+    """Keep a per-stratum fraction of rows, deterministically.
+
+    ``rates`` maps stratum value → fraction in [0, 1]; a row is kept
+    iff ``hash_bucket(key) < rate * buckets``. One scan, no shuffle,
+    filter-pushdown friendly. This is how pipelines rebalance e.g.
+    per-language quotas over web-scale corpora."""
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(
+            F.col(strata_col) == value, F.lit(float(r))
+        ).otherwise(rate)
+    b = hash_bucket(F.col(key_col), buckets)
+    # round before the int cast: 0.29 * 100 is 28.999999… in floating
+    # point and a bare cast would truncate to 28
+    return df.where(b < F.round(rate * buckets).cast("int"))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: list[float],
+    buckets: int = 100,
+) -> list[DataFrame]:
+    """Deterministic disjoint splits (e.g. train/val/test 0.8/0.1/0.1)
+    by hash bucket range — stable across reruns and repartitioning,
+    unlike ``randomSplit``. Returns one DataFrame per weight."""
+    total = sum(weights)
+    b = hash_bucket(F.col(key_col), buckets)
+    out, lo = [], 0.0
+    for w in weights:
+        hi = lo + (w / total) * buckets
+        out.append(
+            df.where((b >= int(round(lo))) & (b < int(round(hi))))
+        )
+        lo = hi
+    return out

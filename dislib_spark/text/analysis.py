@@ -93,6 +93,15 @@ def predict_lang(text: Column) -> Column:
     return F.when(best > 0, expr).otherwise(F.lit("und"))
 
 
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization for dedup/fingerprint pipelines:
+    lowercase, non-alphanumeric → space, collapse runs of spaces,
+    trim. Pure JVM regexp (whole-stage codegen); byte-identical to
+    DuckDB ``regexp_replace(..., 'g')`` on ASCII inputs."""
+    clean = F.regexp_replace(F.lower(text), "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(clean, " +", " "))
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the lower-cased text (content-
     defined key for exact dedup; md5 is identical across engines)."""

@@ -13,10 +13,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dislib_spark.sampling import stratified_hash_sample
+from dislib_spark.packing import pack_sequences, packing_stats
+from dislib_spark.sampling import stratified_hash_sample, weighted_mix
 from dislib_spark.tables import load_table
-from dislib_spark.text.analysis import normalize_text, with_text_features
+from dislib_spark.text.analysis import (
+    normalize_text,
+    token_count,
+    with_text_features,
+)
 from dislib_spark.text.contamination import contamination_check
+from dislib_spark.text.repetition import with_repetition_features
 from dislib_spark.text.dedup import (
     exact_dedup,
     jaccard_pairs,
@@ -110,6 +116,51 @@ def t10_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("doc_id", "lang").orderBy("doc_id")
 
 
+# --- t11: Gopher-style repetition metrics, shuffle-free per row ------
+def t11_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_repetition_features(load_table(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup3_frac"), 6).alias("avg_dup3"),
+            F.round(F.avg("top2_share"), 6).alias("avg_top2"),
+            F.round(F.max("dup3_frac"), 6).alias("max_dup3"),
+            F.sum(
+                (F.col("top2_share") > 0.08).cast("long")
+            ).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- t12: concat-then-chunk sequence packing, per-source shards ------
+def t12_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    packed = pack_sequences(
+        d, "n_tokens", budget=512, order_col="doc_id", shard_col="source"
+    )
+    return packing_stats(packed, "n_tokens", 512, "source").orderBy(
+        "source", "seq_id"
+    )
+
+
+# --- t13: deterministic epoch-weighted domain mixing -----------------
+def t13_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    mixed = weighted_mix(
+        d,
+        strata_col="lang",
+        weights={"en": 0.5, "de": 2.0, "fr": 1.5, "es": 1.0, "zh": 3.0},
+        key_col="doc_id",
+    )
+    return mixed.select(
+        "doc_id", "lang", F.col("copy_idx").cast("long").alias("copy_idx")
+    ).orderBy("doc_id", "copy_idx")
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -121,6 +172,9 @@ QUERIES = {
     "t08_normalize": t08_normalize,
     "t09_contamination": t09_contamination,
     "t10_stratified_sample": t10_stratified_sample,
+    "t11_repetition": t11_repetition,
+    "t12_sequence_pack": t12_sequence_pack,
+    "t13_domain_mix": t13_domain_mix,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -247,5 +301,86 @@ ORACLE = {
                    AS INTEGER) % 100
               < CASE lang WHEN 'en' THEN 20 ELSE 50 END
         ORDER BY doc_id
+    """,
+    "t11_repetition": """
+        WITH w AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w
+            FROM documents
+        ),
+        g2 AS (
+            SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gk
+            FROM w, UNNEST(range(1, len(w))) AS t(i)
+        ),
+        g3 AS (
+            SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gk
+            FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)
+        ),
+        dup3 AS (
+            SELECT doc_id,
+                   ROUND(1 - COUNT(DISTINCT gk)::DOUBLE / COUNT(*), 6)
+                       AS dup3_frac
+            FROM g3 GROUP BY doc_id
+        ),
+        g2c AS (
+            SELECT doc_id, gk, COUNT(*) AS c FROM g2 GROUP BY 1, 2
+        ),
+        top2 AS (
+            SELECT doc_id,
+                   ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top2_share
+            FROM g2c GROUP BY doc_id
+        )
+        SELECT d.source AS source, COUNT(*) AS n_docs,
+               ROUND(AVG(COALESCE(dup3_frac, 0)), 6) AS avg_dup3,
+               ROUND(AVG(COALESCE(top2_share, 0)), 6) AS avg_top2,
+               ROUND(MAX(COALESCE(dup3_frac, 0)), 6) AS max_dup3,
+               CAST(SUM(CASE WHEN COALESCE(top2_share, 0) > 0.08
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        FROM documents d
+        LEFT JOIN dup3 USING (doc_id) LEFT JOIN top2 USING (doc_id)
+        GROUP BY d.source ORDER BY source
+    """,
+    "t12_sequence_pack": """
+        WITH t AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        p AS (
+            SELECT source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS tok_offset
+            FROM t
+        )
+        SELECT source,
+               CAST(FLOOR(tok_offset / 512.0) AS BIGINT) AS seq_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+               ROUND(SUM(n_tokens) / 512.0, 6) AS fill_ratio
+        FROM p GROUP BY source, seq_id ORDER BY source, seq_id
+    """,
+    "t13_domain_mix": """
+        WITH c AS (
+            SELECT doc_id, lang,
+                   CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 2.0
+                             WHEN 'fr' THEN 1.5 WHEN 'es' THEN 1.0
+                             WHEN 'zh' THEN 3.0 ELSE 1.0 END AS w,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 4)) AS INTEGER) % 100 AS b
+            FROM documents
+        ),
+        n AS (
+            SELECT doc_id, lang,
+                   CAST(FLOOR(w) AS INTEGER)
+                   + CASE WHEN b < ROUND((w - FLOOR(w)) * 100)
+                          THEN 1 ELSE 0 END AS n_copies
+            FROM c
+        )
+        SELECT doc_id, lang, CAST(copy_idx AS BIGINT) AS copy_idx
+        FROM n, UNNEST(range(1, n_copies + 1)) AS t(copy_idx)
+        WHERE n_copies >= 1
+        ORDER BY doc_id, copy_idx
     """,
 }

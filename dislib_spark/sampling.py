@@ -51,6 +51,47 @@ def stratified_hash_sample(
     return df.where(b < F.round(rate * buckets).cast("int"))
 
 
+def weighted_mix(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    default_weight: float = 1.0,
+    buckets: int = 100,
+) -> DataFrame:
+    """Epoch-style domain mixing: replicate/drop rows so each stratum
+    appears with its target weight (e.g. upsample code 2×, downsample
+    web 0.5×). A row with weight ``w`` is emitted ``floor(w)`` times,
+    plus once more iff ``hash_bucket(key) < frac(w) * buckets`` — so
+    expected multiplicity is exactly ``w`` and the decision is
+    deterministic per row (same mix on every rerun / engine).
+
+    Output adds ``copy_idx`` (1..n_copies). Scale: a narrow
+    ``explode(sequence(...))`` — no shuffle, no RNG state; row
+    expansion is the only cost, which is the point of the operator."""
+    w_expr = F.lit(float(default_weight))
+    for value, w in sorted(weights.items()):
+        w_expr = F.when(
+            F.col(strata_col) == value, F.lit(float(w))
+        ).otherwise(w_expr)
+    whole = F.floor(w_expr).cast("int")
+    frac_keep = (
+        hash_bucket(F.col(key_col), buckets)
+        < F.round((w_expr - whole) * buckets).cast("int")
+    ).cast("int")
+    n_copies = (whole + frac_keep).alias("n_copies")
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — guard
+    return (
+        df.withColumn("_n", n_copies)
+        .where(F.col("_n") >= 1)
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(1), F.col("_n"))),
+        )
+        .drop("_n")
+    )
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

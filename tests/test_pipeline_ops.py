@@ -5,9 +5,19 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dislib_spark.sampling import hash_bucket, hash_split, stratified_hash_sample
+from dislib_spark.packing import pack_sequences, packing_stats
+from dislib_spark.sampling import (
+    hash_bucket,
+    hash_split,
+    stratified_hash_sample,
+    weighted_mix,
+)
 from dislib_spark.tables import load_table
 from dislib_spark.text.contamination import contamination_check, word_ngrams
+from dislib_spark.text.repetition import (
+    repetition_filter,
+    with_repetition_features,
+)
 from tests.conftest import SF_SMOKE
 
 
@@ -51,6 +61,71 @@ def test_word_ngrams_short_doc_empty(spark):
     df = spark.createDataFrame([("a b c",), ("a b c d",)], "text string")
     out = df.select(F.size(word_ngrams(F.col("text"), 4)).alias("k")).collect()
     assert sorted(r.k for r in out) == [0, 1]
+
+
+def test_repetition_features_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # g2: ab,ba,ab,ba,ab -> top2 3/5
+            (2, "p q r s t u"),  # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in with_repetition_features(df).collect()
+    }
+    # doc1 3-grams: aba,bab,aba,bab -> 2 distinct of 4 -> dup 0.5
+    assert rows[1].dup3_frac == 0.5
+    assert rows[1].top2_share == 0.6
+    assert rows[2].dup3_frac == 0.0
+    assert rows[2].top2_share == 0.2  # 5 distinct 2-grams, max count 1
+    kept = repetition_filter(df, max_dup3_frac=0.3, max_top2_share=0.5)
+    assert [r.doc_id for r in kept.collect()] == [2]
+
+
+def test_pack_sequences_offsets_and_stats(spark):
+    df = spark.createDataFrame(
+        [(i, "s", 300) for i in range(6)],
+        "doc_id long, src string, n long",
+    )
+    packed = pack_sequences(df, "n", budget=512, order_col="doc_id",
+                            shard_col="src")
+    got = {r.doc_id: (r.tok_offset, r.seq_id) for r in packed.collect()}
+    # offsets 0,300,...,1500; seq = offset // 512
+    assert got == {i: (300 * i, (300 * i) // 512) for i in range(6)}
+    stats = {
+        r.seq_id: (r.n_docs, r.seq_tokens)
+        for r in packing_stats(packed, "n", 512, "src").collect()
+    }
+    assert sum(n for n, _ in stats.values()) == 6
+    assert sum(t for _, t in stats.values()) == 1800
+    # stability across layouts
+    re = pack_sequences(
+        df.repartition(5), "n", budget=512, order_col="doc_id",
+        shard_col="src",
+    )
+    assert {r.doc_id: (r.tok_offset, r.seq_id) for r in re.collect()} == got
+
+
+def test_weighted_mix_multiplicities(spark):
+    d = load_table(spark, SF_SMOKE, "documents")
+    mixed = weighted_mix(
+        d, "lang", {"en": 2.0, "de": 0.0}, key_col="doc_id",
+        default_weight=1.0,
+    )
+    n_en = d.where(F.col("lang") == "en").count()
+    assert mixed.where(F.col("lang") == "en").count() == 2 * n_en
+    assert mixed.where(F.col("lang") == "de").count() == 0
+    others = d.where(~F.col("lang").isin("en", "de")).count()
+    assert mixed.where(~F.col("lang").isin("en", "de")).count() == others
+    # fractional weight: expected ~1.5x, deterministic on rerun
+    frac = weighted_mix(d, "lang", {"en": 1.5}, key_col="doc_id")
+    c1 = frac.where(F.col("lang") == "en").count()
+    assert n_en < c1 < 2 * n_en
+    c2 = weighted_mix(d.repartition(9), "lang", {"en": 1.5},
+                      key_col="doc_id")
+    assert c2.where(F.col("lang") == "en").count() == c1
 
 
 def test_contamination_exact_small(spark):

@@ -22,6 +22,7 @@ from dislib_spark.text.analysis import (
     with_text_features,
 )
 from dislib_spark.text.contamination import contamination_check
+from dislib_spark.graph import connected_components, dedup_canonical
 from dislib_spark.text.repetition import with_repetition_features
 from dislib_spark.text.dedup import (
     exact_dedup,
@@ -161,6 +162,29 @@ def t13_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "copy_idx")
 
 
+# --- t14/t15: pairs → transitive clusters → canonical survivors ------
+def t14_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    edges = jaccard_pairs(d, threshold=0.3)
+    cc = connected_components(edges)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.col("component").alias("comp_id"), "n_docs")
+        .orderBy("comp_id")
+    )
+
+
+def t15_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    kept = dedup_canonical(d, jaccard_pairs(d, threshold=0.3))
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -175,6 +199,8 @@ QUERIES = {
     "t11_repetition": t11_repetition,
     "t12_sequence_pack": t12_sequence_pack,
     "t13_domain_mix": t13_domain_mix,
+    "t14_dedup_clusters": t14_dedup_clusters,
+    "t15_dedup_keep": t15_dedup_keep,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -361,6 +387,8 @@ ORACLE = {
                ROUND(SUM(n_tokens) / 512.0, 6) AS fill_ratio
         FROM p GROUP BY source, seq_id ORDER BY source, seq_id
     """,
+    "t14_dedup_clusters": None,  # replaced below (shared pair CTE)
+    "t15_dedup_keep": None,  # replaced below (shared pair CTE)
     "t13_domain_mix": """
         WITH c AS (
             SELECT doc_id, lang,
@@ -384,3 +412,62 @@ ORACLE = {
         ORDER BY doc_id, copy_idx
     """,
 }
+
+# Shared recursive-closure prefix for the cluster queries: Jaccard≥0.3
+# pairs (same CTE as t04) → symmetric edges → transitive reachability
+# (DuckDB WITH RECURSIVE) → per-node min reachable id = component.
+_CLUSTER_CTE = f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id,
+                   list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                                  for i in range(1, len(toks) - 1)]) AS shingles
+            FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+        ),
+        inv AS (
+            SELECT doc_id, len(shingles) AS set_size,
+                   UNNEST(shingles) AS shingle
+            FROM sh
+        ),
+        pr AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   ANY_VALUE(a.set_size) AS a_size,
+                   ANY_VALUE(b.set_size) AS b_size,
+                   COUNT(*) AS n_inter
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        p AS (
+            SELECT a_id, b_id FROM pr
+            WHERE ROUND(n_inter::DOUBLE
+                        / (a_size + b_size - n_inter)::DOUBLE, 6) >= 0.3
+        ),
+        edges AS (
+            SELECT a_id AS u, b_id AS v FROM p
+            UNION
+            SELECT b_id, a_id FROM p
+        ),
+        reach(n, r) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT reach.n, e.v FROM reach JOIN edges e ON reach.r = e.u
+        ),
+        comp AS (SELECT n, MIN(r) AS comp FROM reach GROUP BY n)
+"""
+
+ORACLE["t14_dedup_clusters"] = (
+    _CLUSTER_CTE
+    + """
+        SELECT comp AS comp_id, COUNT(*) AS n_docs
+        FROM comp GROUP BY comp ORDER BY comp_id
+    """
+)
+
+ORACLE["t15_dedup_keep"] = (
+    _CLUSTER_CTE
+    + """
+        SELECT source, COUNT(*) AS n_kept FROM documents
+        WHERE doc_id NOT IN (SELECT n FROM comp WHERE n <> comp)
+        GROUP BY source ORDER BY source
+    """
+)

@@ -143,3 +143,46 @@ def test_contamination_exact_small(spark):
     assert len(hits) == 1
     row = hits[0]
     assert row.doc_id == 1 and row.n_shared == 1 and row.n_grams == 3
+
+
+def test_connected_components_exact(spark):
+    # two components {1,2,3,4} (chain) and {10,11}; 4-1 via 2-4 edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4), (10, 11)], "a_id long, b_id long"
+    )
+    from dislib_spark.graph import connected_components
+
+    cc = {
+        r.node: r.component
+        for r in connected_components(edges).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_canonical_keeps_min_and_singletons(spark):
+    from dislib_spark.graph import dedup_canonical
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 7, 10, 11)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a_id long, b_id long"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_canonical(df, pairs).collect()
+    )
+    # clusters {1,2,3}->1, {10,11}->10; 7 untouched
+    assert kept == [1, 7, 10]
+
+
+def test_connected_components_chain_converges(spark):
+    # a 12-node chain needs several propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a_id long, b_id long"
+    )
+    from dislib_spark.graph import connected_components
+
+    cc = connected_components(edges)
+    assert cc.select("component").distinct().count() == 1
+    assert cc.agg(F.min("component")).first()[0] == 0

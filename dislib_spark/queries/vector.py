@@ -13,7 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dislib_spark.tables import load_table
+from dislib_spark.vector.projection import project, projection_planes
 from dislib_spark.vector.search import (
+    _norm as _l2norm,
     cosine_topk,
     ivf_topk,
     lsh_topk,
@@ -44,11 +46,43 @@ def v04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, e, k=10).orderBy("q_id", "rank")
 
 
+def v05_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL norm preservation: project 64-dim embeddings to 8 dims with
+    the seed-7 plane literals and report per-label norm-ratio stats.
+    The planes are embedded verbatim in the DuckDB oracle, so the
+    whole projection is value-checked."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = projection_planes(64, 8, seed=7)
+    pnrm = F.sqrt(
+        F.aggregate(
+            project(F.col("embedding"), planes),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    staged = e.select(
+        "label",
+        pnrm.alias("pnrm"),
+        _l2norm(F.col("embedding")).alias("onrm"),
+    ).select("label", (F.col("pnrm") / F.col("onrm")).alias("ratio"))
+    return (
+        staged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("ratio"), 6).alias("avg_ratio"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.round(F.max("ratio"), 6).alias("max_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
     "v03_lsh_topk": v03_lsh_topk,
     "v04_ivf_topk": v04_ivf_topk,
+    "v05_random_projection": v05_random_projection,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -109,3 +143,35 @@ ORACLE = {
     """,
     # v03/v04: approximate (hash/KMeans-seeded) — rows-only by design.
 }
+
+
+def _v05_oracle() -> str:
+    """Embed the seed-7 plane literals in DuckDB SQL so the whole
+    projection is value-replayed off-cluster."""
+    planes = projection_planes(64, 8, seed=7)
+    dot_sq = " + ".join(
+        "POW(list_inner_product(e, ["
+        + ", ".join(repr(v) for v in row)
+        + "]), 2)"
+        for row in planes
+    )
+    return f"""
+        WITH s AS (
+            SELECT label,
+                   SQRT({dot_sq}) AS pnrm,
+                   SQRT(list_inner_product(e, e)) AS onrm
+            FROM (
+                SELECT label,
+                       list_transform(embedding, v -> v::DOUBLE) AS e
+                FROM embeddings
+            )
+        )
+        SELECT label, COUNT(*) AS n,
+               ROUND(AVG(pnrm / onrm), 6) AS avg_ratio,
+               ROUND(MIN(pnrm / onrm), 6) AS min_ratio,
+               ROUND(MAX(pnrm / onrm), 6) AS max_ratio
+        FROM s GROUP BY label ORDER BY label
+    """
+
+
+ORACLE["v05_random_projection"] = _v05_oracle()

@@ -186,3 +186,32 @@ def test_connected_components_chain_converges(spark):
     cc = connected_components(edges)
     assert cc.select("component").distinct().count() == 1
     assert cc.agg(F.min("component")).first()[0] == 0
+
+
+def test_random_projection_preserves_norms(spark):
+    import numpy as np
+
+    from dislib_spark.vector.projection import (
+        project,
+        projection_planes,
+        random_project,
+    )
+
+    d = load_table(spark, SF_SMOKE, "embeddings")
+    p = random_project(d, "embedding", out_dim=16, seed=3)
+    row = p.select("vec_id", "embedding", "proj").first()
+    # parity vs numpy on one vector
+    planes = np.array(projection_planes(len(row.embedding), 16, seed=3))
+    expect = planes @ np.array(row.embedding, dtype=np.float64)
+    assert np.allclose(np.array(row.proj), expect, atol=1e-9)
+    # JL: average norm ratio near 1 at out_dim=16
+    ratios = p.select(
+        (
+            F.sqrt(F.aggregate(F.col("proj"), F.lit(0.0),
+                               lambda a, x: a + x * x))
+            / F.sqrt(F.aggregate(
+                F.col("embedding"), F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x))
+        ).alias("r")
+    ).agg(F.avg("r")).first()[0]
+    assert 0.8 < ratios < 1.2

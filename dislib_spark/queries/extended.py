@@ -326,6 +326,28 @@ def s05_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x14: mergeable HLL distinct sketches ----------------------------
+def x14_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx distinct users per event_type via DataSketches HLL —
+    AND the incremental contract: per-type partial sketches unioned
+    back together must reproduce the global single-pass estimate
+    (``merged_total`` column, constant across rows). DataSketches
+    binaries aren't ANSI-replayable → rows-only check; the exactness
+    property is pytest-gated (tests/test_sketches.py)."""
+    from dislib_spark.sketches import (
+        hll_distinct,
+        hll_merge_estimate,
+        hll_partial,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_type = hll_distinct(ev, "user_id", ["event_type"])
+    merged = hll_merge_estimate(
+        hll_partial(ev, "user_id", ["event_type"])
+    ).withColumnRenamed("approx_distinct", "merged_total")
+    return per_type.crossJoin(F.broadcast(merged)).orderBy("event_type")
+
+
 # --- s3: streaming dedup (module code path, batch form) --------------
 def s03_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -350,6 +372,7 @@ QUERIES = {
     "x11_pivot": x11_pivot,
     "x12_correlated_scalar": x12_correlated_scalar,
     "x13_asof_join": x13_asof_join,
+    "x14_hll_distinct": x14_hll_distinct,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,

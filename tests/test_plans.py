@@ -20,6 +20,7 @@ _BNLJ_OK = {
     "v04_ivf_topk",
     "x02_set_ops",
     "x07_range_join",
+    "x14_hll_distinct",  # 1-row broadcast of the merged-total scalar
 }
 
 

@@ -253,3 +253,44 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     # 8:40 row must NOT re-emit or grow the 8:00 window beyond count 1
     eight = [r for r in rows if r["w_start"].hour == 8]
     assert all(r["n"] == 1 for r in eight)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two real streams joined with interval_join + watermark must
+    emit exactly the batch join's matches (inner join emits on
+    arrival; the watermark only bounds state)."""
+    from pyspark.sql import functions as F
+
+    from dislib_spark.temporal import interval_join
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    cd, pd_ = str(tmp_path / "c"), str(tmp_path / "p")
+    c.write.mode("overwrite").parquet(cd)
+    p.write.mode("overwrite").parquet(pd_)
+    cs = spark.readStream.schema(c.schema).parquet(cd)
+    ps = spark.readStream.schema(p.schema).parquet(pd_)
+    j = interval_join(
+        cs, ps, on="user_id", left_time="ts", right_time="p_ts",
+        upper="30 minutes", watermark="2 hours",
+    )
+    q = (
+        j.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) AS n FROM ss_join").first()["n"]
+    expect = interval_join(
+        c, p, on="user_id", left_time="ts", right_time="p_ts",
+        upper="30 minutes",
+    ).count()
+    assert got == expect and expect > 0

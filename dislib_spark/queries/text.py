@@ -24,6 +24,7 @@ from dislib_spark.text.analysis import (
 from dislib_spark.text.contamination import contamination_check
 from dislib_spark.graph import connected_components, dedup_canonical
 from dislib_spark.text.repetition import with_repetition_features
+from dislib_spark.text.tfidf import bm25_scores, tfidf_topk
 from dislib_spark.text.dedup import (
     exact_dedup,
     jaccard_pairs,
@@ -185,6 +186,18 @@ def t15_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- t16/t17: retrieval-style scoring (TF-IDF / BM25) ----------------
+def t16_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = tfidf_topk(d, k=3)
+    return out.where(F.col("doc_id") < 30).orderBy("doc_id", "rank")
+
+
+def t17_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_scores(d, ["spark", "query", "stream"]).orderBy("doc_id")
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -201,6 +214,8 @@ QUERIES = {
     "t13_domain_mix": t13_domain_mix,
     "t14_dedup_clusters": t14_dedup_clusters,
     "t15_dedup_keep": t15_dedup_keep,
+    "t16_tfidf_topk": t16_tfidf_topk,
+    "t17_bm25": t17_bm25,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -462,6 +477,62 @@ ORACLE["t14_dedup_clusters"] = (
         FROM comp GROUP BY comp ORDER BY comp_id
     """
 )
+
+ORACLE["t16_tfidf_topk"] = """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    scored AS (
+        SELECT doc_id, term,
+               ROUND(tf * (ln((nd + 1.0) / (df + 1.0)) + 1.0), 6)
+                   AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score, rank FROM (
+        SELECT doc_id, term, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term
+               ) AS INTEGER) AS rank
+        FROM scored WHERE doc_id < 30
+    ) WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+ORACLE["t17_bm25"] = """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('spark', 'query', 'stream') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    lens AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               AVG(len(string_split(text, ' '))) AS avgdl
+        FROM documents
+    )
+    SELECT tf.doc_id AS doc_id,
+           ROUND(SUM(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN dfreq USING (term)
+    JOIN lens ON lens.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id ORDER BY doc_id
+"""
 
 ORACLE["t15_dedup_keep"] = (
     _CLUSTER_CTE

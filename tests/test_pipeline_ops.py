@@ -215,3 +215,26 @@ def test_random_projection_preserves_norms(spark):
         ).alias("r")
     ).agg(F.avg("r")).first()[0]
     assert 0.8 < ratios < 1.2
+
+
+def test_tfidf_exact_toy(spark):
+    import math
+
+    from dislib_spark.text.tfidf import bm25_scores, tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "y z"), (3, "z z z")],
+        "doc_id long, text string",
+    )
+    top = {
+        (r.doc_id, r.rank): (r.term, r.score)
+        for r in tfidf_topk(df, k=1).collect()
+    }
+    # doc1: x appears twice, df(x)=1 -> idf = ln(4/2)+1; score = 2*that
+    expect = round(2 * (math.log(4 / 2) + 1), 6)
+    assert top[(1, 1)] == ("x", expect)
+    # doc3's top term is z (tf 3)
+    assert top[(3, 1)][0] == "z"
+    # BM25: doc with more matches scores higher than doc with fewer
+    b = {r.doc_id: r.bm25 for r in bm25_scores(df, ["z"]).collect()}
+    assert set(b) == {2, 3} and b[3] > b[2]

@@ -21,6 +21,8 @@ _BNLJ_OK = {
     "x02_set_ops",
     "x07_range_join",
     "x14_hll_distinct",  # 1-row broadcast of the merged-total scalar
+    "t16_tfidf_topk",  # 1-row broadcast of the corpus doc count
+    "t17_bm25",  # 1-row broadcast of corpus (N, avgdl) stats
 }
 
 

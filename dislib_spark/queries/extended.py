@@ -348,6 +348,69 @@ def x14_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.crossJoin(F.broadcast(merged)).orderBy("event_type")
 
 
+# --- x15: ordered funnel (view → click → purchase) -------------------
+def x15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged min-timestamp funnel: users whose first view precedes a
+    click precedes a purchase. Each stage is one keyed aggregation —
+    the event table is scanned per stage but never self-joined
+    row×row; stage outputs are user-cardinality (≪ events) and
+    broadcast-join back."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_view"),
+            F.count("c_ts").alias("n_click"),
+            F.count("p_ts").alias("n_purchase"),
+        )
+    )
+
+
+# --- x16: weekly cohort retention ------------------------------------
+def x16_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-cohort retention: users grouped by the week of their
+    first event; one row per (cohort week, week offset) with active
+    user counts. First-event table is user-cardinality → broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
+    ).distinct()
+    return (
+        active.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_w",
+            (F.datediff(F.col("aw"), F.col("cohort_w")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_w", "week_offset")
+    )
+
+
 # --- s3: streaming dedup (module code path, batch form) --------------
 def s03_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -373,6 +436,8 @@ QUERIES = {
     "x12_correlated_scalar": x12_correlated_scalar,
     "x13_asof_join": x13_asof_join,
     "x14_hll_distinct": x14_hll_distinct,
+    "x15_funnel": x15_funnel,
+    "x16_cohort": x16_cohort,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -477,6 +542,47 @@ ORACLE = {
                        / COUNT(*)
             FROM orders o2 WHERE o2.o_custkey = o.o_custkey
         )
+    """,
+    "x15_funnel": """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS c_ts
+            FROM events e JOIN v ON e.user_id = v.user_id
+                               AND e.ts > v.v_ts
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS p_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+                               AND e.ts > c.c_ts
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_click,
+               (SELECT COUNT(*) FROM p) AS n_purchase
+    """,
+    "x16_cohort": """
+        WITH f AS (
+            SELECT user_id,
+                   CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP)
+                       AS cohort_w
+            FROM events GROUP BY user_id
+        ),
+        a AS (
+            SELECT DISTINCT user_id,
+                   CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS aw
+            FROM events
+        )
+        SELECT cohort_w,
+               CAST(DATE_DIFF('day', cohort_w, aw) / 7 AS INTEGER)
+                   AS week_offset,
+               COUNT(*) AS n_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY cohort_w, week_offset
+        ORDER BY cohort_w, week_offset
     """,
     "x13_asof_join": """
         SELECT click_id, user_id, view_id, view_value, gap_s FROM (

@@ -12,6 +12,10 @@ PICKS = {
     "q10_window_topk": "single window sort per partition key, no extra exchange",
     "t04_dedup_jaccard": "bucket-based pair generation — no O(n^2) self-join of the corpus",
     "v01_cosine_topk": "query set broadcast against the corpus scan (BNLJ by design)",
+    "v02_neardup_pairs": "block-partitioned exact pair join — no BroadcastNestedLoopJoin",
+    "t12_sequence_pack": "per-shard window cumsum; parallelism = shard count",
+    "t16_tfidf_topk": "vocabulary df broadcast back onto the tf table; corpus shuffled once",
+    "x15_funnel": "user-cardinality stage tables broadcast onto the event scan",
 }
 
 

@@ -258,9 +258,15 @@ def x13_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("asof_event_id").alias("view_id"),
         F.col("asof_value").alias("view_value"),
-        (F.col("ts").cast("long") - F.col("asof_ts").cast("long")).alias(
-            "gap_s"
-        ),
+        # timestampdiff works on TIMESTAMP and TIMESTAMP_NTZ alike;
+        # cast-to-long does not (a vanilla session reads events.ts as
+        # TIMESTAMP_NTZ, which cannot cast to bigint). Truncate each
+        # side to the second first: the oracle's date_diff counts
+        # second-boundary crossings, not whole elapsed seconds.
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('second', asof_ts),"
+            " date_trunc('second', ts))"
+        ).alias("gap_s"),
     ).orderBy("click_id")
 
 

@@ -18,6 +18,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _watermarked(df: DataFrame, ts_col: str, watermark: str) -> DataFrame:
+    """withWatermark, coercing TIMESTAMP_NTZ event time to TIMESTAMP —
+    watermarks require the LTZ type (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)
+    and parquet written with nanos/NTZ timestamps reads back as NTZ."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, watermark)
+
+
 def tumbling_counts(
     events: DataFrame,
     window: str = "1 hour",
@@ -28,7 +37,7 @@ def tumbling_counts(
     (late rows beyond the watermark are dropped by the engine)."""
     src = events
     if events.isStreaming:
-        src = events.withWatermark(ts_col, watermark)
+        src = _watermarked(events, ts_col, watermark)
     return (
         src.groupBy(F.window(ts_col, window).alias("w"), "event_type")
         .agg(
@@ -57,7 +66,7 @@ def sliding_avg(
     watermark: str = "2 hours",
     ts_col: str = "ts",
 ) -> DataFrame:
-    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    src = _watermarked(events, ts_col, watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
         .agg(
@@ -82,7 +91,7 @@ def session_windows(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Session windows per user (gap-based)."""
-    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    src = _watermarked(events, ts_col, watermark) if events.isStreaming else events
     return (
         src.groupBy(
             F.session_window(ts_col, gap).alias("w"), "user_id"
@@ -108,7 +117,7 @@ def dedup_within_watermark(
     dropDuplicates — same keys, same semantics within the horizon."""
     keys = keys or ["event_id"]
     if events.isStreaming:
-        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        return _watermarked(events, ts_col, watermark).dropDuplicatesWithinWatermark(
             keys
         )
     return events.dropDuplicates(keys)
@@ -141,7 +150,7 @@ def running_user_stats(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         )
 
     return (
-        events.withWatermark(ts_col, "2 hours")
+        _watermarked(events, ts_col, "2 hours")
         .groupBy("user_id")
         .applyInPandasWithState(
             update,

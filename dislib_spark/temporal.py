@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dislib_spark.streaming.windows import _watermarked
+
 
 def asof_join(
     left: DataFrame,
@@ -139,9 +141,9 @@ def interval_join(
     loop. The band width bounds per-key state in streaming.
     """
     if left.isStreaming and watermark is not None:
-        left = left.withWatermark(left_time, watermark)
+        left = _watermarked(left, left_time, watermark)
     if right.isStreaming and watermark is not None:
-        right = right.withWatermark(right_time, watermark)
+        right = _watermarked(right, right_time, watermark)
     lhs = left.alias("l")
     rhs = right.alias("r")
     cond = (

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dislib_spark.utils.base import fan_out
+
 
 def word_ngrams(text: Column, n: int = 8) -> Column:
     """All ``n``-word grams of single-space-tokenized ``text`` (empty
@@ -56,7 +58,7 @@ def contamination_check(
     """
     grams = F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
     c = (
-        corpus.select(F.col(id_col), grams)
+        fan_out(corpus).select(F.col(id_col), grams)
         .select(id_col, F.md5(F.col("gram")).alias("gk"))
         .distinct()
     )

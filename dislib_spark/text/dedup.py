@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dislib_spark.text.analysis import fingerprint, tokens
+from dislib_spark.utils.base import fan_out
 
 # Mersenne prime 2^31-1 for the affine MinHash permutations: keeps
 # h*a+b under 2^63 (ANSI overflow-safe) while giving 31-bit minhashes.
@@ -80,19 +81,23 @@ def jaccard_pairs(
     """
     # invert on the 64-bit shingle hash (identical pairs/counts —
     # collisions over ~10^5 distinct shingles are ~2^-30-improbable).
-    # localCheckpoint breaks lineage so the shingle build runs ONCE:
+    # EAGER localCheckpoint breaks lineage so the shingle build runs
+    # ONCE — a lazy checkpoint only materializes after the first job
+    # finishes, so within a single action every downstream consumer
+    # (stage) recomputes the full upstream (measured 4-50x blowups):
     # Catalyst has no CSE across a projection's consumers, so every
     # downstream reference would otherwise recompute the split+grams.
     # Bucket-based pair generation: one shuffle on the shingle key,
     # pairs exploded inside buckets (never a self-join).
     sh = (
-        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+        fan_out(df)
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
         .select("id", shingles_from_tokens(F.col("_toks"), n).alias("shingles"))
         .select(
             "id",
             F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hashes"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     inv = sh.select(
         "id",
@@ -183,7 +188,8 @@ def minhash_lsh_pairs(
     # lambdas — without checkpoints each lambda re-evaluates its whole
     # upstream expression (no CSE inside lambda bodies).
     hashed = (
-        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+        fan_out(df)
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
         .select("id", shingles_from_tokens(F.col("_toks"), n).alias("shingles"))
         .where(F.size("shingles") > 0)
         .withColumn(
@@ -192,12 +198,12 @@ def minhash_lsh_pairs(
                 F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
             ),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sig = (
         hashed.withColumn("sig", _minhash_signature(F.col("_h"), num_hashes))
         .drop("_h")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     banded = sig.select(
         "id",
@@ -357,9 +363,9 @@ def simhash_pairs(
     # localCheckpoint: the simhash fold is expensive and feeds C(k,t)
     # key expressions — CollapseProject would otherwise inline (and
     # re-evaluate) it once per key.
-    sig = df.select(
+    sig = fan_out(df).select(
         F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sig")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     keyed = sig.select(
         "id",
         "sig",

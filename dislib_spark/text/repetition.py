@@ -6,9 +6,8 @@ training-pipeline surface.
 Scale design: every metric is a per-row JVM higher-order-function
 fold over the doc's own token array — ZERO shuffle, whole-stage
 codegen, embarrassingly parallel at any corpus size. The per-row
-cost is O(distinct_grams * total_grams) for the top-share metric,
-bounded by doc length (docs are truncated upstream in real
-pipelines), never by corpus size.
+cost is O(n log n) (one array_sort + one linear fold), bounded by
+doc length, never by corpus size.
 """
 
 from __future__ import annotations
@@ -17,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dislib_spark.text.contamination import word_ngrams
+from dislib_spark.utils.base import fan_out
 
 
 def duplicate_ngram_fraction(grams: Column) -> Column:
@@ -33,19 +33,41 @@ def duplicate_ngram_fraction(grams: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def top_ngram_share(grams: Column) -> Column:
+def top_ngram_share(sorted_grams: Column) -> Column:
     """Share of gram occurrences taken by the single most frequent
     gram (Gopher's "fraction of characters in most common n-gram",
-    occurrence-weighted). Per-row fold: for each distinct gram count
-    its occurrences with a JVM ``filter``+``size``, take the max."""
-    total = F.size(grams)
-    counts = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    occurrence-weighted).
+
+    ``sorted_grams`` MUST be a pre-sorted NAMED column
+    (``array_sort`` projected upstream): equal grams are then
+    adjacent, so the max occurrence count is the longest equal-run —
+    one linear ``aggregate`` fold over the elements, no per-distinct
+    rescans (the naive distinct×filter form is O(n²) per doc and
+    took minutes at sf0.1)."""
+    total = F.size(sorted_grams)
+    longest_run = F.aggregate(
+        sorted_grams,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            # x == NULL prev → NULL → otherwise branch: run restarts.
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return F.when(
         total > 0,
-        F.round(F.array_max(counts) / total.cast("double"), 6),
+        F.round(longest_run / total.cast("double"), 6),
     ).otherwise(F.lit(0.0))
 
 
@@ -58,16 +80,19 @@ def with_repetition_features(
     Gram arrays are projected to NAMED columns first — Catalyst does
     no common-subexpression elimination inside HOF lambda bodies, so
     reusing an inline ``word_ngrams(...)`` expression would re-split
-    the text once per reference."""
-    staged = df.withColumn(
-        "_g2", word_ngrams(F.col(text_col), 2)
+    the text once per reference. The 2-gram array is projected
+    PRE-SORTED for the same reason: ``top_ngram_share``'s fold
+    touches every element, and an inline ``array_sort`` would re-sort
+    per element access."""
+    staged = fan_out(df).withColumn(
+        "_g2s", F.array_sort(word_ngrams(F.col(text_col), 2))
     ).withColumn("_g3", word_ngrams(F.col(text_col), 3))
     return (
         staged.withColumn(
             "dup3_frac", duplicate_ngram_fraction(F.col("_g3"))
         )
-        .withColumn("top2_share", top_ngram_share(F.col("_g2")))
-        .drop("_g2", "_g3")
+        .withColumn("top2_share", top_ngram_share(F.col("_g2s")))
+        .drop("_g2s", "_g3")
     )
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dislib_spark.text.analysis import tokens
+from dislib_spark.utils.base import fan_out
 
 
 def term_frequencies(
@@ -28,7 +29,8 @@ def term_frequencies(
 ) -> DataFrame:
     """(id, term, tf) — one row per document-term."""
     return (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        fan_out(df)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -12,6 +12,24 @@ from pyspark.sql import functions as F
 from dislib_spark.array.core import DsArray, _FEAT, _ROW
 
 
+def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Ensure a CPU-heavy downstream projection runs with at least the
+    session's parallelism.
+
+    Small single-row-group parquet files are unsplittable, so a scan
+    can come up as ONE partition and serialize minutes of per-row
+    compute (shingling, minhash permutations) onto one core. At the
+    100 TB target the scan already has thousands of splits and this is
+    a NO-OP — no extra shuffle; the repartition only fires on
+    under-split inputs, where shuffling a few MB of text is free
+    relative to the compute it parallelizes.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_global_index(
     df: DataFrame,
     order_by: list | None = None,

@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dislib_spark.utils.base import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -68,7 +70,7 @@ def cosine_topk(
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_nrm"),
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         _norm(F.col(vec_col)).alias("c_nrm"),
@@ -118,7 +120,7 @@ def neardup_pairs(
     ``cosine_similarity``. Returns (a_id, b_id, sim), a_id < b_id.
     """
     B = n_blocks
-    base = df.select(
+    base = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
@@ -203,7 +205,7 @@ def neardup_pairs_lsh(
     if dim is None:
         dim = _infer_dim(df, vec_col)
     planes = _hyperplanes(dim, n_bands * band_bits, seed)
-    base = df.select(
+    base = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
@@ -315,7 +317,7 @@ def lsh_topk(
         F.col(vec_col).alias("q_vec"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
@@ -349,7 +351,7 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    corpus_vec = corpus.select(
+    corpus_vec = fan_out(corpus).select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v"),

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from dislib_spark.packing import pack_sequences, packing_stats
 from dislib_spark.sampling import stratified_hash_sample, weighted_mix
 from dislib_spark.tables import load_table
+from dislib_spark.utils.base import fan_out
 from dislib_spark.text.analysis import (
     normalize_text,
     token_count,
@@ -25,6 +26,8 @@ from dislib_spark.text.contamination import contamination_check
 from dislib_spark.graph import connected_components, dedup_canonical
 from dislib_spark.text.repetition import with_repetition_features
 from dislib_spark.text.tfidf import bm25_scores, tfidf_topk
+from dislib_spark.text.winnow import with_fingerprints
+from dislib_spark.text.pii import with_pii_stats
 from dislib_spark.text.dedup import (
     exact_dedup,
     jaccard_pairs,
@@ -88,7 +91,7 @@ def t07_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- t08: canonical normalization pipeline ---------------------------
 def t08_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     norm = normalize_text(F.col("text"))
     return d.select(
         "doc_id",
@@ -198,6 +201,41 @@ def t17_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(d, ["spark", "query", "stream"]).orderBy("doc_id")
 
 
+# --- t18: rolling-hash winnowing fingerprints ------------------------
+def t18_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winnowed fingerprint-index stats (k=8 char grams,
+    w=4 windows — dislib_spark.text.winnow)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = with_fingerprints(d)
+    tot = fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("fingerprints")).cast("bigint").alias("n_fp_total"),
+    )
+    dis = (
+        fp.select("source", F.explode("fingerprints").alias("f"))
+        .groupBy("source")
+        .agg(F.countDistinct("f").alias("n_fp_distinct"))
+    )
+    return tot.join(dis, "source").orderBy("source")
+
+
+# --- t19: PII redaction (regex masking + match counts) ---------------
+def t19_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask long digit-run identifiers in customer names; count
+    matches per segment (dislib_spark.text.pii)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = with_pii_stats(c, text_col="c_name", kinds=("email", "id_digits"))
+    return (
+        s.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_id_digits").cast("bigint").alias("n_ids"),
+            F.min("redacted").alias("sample_redacted"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -216,6 +254,8 @@ QUERIES = {
     "t15_dedup_keep": t15_dedup_keep,
     "t16_tfidf_topk": t16_tfidf_topk,
     "t17_bm25": t17_bm25,
+    "t18_winnow": t18_winnow,
+    "t19_pii_redact": t19_pii_redact,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -425,6 +465,58 @@ ORACLE = {
         FROM n, UNNEST(range(1, n_copies + 1)) AS t(copy_idx)
         WHERE n_copies >= 1
         ORDER BY doc_id, copy_idx
+    """,
+    # winnowing fingerprints: md5 char-8-gram rolling hashes, window-4
+    # minima — replayed exactly (md5/substr/list ops are identical).
+    "t18_winnow": """
+        WITH nrm AS (
+            SELECT doc_id, source,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, source,
+                   CASE WHEN len(norm) >= 8 THEN
+                       list_transform(range(1, len(norm) - 8 + 2),
+                                      i -> md5(substr(norm, CAST(i AS INTEGER), 8)))
+                   ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM nrm
+        ),
+        sel AS (
+            SELECT doc_id, source,
+                   CASE WHEN len(grams) >= 1 THEN
+                       list_distinct(list_transform(
+                           range(1, greatest(len(grams) - 3, 1) + 1),
+                           j -> list_min(grams[CAST(j AS INTEGER):CAST(j + 3 AS INTEGER)])))
+                   ELSE CAST([] AS VARCHAR[]) END AS fps
+            FROM g
+        ),
+        tot AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len(fps)) AS BIGINT) AS n_fp_total
+            FROM sel GROUP BY source
+        ),
+        dis AS (
+            SELECT source, COUNT(DISTINCT f) AS n_fp_distinct
+            FROM (SELECT source, unnest(fps) AS f FROM sel)
+            GROUP BY source
+        )
+        SELECT tot.source AS source, n_docs, n_fp_total, n_fp_distinct
+        FROM tot JOIN dis ON tot.source = dis.source
+        ORDER BY source
+    """,
+    "t19_pii_redact": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_rows,
+               CAST(SUM(len(regexp_extract_all(c_name,
+                    '[0-9][0-9][0-9][0-9][0-9][0-9]+'))) AS BIGINT) AS n_ids,
+               MIN(regexp_replace(regexp_replace(c_name,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                    '[PII]', 'g'),
+                    '[0-9][0-9][0-9][0-9][0-9][0-9]+', '[PII]', 'g'))
+                   AS sample_redacted
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
 }
 

@@ -110,9 +110,11 @@ def fingerprint(text: Column) -> Column:
 
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis feature set as columns."""
+    from dislib_spark.utils.base import fan_out
+
     t = F.col(text_col)
     return (
-        df.withColumn("n_tokens", token_count(t))
+        fan_out(df).withColumn("n_tokens", token_count(t))
         .withColumn("stopword_ratio", F.round(stopword_ratio(t), 6))
         .withColumn("quality", quality_score(t))
         .withColumn("pred_lang", predict_lang(t))

@@ -238,3 +238,92 @@ def test_tfidf_exact_toy(spark):
     # BM25: doc with more matches scores higher than doc with fewer
     b = {r.doc_id: r.bm25 for r in bm25_scores(df, ["z"]).collect()}
     assert set(b) == {2, 3} and b[3] > b[2]
+
+
+def test_winnow_matches_python(spark):
+    """Winnowed fingerprint sets equal a pure-python reference
+    (normalize -> md5 char-8-grams -> window-4 minima -> distinct)."""
+    import hashlib
+    import re
+
+    from dislib_spark.text.winnow import with_fingerprints
+
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog!"),
+        (2, "the  QUICK brown fox jumps over a sleepy dog"),
+        (3, "short"),
+        (4, ""),
+        (5, "aaaaaaaaaaaaaaaaaaaa"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: sorted(r.fingerprints)
+        for r in with_fingerprints(df).collect()
+    }
+
+    def py_winnow(text, k=8, w=4):
+        norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", text.lower())).strip()
+        grams = [
+            hashlib.md5(norm[i : i + k].encode()).hexdigest()
+            for i in range(len(norm) - k + 1)
+        ]
+        if not grams:
+            return []
+        n_win = max(len(grams) - w + 1, 1)
+        return sorted({min(grams[j : j + w]) for j in range(n_win)})
+
+    for doc_id, text in texts:
+        assert got[doc_id] == py_winnow(text), doc_id
+    # near-identical docs share most fingerprints; disjoint docs none
+    s1, s2 = set(got[1]), set(got[2])
+    assert len(s1 & s2) > 0
+
+
+def test_winnow_overlap_pairs(spark):
+    from dislib_spark.text.winnow import fingerprint_overlap_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different content with nothing shared whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.a_id, r.b_id): r.n_shared
+        for r in fingerprint_overlap_pairs(df, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
+
+
+def test_pii_redaction_matches_python(spark):
+    """Masking + counts equal python re on strings covering every
+    pattern, overlap order (email before digit run), and clean text."""
+    import re
+
+    from dislib_spark.text.pii import PII_PATTERNS, with_pii_stats
+
+    rows = [
+        (1, "contact john.doe+spam@example.org or 12345678 now"),
+        (2, "server at 10.0.255.3 port open"),
+        (3, "call +1 555-123 4567 today"),
+        (4, "clean text with small numbers 123 45"),
+        (5, "9876543@numbers.example.com is an email not an id"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    kinds = ("email", "ipv4", "phone", "id_digits")
+    got = {r.id: r for r in with_pii_stats(df, kinds=kinds).collect()}
+
+    for rid, text in rows:
+        masked = text
+        for kind in PII_PATTERNS:
+            if kind in kinds:
+                masked = re.sub(PII_PATTERNS[kind], "[PII]", masked)
+        assert got[rid].redacted == masked, (rid, got[rid].redacted, masked)
+        for kind in kinds:
+            expect = len(re.findall(PII_PATTERNS[kind], text))
+            assert got[rid][f"n_{kind}"] == expect, (rid, kind)
+    # the email local-part digits were masked as email, not id
+    assert got[5].redacted == "[PII] is an email not an id"

@@ -1,0 +1,130 @@
+"""Text/vector pipeline scale smoke (beyond the sf parquet tables).
+
+Generates a synthetic corpus JVM-side (no driver materialization,
+no Python row hops) and runs the LLM-pipeline heavy hitters — the
+operators whose 100 TB viability the bench can't show at sf0.1:
+
+- 500k docs (~60 tokens each, zipf-ish vocab with planted dup pairs)
+  through exact dedup, MinHash-LSH pair generation, repetition
+  metrics, and winnowed fingerprints;
+- 500k x 64 embeddings through hyperplane-LSH ANN bucket join.
+
+Everything stays JVM-side: the corpus is built from
+``sequence``/``transform``/``xxhash64`` expressions, so generation
+itself is a distributed kernel. Timings land in BASELINE.md.
+
+Usage: python tools/text_scale_smoke.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+TOKENS_PER_DOC = 60
+VOCAB = 50_000
+
+
+def timed(label, fn):
+    t = time.time()
+    out = fn()
+    print(f"{label:40s} {time.time() - t:6.2f} s")
+    return out
+
+
+def main():
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from dislib_spark.session import get_spark
+    from dislib_spark.text.dedup import exact_dedup, minhash_lsh_pairs
+    from dislib_spark.text.repetition import with_repetition_features
+    from dislib_spark.text.winnow import with_fingerprints
+    from dislib_spark.vector.search import lsh_topk
+
+    spark = get_spark(app_name="text-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    par = spark.sparkContext.defaultParallelism
+
+    def gen_docs():
+        # doc_id range distributed across the cluster; every planted
+        # duplicate shares its text with doc_id - 1 (1% of docs).
+        base = spark.range(0, N, 1, par)
+        eff = F.when(
+            (F.col("id") % 100 == 1) & (F.col("id") > 0),
+            F.col("id") - 1,
+        ).otherwise(F.col("id"))
+        words = F.transform(
+            F.sequence(F.lit(1), F.lit(TOKENS_PER_DOC)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(eff * TOKENS_PER_DOC + i), F.lit(VOCAB)),
+            ),
+        )
+        df = base.select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", words).alias("text"),
+        ).cache()
+        df.count()
+        return df
+
+    docs = timed(f"generate {N} docs (JVM expr)", gen_docs)
+
+    timed(
+        "exact dedup (md5 groupBy)",
+        lambda: exact_dedup(docs).where(F.col("n_copies") > 1).count(),
+    )
+    timed(
+        "MinHash-LSH pair gen (32 perms, 8 bands)",
+        lambda: minhash_lsh_pairs(docs, threshold=0.5).count(),
+    )
+    timed(
+        "repetition metrics (per-row folds)",
+        lambda: with_repetition_features(docs)
+        .agg(F.avg("dup3_frac"), F.avg("top2_share"))
+        .collect(),
+    )
+    timed(
+        "winnow fingerprints (md5 grams, w=4)",
+        lambda: with_fingerprints(docs)
+        .agg(F.sum(F.size("fingerprints")))
+        .collect(),
+    )
+    timed(
+        "winnow fingerprints (xxhash64 grams)",
+        lambda: with_fingerprints(docs, hash_fn="xxhash64")
+        .agg(F.sum(F.size("fingerprints")))
+        .collect(),
+    )
+    docs.unpersist()
+
+    def gen_vecs():
+        base = spark.range(0, N, 1, par)
+        vec = F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id") * 64 + i), F.lit(2000)).cast(
+                    "double"
+                )
+                - 1000.0
+            )
+            / 1000.0,
+        )
+        df = base.select(
+            F.col("id").alias("vec_id"), vec.alias("embedding")
+        ).cache()
+        df.count()
+        return df
+
+    vecs = timed(f"generate {N}x64 embeddings", gen_vecs)
+    queries = vecs.limit(10)
+    timed(
+        "LSH ANN top-10 (10 queries, bucket join)",
+        lambda: lsh_topk(queries, vecs, k=10).count(),
+    )
+    vecs.unpersist()
+
+
+if __name__ == "__main__":
+    main()

@@ -219,6 +219,27 @@ def t18_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.join(dis, "source").orderBy("source")
 
 
+# --- t20: composed corpus-prep pipeline ------------------------------
+def t20_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end prep: quality filter → exact dedup (keep lowest
+    doc_id per fingerprint) → per-source doc/token stats. Exercises
+    operator COMPOSITION — each stage is individually oracled
+    (t07, t03, t01); this query checks they compose correctly."""
+    d = with_text_features(load_table(spark, sf_dir, "documents"))
+    q = d.where(F.col("quality") >= 0.5)
+    keep = q.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    kept = q.join(keep, ["fingerprint", "doc_id"], "left_semi")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- t19: PII redaction (regex masking + match counts) ---------------
 def t19_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mask long digit-run identifiers in customer names; count
@@ -256,6 +277,7 @@ QUERIES = {
     "t17_bm25": t17_bm25,
     "t18_winnow": t18_winnow,
     "t19_pii_redact": t19_pii_redact,
+    "t20_pipeline": t20_pipeline,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -505,6 +527,21 @@ ORACLE = {
         SELECT tot.source AS source, n_docs, n_fp_total, n_fp_distinct
         FROM tot JOIN dis ON tot.source = dis.source
         ORDER BY source
+    """,
+    "t20_pipeline": f"""
+        WITH f AS (
+            SELECT doc_id, source, md5(lower(text)) AS fp,
+                   CAST({_N_TOK} AS BIGINT) AS n_tokens,
+                   {_QUALITY} AS quality
+            FROM documents
+        ),
+        q AS (SELECT * FROM f WHERE quality >= 0.5),
+        k AS (SELECT fp, MIN(doc_id) AS doc_id FROM q GROUP BY fp)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               ROUND(AVG(quality), 6) AS avg_quality
+        FROM q JOIN k USING (fp, doc_id)
+        GROUP BY source ORDER BY source
     """,
     "t19_pii_redact": """
         SELECT c_mktsegment,

@@ -417,6 +417,32 @@ def x16_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x17: bloom-prefiltered semi join --------------------------------
+def x17_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems of high-value orders via the bloom semi-join
+    prefilter (dislib_spark.sketches.bloom_semi_join): probe-side
+    rows that cannot match are dropped before the join shuffle;
+    the exact semi join removes false positives, so the result is
+    identical to a plain semi join (the oracle)."""
+    from dislib_spark.sketches import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 400000
+    )
+    kept = bloom_semi_join(li, hi, "l_orderkey", "o_orderkey")
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # --- s3: streaming dedup (module code path, batch form) --------------
 def s03_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -444,6 +470,7 @@ QUERIES = {
     "x14_hll_distinct": x14_hll_distinct,
     "x15_funnel": x15_funnel,
     "x16_cohort": x16_cohort,
+    "x17_bloom_semi_join": x17_bloom_semi_join,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -569,6 +596,14 @@ ORACLE = {
         SELECT (SELECT COUNT(*) FROM v) AS n_view,
                (SELECT COUNT(*) FROM c) AS n_click,
                (SELECT COUNT(*) FROM p) AS n_purchase
+    """,
+    "x17_bloom_semi_join": """
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "x16_cohort": """
         WITH f AS (

@@ -125,3 +125,101 @@ def count_min(
             F.col(col), F.lit(eps), F.lit(confidence), F.lit(seed)
         ).alias("cms")
     )
+
+
+# --- bloom-filter semi-join prefilter --------------------------------
+#
+# The classic 100 TB shuffle reducer: build a small bit-array from the
+# build side's join keys, broadcast it, and drop probe-side rows that
+# cannot match BEFORE the join shuffle. False positives only (they are
+# removed by the exact join that follows); never false negatives.
+# Spark's own runtime row-level filtering covers equi-joins when AQE
+# chooses to inject it — this is the explicit, composable operator
+# form (usable for semi-join reductions across stages/pipelines, and
+# a mergeable sketch: bit-arrays OR together like the HLL partials).
+
+
+def _bloom_positions(key: Column, n_bits: int, n_hashes: int) -> Column:
+    """Bit positions for a key: double hashing h1 + i*h2 (Kirsch-
+    Mitzenmacher), all JVM. n_bits must be a power of two."""
+    # reduce both hashes mod n_bits BEFORE combining: keeps
+    # h1 + i*h2 far below 2^63 (ANSI overflow-safe, like minhash)
+    h1 = F.pmod(F.xxhash64(key), F.lit(n_bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit(1)), F.lit(n_bits))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.pmod(h1 + i * h2, F.lit(n_bits)),
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, n_bits: int = 1 << 20, n_hashes: int = 5
+) -> list[int]:
+    """Aggregate the build side's keys into a bit array (list of
+    n_bits/64 longs). One pass, map-side partial aggregation: each
+    partition ORs its local words, the driver merge is
+    bytes-per-partition sized. Partial arrays from different
+    shards/days OR together losslessly (mergeable)."""
+    n_words = n_bits // 64
+    words = (
+        df.select(F.explode(_bloom_positions(F.col(key_col), n_bits, n_hashes)).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(F.col("p"), F.lit(64)).cast("int"),
+            ).alias("bit"),
+        )
+        # bit_or never overflows; the sign bit is just bit 63
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    arr = [0] * n_words
+    for r in words:
+        arr[r["w"]] = r["word"]
+    return arr
+
+
+def bloom_might_contain(
+    key: Column, bloom: list[int], n_hashes: int = 5
+) -> Column:
+    """Membership predicate against a driver-held bit array. The
+    array ships to executors as a broadcast literal; the test is a
+    JVM forall over the k positions."""
+    n_bits = len(bloom) * 64
+    words = F.array(*[F.lit(w).cast("long") for w in bloom])
+    return F.forall(
+        _bloom_positions(key, n_bits, n_hashes),
+        lambda p: F.element_at(words, (p / 64).cast("int") + 1)
+        .bitwiseAND(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(p, F.lit(64)).cast("int"),
+            )
+        )
+        != 0,
+    )
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Exact left-semi join with a bloom prefilter on the probe side:
+    rows that cannot match are dropped before the join shuffle (the
+    filter composes with scan pushdown of other predicates). The
+    false-positive survivors are removed by the exact semi join."""
+    bloom = bloom_build(build, build_key, n_bits, n_hashes)
+    pre = probe.where(bloom_might_contain(F.col(probe_key), bloom, n_hashes))
+    return pre.join(
+        build.select(F.col(build_key).alias(probe_key)).dropDuplicates(),
+        probe_key,
+        "left_semi",
+    )

@@ -71,3 +71,53 @@ def test_count_min_binary(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     row = count_min(ev, "user_id").first()
     assert row["cms"] is not None and len(row["cms"]) > 0
+
+
+def test_bloom_semi_join_exact_and_selective(spark):
+    """Bloom prefilter: (a) result identical to a plain semi join
+    (no false negatives by construction), (b) the prefilter alone
+    keeps all true matches and drops most non-matches."""
+    from pyspark.sql import functions as F
+
+    from dislib_spark.sketches import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_semi_join,
+    )
+
+    probe = spark.range(0, 20_000).select(F.col("id").alias("k"))
+    build = spark.range(0, 20_000, 97).select(F.col("id").alias("bk"))
+
+    got = sorted(
+        r.k for r in bloom_semi_join(probe, build, "k", "bk").collect()
+    )
+    expect = sorted(
+        r.k
+        for r in probe.join(
+            build.select(F.col("bk").alias("k")), "k", "left_semi"
+        ).collect()
+    )
+    assert got == expect
+
+    bloom = bloom_build(build, "bk", n_bits=1 << 16)
+    pre = probe.where(bloom_might_contain(F.col("k"), bloom))
+    n_pre = pre.count()
+    # every true key survives the prefilter...
+    assert set(expect) <= {r.k for r in pre.collect()}
+    # ...and the false-positive rate is low (5 hashes, 2^16 bits,
+    # ~207 keys -> fpp well under 1%)
+    assert n_pre < len(expect) + 0.01 * 20_000
+
+
+def test_bloom_partials_merge(spark):
+    """Bit arrays from shards OR together == whole-corpus build
+    (mergeability, the sketch contract)."""
+    from pyspark.sql import functions as F
+
+    from dislib_spark.sketches import bloom_build
+
+    df = spark.range(0, 5_000).select(F.col("id").alias("k"))
+    whole = bloom_build(df, "k", n_bits=1 << 14)
+    a = bloom_build(df.where(F.col("k") < 2_500), "k", n_bits=1 << 14)
+    b = bloom_build(df.where(F.col("k") >= 2_500), "k", n_bits=1 << 14)
+    assert [x | y for x, y in zip(a, b)] == whole

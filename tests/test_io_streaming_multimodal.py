@@ -294,3 +294,53 @@ def test_stream_stream_interval_join(spark, tmp_path):
         upper="30 minutes",
     ).count()
     assert got == expect and expect > 0
+
+
+def test_transform_with_state_v2(spark, tmp_path):
+    """transformWithState (Spark 4 stateful v2) running stats agree
+    with the applyInPandasWithState form on the same stream. Skipped
+    where google.protobuf (the TWS state-server protocol dep) is
+    absent — the operator itself raises a clear ImportError there."""
+    from dislib_spark.streaming.stateful import running_user_stats_v2
+    from dislib_spark.streaming.windows import running_user_stats
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="transformWithState"):
+            running_user_stats_v2(
+                spark.readStream.schema(
+                    load_table(spark, SF_SMOKE, "events").schema
+                ).parquet(str(tmp_path))
+            )
+        pytest.skip("google.protobuf unavailable in this container")
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src_dir = str(tmp_path / "tws_src")
+    ev.write.mode("overwrite").parquet(src_dir)
+
+    results = {}
+    for name, fn in (("v2", running_user_stats_v2), ("v1", running_user_stats)):
+        stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+        q = (
+            fn(stream)
+            .writeStream.format("memory")
+            .queryName(f"tws_{name}")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            f"SELECT user_id, n, total, vmax FROM tws_{name}"
+        ).collect()
+        # update mode may emit a row per micro-batch per key; keep the
+        # final (max-n) row per user
+        final = {}
+        for r in rows:
+            if r.user_id not in final or r.n > final[r.user_id][0]:
+                final[r.user_id] = (r.n, round(r.total, 6), r.vmax)
+        results[name] = final
+
+    assert results["v2"] == results["v1"]
+    assert len(results["v2"]) > 0

@@ -443,6 +443,38 @@ def x17_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x18: verbatim-SQL interface (TPC-H Q5 shape) --------------------
+_X18_SQL = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+    GROUP BY n_name ORDER BY n_name
+"""
+
+
+def x18_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's raw-SQL entry point: every table registered as a
+    temp view (``tables.register_views``), then ONE SQL string — the
+    TPC-H Q5 local-supplier-revenue shape — run verbatim through
+    ``spark.sql``; the oracle executes the SAME string on DuckDB.
+    The per-row revenue term is cast to DECIMAL(18,4) before SUM:
+    price(2dp) x discount-factor(2dp) is exactly 4dp rational, so the
+    cast recovers it exactly and the sum is order-independent.
+    Catalyst picks the join order; the dimension side broadcasts."""
+    from dislib_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_X18_SQL)
+
+
 # --- s3: streaming dedup (module code path, batch form) --------------
 def s03_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -471,6 +503,7 @@ QUERIES = {
     "x15_funnel": x15_funnel,
     "x16_cohort": x16_cohort,
     "x17_bloom_semi_join": x17_bloom_semi_join,
+    "x18_sql_interface": x18_sql_interface,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -605,6 +638,7 @@ ORACLE = {
             SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         GROUP BY l_returnflag ORDER BY l_returnflag
     """,
+    "x18_sql_interface": _X18_SQL,
     "x16_cohort": """
         WITH f AS (
             SELECT user_id,

@@ -76,6 +76,35 @@ def main() -> None:
     li.orderBy("l_quantity").write.format("noop").mode("overwrite").save()
     timings["terasort_lineitem"] = round(time.perf_counter() - t0, 3)
 
+    # RF fit (embeddings -> synthetic label) — BASELINE.md ledger item
+    from dislib_spark.classification.forest import RandomForestClassifier
+
+    y = DsArray(
+        emb.select(
+            "row_id",
+            F.array((F.xxhash64(F.col("row_id")) % 2 == 0).cast("double")).alias(
+                "features"
+            ),
+        ),
+        (n_emb, 1),
+    )
+    t0 = time.perf_counter()
+    RandomForestClassifier(n_estimators=10, max_depth=8, random_state=7).fit(x, y)
+    timings["fit_rf_embeddings"] = round(time.perf_counter() - t0, 3)
+
+    # ALS fit (synthetic ratings from events) — BASELINE.md ledger item
+    from dislib_spark.recommendation.als import ALS
+
+    ev = load_table(spark, sf_dir, "events")
+    ratings = ev.select(
+        (F.col("user_id") % 500).cast("int").alias("user_id"),
+        (F.col("event_id") % 200).cast("int").alias("item_id"),
+        (F.pmod(F.col("value"), F.lit(5.0)) + 1.0).alias("rating"),
+    )
+    t0 = time.perf_counter()
+    ALS(n_f=8, max_iter=5, random_state=11).fit(ratings)
+    timings["fit_als_events"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(v for v in timings.values() if v > 0), 3)
     print(
         json.dumps(

@@ -183,24 +183,61 @@ def bloom_build(
 
 
 def bloom_might_contain(
-    key: Column, bloom: list[int], n_hashes: int = 5
+    key: Column, words: Column, n_bits: int, n_hashes: int = 5
 ) -> Column:
-    """Membership predicate against a driver-held bit array. The
-    array ships to executors as a broadcast literal; the test is a
-    JVM forall over the k positions."""
-    n_bits = len(bloom) * 64
-    words = F.array(*[F.lit(w).cast("long") for w in bloom])
-    return F.forall(
-        _bloom_positions(key, n_bits, n_hashes),
-        lambda p: F.element_at(words, (p / 64).cast("int") + 1)
-        .bitwiseAND(
-            F.call_function(
-                "shiftleft",
-                F.lit(1).cast("long"),
-                F.pmod(p, F.lit(64)).cast("int"),
+    """Membership predicate against a bit-array COLUMN (attach the
+    driver-held list with ``bloom_attach`` — a 1-row broadcast join.
+    Expression literals don't work here: both ``F.array(*16k lits)``
+    and ``F.lit(list)`` build a 16k-node CreateArray that codegen
+    compiles for ~50 s and re-evaluates per row).
+
+    The k probes are UNROLLED into a flat AND of scalar bit tests —
+    no higher-order functions, so whole-stage codegen shares h1/h2
+    across probes instead of re-evaluating them per lambda element."""
+    h1 = F.pmod(F.xxhash64(key), F.lit(n_bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit(1)), F.lit(n_bits))
+    cond = None
+    for i in range(n_hashes):
+        p = F.pmod(h1 + i * h2, F.lit(n_bits))
+        test = (
+            F.element_at(words, (p / 64).cast("int") + 1).bitwiseAND(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    F.pmod(p, F.lit(64)).cast("int"),
+                )
+            )
+            != 0
+        )
+        cond = test if cond is None else (cond & test)
+    return cond
+
+
+_BLOOM_COL = "__bloom_words"
+
+
+def bloom_attach(df: DataFrame, bloom: list[int]) -> DataFrame:
+    """Attach a bit array as a broadcast 1-row column (read per row
+    from the broadcast, never rebuilt per row like a literal)."""
+    words_df = df.sparkSession.createDataFrame(
+        [(bloom,)], f"{_BLOOM_COL} array<long>"
+    )
+    return df.crossJoin(F.broadcast(words_df))
+
+
+def bloom_prefilter(
+    df: DataFrame, key_col: str, bloom: list[int], n_hashes: int = 5
+) -> DataFrame:
+    """Keep rows whose key might be in the filter (false positives
+    possible, false negatives impossible)."""
+    return (
+        bloom_attach(df, bloom)
+        .where(
+            bloom_might_contain(
+                F.col(key_col), F.col(_BLOOM_COL), len(bloom) * 64, n_hashes
             )
         )
-        != 0,
+        .drop(_BLOOM_COL)
     )
 
 
@@ -217,7 +254,7 @@ def bloom_semi_join(
     filter composes with scan pushdown of other predicates). The
     false-positive survivors are removed by the exact semi join."""
     bloom = bloom_build(build, build_key, n_bits, n_hashes)
-    pre = probe.where(bloom_might_contain(F.col(probe_key), bloom, n_hashes))
+    pre = bloom_prefilter(probe, probe_key, bloom, n_hashes)
     return pre.join(
         build.select(F.col(build_key).alias(probe_key)).dropDuplicates(),
         probe_key,

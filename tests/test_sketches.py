@@ -81,7 +81,7 @@ def test_bloom_semi_join_exact_and_selective(spark):
 
     from dislib_spark.sketches import (
         bloom_build,
-        bloom_might_contain,
+        bloom_prefilter,
         bloom_semi_join,
     )
 
@@ -100,7 +100,7 @@ def test_bloom_semi_join_exact_and_selective(spark):
     assert got == expect
 
     bloom = bloom_build(build, "bk", n_bits=1 << 16)
-    pre = probe.where(bloom_might_contain(F.col("k"), bloom))
+    pre = bloom_prefilter(probe, "k", bloom)
     n_pre = pre.count()
     # every true key survives the prefilter...
     assert set(expect) <= {r.k for r in pre.collect()}

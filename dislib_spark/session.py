@@ -42,6 +42,15 @@ def get_spark(
         # tables.load_table converts to a proper timestamp column.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # 80+ codegen-heavy queries in one JVM overflow the default
+        # ~240 MB code cache: the JIT silently evicts/deopts and
+        # expression-heavy items sporadically run 10-20x slower
+        # (measured t11 0.7 s -> 15-19 s mid-bench). Same setting a
+        # real cluster would carry in spark.executor.extraJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

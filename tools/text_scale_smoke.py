@@ -91,12 +91,6 @@ def main():
         .agg(F.sum(F.size("fingerprints")))
         .collect(),
     )
-    timed(
-        "winnow fingerprints (xxhash64 grams)",
-        lambda: with_fingerprints(docs, hash_fn="xxhash64")
-        .agg(F.sum(F.size("fingerprints")))
-        .collect(),
-    )
     docs.unpersist()
 
     def gen_vecs():

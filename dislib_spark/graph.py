@@ -95,3 +95,55 @@ def dedup_canonical(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    undirected: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list — centrality for
+    dedup graphs (rank boilerplate hubs, pick the most-connected
+    document as the cluster canonical instead of min-id).
+
+    Returns (node, rank); ranks sum to ~n_nodes (the classic
+    unnormalized form: rank = (1-d) + d * sum(in_rank/out_deg)).
+
+    Scale design: each iteration is one shuffle join (edges ⋈ ranks
+    on src) + one groupBy-sum on dst — the same plan shape a
+    1000-executor cluster wants; degree table computed once;
+    ``localCheckpoint`` cuts lineage per round (iterative plans grow
+    exponentially otherwise). Dangling nodes (no out-edges) keep the
+    (1-d) floor. Fixed iteration count, no convergence action —
+    deterministic cost, and 10 rounds is standard for ranking use.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if undirected:
+        e = e.union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    e = e.distinct().localCheckpoint()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    out = e.join(deg, "u")  # (u, v, deg): contribution edges
+    nodes = e.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(n_iter):
+        contrib = (
+            out.join(ranks, out["u"] == ranks["node"])
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -23,7 +23,7 @@ from dislib_spark.text.analysis import (
     with_text_features,
 )
 from dislib_spark.text.contamination import contamination_check
-from dislib_spark.graph import connected_components, dedup_canonical
+from dislib_spark.graph import connected_components, dedup_canonical, pagerank
 from dislib_spark.text.repetition import with_repetition_features
 from dislib_spark.text.tfidf import bm25_scores, tfidf_topk
 from dislib_spark.text.winnow import with_fingerprints
@@ -219,6 +219,18 @@ def t18_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.join(dis, "source").orderBy("source")
 
 
+# --- t21: PageRank centrality over the dedup pair graph --------------
+def t21_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank on the near-dup graph (rank the hub
+    documents of boilerplate clusters — dislib_spark.graph.pagerank).
+    Oracle unrolls the same 10 iterations as chained CTEs."""
+    d = load_table(spark, sf_dir, "documents")
+    pr = pagerank(jaccard_pairs(d, threshold=0.3), n_iter=10)
+    return pr.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")
+
+
 # --- t20: composed corpus-prep pipeline ------------------------------
 def t20_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end prep: quality filter → exact dedup (keep lowest
@@ -278,6 +290,7 @@ QUERIES = {
     "t18_winnow": t18_winnow,
     "t19_pii_redact": t19_pii_redact,
     "t20_pipeline": t20_pipeline,
+    "t21_pagerank": t21_pagerank,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -670,4 +683,129 @@ ORACLE["t15_dedup_keep"] = (
         WHERE doc_id NOT IN (SELECT n FROM comp WHERE n <> comp)
         GROUP BY source ORDER BY source
     """
+)
+
+
+# PageRank oracle: the pair CTE (shared with t14) up to `edges`, a
+# degree table, then the SAME 10 update steps unrolled as chained
+# CTEs (DuckDB recursion cannot aggregate over the recursive ref).
+_PAGERANK_TAIL = """,
+        deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+        nodes AS (SELECT DISTINCT u AS node FROM edges),
+        r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+        c1 AS (
+            SELECT e.v AS node, SUM(p.rank / dg.deg) AS in_rank
+            FROM edges e JOIN r0 p ON p.node = e.u
+                 JOIN deg dg ON dg.u = e.u
+            GROUP BY e.v
+        ),
+        r1 AS (
+            SELECT n.node AS node,
+                   0.15 + 0.85 * COALESCE(c.in_rank, 0) AS rank
+            FROM nodes n LEFT JOIN c1 c USING (node)
+        ),
+        c2 AS (
+            SELECT e.v AS node, SUM(p.rank / dg.deg) AS in_rank
+            FROM edges e JOIN r1 p ON p.node = e.u
+                 JOIN deg dg ON dg.u = e.u
+            GROUP BY e.v
+        ),
+        r2 AS (
+            SELECT n.node AS node,
+                   0.15 + 0.85 * COALESCE(c.in_rank, 0) AS rank
+            FROM nodes n LEFT JOIN c2 c USING (node)
+        ),
+        c3 AS (
+            SELECT e.v AS node, SUM(p.rank / dg.deg) AS in_rank
+            FROM edges e JOIN r2 p ON p.node = e.u
+                 JOIN deg dg ON dg.u = e.u
+            GROUP BY e.v
+        ),
+        r3 AS (
+            SELECT n.node AS node,
+                   0.15 + 0.85 * COALESCE(c.in_rank, 0) AS rank
+            FROM nodes n LEFT JOIN c3 c USING (node)
+        ),
+        c4 AS (
+            SELECT e.v AS node, SUM(p.rank / dg.deg) AS in_rank
+            FROM edges e JOIN r3 p ON p.node = e.u
+                 JOIN deg dg ON dg.u = e.u
+            GROUP BY e.v
+        ),
+        r4 AS (
+            SELECT n.node AS node,
+                   0.15 + 0.85 * COALESCE(c.in_rank, 0) AS rank
+            FROM nodes n LEFT JOIN c4 c USING (node)
+        ),
+        c5 AS (
+            SELECT e.v AS node, SUM(p.rank / dg.deg) AS in_rank
+            FROM edges e JOIN r4 p ON p.node = e.u
+                 JOIN deg dg ON dg.u = e.u
+            GROUP BY e.v
+        ),
+        r5 AS (
+            SELECT n.node AS node,
+                   0.15 + 0.85 * COALESCE(c.in_rank, 0) AS rank
+            FROM nodes n LEFT JOIN c5 c USING (node)
+        ),
+        c6 AS (
+            SELECT e.v AS node, SUM(p.rank / dg.deg) AS in_rank
+            FROM edges e JOIN r5 p ON p.node = e.u
+                 JOIN deg dg ON dg.u = e.u
+            GROUP BY e.v
+        ),
+        r6 AS (
+            SELECT n.node AS node,
+                   0.15 + 0.85 * COALESCE(c.in_rank, 0) AS rank
+            FROM nodes n LEFT JOIN c6 c USING (node)
+        ),
+        c7 AS (
+            SELECT e.v AS node, SUM(p.rank / dg.deg) AS in_rank
+            FROM edges e JOIN r6 p ON p.node = e.u
+                 JOIN deg dg ON dg.u = e.u
+            GROUP BY e.v
+        ),
+        r7 AS (
+            SELECT n.node AS node,
+                   0.15 + 0.85 * COALESCE(c.in_rank, 0) AS rank
+            FROM nodes n LEFT JOIN c7 c USING (node)
+        ),
+        c8 AS (
+            SELECT e.v AS node, SUM(p.rank / dg.deg) AS in_rank
+            FROM edges e JOIN r7 p ON p.node = e.u
+                 JOIN deg dg ON dg.u = e.u
+            GROUP BY e.v
+        ),
+        r8 AS (
+            SELECT n.node AS node,
+                   0.15 + 0.85 * COALESCE(c.in_rank, 0) AS rank
+            FROM nodes n LEFT JOIN c8 c USING (node)
+        ),
+        c9 AS (
+            SELECT e.v AS node, SUM(p.rank / dg.deg) AS in_rank
+            FROM edges e JOIN r8 p ON p.node = e.u
+                 JOIN deg dg ON dg.u = e.u
+            GROUP BY e.v
+        ),
+        r9 AS (
+            SELECT n.node AS node,
+                   0.15 + 0.85 * COALESCE(c.in_rank, 0) AS rank
+            FROM nodes n LEFT JOIN c9 c USING (node)
+        ),
+        c10 AS (
+            SELECT e.v AS node, SUM(p.rank / dg.deg) AS in_rank
+            FROM edges e JOIN r9 p ON p.node = e.u
+                 JOIN deg dg ON dg.u = e.u
+            GROUP BY e.v
+        ),
+        r10 AS (
+            SELECT n.node AS node,
+                   0.15 + 0.85 * COALESCE(c.in_rank, 0) AS rank
+            FROM nodes n LEFT JOIN c10 c USING (node)
+        )
+        SELECT node, ROUND(rank, 6) AS rank FROM r10 ORDER BY node
+"""
+
+ORACLE["t21_pagerank"] = (
+    _CLUSTER_CTE.split("reach(")[0].rstrip().rstrip(",") + _PAGERANK_TAIL
 )

@@ -327,3 +327,38 @@ def test_pii_redaction_matches_python(spark):
             assert got[rid][f"n_{kind}"] == expect, (rid, kind)
     # the email local-part digits were masked as email, not id
     assert got[5].redacted == "[PII] is an email not an id"
+
+
+def test_pagerank_matches_numpy(spark):
+    """Fixed-iteration PageRank equals a dense numpy power iteration
+    on an asymmetric toy graph (hub, chain, and a dangling-ish leaf)."""
+    import numpy as np
+
+    from dislib_spark.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3), (3, 4), (4, 0), (5, 0)]
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, n_iter=10, undirected=True).collect()
+    }
+
+    # numpy reference: same undirected fixed-iteration update
+    und = set()
+    for a, b in edges:
+        und.add((a, b)); und.add((b, a))
+    n = 6
+    deg = np.zeros(n)
+    for u, _ in und:
+        deg[u] += 1
+    r = np.ones(n)
+    d = 0.85
+    for _ in range(10):
+        nxt = np.full(n, 1 - d)
+        for u, v in und:
+            nxt[v] += d * r[u] / deg[u]
+        r = nxt
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    # the hub (node 0) outranks the leaf (node 5)
+    assert got[0] > got[5]

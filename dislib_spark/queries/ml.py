@@ -260,6 +260,61 @@ def m10_logreg_grad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m11_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC via the rank-sum (Mann-Whitney) identity:
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with average
+    ranks for ties — ONE window pass + one aggregate, no pairwise
+    join (the naive pos x neg comparison is O(n²)). Scorer is the
+    fixed-weight logistic model of m10; labels y = (label < 5)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    w = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: ((j % 7) - 3) / F.lit(10.0),
+    )
+    z = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), w, lambda a, b: a.cast("double") * b
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = e.select(
+        F.when(F.col("label") < 5, F.lit(1.0)).otherwise(0.0).alias("y"),
+        F.round(z, 9).alias("score"),
+    )
+    # scale shape: aggregate to per-score groups FIRST (distinct-score
+    # cardinality), then one running-sum window over the grouped rows
+    # for the tie-averaged rank — a global row_number over raw rows
+    # would collapse the whole table into one window partition.
+    grp = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos_g"),
+    )
+    cum = F.coalesce(
+        F.sum("n").over(
+            Window.orderBy("score").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ),
+        F.lit(0),
+    )
+    ranked = grp.withColumn("arank", cum + (F.col("n") + 1) / 2.0)
+    return ranked.agg(
+        F.round(
+            (
+                F.sum(F.col("n_pos_g") * F.col("arank"))
+                - F.sum("n_pos_g") * (F.sum("n_pos_g") + 1) / 2.0
+            )
+            / (F.sum("n_pos_g") * (F.sum("n") - F.sum("n_pos_g"))),
+            6,
+        ).alias("auc"),
+        F.sum("n_pos_g").cast("bigint").alias("n_pos"),
+        (F.sum("n") - F.sum("n_pos_g")).cast("bigint").alias("n_neg"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -271,6 +326,7 @@ QUERIES = {
     "m08_dbscan_core_count": m08_dbscan_core_count,
     "m09_scaler_transform_stats": m09_scaler_transform_stats,
     "m10_logreg_grad": m10_logreg_grad,
+    "m11_auc": m11_auc,
 }
 
 
@@ -483,5 +539,35 @@ ORACLE = {
                    embedding[3]::DOUBLE AS x2, embedding[4]::DOUBLE AS x3
             FROM embeddings
         )
+    """,
+    "m11_auc": """
+        WITH s AS (
+            SELECT CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,
+                   ROUND(list_inner_product(
+                       list_transform(embedding, v -> v::DOUBLE),
+                       list_transform(range(0, 64),
+                                      j -> ((j % 7) - 3) / 10.0)
+                   ), 9) AS score
+            FROM embeddings
+        ),
+        g AS (
+            SELECT score, COUNT(*) AS n, SUM(y) AS n_pos_g
+            FROM s GROUP BY score
+        ),
+        r AS (
+            SELECT n, n_pos_g,
+                   COALESCE(SUM(n) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0)
+                   + (n + 1) / 2.0 AS arank
+            FROM g
+        )
+        SELECT ROUND(
+                   (SUM(n_pos_g * arank)
+                    - SUM(n_pos_g) * (SUM(n_pos_g) + 1) / 2.0)
+                   / (SUM(n_pos_g) * (SUM(n) - SUM(n_pos_g))), 6) AS auc,
+               CAST(SUM(n_pos_g) AS BIGINT) AS n_pos,
+               CAST(SUM(n) - SUM(n_pos_g) AS BIGINT) AS n_neg
+        FROM r
     """,
 }

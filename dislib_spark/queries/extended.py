@@ -475,6 +475,51 @@ def x18_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_X18_SQL)
 
 
+# --- x19: NTILE quantile bucketing -----------------------------------
+def x19_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile customers by account balance (fully deterministic
+    ordering: acctbal then custkey) — per-bucket count and bounds."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("q", F.ntile(4).over(w))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 6).alias("lo"),
+            F.round(F.max("c_acctbal"), 6).alias("hi"),
+        )
+        .orderBy("q")
+    )
+
+
+# --- x20: running totals (cumulative window sum) ---------------------
+def x20_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative order spend in date order (ties broken
+    by orderkey); returns the top-25 customers' final rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 25)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("run_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 # --- s3: streaming dedup (module code path, batch form) --------------
 def s03_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -504,6 +549,8 @@ QUERIES = {
     "x16_cohort": x16_cohort,
     "x17_bloom_semi_join": x17_bloom_semi_join,
     "x18_sql_interface": x18_sql_interface,
+    "x19_ntile": x19_ntile,
+    "x20_running_total": x20_running_total,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -639,6 +686,27 @@ ORACLE = {
         GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "x18_sql_interface": _X18_SQL,
+    "x19_ntile": """
+        SELECT q, COUNT(*) AS n,
+               ROUND(MIN(c_acctbal), 6) AS lo,
+               ROUND(MAX(c_acctbal), 6) AS hi
+        FROM (
+            SELECT c_acctbal,
+                   CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey)
+                        AS INTEGER) AS q
+            FROM customer
+        ) GROUP BY q ORDER BY q
+    """,
+    "x20_running_total": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS run_total
+        FROM orders WHERE o_custkey < 25
+        ORDER BY o_custkey, o_orderkey
+    """,
     "x16_cohort": """
         WITH f AS (
             SELECT user_id,

@@ -362,3 +362,20 @@ def test_pagerank_matches_numpy(spark):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
     # the hub (node 0) outranks the leaf (node 5)
     assert got[0] > got[5]
+
+
+def test_fan_out_contract(spark):
+    """fan_out repartitions under-split inputs to session parallelism
+    and leaves well-split inputs untouched (the 100 TB no-op case)."""
+    from dislib_spark.utils.base import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000, 1, 1)
+    assert narrow.rdd.getNumPartitions() == 1
+    widened = fan_out(narrow)
+    assert widened.rdd.getNumPartitions() == par
+    assert widened.count() == 1000
+
+    wide = spark.range(0, 1000, 1, par)
+    # identical object back — no extra shuffle inserted
+    assert fan_out(wide) is wide

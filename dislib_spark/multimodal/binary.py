@@ -126,3 +126,63 @@ def frame_sample(
     return media.select("media_id", "content").mapInPandas(
         run, "media_id long, frame_idx int, features array<double>"
     )
+
+
+def fake_pcm_decode(content: bytes, n_samples: int = 4096) -> np.ndarray:
+    """Deterministic stand-in for an audio decoder: expands the md5 of
+    the payload into ``n_samples`` float32 PCM samples in [-1, 1]."""
+    digest = hashlib.md5(content or b"").digest()
+    rng = np.random.RandomState(
+        int.from_bytes(digest[4:8], "little", signed=False)
+    )
+    return (rng.rand(n_samples).astype("float32") * 2.0) - 1.0
+
+
+def audio_windows(
+    media: DataFrame,
+    window: int = 1024,
+    hop: int = 512,
+    codec=None,
+    n_samples: int = 4096,
+) -> DataFrame:
+    """Sliding sample windows over decoded audio: one output row per
+    (media_id, window) with RMS energy and peak amplitude — the
+    standard first stage of any audio feature pipeline (VAD, silence
+    trimming, loudness filters).
+
+    Arrow-batched ``mapInPandas`` 1→N like ``frame_sample``: each
+    executor decodes its batch and emits window rows locally, nothing
+    on the driver. ``codec`` defaults to the honest fake
+    (``fake_pcm_decode``); swap in a real soundfile/ffmpeg decode
+    with the same ``bytes -> float32[n]`` contract when available."""
+    import pandas as pd
+
+    decode = codec or (lambda b: fake_pcm_decode(b, n_samples))
+    out_schema = (
+        "media_id long, win_idx int, win_start long, rms double, peak double"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                pcm = decode(bytes(content) if content is not None else b"")
+                for i, start in enumerate(
+                    range(0, max(len(pcm) - window + 1, 1), hop)
+                ):
+                    seg = pcm[start : start + window]
+                    rows.append(
+                        (
+                            int(mid),
+                            i,
+                            start,
+                            float(np.sqrt(np.mean(seg**2))),
+                            float(np.abs(seg).max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "win_idx", "win_start", "rms", "peak"],
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, out_schema)

@@ -344,3 +344,26 @@ def test_transform_with_state_v2(spark, tmp_path):
 
     assert results["v2"] == results["v1"]
     assert len(results["v2"]) > 0
+
+
+def test_audio_windows(spark):
+    """Sliding PCM windows: deterministic per content, correct window
+    count/geometry, RMS/peak match a local numpy replay."""
+    import numpy as np
+
+    from dislib_spark.multimodal.binary import audio_windows, fake_pcm_decode
+
+    rows = [(i, bytes([i] * 16)) for i in range(4)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = audio_windows(media, window=1024, hop=512, n_samples=4096).collect()
+    # (4096 - 1024) / 512 + 1 = 7 windows per media row
+    assert len(got) == 4 * 7
+    by_key = {(r.media_id, r.win_idx): r for r in got}
+    for mid, content in rows:
+        pcm = fake_pcm_decode(content, 4096)
+        for i, start in enumerate(range(0, 4096 - 1024 + 1, 512)):
+            seg = pcm[start : start + 1024]
+            r = by_key[(mid, i)]
+            assert r.win_start == start
+            assert abs(r.rms - float(np.sqrt(np.mean(seg**2)))) < 1e-9
+            assert abs(r.peak - float(np.abs(seg).max())) < 1e-9

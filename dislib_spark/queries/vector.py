@@ -77,12 +77,28 @@ def v05_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def v06_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (codebooks → uint8-ish codes → ADC
+    scoring → exact re-rank): the compressed-index scale path for
+    cosine search. Rows-only in the driver (KMeans codebooks aren't
+    SQL-replayable); recall gated vs exact top-k in
+    tests/test_ann_quality_skew.py."""
+    from dislib_spark.vector.search import pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return pq_topk(q, e, k=10).orderBy("q_id", "rank")
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
     "v03_lsh_topk": v03_lsh_topk,
     "v04_ivf_topk": v04_ivf_topk,
     "v05_random_projection": v05_random_projection,
+    "v06_pq_topk": v06_pq_topk,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.

@@ -396,3 +396,194 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_subvectors: int = 8,
+    n_centroids: int = 16,
+    seed: int = 29,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split vectors into
+    ``n_subvectors`` contiguous slices, KMeans each slice
+    independently (MLlib, distributed). Returns
+    ``codebooks[m][c] = centroid c of subspace m`` — tiny
+    (m·c·dim/m floats), lives on the driver/broadcasts.
+
+    Compression story: a float32 d-dim vector (4d bytes) becomes
+    ``n_subvectors`` uint8 codes — 96x smaller at d=64/m=8 — so a
+    100 TB embedding corpus's index fits hot in memory and the
+    exact re-rank only touches the short candidate list."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    sub = dim // n_subvectors
+    # L2-normalize first: ADC approximates L2, and L2 on unit vectors
+    # is monotone with cosine (the metric the re-rank and the exact
+    # baseline use). Norm projected to a named column before the HOF.
+    src = (
+        fan_out(corpus)
+        .select(
+            F.col(vec_col).cast("array<double>").alias("_raw"),
+            _norm(F.col(vec_col)).alias("_nrm"),
+        )
+        .select(
+            F.transform(F.col("_raw"), lambda x: x / F.col("_nrm")).alias("v")
+        )
+    )
+    books = []
+    for m in range(n_subvectors):
+        sl = src.select(
+            array_to_vector(F.slice("v", m * sub + 1, sub)).alias("_s")
+        )
+        km = KMeans(
+            k=n_centroids, seed=seed + m, featuresCol="_s", predictionCol="c"
+        )
+        model = km.fit(sl)
+        books.append(
+            [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+        )
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest-centroid codes
+    (array<int>, one per subvector). Pure JVM: the codebooks are tiny
+    literals; per subspace the argmin is a fold over ``n_centroids``
+    squared distances. Returns (id, codes)."""
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    staged = fan_out(corpus).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("_raw"),
+        _norm(F.col(vec_col)).alias("_nrm"),
+    )
+    v = F.transform(F.col("_raw"), lambda x: x / F.col("_nrm"))
+    code_cols = []
+    for m, book in enumerate(codebooks):
+        sl = F.slice(v, m * sub + 1, sub)
+        # argmin via array_position(min) — a chained when/otherwise
+        # fold would nest the accumulator expression per centroid
+        # (each level copies it twice -> 2^n_centroids tree, OOMs the
+        # planner); this form is linear in n_centroids.
+        d2s = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sl,
+                        F.array(*[F.lit(float(x)) for x in ctr]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for ctr in book
+            ]
+        )
+        code_cols.append(
+            (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+        )
+    return staged.select("id", F.array(*code_cols).alias("codes"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_subvectors: int = 8,
+    n_centroids: int = 32,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 100,
+) -> DataFrame:
+    """PQ asymmetric-distance ANN: corpus stored as PQ codes; each
+    query precomputes a (subspace x centroid) distance table and
+    scores candidates by summing table lookups (ADC), then the top
+    ``rerank`` candidates are re-scored with exact cosine.
+
+    Scale: the scored join is query-broadcast x codes (codes are
+    ~d/32 of the raw corpus bytes), per-candidate work is
+    ``n_subvectors`` array lookups; the exact re-rank touches only
+    ``rerank`` rows per query. Returns (q_id, c_id, sim, rank)."""
+    books = pq_codebooks(
+        corpus, n_subvectors, n_centroids, seed, vec_col=vec_col
+    )
+    codes = pq_encode(corpus, books, id_col, vec_col).localCheckpoint()
+    sub = len(books[0][0])
+
+    # per-query ADC table: dist_table[m][c] = ||q_m - book[m][c]||²
+    # on the UNIT query vector (codebooks are unit-space too), built
+    # JVM-side from the broadcast-small codebook literals
+    qv = F.transform(
+        F.col("_qraw"), lambda x: x / F.col("_qnrm")
+    )
+    table_cols = []
+    for m, book in enumerate(books):
+        sl = F.slice(qv, m * sub + 1, sub)
+        table_cols.append(
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            sl,
+                            F.array(*[F.lit(float(x)) for x in ctr]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for ctr in book
+                ]
+            )
+        )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(vec_col).cast("array<double>").alias("_qraw"),
+        _norm(F.col(vec_col)).alias("_qnrm"),
+    ).select("q_id", "q_vec", F.array(*table_cols).alias("dt"))
+
+    # ADC score: sum_m dt[m][codes[m]] — n_subvectors lookups/pair
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("dt"),
+            F.col("codes"),
+            lambda t, c: F.element_at(t, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        F.broadcast(q).crossJoin(codes)
+        .select("q_id", "q_vec", F.col("id").alias("c_id"), adc.alias("adc"))
+    )
+    wq = Window.partitionBy("q_id").orderBy("adc", "c_id")
+    short = cand.withColumn("r", F.row_number().over(wq)).where(
+        F.col("r") <= rerank
+    ).select("q_id", "q_vec", "c_id")
+
+    exact = short.join(
+        corpus.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_id",
+    ).select(
+        "q_id",
+        "c_id",
+        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "c_id")
+    return exact.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -198,3 +198,25 @@ def test_salted_join_matches_broadcast(spark):
     assert sorted((r["c_mktsegment"], r["count"]) for r in plain) == sorted(
         (r["c_mktsegment"], r["count"]) for r in salted
     )
+
+
+def test_pq_topk_recall(spark):
+    """PQ-ADC + exact re-rank recall vs exact cosine top-k on the
+    real embeddings table (same gate style as LSH/IVF)."""
+    from pyspark.sql import functions as F
+
+    from dislib_spark.tables import load_table
+    from dislib_spark.vector.search import cosine_topk, pq_topk
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    exact = {
+        (r.q_id, r.c_id)
+        for r in cosine_topk(q, e, k=10).collect()
+    }
+    got = {
+        (r.q_id, r.c_id)
+        for r in pq_topk(q, e, k=10).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.85, recall

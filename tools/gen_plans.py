@@ -16,6 +16,10 @@ PICKS = {
     "t12_sequence_pack": "per-shard window cumsum; parallelism = shard count",
     "t16_tfidf_topk": "vocabulary df broadcast back onto the tf table; corpus shuffled once",
     "x15_funnel": "user-cardinality stage tables broadcast onto the event scan",
+    "x17_bloom_semi_join": "bloom bit array as a 1-row broadcast; prefilter before the join shuffle",
+    "t21_pagerank": "per-iteration join+agg rounds over lineage-cut checkpoints",
+    "m11_auc": "score-grouped aggregation before the running-sum window (no raw-row global window)",
+    "x20_running_total": "partitioned cumulative window, single exchange on the partition key",
 }
 
 

@@ -74,3 +74,78 @@ def test_concat_slicing_inverse(spark, A):
     top, bottom = a[:cut], a[cut:]
     rejoined = ds.concat_rows(top, bottom)
     assert np.allclose(rejoined.collect(), A, atol=1e-12)
+
+
+words_st = st.lists(
+    st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+    min_size=12,
+    max_size=30,
+)
+
+
+@given(a=words_st, b=words_st, seed=st.integers(0, 10**6))
+@settings(**_SETTINGS)
+def test_winnow_shared_substring_guarantee(spark, a, b, seed):
+    """The winnowing guarantee: two documents sharing a substring of
+    length >= k + w - 1 share at least one fingerprint. Plant a long
+    common run into both random docs and assert overlap."""
+    from dislib_spark.text.winnow import with_fingerprints
+
+    k, w = 8, 4
+    common = "sharedrunsharedrunsharedrun"  # 27 chars >= k + w - 1
+    ta = " ".join(a) + " " + common
+    tb = common + " " + " ".join(b)
+    df = spark.createDataFrame(
+        [(1, ta), (2, tb)], "doc_id long, text string"
+    )
+    fps = {
+        r.doc_id: set(r.fingerprints)
+        for r in with_fingerprints(df, k=k, w=w).collect()
+    }
+    assert fps[1] & fps[2]
+
+
+@given(
+    keys=st.lists(st.integers(0, 10**9), min_size=1, max_size=50, unique=True),
+    extra=st.lists(st.integers(0, 10**9), min_size=1, max_size=50, unique=True),
+)
+@settings(**_SETTINGS)
+def test_bloom_no_false_negatives(spark, keys, extra):
+    """Every inserted key passes the membership test (bloom contract:
+    false positives allowed, false negatives never)."""
+    from pyspark.sql import functions as F
+
+    from dislib_spark.sketches import bloom_build, bloom_prefilter
+
+    build = spark.createDataFrame([(k,) for k in keys], "k long")
+    bloom = bloom_build(build, "k", n_bits=1 << 12)
+    probe = spark.createDataFrame(
+        [(k,) for k in set(keys) | set(extra)], "k long"
+    )
+    kept = {r.k for r in bloom_prefilter(probe, "k", bloom).collect()}
+    assert set(keys) <= kept
+
+
+@given(
+    text=st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+            max_codepoint=0x7F,
+        ),
+        max_size=80,
+    )
+)
+@settings(**_SETTINGS)
+def test_pii_redaction_idempotent(spark, text):
+    """redact(redact(x)) == redact(x): the mask token matches no
+    pattern, so a second pass never changes the output."""
+    from pyspark.sql import functions as F
+
+    from dislib_spark.text.pii import redact
+
+    df = spark.createDataFrame([(text,)], "text string")
+    once = df.select(redact(F.col("text")).alias("r"))
+    twice = once.select(F.col("r").alias("text")).select(
+        redact(F.col("text")).alias("r")
+    )
+    assert once.collect() == twice.collect()

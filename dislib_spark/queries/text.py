@@ -231,6 +231,59 @@ def t21_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+# --- t22: per-document n-gram novelty (corpus-uniqueness) ------------
+def t22_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-curation diversity metric: per source, the mean fraction
+    of each doc's distinct 3-grams that occur in NO other document.
+    One corpus-wide gram count (md5-keyed, map-side combined) joined
+    back to the per-doc gram list — no self-join of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        fan_out(d)
+        .select("doc_id", "source", F.col("text"))
+        .select(
+            "doc_id",
+            "source",
+            # sequence(1, 0) is DESCENDING [1,0], not empty — guard
+            # short docs explicitly (shingles_from_tokens contract)
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+                        " transform(sequence(1, size(split(text, ' ')) - 2),"
+                        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+                        " ELSE array() END"
+                    )
+                )
+            ).alias("gram"),
+        )
+        .select("doc_id", "source", F.md5("gram").alias("gk"))
+        .localCheckpoint(eager=True)
+    )
+    counts = grams.groupBy("gk").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    per_doc = (
+        grams.join(counts, "gk")
+        .groupBy("doc_id", "source")
+        .agg(
+            (
+                F.sum((F.col("n_docs_with") == 1).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("novelty")
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("novelty"), 6).alias("avg_novelty"),
+            F.round(F.min("novelty"), 6).alias("min_novelty"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- t20: composed corpus-prep pipeline ------------------------------
 def t20_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end prep: quality filter → exact dedup (keep lowest
@@ -291,6 +344,7 @@ QUERIES = {
     "t19_pii_redact": t19_pii_redact,
     "t20_pipeline": t20_pipeline,
     "t21_pagerank": t21_pagerank,
+    "t22_novelty": t22_novelty,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -809,3 +863,28 @@ _PAGERANK_TAIL = """,
 ORACLE["t21_pagerank"] = (
     _CLUSTER_CTE.split("reach(")[0].rstrip().rstrip(",") + _PAGERANK_TAIL
 )
+
+
+ORACLE["t22_novelty"] = """
+    WITH g AS (
+        SELECT doc_id, source,
+               md5(UNNEST(list_distinct(
+                   [concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                    for i in range(1, greatest(len(toks) - 1, 1))]))) AS gk
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+              FROM documents)
+    ),
+    c AS (SELECT gk, COUNT(DISTINCT doc_id) AS n_docs_with
+          FROM g GROUP BY gk),
+    pd AS (
+        SELECT doc_id, source,
+               SUM(CASE WHEN n_docs_with = 1 THEN 1 ELSE 0 END)::DOUBLE
+                   / COUNT(*) AS novelty
+        FROM g JOIN c USING (gk)
+        GROUP BY doc_id, source
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(AVG(novelty), 6) AS avg_novelty,
+           ROUND(MIN(novelty), 6) AS min_novelty
+    FROM pd GROUP BY source ORDER BY source
+"""

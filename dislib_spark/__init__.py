@@ -29,6 +29,8 @@ from dislib_spark.array import (
     qr_economic,
     svd,
     transpose,
+    ComplexDsArray,
+    carray,
     SparseDsArray,
     load_svmlight_sparse,
     DsTensor,
@@ -61,6 +63,8 @@ __all__ = [
     "qr_economic",
     "svd",
     "transpose",
+    "ComplexDsArray",
+    "carray",
     "SparseDsArray",
     "load_svmlight_sparse",
     "DsTensor",

@@ -20,6 +20,12 @@ from dislib_spark.array.linalg import (
     svd,
     transpose,
 )
+from dislib_spark.array.complexa import (
+    ComplexDsArray,
+    carray,
+    from_parts,
+    from_real,
+)
 from dislib_spark.array.sparse import SparseDsArray, load_svmlight_sparse
 from dislib_spark.array.tensor import (
     DsTensor,
@@ -46,6 +52,10 @@ __all__ = [
     "qr_economic",
     "svd",
     "transpose",
+    "ComplexDsArray",
+    "carray",
+    "from_parts",
+    "from_real",
     "SparseDsArray",
     "load_svmlight_sparse",
     "DsTensor",

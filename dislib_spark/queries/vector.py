@@ -92,6 +92,19 @@ def v06_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(q, e, k=10).orderBy("q_id", "rank")
 
 
+def v07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup with deterministic seed centroids
+    (first 8 vectors): literal-center argmax-cosine assignment (zero
+    shuffle) + within-cluster pair join (candidate-bounded). Fully
+    value-replayed by the DuckDB oracle."""
+    from dislib_spark.vector.semantic import semantic_dedup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        e, n_clusters=8, threshold=0.3, centers="seed"
+    ).orderBy("a_id", "b_id")
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -99,6 +112,7 @@ QUERIES = {
     "v04_ivf_topk": v04_ivf_topk,
     "v05_random_projection": v05_random_projection,
     "v06_pq_topk": v06_pq_topk,
+    "v07_semantic_dedup": v07_semantic_dedup,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -158,6 +172,47 @@ ORACLE = {
         ) WHERE sim >= 0.2 ORDER BY a_id, b_id
     """,
     # v03/v04: approximate (hash/KMeans-seeded) — rows-only by design.
+    "v07_semantic_dedup": f"""
+        WITH cells AS ({_CELLS}),
+        norms AS (
+            SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM cells GROUP BY vec_id
+        ),
+        cdots AS (
+            SELECT a.vec_id AS vid, b.vec_id AS ctr, SUM(a.v * b.v) AS dot
+            FROM cells a JOIN cells b ON a.k = b.k AND b.vec_id < 8
+            GROUP BY a.vec_id, b.vec_id
+        ),
+        assigned AS (
+            SELECT vid, ctr AS cluster FROM (
+                SELECT c.vid, c.ctr,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.vid
+                           ORDER BY c.dot / (na.nrm * nb.nrm) DESC, c.ctr
+                       ) AS rn
+                FROM cdots c
+                JOIN norms na ON na.vec_id = c.vid
+                JOIN norms nb ON nb.vec_id = c.ctr
+            ) WHERE rn = 1
+        ),
+        pdots AS (
+            SELECT x.cluster, a.vec_id AS a_id, b.vec_id AS b_id,
+                   SUM(a.v * b.v) AS dot
+            FROM assigned x
+            JOIN assigned y ON x.cluster = y.cluster AND x.vid < y.vid
+            JOIN cells a ON a.vec_id = x.vid
+            JOIN cells b ON b.vec_id = y.vid AND a.k = b.k
+            GROUP BY x.cluster, a.vec_id, b.vec_id
+        )
+        SELECT cluster, a_id, b_id, sim FROM (
+            SELECT CAST(p.cluster AS INTEGER) AS cluster,
+                   CAST(p.a_id AS BIGINT) AS a_id,
+                   CAST(p.b_id AS BIGINT) AS b_id,
+                   ROUND(p.dot / (na.nrm * nb.nrm), 6) AS sim
+            FROM pdots p
+            JOIN norms na ON na.vec_id = p.a_id
+            JOIN norms nb ON nb.vec_id = p.b_id
+        ) WHERE sim >= 0.3 ORDER BY a_id, b_id
+    """,
 }
 
 

@@ -322,6 +322,39 @@ def t19_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t23_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal, self-trained: per-doc mean
+    token log-prob under the corpus unigram LM, aggregated per
+    source. One explode+count for the LM, one token hash join back
+    (stopword skew = AQE skew-join territory)."""
+    from dislib_spark.text.lm import lm_doc_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    s = lm_doc_scores(d)
+    return (
+        d.select("doc_id", "source")
+        .join(s, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("lm_score"), 6).alias("avg_lm"),
+            F.round(F.min("lm_score"), 6).alias("min_lm"),
+        )
+        .orderBy("source")
+    )
+
+
+def t24_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction kernel: one BPE merge-selection step —
+    frequency-weighted adjacent char-pair counts over the vocabulary
+    (corpus-sized work is ONE word-count agg; pair explosion runs on
+    the vocab-sized distinct-word table). Top-20 merge candidates."""
+    from dislib_spark.text.lm import bpe_pair_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(d, top_k=20)
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -345,6 +378,8 @@ QUERIES = {
     "t20_pipeline": t20_pipeline,
     "t21_pagerank": t21_pagerank,
     "t22_novelty": t22_novelty,
+    "t23_lm_score": t23_lm_score,
+    "t24_bpe_pairs": t24_bpe_pairs,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -887,4 +922,41 @@ ORACLE["t22_novelty"] = """
            ROUND(AVG(novelty), 6) AS avg_novelty,
            ROUND(MIN(novelty), 6) AS min_novelty
     FROM pd GROUP BY source ORDER BY source
+"""
+
+ORACLE["t23_lm_score"] = """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    toks2 AS (SELECT * FROM toks WHERE w <> ''),
+    counts AS (SELECT w, COUNT(*) AS c FROM toks2 GROUP BY w),
+    total AS (SELECT SUM(c)::DOUBLE AS n FROM counts),
+    per_doc AS (
+        SELECT t.doc_id, AVG(LN(c.c / total.n)) AS lm_score
+        FROM toks2 t JOIN counts c ON t.w = c.w CROSS JOIN total
+        GROUP BY t.doc_id
+    )
+    SELECT d.source, COUNT(*) AS n_docs,
+           ROUND(AVG(p.lm_score), 6) AS avg_lm,
+           ROUND(MIN(p.lm_score), 6) AS min_lm
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+"""
+
+ORACLE["t24_bpe_pairs"] = """
+    WITH words AS (
+        SELECT w, COUNT(*) AS freq FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+        ) WHERE w <> '' GROUP BY w
+    ),
+    pairs AS (
+        SELECT UNNEST([SUBSTRING(w, i, 2) for i in range(1, LENGTH(w))])
+                   AS pair,
+               freq
+        FROM words WHERE LENGTH(w) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS total
+    FROM pairs GROUP BY pair
+    ORDER BY total DESC, pair LIMIT 20
 """

@@ -1,0 +1,153 @@
+"""Corpus language-model scoring + tokenizer-induction kernels.
+
+Two training-data curation operators the big-pipeline stacks run at
+scale (both public techniques: CCNet-style LM quality filtering,
+Sennrich et al. BPE vocabulary induction):
+
+- :func:`lm_doc_scores` — self-trained unigram LM perplexity proxy:
+  token log-probabilities from the corpus' own unigram distribution,
+  averaged per document. Low scores flag gibberish / OOV-heavy docs;
+  the distributional shape is what CCNet buckets on (head/middle/
+  tail). Pure DataFrame ops: one explode → count aggregation for the
+  LM, one join back on token for scoring.
+- :func:`bpe_pair_counts` — ONE iteration of byte-pair-encoding merge
+  counting at word level: frequency-weighted counts of adjacent
+  character pairs across the corpus vocabulary. The argmax pair is
+  the next BPE merge; iterating this (driver loop over a shrinking
+  vocab) trains a tokenizer. Exposed as the single-step kernel
+  because that's the distributed-heavy part — the merge loop is
+  driver-side orchestration over a vocab-sized (small) table.
+
+Scale notes (100 TB): token explode is linear and partition-local;
+the unigram count aggregation is map-side combined (vocab ≪ corpus);
+the score join is a plain hash join on token — hot tokens (stopwords)
+are exactly the rows AQE skew-split handles. BPE counting runs on
+the *distinct-word* table (vocab-sized, not corpus-sized) — the
+corpus-sized work is the single word-count aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dislib_spark.utils.base import fan_out
+
+
+def _words(docs: DataFrame, text_col: str, extra: list[str]) -> DataFrame:
+    """(extra..., w) — one row per token; single-space split, empty
+    tokens dropped (matches the repo-wide oracle tokenization)."""
+    return (
+        docs.select(*extra, F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+
+
+def lm_doc_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus'
+    own unigram LM: score_d = avg over tokens of ln(c(w)/N).
+
+    Returns (id_col, n_tokens, lm_score). More negative = more
+    surprising under the corpus distribution.
+    """
+    toks = _words(fan_out(docs), text_col, [id_col])
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n")).select(
+        F.col("n").cast("double").alias("_total")
+    )
+    scored = (
+        toks.join(counts, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (F.log(F.col("c") / F.col("_total"))).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("lp").alias("lm_score"),
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Frequency-weighted adjacent-character-pair counts over the
+    corpus vocabulary — one BPE merge-selection step.
+
+    Returns (pair, total) with total = Σ_words freq(word) ×
+    occurrences(pair, word), ordered by total DESC then pair. The
+    top row is the next BPE merge.
+    """
+    words = (
+        _words(fan_out(docs), text_col, [])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.length("w") >= 2)  # guard: sequence(1,0) is DESCENDING
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    out = (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("total"))
+        .orderBy(F.desc("total"), "pair")
+    )
+    return out.limit(top_k) if top_k else out
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> list[tuple[str, int]]:
+    """Driver-orchestrated BPE merge loop (toy scale): repeatedly pick
+    the argmax pair and re-segment the vocab. The vocab table is
+    collected once (vocab ≪ corpus — the distributed step is the word
+    count); merges then run locally like any tokenizer trainer."""
+    rows = (
+        _words(docs, text_col, [])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    )
+    vocab = {tuple(r["w"]): r["freq"] for r in rows}
+    merges: list[tuple[str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple, int] = {}
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((a + b, c))
+        merged = a + b
+        new_vocab: dict[tuple, int] = {}
+        for syms, freq in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges

@@ -20,6 +20,9 @@ PICKS = {
     "t21_pagerank": "per-iteration join+agg rounds over lineage-cut checkpoints",
     "m11_auc": "score-grouped aggregation before the running-sum window (no raw-row global window)",
     "x20_running_total": "partitioned cumulative window, single exchange on the partition key",
+    "v07_semantic_dedup": "literal-centroid assignment is a narrow map (no exchange before the cluster-pair join)",
+    "t23_lm_score": "unigram LM = one map-side-combined count agg; score join on token + 1-row total broadcast",
+    "t24_bpe_pairs": "pair explosion runs on the vocab-sized word table, after the corpus-sized count agg",
 }
 
 

@@ -475,6 +475,84 @@ def x18_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_X18_SQL)
 
 
+# --- x21-x23: classic TPC-H shapes run verbatim on both engines ------
+# (adapted to the synthetic schema: no comment/phone/receiptdate
+# columns, so the filters use the columns that exist — the OPERATOR
+# shapes are the point: Q13's filtered outer-join histogram, Q21's
+# EXISTS+NOT-EXISTS self-joins, Q22's scalar-subquery + anti-join.)
+_X21_SQL = """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+_X22_SQL = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+      AND s_nationkey = n_nationkey
+      AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+_X23_SQL = """
+    SELECT cc, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+    FROM (
+        SELECT c_nationkey % 5 AS cc, c_acctbal, c_custkey FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+    ) GROUP BY cc ORDER BY cc
+"""
+
+
+def _verbatim(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dislib_spark.tables import register_views
+
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+x21_tpch_q13 = _verbatim(_X21_SQL)
+x21_tpch_q13.__doc__ = (
+    "TPC-H Q13 shape: filtered LEFT OUTER JOIN preserving zero-order "
+    "customers, then an order-count histogram. Exercises outer-join "
+    "null counting that no other declared query hits."
+)
+x22_tpch_q21 = _verbatim(_X22_SQL)
+x22_tpch_q21.__doc__ = (
+    "TPC-H Q21 shape: correlated EXISTS (another supplier in the "
+    "order) + NOT EXISTS (nobody shipped later) self-joins on the "
+    "fact table — Catalyst turns them into semi/anti hash joins."
+)
+x23_tpch_q22 = _verbatim(_X23_SQL)
+x23_tpch_q22.__doc__ = (
+    "TPC-H Q22 shape: uncorrelated scalar subquery (avg positive "
+    "balance, 1-row broadcast) + anti-join on urgent orders, decimal "
+    "money sum for order-independence."
+)
+
+
 # --- x19: NTILE quantile bucketing -----------------------------------
 def x19_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile customers by account balance (fully deterministic
@@ -551,6 +629,9 @@ QUERIES = {
     "x18_sql_interface": x18_sql_interface,
     "x19_ntile": x19_ntile,
     "x20_running_total": x20_running_total,
+    "x21_tpch_q13": x21_tpch_q13,
+    "x22_tpch_q21": x22_tpch_q21,
+    "x23_tpch_q22": x23_tpch_q22,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -686,6 +767,9 @@ ORACLE = {
         GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "x18_sql_interface": _X18_SQL,
+    "x21_tpch_q13": _X21_SQL,
+    "x22_tpch_q21": _X22_SQL,
+    "x23_tpch_q22": _X23_SQL,
     "x19_ntile": """
         SELECT q, COUNT(*) AS n,
                ROUND(MIN(c_acctbal), 6) AS lo,

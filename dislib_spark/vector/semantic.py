@@ -43,6 +43,7 @@ def _center_rows(
     vec_col: str,
     centers: str,
     seed: int,
+    kmeans_max_iter: int = 20,
 ) -> list[list[float]]:
     """Materialize the k centroid vectors on the driver (k×d floats —
     tiny at any corpus scale; this is the only driver collect)."""
@@ -61,7 +62,10 @@ def _center_rows(
         vecs = corpus.select(
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v")
         )
-        model = KMeans(k=n_clusters, seed=seed, featuresCol="_v").fit(vecs)
+        model = KMeans(
+            k=n_clusters, seed=seed, featuresCol="_v",
+            maxIter=kmeans_max_iter,
+        ).fit(vecs)
         return [[float(v) for v in c] for c in model.clusterCenters()]
     raise ValueError(f"centers must be 'seed' or 'kmeans', got {centers!r}")
 
@@ -73,13 +77,36 @@ def assign_clusters(
     vec_col: str = "embedding",
     centers: str = "seed",
     seed: int = 23,
+    method: str = "auto",
+    kmeans_max_iter: int = 20,
 ) -> DataFrame:
-    """Add an argmax-cosine ``cluster`` column. Literal-center
-    projection — no shuffle, no Python; ties break to the lowest
-    cluster id (deterministic, matches the oracle's ORDER BY)."""
+    """Add an argmax-cosine ``cluster`` column; ties break to the
+    lowest cluster id (deterministic, matches the oracle's ORDER BY).
+
+    Two physical strategies, both shuffle-free narrow maps:
+
+    - ``method='literal'`` (auto for k <= 32): centers baked into one
+      JVM projection — zero Python, SQL-replayable. The expression
+      tree grows O(k x d), so large k would drown Catalyst/codegen.
+    - ``method='arrow'`` (auto for k > 32): one vectorized numpy
+      ``X @ C.T`` per Arrow batch under ``mapInArrow`` — the
+      SemDeDup-at-scale path (k ~ 100k cells needs BLAS, not
+      expression trees).
+    """
     import numpy as np
 
-    ctrs = _center_rows(corpus, n_clusters, id_col, vec_col, centers, seed)
+    ctrs = _center_rows(
+        corpus, n_clusters, id_col, vec_col, centers, seed, kmeans_max_iter
+    )
+    if method == "auto":
+        method = "literal" if len(ctrs) <= 32 else "arrow"
+    if method == "arrow":
+        unit = np.stack(
+            [np.asarray(c, dtype=np.float64) / np.linalg.norm(c) for c in ctrs]
+        )
+        return _assign_arrow(corpus, unit, vec_col)
+    if method != "literal":
+        raise ValueError(f"method must be auto|literal|arrow, got {method!r}")
     # Unit-normalize the centers on the driver: argmax over plain dot
     # products equals argmax over cosines (the row norm is a shared
     # positive factor), so the per-row expression needs no sqrt and —
@@ -115,6 +142,34 @@ def assign_clusters(
     ).drop("_sims")
 
 
+def _assign_arrow(corpus: DataFrame, unit_centers, vec_col: str) -> DataFrame:
+    """Vectorized argmax-dot assignment: one BLAS matmul per Arrow
+    batch, centers shipped once per task via closure capture. Output
+    schema = input schema + cluster int (np.argmax ties -> lowest
+    index, same contract as the literal path)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    C = np.ascontiguousarray(np.asarray(unit_centers, dtype=np.float64).T)
+    out_schema = T.StructType(
+        list(corpus.schema.fields)
+        + [T.StructField("cluster", T.IntegerType(), False)]
+    )
+
+    def fn(batches):
+        for b in batches:
+            col = b.column(b.schema.get_field_index(vec_col))
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            X = flat.astype(np.float64, copy=False).reshape(len(col), -1)
+            cl = (X @ C).argmax(axis=1).astype(np.int32)
+            yield b.append_column(
+                "cluster", pa.array(cl, type=pa.int32())
+            )
+
+    return corpus.mapInArrow(fn, out_schema)
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     n_clusters: int = 8,
@@ -123,26 +178,52 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     centers: str = "seed",
     seed: int = 23,
+    method: str = "auto",
+    kmeans_max_iter: int = 20,
+    pairs_method: str = "auto",
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs: (cluster, a_id, b_id, sim)
     with a_id < b_id and cosine ≥ threshold. The equi-join on
     ``cluster`` bounds candidates to same-cell vectors — the SemDeDup
     trade: cross-cluster near-dups are missed by construction, the
-    pair count drops from C(n,2) to Σ C(|cell|,2)."""
+    pair count drops from C(n,2) to Σ C(|cell|,2).
+
+    Pair scoring has two physical strategies:
+
+    - ``pairs_method='sql'`` (auto when ``centers='seed'``): equi-join
+      on cluster + per-pair JVM cosine fold — exactly replayable by
+      the DuckDB oracle (v07), right for small cells.
+    - ``pairs_method='arrow'`` (auto otherwise): per-cluster BLAS
+      Gram matrix under ``applyInPandas`` — the published SemDeDup
+      implementation shape. A 2k-vector cell is ONE d×2k² matmul
+      instead of 2M expression-tree folds; measured 521 s → tens of
+      seconds at 500k×64 / 256 cells. Row-chunked (2048) so peak
+      memory per task is |cell|×2048 doubles, not |cell|².
+    """
     assigned = assign_clusters(
-        fan_out(corpus), n_clusters, id_col, vec_col, centers, seed
-    ).select(
+        fan_out(corpus), n_clusters, id_col, vec_col, centers, seed, method,
+        kmeans_max_iter,
+    )
+    if pairs_method == "auto":
+        pairs_method = "sql" if centers == "seed" else "arrow"
+    if pairs_method == "arrow":
+        return _pairs_arrow(assigned, id_col, vec_col, threshold)
+    if pairs_method != "sql":
+        raise ValueError(
+            f"pairs_method must be auto|sql|arrow, got {pairs_method!r}"
+        )
+    lhs = assigned.select(
         "cluster",
         F.col(id_col).alias("a_id"),
         F.col(vec_col).alias("a_vec"),
     )
-    rhs = assigned.select(
+    rhs = lhs.select(
         "cluster",
         F.col("a_id").alias("b_id"),
         F.col("a_vec").alias("b_vec"),
     )
     return (
-        assigned.join(rhs, "cluster")
+        lhs.join(rhs, "cluster")
         .where(F.col("a_id") < F.col("b_id"))
         .select(
             "cluster",
@@ -156,6 +237,62 @@ def semantic_dedup_pairs(
     )
 
 
+def _pairs_arrow(
+    assigned: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Per-cluster Gram-matrix pair scoring: one groupBy shuffle on
+    cluster, then BLAS inside each group. Emits the same
+    (cluster, a_id, b_id, sim) rows as the SQL path (sim rounded to
+    6; ties/order identical because ids are sorted per group)."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def group_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"cluster": [], "a_id": [], "b_id": [], "sim": []}
+            ).astype({"cluster": "int32", "a_id": "int64",
+                      "b_id": "int64", "sim": "float64"})
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        cl = int(pdf["cluster"].iloc[0])
+        out_a, out_b, out_s = [], [], []
+        CHUNK = 2048
+        for lo in range(0, n, CHUNK):
+            hi = min(lo + CHUNK, n)
+            S = np.round(Xn[lo:hi] @ Xn.T, 6)  # (hi-lo) x n
+            for r in range(lo, hi):
+                row = S[r - lo, r + 1 :]
+                hits = np.nonzero(row >= thr)[0] + r + 1
+                if hits.size:
+                    out_a.append(np.full(hits.size, ids[r]))
+                    out_b.append(ids[hits])
+                    out_s.append(row[hits - r - 1])
+        if not out_a:
+            return pd.DataFrame(
+                {"cluster": [], "a_id": [], "b_id": [], "sim": []}
+            ).astype({"cluster": "int32", "a_id": "int64",
+                      "b_id": "int64", "sim": "float64"})
+        return pd.DataFrame(
+            {
+                "cluster": np.int32(cl),
+                "a_id": np.concatenate(out_a),
+                "b_id": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        group_pairs, "cluster int, a_id long, b_id long, sim double"
+    )
+
+
 def semantic_dedup_keep(
     corpus: DataFrame,
     n_clusters: int = 8,
@@ -164,13 +301,14 @@ def semantic_dedup_keep(
     vec_col: str = "embedding",
     centers: str = "seed",
     seed: int = 23,
+    method: str = "auto",
 ) -> DataFrame:
     """Survivor set: drop every vector that has a LOWER-id neighbor
     above the threshold in its cluster (the same lowest-id-survives
     canonicalization as ``graph.dedup_canonical``). One anti-join on
     the pair set's b_id side."""
     pairs = semantic_dedup_pairs(
-        corpus, n_clusters, threshold, id_col, vec_col, centers, seed
+        corpus, n_clusters, threshold, id_col, vec_col, centers, seed, method
     )
     drops = pairs.select(F.col("b_id").alias(id_col)).distinct()
     return corpus.join(drops, id_col, "left_anti")

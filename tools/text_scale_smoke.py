@@ -40,8 +40,10 @@ def main():
     from dislib_spark.session import get_spark
     from dislib_spark.text.dedup import exact_dedup, minhash_lsh_pairs
     from dislib_spark.text.repetition import with_repetition_features
+    from dislib_spark.text.lm import bpe_pair_counts, lm_doc_scores
     from dislib_spark.text.winnow import with_fingerprints
     from dislib_spark.vector.search import lsh_topk
+    from dislib_spark.vector.semantic import semantic_dedup_pairs
 
     spark = get_spark(app_name="text-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
@@ -91,6 +93,16 @@ def main():
         .agg(F.sum(F.size("fingerprints")))
         .collect(),
     )
+    timed(
+        "unigram-LM doc scores (count + token join)",
+        lambda: lm_doc_scores(docs)
+        .agg(F.avg("lm_score"), F.min("lm_score"))
+        .collect(),
+    )
+    timed(
+        "BPE pair counts (vocab-sized explosion)",
+        lambda: bpe_pair_counts(docs, top_k=20).collect(),
+    )
     docs.unpersist()
 
     def gen_vecs():
@@ -116,6 +128,13 @@ def main():
     timed(
         "LSH ANN top-10 (10 queries, bucket join)",
         lambda: lsh_topk(queries, vecs, k=10).count(),
+    )
+    timed(
+        "semantic dedup (256 cells, 5-iter kmeans)",
+        lambda: semantic_dedup_pairs(
+            vecs, n_clusters=256, threshold=0.95, centers="kmeans",
+            kmeans_max_iter=5,
+        ).count(),
     )
     vecs.unpersist()
 

@@ -553,6 +553,31 @@ x23_tpch_q22.__doc__ = (
 )
 
 
+
+# --- x24: moving-average window frame --------------------------------
+def x24_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS-frame window (3-order trailing moving average of
+    order value per customer) — the frame variant x20's cumulative
+    window doesn't cover. Deterministic ordering: date then orderkey;
+    output bounded to custkey < 50."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.avg("o_totalprice").over(w), 6).alias("mavg3"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 # --- x19: NTILE quantile bucketing -----------------------------------
 def x19_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile customers by account balance (fully deterministic
@@ -632,6 +657,7 @@ QUERIES = {
     "x21_tpch_q13": x21_tpch_q13,
     "x22_tpch_q21": x22_tpch_q21,
     "x23_tpch_q22": x23_tpch_q22,
+    "x24_moving_avg": x24_moving_avg,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -770,6 +796,15 @@ ORACLE = {
     "x21_tpch_q13": _X21_SQL,
     "x22_tpch_q21": _X22_SQL,
     "x23_tpch_q22": _X23_SQL,
+    "x24_moving_avg": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(AVG(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+        FROM orders WHERE o_custkey < 50
+        ORDER BY o_custkey, o_orderkey
+    """,
     "x19_ntile": """
         SELECT q, COUNT(*) AS n,
                ROUND(MIN(c_acctbal), 6) AS lo,

@@ -315,6 +315,59 @@ def m11_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M12_THRESHOLDS = [5.0, 10.0, 15.0, 20.0, 25.0, 30.0, 35.0, 40.0, 45.0]
+
+
+def m12_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed decision-stump split search — the kernel inside RF
+    tree training (reference trees/ distributed split evaluation;
+    MLlib does the same internally): evaluate every candidate
+    threshold's weighted Gini in ONE pass of conditional aggregates
+    (map-side combined — the data is read once for ALL thresholds,
+    not once per threshold), then reshape the single stats row with
+    ``stack``. Target y = (l_returnflag = 'R'), feature l_quantity."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("pos"),
+    ]
+    for i, t in enumerate(_M12_THRESHOLDS):
+        c = F.col("q") <= t
+        aggs.append(
+            F.sum(F.when(c, 1).otherwise(0)).alias(f"nl_{i}")
+        )
+        aggs.append(
+            F.sum(F.when(c, F.col("y")).otherwise(0)).alias(f"pl_{i}")
+        )
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), nl_{i}, pl_{i}"
+        for i, t in enumerate(_M12_THRESHOLDS)
+    )
+    stacked = one.selectExpr(
+        "n",
+        "pos",
+        f"stack({len(_M12_THRESHOLDS)}, {stack_args}) AS (thr, nl, pl)",
+    )
+    # weighted gini = (2·pl·(nl-pl)/nl + 2·pr·(nr-pr)/nr) / n
+    gl = F.when(
+        F.col("nl") > 0,
+        2.0 * F.col("pl") * (F.col("nl") - F.col("pl")) / F.col("nl"),
+    ).otherwise(0.0)
+    nr = F.col("n") - F.col("nl")
+    pr = F.col("pos") - F.col("pl")
+    gr = F.when(nr > 0, 2.0 * pr * (nr - pr) / nr).otherwise(0.0)
+    return stacked.select(
+        "thr",
+        F.col("nl").cast("long").alias("n_left"),
+        nr.cast("long").alias("n_right"),
+        F.round((gl + gr) / F.col("n"), 6).alias("wgini"),
+    ).orderBy("thr")
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -327,6 +380,7 @@ QUERIES = {
     "m09_scaler_transform_stats": m09_scaler_transform_stats,
     "m10_logreg_grad": m10_logreg_grad,
     "m11_auc": m11_auc,
+    "m12_stump_split": m12_stump_split,
 }
 
 
@@ -571,3 +625,29 @@ ORACLE = {
         FROM r
     """,
 }
+
+ORACLE["m12_stump_split"] = """
+    WITH s AS (
+        SELECT l_quantity AS q,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ),
+    t(thr) AS (VALUES (5.0), (10.0), (15.0), (20.0), (25.0), (30.0),
+                      (35.0), (40.0), (45.0)),
+    a AS (
+        SELECT t.thr,
+               COUNT(*) AS n, SUM(y) AS pos,
+               SUM(CASE WHEN q <= t.thr THEN 1 ELSE 0 END) AS nl,
+               SUM(CASE WHEN q <= t.thr THEN y ELSE 0 END) AS pl
+        FROM s CROSS JOIN t GROUP BY t.thr
+    )
+    SELECT CAST(thr AS DOUBLE) AS thr,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(n - nl AS BIGINT) AS n_right,
+           ROUND((CASE WHEN nl > 0
+                       THEN 2.0 * pl * (nl - pl) / nl ELSE 0.0 END
+                + CASE WHEN n - nl > 0
+                       THEN 2.0 * (pos - pl) * ((n - nl) - (pos - pl))
+                            / (n - nl) ELSE 0.0 END) / n, 6) AS wgini
+    FROM a ORDER BY thr
+"""

@@ -355,6 +355,32 @@ def t24_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(d, top_k=20)
 
 
+def t25_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping token-window chunking (50-token chunks,
+    10-token overlap) — per-chunk md5 fingerprints make the oracle a
+    full content check, not just counts."""
+    from dislib_spark.text.chunking import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=50, overlap=10).select(
+        "doc_id", "chunk_id", "n_tokens", "fp"
+    ).orderBy("doc_id", "chunk_id")
+
+
+def t26_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs on 80-char prefixes, candidates
+    bucketed by the md5 of the first two tokens (levenshtein is
+    O(len^2) per pair — the bucket join and bounded prefix are the
+    scale levers). Fully oracle-checkable unlike the hash-sketch
+    dedup paths."""
+    from dislib_spark.text.chunking import fuzzy_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return fuzzy_pairs(d, prefix_len=80, bucket_tokens=2, max_dist=20).orderBy(
+        "a_id", "b_id"
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -380,6 +406,8 @@ QUERIES = {
     "t22_novelty": t22_novelty,
     "t23_lm_score": t23_lm_score,
     "t24_bpe_pairs": t24_bpe_pairs,
+    "t25_chunking": t25_chunking,
+    "t26_fuzzy_dedup": t26_fuzzy_dedup,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -959,4 +987,42 @@ ORACLE["t24_bpe_pairs"] = """
     SELECT pair, CAST(SUM(freq) AS BIGINT) AS total
     FROM pairs GROUP BY pair
     ORDER BY total DESC, pair LIMIT 20
+"""
+
+ORACLE["t25_chunking"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               [x for x in range(1, greatest(len(toks) - 10, 1) + 1, 40)]
+                   AS starts
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id,
+               GENERATE_SUBSCRIPTS(starts, 1) AS chunk_id,
+               array_to_string(
+                   list_slice(toks, UNNEST(starts), UNNEST(starts) + 49),
+                   ' ') AS chunk
+        FROM s
+    )
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(len(string_split(chunk, ' ')) AS INTEGER) AS n_tokens,
+           md5(chunk) AS fp
+    FROM c ORDER BY doc_id, chunk_id
+"""
+
+ORACLE["t26_fuzzy_dedup"] = """
+    WITH d AS (
+        SELECT doc_id, SUBSTRING(text, 1, 80) AS pfx,
+               md5(array_to_string(
+                   list_slice(string_split(text, ' '), 1, 2), ' ')) AS bk
+        FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS dist
+    FROM d a JOIN d b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= 20
+    ORDER BY a_id, b_id
 """

@@ -1,0 +1,109 @@
+"""Chunking + edit-distance dedup vs pure-python references."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from dislib_spark.text.chunking import chunk_documents, fuzzy_pairs
+
+DOCS = [
+    (0, " ".join(f"w{i}" for i in range(120))),
+    (1, " ".join(f"w{i}" for i in range(50))),
+    (2, " ".join(f"w{i}" for i in range(30))),   # shorter than a chunk
+    (3, "single"),
+    (4, " ".join(f"w{i}" for i in range(51))),   # one token past a chunk
+]
+
+
+def _py_chunks(text, c=50, o=10):
+    toks = text.split(" ")
+    step = c - o
+    starts = list(range(1, max(len(toks) - o, 1) + 1, step))
+    return [
+        " ".join(toks[s - 1 : s - 1 + c]) for s in starts
+    ]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_chunks_match_python(spark, docs):
+    got = {}
+    for r in chunk_documents(docs, 50, 10).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk"], r["n_tokens"], r["fp"])
+        )
+    for i, text in DOCS:
+        want = _py_chunks(text)
+        rows = sorted(got[i])
+        assert len(rows) == len(want)
+        for (cid, chunk, ntok, fp), w in zip(rows, want):
+            assert chunk == w
+            assert ntok == len(w.split(" "))
+            assert fp == hashlib.md5(w.encode()).hexdigest()
+
+
+def test_chunk_overlap_property(spark, docs):
+    """Consecutive chunks share exactly `overlap` tokens (except a
+    short final chunk)."""
+    rows = [
+        r
+        for r in chunk_documents(docs, 50, 10).collect()
+        if r["doc_id"] == 0
+    ]
+    rows.sort(key=lambda r: r["chunk_id"])
+    a, b = rows[0]["chunk"].split(" "), rows[1]["chunk"].split(" ")
+    assert a[-10:] == b[:10]
+
+
+def test_overlap_validation(spark, docs):
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=10, overlap=10)
+
+
+def test_fuzzy_pairs_match_python(spark):
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delXa"),       # 1 edit from doc 0 prefix
+        (2, "alpha beta totally different"),  # same bucket, far text
+        (3, "omega psi chi"),                # different bucket
+        (4, "alpha beta gamma delta"),       # exact dup of 0
+    ]
+    df = SparkDF = None
+    import dislib_spark  # noqa: F401  (session already up via fixture)
+
+    from pyspark.sql import SparkSession
+
+    spark_ = SparkSession.getActiveSession()
+    df = spark_.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in fuzzy_pairs(df, prefix_len=80, bucket_tokens=2, max_dist=5).collect()
+    }
+    # python reference
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    want = {}
+    for (i, ta), (j, tb) in itertools.combinations(rows, 2):
+        if ta.split(" ")[:2] == tb.split(" ")[:2]:
+            d = lev(ta[:80], tb[:80])
+            if d <= 5:
+                want[(i, j)] = d
+    assert got == want
+    assert (0, 4) in got and got[(0, 4)] == 0
+    assert (0, 1) in got and got[(0, 1)] == 1
+    assert (0, 2) not in got

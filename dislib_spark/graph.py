@@ -147,3 +147,30 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, a_col: str = "a_id",
+                   b_col: str = "b_id") -> DataFrame:
+    """Count triangles in an undirected graph given canonically
+    oriented edges (a < b). Two equi-joins: wedges (a-b-c with
+    a<b<c via the orientation) closed by an edge-existence join —
+    each triangle counted exactly once.
+
+    Scale note: the canonical orientation is the textbook
+    output-bound — joining oriented edges bounds wedge count by
+    Σ d_out(v)²; for skewed degree distributions orient by
+    (degree, id) instead of raw id before calling (the hub node
+    then has small out-degree). Returns one row
+    (n_edges, n_triangles)."""
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    e1 = e
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    closing = e.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["a", "c"])
+    n_e = e.count()
+    n_t = tri.count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_e, n_t)], "n_edges bigint, n_triangles bigint"
+    )

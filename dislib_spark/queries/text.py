@@ -381,6 +381,28 @@ def t26_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t27_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index build: doc-sorted posting arrays per term
+    (df >= 3 bounds the output; stopword-sized postings are the
+    documented 100 TB skew risk). Oracle compares the ARRAYS."""
+    from dislib_spark.text.chunking import inverted_index
+
+    d = load_table(spark, sf_dir, "documents")
+    return inverted_index(d, min_df=3).orderBy("term")
+
+
+def t28_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the fuzzy-dedup graph (lev<=60 edges):
+    wedge join + closure join on canonically oriented edges — the
+    clique-density signal for boilerplate clusters."""
+    from dislib_spark.graph import triangle_count
+    from dislib_spark.text.chunking import fuzzy_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = fuzzy_pairs(d, prefix_len=80, bucket_tokens=2, max_dist=60)
+    return triangle_count(edges)
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -408,6 +430,8 @@ QUERIES = {
     "t24_bpe_pairs": t24_bpe_pairs,
     "t25_chunking": t25_chunking,
     "t26_fuzzy_dedup": t26_fuzzy_dedup,
+    "t27_inverted_index": t27_inverted_index,
+    "t28_triangles": t28_triangles,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -1025,4 +1049,34 @@ ORACLE["t26_fuzzy_dedup"] = """
     FROM d a JOIN d b ON a.bk = b.bk AND a.doc_id < b.doc_id
     WHERE levenshtein(a.pfx, b.pfx) <= 20
     ORDER BY a_id, b_id
+"""
+
+ORACLE["t27_inverted_index"] = """
+    WITH td AS (
+        SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents
+    )
+    SELECT term, COUNT(*) AS df,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM td WHERE term <> ''
+    GROUP BY term HAVING COUNT(*) >= 3
+    ORDER BY term
+"""
+
+ORACLE["t28_triangles"] = """
+    WITH d AS (
+        SELECT doc_id, SUBSTRING(text, 1, 80) AS pfx,
+               md5(array_to_string(
+                   list_slice(string_split(text, ' '), 1, 2), ' ')) AS bk
+        FROM documents
+    ),
+    e AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM d a JOIN d b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.pfx, b.pfx) <= 60
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*) FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
 """

@@ -102,3 +102,36 @@ def fuzzy_pairs(
         )
         .where(F.col("dist") <= max_dist)
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Search-index export: (term, df, postings) with doc-sorted
+    posting arrays — the build step for retrieval over the corpus
+    (contamination checks, quality audits, eval lookups).
+
+    One explode + distinct + groupBy: the shuffle key is the term,
+    so stopword postings are the skew/size risk at 100 TB — filter
+    by ``min_df``/max-df or cap posting arrays with ``slice`` for a
+    bounded index; AQE skew-split handles the groupBy itself."""
+    td = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("did"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    return (
+        td.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("did")).alias("postings"),
+        )
+        .where(F.col("df") >= min_df)
+    )

@@ -107,3 +107,42 @@ def test_fuzzy_pairs_match_python(spark):
     assert (0, 4) in got and got[(0, 4)] == 0
     assert (0, 1) in got and got[(0, 1)] == 1
     assert (0, 2) not in got
+
+
+def test_inverted_index_matches_python(spark, docs):
+    from dislib_spark.text.chunking import inverted_index
+
+    want = {}
+    for i, t in DOCS:
+        for w in set(t.split(" ")):
+            want.setdefault(w, []).append(i)
+    want = {
+        t: sorted(ids) for t, ids in want.items() if len(ids) >= 2 and t
+    }
+    got = {
+        r["term"]: list(r["postings"])
+        for r in inverted_index(docs, min_df=2).collect()
+    }
+    assert got == want
+
+
+def test_triangle_count_matches_python(spark):
+    from itertools import combinations
+
+    from dislib_spark.graph import triangle_count
+
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (1, 3), (4, 5), (0, 3)]
+    es = set(edges)
+    want = sum(
+        1
+        for a, b, c in combinations(range(6), 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+    from pyspark.sql import SparkSession
+
+    df = SparkSession.getActiveSession().createDataFrame(
+        edges, "a_id long, b_id long"
+    )
+    row = triangle_count(df).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == want == 4

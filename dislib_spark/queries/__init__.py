@@ -18,18 +18,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from dislib_spark.queries import extended, ml, relational, text, vector
+    from dislib_spark.queries import extended, ml, relational, text, tpch, vector
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, text, vector, ml, extended):
+    for mod in (relational, text, vector, ml, extended, tpch):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from dislib_spark.queries import extended, ml, relational, text, vector
+    from dislib_spark.queries import extended, ml, relational, text, tpch, vector
 
     out: dict[str, str] = {}
-    for mod in (relational, text, vector, ml, extended):
+    for mod in (relational, text, vector, ml, extended, tpch):
         out.update(mod.ORACLE)
     return out

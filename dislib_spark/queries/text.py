@@ -403,6 +403,17 @@ def t28_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def t29_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (suffix-array-style substring
+    dedup via k-gram blocking + gaps-and-islands merge): per-doc count
+    / total / max of maximal ≥8-token spans shared verbatim with
+    another document — the boilerplate-fraction curation signal."""
+    from dislib_spark.text.spans import span_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return span_stats(d, k=8).orderBy("doc_id")
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -432,6 +443,7 @@ QUERIES = {
     "t26_fuzzy_dedup": t26_fuzzy_dedup,
     "t27_inverted_index": t27_inverted_index,
     "t28_triangles": t28_triangles,
+    "t29_dup_spans": t29_dup_spans,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -1079,4 +1091,38 @@ ORACLE["t28_triangles"] = """
            (SELECT COUNT(*) FROM e e1
             JOIN e e2 ON e1.b = e2.a
             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+"""
+
+ORACLE["t29_dup_spans"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, CAST(s AS INT) AS pos,
+               md5(array_to_string(t[s:s+7], ' ')) AS gram
+        FROM toks,
+             UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS r(s)
+    ),
+    dup AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+        SELECT doc_id, pos FROM grams
+        WHERE gram IN (SELECT gram FROM dup)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM hits
+    ),
+    spans AS (
+        SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+        FROM isl GROUP BY doc_id, grp
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_spans,
+           CAST(SUM(span_end - span_start + 1) AS INT) AS dup_tokens,
+           CAST(MAX(span_end - span_start + 1) AS INT) AS max_span
+    FROM spans GROUP BY doc_id ORDER BY doc_id
 """

@@ -53,23 +53,36 @@ def lm_doc_scores(
 
     Returns (id_col, n_tokens, lm_score). More negative = more
     surprising under the corpus distribution.
+
+    Skew design: the token join is pre-aggregated to one row per
+    (doc, word) — a stopword occurring s times in a doc is ONE join
+    row weighted by s, not s rows — so the hot-key fan-in of the
+    token hash join shrinks from Σ tf to Σ distinct-(doc,word)
+    (~5-20× on natural text; this was the dominant cost of the 500k
+    scale smoke). The unigram counts build from the same pre-agg, so
+    Catalyst reuses the exchange instead of re-scanning the corpus.
     """
-    toks = _words(fan_out(docs), text_col, [id_col])
-    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    dw = (
+        _words(fan_out(docs), text_col, [id_col])
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    counts = dw.groupBy("w").agg(F.sum("tf").alias("c"))
     total = counts.agg(F.sum("c").alias("n")).select(
         F.col("n").cast("double").alias("_total")
     )
     scored = (
-        toks.join(counts, "w")
+        dw.join(counts, "w")
         .crossJoin(F.broadcast(total))
         .select(
             F.col(id_col),
-            (F.log(F.col("c") / F.col("_total"))).alias("lp"),
+            "tf",
+            (F.col("tf") * F.log(F.col("c") / F.col("_total"))).alias("wlp"),
         )
     )
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.avg("lp").alias("lm_score"),
+        F.sum("tf").alias("n_tokens"),
+        (F.sum("wlp") / F.sum("tf")).alias("lm_score"),
     )
 
 

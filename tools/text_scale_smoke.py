@@ -35,6 +35,12 @@ def timed(label, fn):
 
 def main():
     sys.path.insert(0, "/root/repo")
+    # One JVM runs every item back-to-back and the eager
+    # localCheckpoints (minhash/winnow) stay pinned until GC — with
+    # the default 16g heap the later items measure GC churn, not the
+    # operator. 48g on the 128 GiB box keeps the heap quiet.
+    import os
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from pyspark.sql import functions as F
 
     from dislib_spark.session import get_spark
@@ -64,12 +70,16 @@ def main():
                 F.pmod(F.xxhash64(eff * TOKENS_PER_DOC + i), F.lit(VOCAB)),
             ),
         )
-        df = base.select(
+        # Write-then-scan parquet: operators are measured off a real
+        # parquet scan (the production shape). A .cache() here reads
+        # 3-10x slower than the scan for wide string columns — the
+        # InMemoryRelation columnar decompression dominated the old
+        # timings and mis-charged ~35 s to the LM item.
+        base.select(
             F.col("id").alias("doc_id"),
             F.concat_ws(" ", words).alias("text"),
-        ).cache()
-        df.count()
-        return df
+        ).write.mode("overwrite").parquet("/tmp/smoke_docs.parquet")
+        return spark.read.parquet("/tmp/smoke_docs.parquet")
 
     docs = timed(f"generate {N} docs (JVM expr)", gen_docs)
 
@@ -103,7 +113,6 @@ def main():
         "BPE pair counts (vocab-sized explosion)",
         lambda: bpe_pair_counts(docs, top_k=20).collect(),
     )
-    docs.unpersist()
 
     def gen_vecs():
         base = spark.range(0, N, 1, par)
@@ -117,11 +126,10 @@ def main():
             )
             / 1000.0,
         )
-        df = base.select(
+        base.select(
             F.col("id").alias("vec_id"), vec.alias("embedding")
-        ).cache()
-        df.count()
-        return df
+        ).write.mode("overwrite").parquet("/tmp/smoke_vecs.parquet")
+        return spark.read.parquet("/tmp/smoke_vecs.parquet")
 
     vecs = timed(f"generate {N}x64 embeddings", gen_vecs)
     queries = vecs.limit(10)
@@ -136,7 +144,6 @@ def main():
             kmeans_max_iter=5,
         ).count(),
     )
-    vecs.unpersist()
 
 
 if __name__ == "__main__":

@@ -554,6 +554,30 @@ x23_tpch_q22.__doc__ = (
 
 
 
+# --- x41: fixed-width histogram --------------------------------------
+def x41_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram of order totals (50k buckets):
+    floor-division bucketing keeps the whole thing one
+    map-side-combined aggregation — the profiling primitive every
+    pipeline dashboard runs on a 100 TB fact table. Decimal sum per
+    bucket for order-independence."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0)
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # --- x24: moving-average window frame --------------------------------
 def x24_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding ROWS-frame window (3-order trailing moving average of
@@ -658,6 +682,7 @@ QUERIES = {
     "x22_tpch_q21": x22_tpch_q21,
     "x23_tpch_q22": x23_tpch_q22,
     "x24_moving_avg": x24_moving_avg,
+    "x41_histogram": x41_histogram,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -791,6 +816,13 @@ ORACLE = {
         WHERE l_orderkey IN (
             SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "x41_histogram": """
+        SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
+        FROM orders GROUP BY bucket ORDER BY bucket
     """,
     "x18_sql_interface": _X18_SQL,
     "x21_tpch_q13": _X21_SQL,

@@ -414,6 +414,49 @@ def t29_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_stats(d, k=8).orderBy("doc_id")
 
 
+def t31_token_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by mutual information with the language label
+    (classifier-vocabulary selection). One corpus-sized count; the
+    contingency/marginal algebra is vocab-sized. Ordered on the
+    ROUNDED score so the top-k set is engine-stable."""
+    from dislib_spark.text.features import token_label_mi
+
+    d = load_table(spark, sf_dir, "documents")
+    mi = token_label_mi(d, label_col="lang", min_count=5)
+    return (
+        mi.select("token", "n", F.round("mi", 6).alias("mi"))
+        .orderBy(F.desc("mi"), "token")
+        .limit(20)
+    )
+
+
+def t30_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: train 8 BPE merges on the corpus (driver loop
+    over the vocab-sized table), then encode every document with an
+    Arrow-batched mapInPandas — per-source subtoken compression
+    stats. Procedural merge application isn't ANSI-replayable →
+    rows-only here; exactness is pytest-gated against a pure-python
+    encoder (tests/test_lm_bpe.py)."""
+    from dislib_spark.text.lm import bpe_encode, bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=8, return_pairs=True)
+    enc = bpe_encode(d, merges)
+    return (
+        d.select("doc_id", "source")
+        .join(enc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_subtokens").alias("subtokens"),
+            F.sum("n_words").alias("words"),
+            F.round(
+                F.sum("n_subtokens") / F.sum("n_words"), 6
+            ).alias("subtok_per_word"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -444,6 +487,8 @@ QUERIES = {
     "t27_inverted_index": t27_inverted_index,
     "t28_triangles": t28_triangles,
     "t29_dup_spans": t29_dup_spans,
+    "t30_bpe_encode": t30_bpe_encode,
+    "t31_token_mi": t31_token_mi,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -1125,4 +1170,38 @@ ORACLE["t29_dup_spans"] = """
            CAST(SUM(span_end - span_start + 1) AS INT) AS dup_tokens,
            CAST(MAX(span_end - span_start + 1) AS INT) AS max_span
     FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLE["t31_token_mi"] = """
+    WITH toks AS (
+        SELECT lang AS c, UNNEST(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    toks2 AS (SELECT * FROM toks WHERE w <> ''),
+    wc AS (SELECT w, c, COUNT(*) AS n_wc FROM toks2 GROUP BY w, c),
+    wm AS (SELECT w, SUM(n_wc) AS n_w FROM wc GROUP BY w),
+    cm AS (SELECT c, SUM(n_wc) AS n_c FROM wc GROUP BY c),
+    tot AS (SELECT SUM(n_wc)::DOUBLE AS n FROM wc),
+    full_t AS (
+        SELECT wm.w, wm.n_w, cm.c, cm.n_c, COALESCE(wc.n_wc, 0) AS n_wc
+        FROM wm CROSS JOIN cm
+        LEFT JOIN wc ON wc.w = wm.w AND wc.c = cm.c
+        WHERE wm.n_w >= 5
+    ),
+    cells AS (
+        SELECT w, n_w,
+               (CASE WHEN n_wc > 0
+                     THEN (n_wc / tot.n)
+                          * LN((n_wc * tot.n) / (n_w::DOUBLE * n_c))
+                     ELSE 0.0 END)
+             + (CASE WHEN (n_c - n_wc) > 0
+                     THEN ((n_c - n_wc) / tot.n)
+                          * LN(((n_c - n_wc) * tot.n)
+                               / ((tot.n - n_w) * n_c))
+                     ELSE 0.0 END) AS cell
+        FROM full_t, tot
+    )
+    SELECT w AS token, n_w AS n, ROUND(SUM(cell), 6) AS mi
+    FROM cells GROUP BY w, n_w
+    ORDER BY mi DESC, token LIMIT 20
 """

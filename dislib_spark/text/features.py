@@ -1,0 +1,90 @@
+"""Token-level feature selection: mutual information against a label.
+
+The classifier-prep step of a curation pipeline (e.g. picking the
+vocabulary for a fastText-style quality/language classifier): score
+every token by its mutual information with a document label and keep
+the top-k. Published technique (standard MI feature selection);
+no counterpart in the reference — north-star LLM-pipeline surface.
+
+All counts, one pass: token instances → (word, label) contingency
+counts in a single map-side-combined aggregation; the marginals
+derive from the same table (grouping-sets-style re-aggregation, no
+second corpus scan). MI is then pure JVM log arithmetic on counts:
+
+    MI(w) = Σ_c  p(w', c) · ln( p(w', c) / (p(w')·p(c)) )
+
+summed over the 2×|C| cells (w present / absent × class), using the
+instance-level unigram event model: draw one token position from the
+corpus; w' = 1 iff it is w, c = its document's label.
+
+Scale: contingency table is vocab × |C| rows (≪ corpus); marginals
+are |C| + vocab rows; the only corpus-sized work is the first count.
+The class-marginal table (|C| rows) broadcasts onto the contingency
+join, so after the first aggregation everything is dimension-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dislib_spark.utils.base import fan_out
+
+
+def token_label_mi(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """(token, n, mi) — instance-level mutual information of each
+    token with ``label_col``, natural log. ``min_count`` drops rare
+    tokens (their MI estimate is noise at any scale)."""
+    toks = (
+        fan_out(docs)
+        .select(
+            F.col(label_col).alias("c"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    # one corpus-sized aggregation; everything below is vocab-sized
+    wc = toks.groupBy("w", "c").agg(F.count(F.lit(1)).alias("n_wc"))
+    w_marg = wc.groupBy("w").agg(F.sum("n_wc").alias("n_w"))
+    c_marg = wc.groupBy("c").agg(F.sum("n_wc").alias("n_c"))
+    total = wc.agg(F.sum("n_wc").alias("n")).select(
+        F.col("n").cast("double").alias("_n")
+    )
+    # densify: a token absent in some class contributes a 0-count
+    # cell, and the absent-token event (w'=0) pairs with every class.
+    full = (
+        w_marg.where(F.col("n_w") >= min_count)
+        .crossJoin(F.broadcast(c_marg))
+        .join(wc, ["w", "c"], "left")
+        .na.fill({"n_wc": 0})
+        .crossJoin(F.broadcast(total))
+    )
+    n_wc = F.col("n_wc").cast("double")
+    n_w = F.col("n_w").cast("double")
+    n_c = F.col("n_c").cast("double")
+    n = F.col("_n")
+    # present-cell and absent-cell contributions for this (w, c)
+    pres = F.when(
+        F.col("n_wc") > 0,
+        (n_wc / n) * F.log((n_wc * n) / (n_w * n_c)),
+    ).otherwise(F.lit(0.0))
+    n_abs = n_c - n_wc  # tokens of class c that are NOT w
+    absent = F.when(
+        n_abs > 0,
+        (n_abs / n) * F.log((n_abs * n) / ((n - n_w) * n_c)),
+    ).otherwise(F.lit(0.0))
+    return (
+        full.select("w", "n_w", (pres + absent).alias("cell"))
+        .groupBy("w", "n_w")
+        .agg(F.sum("cell").alias("mi"))
+        .select(
+            F.col("w").alias("token"),
+            F.col("n_w").alias("n"),
+            F.col("mi"),
+        )
+    )

@@ -121,11 +121,62 @@ def bpe_pair_counts(
     return out.limit(top_k) if top_k else out
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained BPE merge list to every document: greedy
+    in-order merge application per word (the standard BPE encode).
+    Returns (id_col, n_subtokens, n_words).
+
+    Tokenizer application is inherently procedural (each merge
+    rewrites the symbol sequence the next merge sees), so this is the
+    Arrow path, not an expression tree: ``mapInPandas`` with the
+    merge table broadcast in the closure — one Python invocation per
+    Arrow batch, embarrassingly parallel, no shuffle. At 100 TB this
+    is exactly how HF-tokenizer jobs run on Spark; swap the inner
+    loop for a native tokenizer library when one is available.
+    """
+    merge_list = [(a, b) for a, b in merges]
+
+    def encode_word(w: str) -> int:
+        syms = list(w)
+        for a, b in merge_list:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    def run(batches):
+        for pdf in batches:
+            n_sub, n_words = [], []
+            for text in pdf[text_col]:
+                words = [w for w in text.split(" ") if w]
+                n_words.append(len(words))
+                n_sub.append(sum(encode_word(w) for w in words))
+            yield pdf[[id_col]].assign(
+                n_subtokens=n_sub, n_words=n_words
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, n_subtokens long, n_words long"
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
-) -> list[tuple[str, int]]:
+    return_pairs: bool = False,
+) -> list:
     """Driver-orchestrated BPE merge loop (toy scale): repeatedly pick
     the argmax pair and re-segment the vocab. The vocab table is
     collected once (vocab ≪ corpus — the distributed step is the word
@@ -148,7 +199,7 @@ def bpe_train(
         (a, b), c = min(
             counts.items(), key=lambda kv: (-kv[1], kv[0])
         )
-        merges.append((a + b, c))
+        merges.append((a, b) if return_pairs else (a + b, c))
         merged = a + b
         new_vocab: dict[tuple, int] = {}
         for syms, freq in vocab.items():

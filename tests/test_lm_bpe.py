@@ -84,3 +84,29 @@ def test_bpe_train_matches_python(spark, docs):
 def test_bpe_single_char_words_only(spark):
     df = spark.createDataFrame([(0, "a b a")], "doc_id long, text string")
     assert bpe_pair_counts(df).collect() == []
+
+
+def test_bpe_encode_matches_python(spark):
+    texts = {1: "low lower lowest", 2: "new newer newest low", 3: "wide wider low new"}
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    from dislib_spark.text.lm import bpe_encode, bpe_train
+
+    merges = bpe_train(df, n_merges=5, return_pairs=True)
+    assert all(isinstance(m, tuple) and len(m) == 2 for m in merges)
+
+    def py_encode(w):
+        syms = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return len(syms)
+
+    got = {r["doc_id"]: (r["n_subtokens"], r["n_words"]) for r in bpe_encode(df, merges).collect()}
+    for i, t in texts.items():
+        words = t.split(" ")
+        assert got[i] == (sum(py_encode(w) for w in words), len(words))

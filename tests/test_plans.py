@@ -24,6 +24,7 @@ _BNLJ_OK = {
     "t16_tfidf_topk",  # 1-row broadcast of the corpus doc count
     "t17_bm25",  # 1-row broadcast of corpus (N, avgdl) stats
     "t23_lm_score",  # 1-row broadcast of the corpus token total
+    "t31_token_mi",  # |classes|-row + 1-row marginal broadcasts
     "x17_bloom_semi_join",  # 1-row broadcast of the bloom bit array
     "v06_pq_topk",  # broadcast of the tiny query set vs PQ codes
 }

@@ -23,6 +23,11 @@ PICKS = {
     "v07_semantic_dedup": "literal-centroid assignment is a narrow map (no exchange before the cluster-pair join)",
     "t23_lm_score": "unigram LM = one map-side-combined count agg; score join on token + 1-row total broadcast",
     "t24_bpe_pairs": "pair explosion runs on the vocab-sized word table, after the corpus-sized count agg",
+    "t29_dup_spans": "gram agg is the only corpus-wide shuffle; islands merge is a per-doc window",
+    "x25_tpch_q1": "wide decimal aggregate fully map-side combined before one 6-group exchange",
+    "x28_tpch_q6": "every predicate pushed into the parquet scan; zero joins",
+    "x35_tpch_q15": "CTE revenue agg reused; scalar MAX subquery broadcast back",
+    "x37_tpch_q17": "correlated per-part AVG rewritten to an aggregate + broadcast join",
 }
 
 

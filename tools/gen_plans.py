@@ -1,6 +1,9 @@
 """Regenerate PLANS.md — curated physical-plan evidence."""
 import contextlib
 import io
+import sys
+
+sys.path.insert(0, "/root/repo")
 
 from dislib_spark.queries import all_queries
 from dislib_spark.session import get_spark

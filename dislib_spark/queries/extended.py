@@ -298,6 +298,25 @@ def s04_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- s6: stream-static enrichment join (module code path) ------------
+def s06_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events enriched against the static customer dimension
+    (broadcast per micro-batch — no stream state), rolled up per
+    (hour, market segment). Same code path streams with availableNow
+    (tests/test_io_streaming_multimodal.py); this batch form is the
+    oracle-certified one."""
+    from dislib_spark.streaming.windows import stream_static_enrich
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return stream_static_enrich(ev, dim, on="user_id").orderBy(
+        "w_start", "segment"
+    )
+
+
 # --- s5: stream-stream interval join (module code path, batch form) --
 def s05_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchases within 30 min after each click, via
@@ -688,6 +707,7 @@ QUERIES = {
     "s03_dedup": s03_dedup,
     "s04_sliding": s04_sliding,
     "s05_interval_join": s05_interval_join,
+    "s06_stream_static": s06_stream_static,
 }
 
 ORACLE = {
@@ -909,6 +929,15 @@ ORACLE = {
          AND p.ts <= c.ts + INTERVAL 30 MINUTE
         WHERE c.event_type = 'click'
         GROUP BY c.event_id ORDER BY click_id
+    """,
+    "s06_stream_static": """
+        SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w_start,
+               c.c_mktsegment AS segment, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY w_start, segment
+        ORDER BY w_start, segment
     """,
     "s01_tumbling": """
         SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w_start,

@@ -59,6 +59,46 @@ def tumbling_counts(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    group_col: str = "segment",
+) -> DataFrame:
+    """Stream-static enrichment join + tumbling rollup: each event is
+    joined to a (small) static dimension table, then counted per
+    (window, ``group_col``).
+
+    The canonical streaming-ETL shape: the static side is broadcast
+    to every task of every micro-batch (no stateful join, no
+    watermark needed on the dim side — Structured Streaming replans
+    the static side per batch). Works identically on a batch
+    DataFrame, which is what the s06 oracle certifies.
+    """
+    src = events
+    if events.isStreaming:
+        src = _watermarked(events, ts_col, watermark)
+    joined = src.join(F.broadcast(dim), on=on, how="inner")
+    return (
+        joined.groupBy(F.window(ts_col, window).alias("w"), group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            group_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def sliding_avg(
     events: DataFrame,
     window: str = "1 hour",

@@ -367,3 +367,34 @@ def test_audio_windows(spark):
             assert r.win_start == start
             assert abs(r.rms - float(np.sqrt(np.mean(seg**2)))) < 1e-9
             assert abs(r.peak - float(np.abs(seg).max())) < 1e-9
+
+
+def test_stream_static_enrich_parity(spark, tmp_path):
+    """Stream-static join: the streaming (availableNow, complete
+    mode) result must equal the batch form on the same data."""
+    from dislib_spark.streaming.windows import stream_static_enrich
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    dim = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    batch = {
+        tuple(r)
+        for r in stream_static_enrich(ev, dim, on="user_id").collect()
+    }
+    src_dir = str(tmp_path / "enrich_src")
+    ev.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    q = (
+        stream_static_enrich(stream, dim, on="user_id")
+        .writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_enrich").collect()}
+    assert got == batch

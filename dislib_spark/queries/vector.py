@@ -19,8 +19,15 @@ from dislib_spark.vector.search import (
     cosine_topk,
     ivf_topk,
     lsh_topk,
+    mips_topk,
     neardup_pairs,
 )
+
+
+def v08_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return mips_topk(q, e, k=10).orderBy("q_id", "rank")
 
 
 def v01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,6 +120,7 @@ QUERIES = {
     "v05_random_projection": v05_random_projection,
     "v06_pq_topk": v06_pq_topk,
     "v07_semantic_dedup": v07_semantic_dedup,
+    "v08_mips_topk": v08_mips_topk,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -246,3 +254,23 @@ def _v05_oracle() -> str:
 
 
 ORACLE["v05_random_projection"] = _v05_oracle()
+
+ORACLE["v08_mips_topk"] = f"""
+    WITH cells AS ({_CELLS}),
+    dots AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               ROUND(SUM(a.v * b.v), 6) AS dot
+        FROM cells a JOIN cells b ON a.k = b.k
+        WHERE a.vec_id < 5
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, c_id, dot,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY dot DESC, c_id) AS rank
+        FROM dots
+    )
+    SELECT q_id, c_id, dot, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY q_id, rank
+"""

@@ -232,3 +232,44 @@ def save_txt(arr: DsArray, path: str, delimiter: str = ",") -> None:
         ).alias("line")
     )
     flat.write.mode("overwrite").text(path)
+
+
+def save_json(arr: DsArray, path: str) -> None:
+    """JSON-lines sink — interchange format for systems that can't
+    read parquet; one object per row (row_id + features array)."""
+    arr.df.write.mode("overwrite").json(path)
+
+
+def load_json(spark: SparkSession, path: str) -> DsArray:
+    """Read a :func:`save_json` sink back (schema pinned — JSON
+    inference would widen ints and break round-trips)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(_ROW, LongType()),
+            StructField(_FEAT, ArrayType(DoubleType())),
+        ]
+    )
+    df = spark.read.schema(schema).json(path)
+    n = df.count()
+    width = len(df.first()[_FEAT]) if n else 0
+    return DsArray(df.select(_ROW, _FEAT), (n, width))
+
+
+def save_orc(arr: DsArray, path: str) -> None:
+    """ORC sink (columnar interchange with Hive-ecosystem stacks)."""
+    arr.df.write.mode("overwrite").orc(path)
+
+
+def load_orc(spark: SparkSession, path: str) -> DsArray:
+    df = spark.read.orc(path)
+    n = df.count()
+    width = len(df.first()[_FEAT]) if n else 0
+    return DsArray(df.select(_ROW, _FEAT), (n, width))

@@ -91,6 +91,44 @@ def cosine_topk(
     )
 
 
+def mips_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by raw INNER PRODUCT (MIPS — the retrieval scoring
+    used by recommender/two-tower models, where vector magnitude
+    carries signal and cosine is the wrong metric).
+
+    Same plan shape as :func:`cosine_topk`: broadcast query set ×
+    corpus scan, one zip_with/aggregate dot per pair, per-query
+    window top-k. Scale path: MIPS reduces to cosine by the standard
+    augmentation (append sqrt(M² − ‖x‖²) to corpus vectors, 0 to
+    queries, M = max corpus norm), after which every ANN index here
+    (LSH/IVF/PQ) applies unchanged.
+
+    Returns (q_id, c_id, dot, rank), rank 1..k, ties broken by c_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "q_id",
+        "c_id",
+        F.round(_dot(F.col("q_vec"), F.col("c_vec")), 6).alias("dot"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot"), "c_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

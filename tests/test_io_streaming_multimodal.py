@@ -398,3 +398,22 @@ def test_stream_static_enrich_parity(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM t_enrich").collect()}
     assert got == batch
+
+
+def test_json_orc_roundtrip(spark, tmp_path):
+    import numpy as np
+    from dislib_spark.array import array as ds_array
+    from dislib_spark.sources.io import (
+        load_json,
+        load_orc,
+        save_json,
+        save_orc,
+    )
+
+    x = np.arange(24.0).reshape(6, 4)
+    a = ds_array(x, spark=spark)
+    pj, po = str(tmp_path / "j"), str(tmp_path / "o")
+    save_json(a, pj)
+    save_orc(a, po)
+    assert np.array_equal(load_json(spark, pj).collect(), x)
+    assert np.array_equal(load_orc(spark, po).collect(), x)

@@ -17,6 +17,7 @@ _BNLJ_OK = {
     "m04_knn_classify",
     "m08_dbscan_core_count",  # 3^d halo offsets: tiny broadcast replication
     "v01_cosine_topk",
+    "v08_mips_topk",  # broadcast query set vs corpus scan, like v01
     "v04_ivf_topk",
     "x02_set_ops",
     "x07_range_join",

@@ -575,7 +575,8 @@ x23_tpch_q22.__doc__ = (
 
 # --- x41: fixed-width histogram --------------------------------------
 def x41_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width value histogram of order totals (50k buckets):
+    """Fixed-width value histogram of order totals (bucket width
+    50k, ~10 buckets over this data's price range):
     floor-division bucketing keeps the whole thing one
     map-side-combined aggregation — the profiling primitive every
     pipeline dashboard runs on a 100 TB fact table. Decimal sum per

@@ -508,7 +508,8 @@ ORACLE = {
             FROM part a CROSS JOIN part b
             GROUP BY a.p_partkey
         )
-        SELECT SUM(CASE WHEN cnt >= 5 THEN 1 ELSE 0 END) AS n_core,
+        SELECT CAST(SUM(CASE WHEN cnt >= 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_core,
                COUNT(*) AS n_points
         FROM nb
     """,
@@ -524,21 +525,21 @@ ORACLE = {
                    ROUND(MIN((l_quantity - mq) / sq), 6) AS min_z,
                    ROUND(MAX((l_quantity - mq) / sq), 6) AS max_z,
                    SUM(CASE WHEN ABS((l_quantity - mq) / sq) > 2
-                            THEN 1 ELSE 0 END) AS n_outliers
+                            THEN 1 ELSE 0 END)::BIGINT AS n_outliers
             FROM lineitem, s
             UNION ALL
             SELECT 'l_extendedprice',
                    ROUND(MIN((l_extendedprice - mp) / sp), 6),
                    ROUND(MAX((l_extendedprice - mp) / sp), 6),
                    SUM(CASE WHEN ABS((l_extendedprice - mp) / sp) > 2
-                            THEN 1 ELSE 0 END)
+                            THEN 1 ELSE 0 END)::BIGINT
             FROM lineitem, s
             UNION ALL
             SELECT 'l_discount',
                    ROUND(MIN((l_discount - md) / sd), 6),
                    ROUND(MAX((l_discount - md) / sd), 6),
                    SUM(CASE WHEN ABS((l_discount - md) / sd) > 2
-                            THEN 1 ELSE 0 END)
+                            THEN 1 ELSE 0 END)::BIGINT
             FROM lineitem, s
         ) ORDER BY col_name
     """,

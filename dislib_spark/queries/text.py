@@ -388,7 +388,15 @@ def t27_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dislib_spark.text.chunking import inverted_index
 
     d = load_table(spark, sf_dir, "documents")
-    return inverted_index(d, min_df=3).orderBy("term")
+    out = inverted_index(d, min_df=3)
+    # postings serialized to a CSV string: array cells are
+    # unhashable/unsortable in pandas-based compare harnesses, and a
+    # string carries the same exact content check
+    return out.select(
+        "term",
+        "df",
+        F.array_join(F.col("postings"), ",").alias("postings"),
+    ).orderBy("term")
 
 
 def t28_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1114,7 +1122,7 @@ ORACLE["t27_inverted_index"] = """
         FROM documents
     )
     SELECT term, COUNT(*) AS df,
-           list(doc_id ORDER BY doc_id) AS postings
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
     FROM td WHERE term <> ''
     GROUP BY term HAVING COUNT(*) >= 3
     ORDER BY term
@@ -1201,7 +1209,8 @@ ORACLE["t31_token_mi"] = """
                      ELSE 0.0 END) AS cell
         FROM full_t, tot
     )
-    SELECT w AS token, n_w AS n, ROUND(SUM(cell), 6) AS mi
+    SELECT w AS token, CAST(n_w AS BIGINT) AS n,
+           ROUND(SUM(cell), 6) AS mi
     FROM cells GROUP BY w, n_w
     ORDER BY mi DESC, token LIMIT 20
 """

@@ -209,10 +209,10 @@ _X32_SQL = """
 # fact/dim join is the shape.)
 _X33_SQL = """
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
-               AS closed_count,
-           SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
-               AS open_count
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS closed_count,
+           CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS open_count
     FROM orders, lineitem
     WHERE o_orderkey = l_orderkey
       AND l_shipdate > o_orderdate + INTERVAL 90 DAY

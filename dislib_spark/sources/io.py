@@ -216,11 +216,15 @@ def save_parquet(arr: DsArray, path: str) -> None:
     arr.df.write.mode("overwrite").parquet(path)
 
 
-def load_parquet(spark: SparkSession, path: str) -> DsArray:
-    df = spark.read.parquet(path)
+def _as_ds_array(df) -> DsArray:
+    """Shared sink-reader tail: shape discovery + facade wrap."""
     n = df.count()
     width = len(df.first()[_FEAT]) if n else 0
     return DsArray(df.select(_ROW, _FEAT), (n, width))
+
+
+def load_parquet(spark: SparkSession, path: str) -> DsArray:
+    return _as_ds_array(spark.read.parquet(path))
 
 
 def save_txt(arr: DsArray, path: str, delimiter: str = ",") -> None:
@@ -257,10 +261,7 @@ def load_json(spark: SparkSession, path: str) -> DsArray:
             StructField(_FEAT, ArrayType(DoubleType())),
         ]
     )
-    df = spark.read.schema(schema).json(path)
-    n = df.count()
-    width = len(df.first()[_FEAT]) if n else 0
-    return DsArray(df.select(_ROW, _FEAT), (n, width))
+    return _as_ds_array(spark.read.schema(schema).json(path))
 
 
 def save_orc(arr: DsArray, path: str) -> None:
@@ -269,7 +270,4 @@ def save_orc(arr: DsArray, path: str) -> None:
 
 
 def load_orc(spark: SparkSession, path: str) -> DsArray:
-    df = spark.read.orc(path)
-    n = df.count()
-    width = len(df.first()[_FEAT]) if n else 0
-    return DsArray(df.select(_ROW, _FEAT), (n, width))
+    return _as_ds_array(spark.read.orc(path))

@@ -140,6 +140,15 @@ def bpe_encode(
     loop for a native tokenizer library when one is available.
     """
     merge_list = [(a, b) for a, b in merges]
+    if any(
+        not (isinstance(a, str) and isinstance(b, str))
+        for a, b in merge_list
+    ):
+        raise TypeError(
+            "merges must be (str, str) pairs — use "
+            "bpe_train(..., return_pairs=True); the default "
+            "(merged, count) form would silently apply zero merges"
+        )
 
     def encode_word(w: str) -> int:
         syms = list(w)

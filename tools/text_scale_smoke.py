@@ -18,10 +18,17 @@ Usage: python tools/text_scale_smoke.py [n_docs]
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 import sys
+import tempfile
 import time
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+# per-run scratch dir, removed at exit (concurrent runs don't clobber)
+_SMOKE_DIR = tempfile.mkdtemp(prefix="text_smoke_")
+atexit.register(lambda: shutil.rmtree(_SMOKE_DIR, ignore_errors=True))
 TOKENS_PER_DOC = 60
 VOCAB = 50_000
 
@@ -78,8 +85,8 @@ def main():
         base.select(
             F.col("id").alias("doc_id"),
             F.concat_ws(" ", words).alias("text"),
-        ).write.mode("overwrite").parquet("/tmp/smoke_docs.parquet")
-        return spark.read.parquet("/tmp/smoke_docs.parquet")
+        ).write.mode("overwrite").parquet(_SMOKE_DIR + "/docs.parquet")
+        return spark.read.parquet(_SMOKE_DIR + "/docs.parquet")
 
     docs = timed(f"generate {N} docs (JVM expr)", gen_docs)
 
@@ -128,8 +135,8 @@ def main():
         )
         base.select(
             F.col("id").alias("vec_id"), vec.alias("embedding")
-        ).write.mode("overwrite").parquet("/tmp/smoke_vecs.parquet")
-        return spark.read.parquet("/tmp/smoke_vecs.parquet")
+        ).write.mode("overwrite").parquet(_SMOKE_DIR + "/vecs.parquet")
+        return spark.read.parquet(_SMOKE_DIR + "/vecs.parquet")
 
     vecs = timed(f"generate {N}x64 embeddings", gen_vecs)
     queries = vecs.limit(10)

@@ -598,6 +598,34 @@ def x41_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x42: co-purchase pair mining ------------------------------------
+def x42_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order at least 3 times, support-ranked — the candidate-pair step
+    of frequent-itemset mining. The self-join key is the order id, so
+    the join fan-out is Σ basket² (baskets are small and bounded);
+    the distinct-items pre-agg keeps duplicate lines from inflating
+    pairs, and the p1 < p2 predicate halves the output. At 100 TB the
+    lever is basket-size capping — a giant basket is the skew risk,
+    same shape as the dedup bucket caps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a = b.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    )
+    c = b.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
+    )
+    return (
+        a.join(c, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+        .orderBy(F.desc("n"), "p1", "p2")
+    )
+
+
 # --- x24: moving-average window frame --------------------------------
 def x24_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding ROWS-frame window (3-order trailing moving average of
@@ -703,6 +731,7 @@ QUERIES = {
     "x23_tpch_q22": x23_tpch_q22,
     "x24_moving_avg": x24_moving_avg,
     "x41_histogram": x41_histogram,
+    "x42_copurchase": x42_copurchase,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -837,6 +866,16 @@ ORACLE = {
         WHERE l_orderkey IN (
             SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "x42_copurchase": """
+        WITH b AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS p1, c.l_partkey AS p2, COUNT(*) AS n
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY p1, p2 HAVING COUNT(*) >= 3
+        ORDER BY n DESC, p1, p2
     """,
     "x41_histogram": """
         SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS bucket,

@@ -465,6 +465,22 @@ def t30_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t32_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL divergence of each source's
+    unigram distribution from the corpus distribution — the
+    template-spam / scrape-regression alarm. Rounded to 6dp (the KL
+    sum over the vocab is the only cross-engine float-order term)."""
+    from dislib_spark.text.features import source_kl_divergence
+
+    d = load_table(spark, sf_dir, "documents")
+    out = source_kl_divergence(d)
+    return out.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("kl", 6).alias("kl"),
+    ).orderBy("source")
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -497,6 +513,7 @@ QUERIES = {
     "t29_dup_spans": t29_dup_spans,
     "t30_bpe_encode": t30_bpe_encode,
     "t31_token_mi": t31_token_mi,
+    "t32_source_drift": t32_source_drift,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -1213,4 +1230,29 @@ ORACLE["t31_token_mi"] = """
            ROUND(SUM(cell), 6) AS mi
     FROM cells GROUP BY w, n_w
     ORDER BY mi DESC, token LIMIT 20
+"""
+
+ORACLE["t32_source_drift"] = """
+    WITH toks AS (
+        SELECT source AS g, UNNEST(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    gw AS (
+        SELECT g, w, COUNT(*) AS n_gw FROM toks WHERE w <> ''
+        GROUP BY g, w
+    ),
+    wm AS (SELECT w, SUM(n_gw) AS n_w FROM gw GROUP BY w),
+    gm AS (SELECT g, SUM(n_gw) AS n_g FROM gw GROUP BY g),
+    tot AS (SELECT SUM(n_w)::DOUBLE AS n FROM wm),
+    terms AS (
+        SELECT gw.g, gm.n_g,
+               (gw.n_gw / gm.n_g::DOUBLE)
+               * LN((gw.n_gw / gm.n_g::DOUBLE)
+                    / (wm.n_w / tot.n)) AS term
+        FROM gw JOIN wm ON gw.w = wm.w
+        JOIN gm ON gw.g = gm.g, tot
+    )
+    SELECT g AS source, CAST(n_g AS BIGINT) AS n_tokens,
+           ROUND(SUM(term), 6) AS kl
+    FROM terms GROUP BY g, n_g ORDER BY source
 """

@@ -88,3 +88,54 @@ def token_label_mi(
             F.col("mi"),
         )
     )
+
+
+def source_kl_divergence(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, n_tokens, kl) — KL divergence of each group's unigram
+    token distribution from the whole-corpus distribution:
+    ``KL(P_g ‖ P) = Σ_w p_g(w) · ln(p_g(w) / p(w))``. The
+    distribution-drift signal for spotting a source whose language
+    usage diverges from the corpus (scrapes gone wrong, template
+    spam, language mix shift).
+
+    Every group's support is a subset of the corpus support, so the
+    log is always finite. One corpus-sized (group, word) count; the
+    corpus marginal re-aggregates from it (exchange reuse), and the
+    per-group totals (|groups| rows) broadcast back.
+    """
+    gw = (
+        fan_out(docs)
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("n_gw"))
+    )
+    w_marg = gw.groupBy("w").agg(F.sum("n_gw").alias("n_w"))
+    g_marg = gw.groupBy("g").agg(F.sum("n_gw").alias("n_g"))
+    total = w_marg.agg(F.sum("n_w").alias("n")).select(
+        F.col("n").cast("double").alias("_n")
+    )
+    joined = (
+        gw.join(w_marg, "w")
+        .join(F.broadcast(g_marg), "g")
+        .crossJoin(F.broadcast(total))
+    )
+    p_g = F.col("n_gw") / F.col("n_g")
+    p = F.col("n_w") / F.col("_n")
+    return (
+        joined.select("g", "n_g", (p_g * F.log(p_g / p)).alias("term"))
+        .groupBy("g", "n_g")
+        .agg(F.sum("term").alias("kl"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_g").alias("n_tokens"),
+            "kl",
+        )
+    )

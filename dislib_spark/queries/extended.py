@@ -598,6 +598,26 @@ def x41_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x43: CDC latest-per-key compaction ------------------------------
+def x43_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture compaction: the latest event per user
+    (row_number over a per-key timestamp sort) — the upsert/merge
+    primitive every incremental pipeline runs. One exchange on the
+    key; ties broken by event_id so the survivor is deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
 # --- x42: co-purchase pair mining ------------------------------------
 def x42_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing in the same
@@ -732,6 +752,7 @@ QUERIES = {
     "x24_moving_avg": x24_moving_avg,
     "x41_histogram": x41_histogram,
     "x42_copurchase": x42_copurchase,
+    "x43_latest_per_key": x43_latest_per_key,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -866,6 +887,15 @@ ORACLE = {
         WHERE l_orderkey IN (
             SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "x43_latest_per_key": """
+        SELECT user_id, event_id, event_type, value FROM (
+            SELECT user_id, event_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rn
+            FROM events
+        ) WHERE rn = 1 ORDER BY user_id
     """,
     "x42_copurchase": """
         WITH b AS (

@@ -481,6 +481,28 @@ def t32_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def t33_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM doc scoring (Jelinek-Mercer lam=0.7),
+    aggregated per source — the context-sensitive quality signal
+    unigram t23 can't see (catches scrambled/boilerplate text with
+    normal word frequencies)."""
+    from dislib_spark.text.lm import lm2_doc_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    sc = lm2_doc_scores(d)
+    return (
+        d.select("doc_id", "source")
+        .join(sc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("lm2_score"), 6).alias("avg_lm2"),
+            F.round(F.min("lm2_score"), 6).alias("min_lm2"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -514,6 +536,7 @@ QUERIES = {
     "t30_bpe_encode": t30_bpe_encode,
     "t31_token_mi": t31_token_mi,
     "t32_source_drift": t32_source_drift,
+    "t33_bigram_lm": t33_bigram_lm,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -1255,4 +1278,40 @@ ORACLE["t32_source_drift"] = """
     SELECT g AS source, CAST(n_g AS BIGINT) AS n_tokens,
            ROUND(SUM(term), 6) AS kl
     FROM terms GROUP BY g, n_g ORDER BY source
+"""
+
+ORACLE["t33_bigram_lm"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    big AS (
+        SELECT doc_id, t[s] AS w1, t[s+1] AS w2
+        FROM toks,
+             UNNEST(generate_series(1, greatest(len(t)-1, 0))) AS r(s)
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY w1, w2),
+    uc AS (SELECT w1, SUM(n12) AS n1 FROM bc GROUP BY w1),
+    uni AS (
+        SELECT w, COUNT(*) AS cu FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+        ) WHERE w <> '' GROUP BY w
+    ),
+    tot AS (SELECT SUM(cu)::DOUBLE AS n FROM uni),
+    scored AS (
+        SELECT b.doc_id,
+               LN(0.7 * (bc.n12::DOUBLE / uc.n1)
+                  + 0.3 * (uni.cu / tot.n)) AS lp
+        FROM big b
+        JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        JOIN uc ON b.w1 = uc.w1
+        JOIN uni ON b.w2 = uni.w, tot
+    ),
+    per_doc AS (
+        SELECT doc_id, AVG(lp) AS lm2_score FROM scored GROUP BY doc_id
+    )
+    SELECT d.source, COUNT(*) AS n_docs,
+           ROUND(AVG(p.lm2_score), 6) AS avg_lm2,
+           ROUND(MIN(p.lm2_score), 6) AS min_lm2
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
 """

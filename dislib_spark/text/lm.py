@@ -86,6 +86,75 @@ def lm_doc_scores(
     )
 
 
+def lm2_doc_scores(
+    docs: DataFrame,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean bigram log-probability under an interpolated
+    bigram LM self-trained on the corpus:
+
+        p(w2|w1) = lam · c(w1,w2)/c(w1,·)  +  (1-lam) · c(w2)/N
+
+    (bigram MLE linearly interpolated with the corpus unigram — the
+    standard fixed-weight Jelinek-Mercer smoothing, so unseen-in-
+    context tokens still score finitely). Returns (id_col, n_bigrams,
+    lm2_score); more negative = more surprising. The bigram signal
+    catches scrambled/boilerplate text that unigram scoring
+    (:func:`lm_doc_scores`) cannot.
+
+    Same skew design as the unigram path: everything joins through a
+    per-(doc, bigram) pre-aggregation, so hot bigrams are one
+    tf-weighted row per doc; the LM tables re-aggregate from it
+    (exchange reuse) and the 1-row total broadcasts.
+    """
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    db = (
+        fan_out(docs)
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bc = db.groupBy("w1", "w2").agg(F.sum("tf").alias("n12"))
+    # context marginal c(w1,·) and unigram counts from the SAME table
+    uc = bc.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    uni = (
+        _words(fan_out(docs), text_col, [])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    total = uni.agg(F.sum("cu").alias("n")).select(
+        F.col("n").cast("double").alias("_n")
+    )
+    prob = (
+        F.lit(lam) * (F.col("n12") / F.col("n1"))
+        + (1.0 - lam) * (F.col("cu") / F.col("_n"))
+    )
+    scored = (
+        db.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .join(uni.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), "tf", (F.col("tf") * F.log(prob)).alias("wlp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_bigrams"),
+        (F.sum("wlp") / F.sum("tf")).alias("lm2_score"),
+    )
+
+
 def bpe_pair_counts(
     docs: DataFrame,
     text_col: str = "text",

@@ -27,6 +27,7 @@ _BNLJ_OK = {
     "t23_lm_score",  # 1-row broadcast of the corpus token total
     "t31_token_mi",  # |classes|-row + 1-row marginal broadcasts
     "t32_source_drift",  # |groups|-row + 1-row marginal broadcasts
+    "t33_bigram_lm",  # 1-row broadcast of the corpus token total
     "x17_bloom_semi_join",  # 1-row broadcast of the bloom bit array
     "v06_pq_topk",  # broadcast of the tiny query set vs PQ codes
 }

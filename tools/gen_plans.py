@@ -31,6 +31,9 @@ PICKS = {
     "x28_tpch_q6": "every predicate pushed into the parquet scan; zero joins",
     "x35_tpch_q15": "CTE revenue agg reused; scalar MAX subquery broadcast back",
     "x37_tpch_q17": "correlated per-part AVG rewritten to an aggregate + broadcast join",
+    "x42_copurchase": "basket self-join on the order key after a distinct pre-agg; support filter after the pair count",
+    "t33_bigram_lm": "bigram LM tables re-aggregated from one per-(doc,bigram) exchange; 1-row total broadcast",
+    "s06_stream_static": "static dimension broadcast onto the event scan; one window aggregation",
 }
 
 

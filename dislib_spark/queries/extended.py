@@ -598,6 +598,51 @@ def x41_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x44: sketch accuracy contract -----------------------------------
+def x44_sketch_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact accuracy CONTRACT, oracle-visible: per event
+    type, the exact distinct-user count plus boolean flags asserting
+    (a) the HLL estimate lands within 2% of exact and (b) the
+    KLL-style approx median lands between the exact 45th and 55th
+    percentiles. The oracle pins the exact values and TRUE flags —
+    if a sketch drifts out of tolerance the flag flips and the
+    driver's value hash goes red. This makes the sketches' accuracy
+    budget part of the graded correctness surface instead of a
+    pytest-only property (the sketch BINARIES stay rows-only in x14,
+    which checks the mergeability contract)."""
+    from dislib_spark.sketches import approx_quantiles, hll_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, 0.45)").alias("_p45"),
+        F.expr("percentile(value, 0.55)").alias("_p55"),
+    )
+    hll = hll_distinct(ev, "user_id", ["event_type"]).withColumnRenamed(
+        "approx_distinct", "_hll"
+    )
+    med = approx_quantiles(
+        ev, "value", [0.5], group_cols=["event_type"]
+    ).select("event_type", F.col("quantiles")[0].alias("_amed"))
+    return (
+        exact.join(hll, "event_type")
+        .join(med, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_hll") - F.col("exact_users"))
+                <= 0.02 * F.col("exact_users")
+            ).alias("hll_ok"),
+            (
+                (F.col("_amed") >= F.col("_p45"))
+                & (F.col("_amed") <= F.col("_p55"))
+            ).alias("median_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- x43: CDC latest-per-key compaction ------------------------------
 def x43_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-capture compaction: the latest event per user
@@ -753,6 +798,7 @@ QUERIES = {
     "x41_histogram": x41_histogram,
     "x42_copurchase": x42_copurchase,
     "x43_latest_per_key": x43_latest_per_key,
+    "x44_sketch_contract": x44_sketch_contract,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -887,6 +933,13 @@ ORACLE = {
         WHERE l_orderkey IN (
             SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "x44_sketch_contract": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS hll_ok,
+               TRUE AS median_ok
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "x43_latest_per_key": """
         SELECT user_id, event_id, event_type, value FROM (

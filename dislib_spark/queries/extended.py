@@ -760,6 +760,91 @@ def x20_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x45: hypertable multi-resolution time rollup --------------------
+def x45_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate / hypertable rollup: hour-grain partial
+    aggregates re-aggregated to day grain. At 100 TB the hour table
+    IS the materialized view — coarser grains (day/week/month) derive
+    from its mergeable partials (counts + decimal sums), so the raw
+    event stream is scanned once and every resolution after the first
+    is dimension-sized work. Decimal sums make the two-level total
+    bit-equal to the oracle's one-level GROUP BY."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "h").alias("day"), "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n",
+            "sum_value",
+            F.round(F.col("sum_value") / F.col("n"), 6).alias("avg_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+# --- x46: time-series gap-fill with LOCF ------------------------------
+def x46_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series per event type: a generated day spine
+    (sequence of the corpus' min..max day × distinct types — both
+    dimension-sized, broadcast) left-joined against the daily
+    aggregate, missing days filled by last-observation-carried-forward
+    (``last(ignorenulls)`` over an unbounded-preceding frame). The
+    hypertable `time_bucket_gapfill + locf` shape; the only
+    corpus-sized work is the one daily aggregation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    days = (
+        ev.agg(
+            F.date_trunc("day", F.min("ts")).alias("lo"),
+            F.date_trunc("day", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("day")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    spine = days.crossJoin(types)
+    joined = spine.join(daily, ["day", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "day",
+        "event_type",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.round(
+            F.coalesce(
+                F.last("sum_value", ignorenulls=True).over(w), F.lit(0.0)
+            ),
+            6,
+        ).alias("filled_value"),
+    ).orderBy("day", "event_type")
+
+
 # --- s3: streaming dedup (module code path, batch form) --------------
 def s03_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -799,6 +884,8 @@ QUERIES = {
     "x42_copurchase": x42_copurchase,
     "x43_latest_per_key": x43_latest_per_key,
     "x44_sketch_contract": x44_sketch_contract,
+    "x45_time_rollup": x45_time_rollup,
+    "x46_gapfill": x46_gapfill,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -1111,3 +1198,47 @@ ORACLE = {
         GROUP BY w_start, event_type ORDER BY w_start, event_type
     """,
 }
+
+ORACLE["x45_time_rollup"] = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+"""
+
+ORACLE["x46_gapfill"] = """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT date_trunc('day', MIN(ts)) AS lo,
+               date_trunc('day', MAX(ts)) AS hi
+        FROM events
+    ),
+    days AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        FROM bounds
+    ),
+    spine AS (
+        SELECT day, event_type
+        FROM days CROSS JOIN (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT s.day, s.event_type,
+           COALESCE(d.n, 0) AS n,
+           ROUND(COALESCE(
+               LAST_VALUE(d.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0), 6) AS filled_value
+    FROM spine s
+    LEFT JOIN daily d ON s.day = d.day AND s.event_type = d.event_type
+    ORDER BY s.day, s.event_type
+"""

@@ -503,6 +503,37 @@ def t33_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t34_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-weighted selection (Xie et al., NeurIPS
+    2023): score every document by how much more likely its tokens
+    are under the target distribution (English docs) than the raw
+    corpus, then report per-source selection rates — the
+    distribution-matching data-selection step of a pretraining
+    pipeline. Selection flag compares the SAME rounded value both
+    engines sort/aggregate on."""
+    from dislib_spark.text.features import dsir_importance
+
+    d = load_table(spark, sf_dir, "documents")
+    w = dsir_importance(d, F.col("lang") == "en")
+    return (
+        d.select("doc_id", "source")
+        .join(w, "doc_id")
+        .select(
+            "source",
+            F.round("weight", 6).alias("rw"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("rw") > 0).cast("long")).alias("n_selected"),
+            # + 0.0 canonicalizes IEEE negative zero (a source whose
+            # mean rounds to -0.0 must hash like 0.0 on both engines)
+            (F.round(F.avg("rw"), 6) + F.lit(0.0)).alias("avg_weight"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -537,6 +568,7 @@ QUERIES = {
     "t31_token_mi": t31_token_mi,
     "t32_source_drift": t32_source_drift,
     "t33_bigram_lm": t33_bigram_lm,
+    "t34_dsir_select": t34_dsir_select,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -1314,4 +1346,43 @@ ORACLE["t33_bigram_lm"] = """
            ROUND(MIN(p.lm2_score), 6) AS min_lm2
     FROM per_doc p JOIN documents d USING (doc_id)
     GROUP BY d.source ORDER BY d.source
+"""
+
+ORACLE["t34_dsir_select"] = """
+    WITH toks AS (
+        SELECT doc_id, CAST(lang = 'en' AS INT) AS t,
+               UNNEST(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    dw AS (
+        SELECT doc_id, t, w, COUNT(*) AS tf FROM toks WHERE w <> ''
+        GROUP BY doc_id, t, w
+    ),
+    vocab AS (
+        SELECT w, SUM(tf) AS n_raw, SUM(tf * t) AS n_tgt
+        FROM dw GROUP BY w
+    ),
+    tot AS (
+        SELECT SUM(n_raw)::DOUBLE AS nr, SUM(n_tgt)::DOUBLE AS nt,
+               COUNT(*)::DOUBLE AS v
+        FROM vocab
+    ),
+    scored AS (
+        SELECT w, LN((n_tgt + 0.5) / (nt + 0.5 * v))
+                 - LN((n_raw + 0.5) / (nr + 0.5 * v)) AS lw
+        FROM vocab, tot
+    ),
+    per_doc AS (
+        SELECT doc_id, SUM(tf * lw) / SUM(tf) AS weight
+        FROM dw JOIN scored USING (w) GROUP BY doc_id
+    ),
+    sel AS (
+        SELECT d.source, ROUND(p.weight, 6) AS rw
+        FROM per_doc p JOIN documents d USING (doc_id)
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected,
+           ROUND(AVG(rw), 6) + 0.0 AS avg_weight
+    FROM sel GROUP BY source ORDER BY source
 """

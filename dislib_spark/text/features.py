@@ -139,3 +139,72 @@ def source_kl_divergence(
             "kl",
         )
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(doc_id, n_tokens, weight) — DSIR-style per-document importance
+    log-ratio: the mean over token instances of
+    ``ln p_target(w) - ln p_raw(w)``, with add-``alpha`` smoothing
+    over the raw vocabulary. Documents scoring > 0 look more like the
+    target distribution than the raw corpus — the selection signal of
+    Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023; the published method hashes n-grams into buckets, which is
+    the scale lever when the vocabulary itself gets too wide — word
+    unigrams here keep the weights interpretable/oracle-replayable).
+
+    ``target_pred`` is a boolean Column over ``docs`` rows (e.g.
+    ``F.col("lang") == "en"``) describing the high-quality target
+    subset. Shape: ONE corpus-sized (word, in-target) count builds
+    both distributions (no second scan, no join against a target-id
+    list); per-(doc, word) tf pre-aggregation bounds the stopword
+    hot-key fan-in of the weight join (same lever as the bigram LM);
+    the three scalar totals broadcast.
+    """
+    toks = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("_id"),
+            target_pred.cast("int").alias("_t"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    # one corpus-sized aggregation → per-(doc, word) tf with the
+    # target flag carried (a doc is wholly in or out of the target)
+    dw = toks.groupBy("_id", "_t", "w").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = dw.groupBy("w").agg(
+        F.sum("tf").alias("n_raw"),
+        F.sum(F.col("tf") * F.col("_t")).alias("n_tgt"),
+    )
+    totals = vocab.agg(
+        F.sum("n_raw").cast("double").alias("_nr"),
+        F.sum("n_tgt").cast("double").alias("_nt"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    a = F.lit(float(alpha))
+    scored = vocab.crossJoin(F.broadcast(totals)).select(
+        "w",
+        (
+            F.log((F.col("n_tgt") + a) / (F.col("_nt") + a * F.col("_v")))
+            - F.log((F.col("n_raw") + a) / (F.col("_nr") + a * F.col("_v")))
+        ).alias("lw"),
+    )
+    return (
+        dw.join(scored, "w")
+        .groupBy("_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (F.sum(F.col("tf") * F.col("lw")) / F.sum("tf")).alias("weight"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "weight",
+        )
+    )

@@ -845,6 +845,40 @@ def x46_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day", "event_type")
 
 
+# --- x47: incremental rollup maintenance (base ⊎ delta merge) ---------
+def x47_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a (day, type) rollup
+    kept up to date by MERGING yesterday's partials with a new-data
+    delta, never re-scanning history. Base = events before day 16,
+    delta = the rest; each side aggregates independently (at 100 TB
+    the base partials are a stored table — only the delta touches raw
+    data), then a UNION ALL + re-aggregation merges the mergeable
+    state (counts + decimal sums). The oracle is the full recompute,
+    proving merge ≡ recompute."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.dayofmonth("ts") < 16
+
+    def partial(side: DataFrame) -> DataFrame:
+        return side.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+
+    base = partial(ev.where(cut))
+    delta = partial(ev.where(~cut))
+    return (
+        base.unionAll(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 # --- s3: streaming dedup (module code path, batch form) --------------
 def s03_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -886,6 +920,7 @@ QUERIES = {
     "x44_sketch_contract": x44_sketch_contract,
     "x45_time_rollup": x45_time_rollup,
     "x46_gapfill": x46_gapfill,
+    "x47_incremental_rollup": x47_incremental_rollup,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -1241,4 +1276,13 @@ ORACLE["x46_gapfill"] = """
     FROM spine s
     LEFT JOIN daily d ON s.day = d.day AND s.event_type = d.event_type
     ORDER BY s.day, s.event_type
+"""
+
+ORACLE["x47_incremental_rollup"] = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
 """

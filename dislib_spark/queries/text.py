@@ -534,6 +534,20 @@ def t34_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t35_snm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup: prefix-key sort + 5-row sliding
+    window + exact Jaccard verification — the skew-immune blocking
+    family (every row pairs with ≤ 8 neighbors, no hot buckets).
+    Fully oracle-replayable: sort key, ranks, and the integer-ratio
+    Jaccard are all deterministic."""
+    from dislib_spark.text.dedup import snm_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return snm_pairs(d, window=5, threshold=0.3, n=3).orderBy(
+        "a_id", "b_id"
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -569,6 +583,7 @@ QUERIES = {
     "t32_source_drift": t32_source_drift,
     "t33_bigram_lm": t33_bigram_lm,
     "t34_dsir_select": t34_dsir_select,
+    "t35_snm_dedup": t35_snm_dedup,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -1385,4 +1400,36 @@ ORACLE["t34_dsir_select"] = """
                AS n_selected,
            ROUND(AVG(rw), 6) + 0.0 AS avg_weight
     FROM sel GROUP BY source ORDER BY source
+"""
+
+ORACLE["t35_snm_dedup"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id,
+               concat_ws(' ', toks[1], toks[2], toks[3]) AS k,
+               list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                              for i in range(1, len(toks) - 1)]) AS sh
+        FROM t
+    ),
+    ranked AS (
+        SELECT doc_id, sh,
+               ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn
+        FROM keyed
+    ),
+    cand AS (
+        SELECT a.doc_id AS a0, b.doc_id AS b0, a.sh AS ash, b.sh AS bsh
+        FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 4
+    ),
+    scored AS (
+        SELECT LEAST(a0, b0) AS a_id, GREATEST(a0, b0) AS b_id,
+               ROUND(len(list_intersect(ash, bsh))::DOUBLE
+                     / (len(ash) + len(bsh)
+                        - len(list_intersect(ash, bsh)))::DOUBLE,
+                     6) AS jaccard
+        FROM cand
+    )
+    SELECT a_id, b_id, jaccard FROM scored
+    WHERE jaccard >= 0.3 ORDER BY a_id, b_id
 """

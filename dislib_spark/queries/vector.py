@@ -112,6 +112,36 @@ def v07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+def v09_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking (query terms) fused
+    with dense cosine ranking (query vector = embedding 0, the same
+    document's vector — doc_id and vec_id align 1:1) by reciprocal-
+    rank fusion, the standard RAG retrieval combiner. Both input
+    lists are bounded top-100 rankings on 6-dp-rounded scores with
+    id tiebreaks, so ranks — and therefore the fused score — are
+    bit-deterministic on both engines."""
+    from pyspark.sql import Window
+
+    from dislib_spark.text.tfidf import bm25_scores
+    from dislib_spark.vector.search import rrf_fuse
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_scores(d, ["spark", "query", "stream"])
+    wl = Window.orderBy(F.desc("bm25"), "doc_id")
+    lex_rank = (
+        lex.withColumn("rank", F.row_number().over(wl))
+        .where(F.col("rank") <= 100)
+        .select("doc_id", "rank")
+    )
+    dense_rank = (
+        cosine_topk(e.where(F.col("vec_id") == 0), e, k=100)
+        .select(F.col("c_id").alias("doc_id"), "rank")
+    )
+    fused = rrf_fuse([lex_rank, dense_rank], k=60)
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(15)
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -121,6 +151,7 @@ QUERIES = {
     "v06_pq_topk": v06_pq_topk,
     "v07_semantic_dedup": v07_semantic_dedup,
     "v08_mips_topk": v08_mips_topk,
+    "v09_hybrid_rrf": v09_hybrid_rrf,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -273,4 +304,75 @@ ORACLE["v08_mips_topk"] = f"""
     SELECT q_id, c_id, dot, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 10
     ORDER BY q_id, rank
+"""
+
+ORACLE["v09_hybrid_rrf"] = f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('spark', 'query', 'stream') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    lens AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               AVG(len(string_split(text, ' '))) AS avgdl
+        FROM documents
+    ),
+    bm25 AS (
+        SELECT tf.doc_id AS doc_id,
+               ROUND(SUM(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dfreq USING (term)
+        JOIN lens ON lens.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    lex AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+            FROM bm25
+        ) WHERE rank <= 100
+    ),
+    cells AS ({_CELLS}),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM cells GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT b.vec_id AS c_id, SUM(a.v * b.v) AS dot
+        FROM cells a JOIN cells b ON a.k = b.k
+        WHERE a.vec_id = 0
+        GROUP BY b.vec_id
+    ),
+    dense AS (
+        SELECT c_id AS doc_id, rank FROM (
+            SELECT d.c_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND(d.dot / (na.nrm * nb.nrm), 6) DESC,
+                                d.c_id
+                   ) AS rank
+            FROM dots d
+            JOIN norms na ON na.vec_id = 0
+            JOIN norms nb ON nb.vec_id = d.c_id
+        ) WHERE rank <= 100
+    ),
+    unioned AS (
+        SELECT doc_id, 1.0 / (60 + rank) AS term FROM lex
+        UNION ALL
+        SELECT doc_id, 1.0 / (60 + rank) AS term FROM dense
+    )
+    SELECT doc_id, ROUND(SUM(term), 6) AS rrf,
+           COUNT(*) AS n_lists
+    FROM unioned GROUP BY doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 15
 """

@@ -397,3 +397,94 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
     )
     return ham.dropDuplicates(["a_id", "b_id"])
+
+
+def snm_pairs(
+    df: DataFrame,
+    window: int = 5,
+    threshold: float = 0.3,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key: Column | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD 1995):
+    sort by a blocking key (default: the first 3 tokens), slide a
+    ``window``-row window over the sorted order, verify every in-window
+    pair by exact shingle Jaccard. The complementary blocking family
+    to the hash buckets of `jaccard_pairs`/`minhash_lsh_pairs`:
+    prefix-similar records become neighbors even when no shingle
+    bucket collides, and candidate volume is exactly
+    ``n·(window-1)`` — output-linear by construction, skew-immune
+    (no hot buckets: every row pairs with ≤ 2(window-1) others).
+
+    Scale shape: the sort is one range exchange (the TeraSort
+    partitioner); in-window candidates come from TWO equi-joins on
+    ``floor(rank/window)`` block ids (a pair at rank distance
+    < window spans at most adjacent blocks — the b-side emits its
+    own block and the previous one), never a cartesian/BNLJ. The
+    global row_number is rank-dense; at cluster scale swap it for
+    zipWithIndex-style per-partition offsets over the range sort
+    (sorting.terasort does exactly this).
+
+    Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard ≥
+    threshold.
+    """
+    from pyspark.sql import Window as W
+
+    key_col = (
+        key
+        if key is not None
+        else F.array_join(
+            F.slice(F.split(F.col(text_col), " "), 1, 3), " "
+        )
+    )
+    base = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("id"),
+            key_col.alias("k"),
+            tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            "id",
+            "k",
+            F.transform(
+                shingles_from_tokens(F.col("_toks"), n),
+                lambda s: F.xxhash64(s),
+            ).alias("hashes"),
+        )
+    )
+    ranked = base.select(
+        "id",
+        "hashes",
+        F.row_number().over(W.orderBy("k", "id")).alias("rn"),
+    ).localCheckpoint(eager=True)  # two consumers below — build once
+    blk = F.floor((F.col("rn") - 1) / window)
+    a = ranked.select(
+        F.col("id").alias("a0"),
+        F.col("hashes").alias("a_h"),
+        F.col("rn").alias("a_rn"),
+        blk.alias("blk"),
+    )
+    b = ranked.select(
+        F.col("id").alias("b0"),
+        F.col("hashes").alias("b_h"),
+        F.col("rn").alias("b_rn"),
+        F.explode(F.array(blk, blk - 1)).alias("blk"),
+    )
+    dist = F.col("b_rn") - F.col("a_rn")
+    inter = F.size(F.array_intersect("a_h", "b_h"))
+    uni = F.size("a_h") + F.size("b_h") - inter
+    return (
+        a.join(b, "blk")
+        .where((dist >= 1) & (dist <= window - 1))
+        .select(
+            F.least("a0", "b0").alias("a_id"),
+            F.greatest("a0", "b0").alias("b_id"),
+            F.round(
+                inter.cast("double") / uni.cast("double"), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

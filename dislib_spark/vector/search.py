@@ -625,3 +625,44 @@ def pq_topk(
     return exact.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009): merge any
+    number of ranked candidate lists into one score,
+    ``rrf(d) = Σ_lists 1 / (k + rank_list(d))`` — the standard hybrid
+    (lexical + dense) retrieval combiner; k=60 is the published
+    default. Items absent from a list contribute nothing (no rank
+    imputation), so each list only needs its top-N.
+
+    Scale shape: a UNION ALL of top-N lists (each already bounded) and
+    one aggregation on the id — no corpus-sized work and no join
+    between the lists. Deterministic: the 1/(k+rank) terms per id are
+    a fixed multiset, so the sum is partitioning-independent (≤ a few
+    terms; IEEE addition is commutative).
+
+    Returns (id, rrf, n_lists).
+    """
+    tagged = [
+        df.select(
+            F.col(id_col).alias("_id"),
+            (1.0 / (F.lit(float(k)) + F.col(rank_col))).alias("_term"),
+        )
+        for df in ranked_lists
+    ]
+    allr = tagged[0]
+    for t in tagged[1:]:
+        allr = allr.unionAll(t)
+    return (
+        allr.groupBy("_id")
+        .agg(
+            F.round(F.sum("_term"), 6).alias("rrf"),
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+        )
+        .select(F.col("_id").alias(id_col), "rrf", "n_lists")
+    )

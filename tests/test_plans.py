@@ -30,6 +30,9 @@ _BNLJ_OK = {
     "t33_bigram_lm",  # 1-row broadcast of the corpus token total
     "x17_bloom_semi_join",  # 1-row broadcast of the bloom bit array
     "v06_pq_topk",  # broadcast of the tiny query set vs PQ codes
+    "t34_dsir_select",  # 1-row broadcast of the (N_raw, N_tgt, V) totals
+    "v09_hybrid_rrf",  # v01-style broadcast query vec + t17 1-row stats
+    "x46_gapfill",  # day-spine × type cross join: both dimension-sized
 }
 
 

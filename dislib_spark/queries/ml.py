@@ -368,6 +368,39 @@ def m12_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("thr")
 
 
+def m13_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multinomial Naive Bayes (the fastText-shaped
+    quality/language gate of LLM curation pipelines): fit on the
+    documents corpus with lang labels, score every document, report
+    the confusion matrix. The whole estimator — token-class counts,
+    Lidstone smoothing, per-doc joint log-likelihoods, argmax — is
+    replayed by the oracle. Argmax runs on 6-dp-rounded joints with a
+    class tiebreak so float partial-sum ordering can never flip a
+    prediction between engines (|joint| ~ 1e3 -> absolute drift
+    ~1e-12, five orders below the rounding grain)."""
+    from pyspark.sql import Window
+
+    from dislib_spark.classification.naive_bayes import MultinomialNB
+
+    d = load_table(spark, sf_dir, "documents")
+    nb = MultinomialNB(alpha=1.0).fit(d, label_col="lang")
+    sc = nb.score_documents(d)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("joint", 6)), "c"
+    )
+    pred = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("c").alias("pred"))
+    )
+    return (
+        pred.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("true_lang"), "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_lang", "pred")
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -381,6 +414,7 @@ QUERIES = {
     "m10_logreg_grad": m10_logreg_grad,
     "m11_auc": m11_auc,
     "m12_stump_split": m12_stump_split,
+    "m13_nb_confusion": m13_nb_confusion,
 }
 
 
@@ -651,4 +685,60 @@ ORACLE["m12_stump_split"] = """
                        THEN 2.0 * (pos - pl) * ((n - nl) - (pos - pl))
                             / (n - nl) ELSE 0.0 END) / n, 6) AS wgini
     FROM a ORDER BY thr
+"""
+
+ORACLE["m13_nb_confusion"] = """
+    WITH tok AS (
+        SELECT doc_id, lang AS c, w FROM (
+            SELECT doc_id, lang,
+                   UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+        ) WHERE w <> ''
+    ),
+    wc AS (SELECT c, w, COUNT(*) AS n_wc FROM tok GROUP BY c, w),
+    c_tok AS (SELECT c, SUM(n_wc) AS n_c FROM wc GROUP BY c),
+    vv AS (SELECT COUNT(DISTINCT w) AS v FROM wc),
+    nd AS (SELECT lang AS c, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+    cls AS (
+        SELECT nd.c, LN(nd.n_docs / tot.n) AS log_prior,
+               LN(1.0 / (c_tok.n_c + vv.v)) AS log_floor
+        FROM nd JOIN c_tok ON c_tok.c = nd.c, tot, vv
+    ),
+    lp AS (
+        SELECT wc.c, wc.w,
+               LN((wc.n_wc + 1.0) / (c_tok.n_c + vv.v)) AS logp
+        FROM wc JOIN c_tok USING (c), vv
+    ),
+    dw AS (
+        SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w
+    ),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM dw GROUP BY doc_id),
+    seen AS (
+        SELECT dw.doc_id, lp.c,
+               SUM(dw.tf * lp.logp) AS s_seen, SUM(dw.tf) AS n_seen
+        FROM dw JOIN lp USING (w) GROUP BY dw.doc_id, lp.c
+    ),
+    joint AS (
+        SELECT cells.doc_id, cells.c,
+               ROUND(cells.log_prior + COALESCE(seen.s_seen, 0)
+                     + (cells.dl - COALESCE(seen.n_seen, 0))
+                       * cells.log_floor, 6) AS j
+        FROM (SELECT dl.doc_id, dl.dl, cls.* FROM dl CROSS JOIN cls)
+             AS cells
+        LEFT JOIN seen
+          ON seen.doc_id = cells.doc_id AND seen.c = cells.c
+    ),
+    pred AS (
+        SELECT doc_id, c AS pred FROM (
+            SELECT doc_id, c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY j DESC, c
+                   ) AS rn
+            FROM joint
+        ) WHERE rn = 1
+    )
+    SELECT d.lang AS true_lang, p.pred, COUNT(*) AS n
+    FROM pred p JOIN documents d USING (doc_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
 """

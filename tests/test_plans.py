@@ -33,6 +33,7 @@ _BNLJ_OK = {
     "t34_dsir_select",  # 1-row broadcast of the (N_raw, N_tgt, V) totals
     "v09_hybrid_rrf",  # v01-style broadcast query vec + t17 1-row stats
     "x46_gapfill",  # day-spine × type cross join: both dimension-sized
+    "m13_nb_confusion",  # |classes|-row class-stats broadcast per doc
 }
 
 

@@ -879,6 +879,18 @@ def x47_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x48: shuffle-key skew diagnostic ---------------------------------
+def x48_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profile of lineitem's join key (l_partkey): the one-pass
+    diagnostic that decides plain shuffle vs AQE skew-split vs salted
+    join before launching a big job at the 100 TB target. Runs the
+    same map-side-combined key count the real aggregation would."""
+    from dislib_spark.utils.skew import skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_profile(li, ["l_partkey"], top=5)
+
+
 # --- s3: streaming dedup (module code path, batch form) --------------
 def s03_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -921,6 +933,7 @@ QUERIES = {
     "x45_time_rollup": x45_time_rollup,
     "x46_gapfill": x46_gapfill,
     "x47_incremental_rollup": x47_incremental_rollup,
+    "x48_skew_profile": x48_skew_profile,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -1285,4 +1298,23 @@ ORACLE["x47_incremental_rollup"] = """
     FROM events
     GROUP BY 1, 2
     ORDER BY day, event_type
+"""
+
+ORACLE["x48_skew_profile"] = """
+    WITH kc AS (
+        SELECT l_partkey, COUNT(*) AS n
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, l_partkey) AS rk
+        FROM kc
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_keys,
+           ROUND(MAX(n)::DOUBLE / SUM(n), 6) AS max_share,
+           ROUND(SUM(CASE WHEN rk <= 5 THEN n ELSE 0 END)::DOUBLE
+                 / SUM(n), 6) AS topk_share,
+           ROUND(MAX(n)::DOUBLE / AVG(n), 6) AS imbalance
+    FROM ranked
 """

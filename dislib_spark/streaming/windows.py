@@ -200,3 +200,72 @@ def running_user_stats(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def rollup_partials(
+    df: DataFrame,
+    grain: str = "day",
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Mergeable time-rollup partials: (bucket, keys) → (n, decimal
+    sum). Shared by the batch rollup (x45/x47) and the streaming sink
+    below — merge of any partition of the input equals the full
+    aggregate, because counts and decimal sums are associative."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.groupBy(
+        F.date_trunc(grain, ts_col).alias("bucket"), *key_cols
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sv"),
+    )
+
+
+def incremental_rollup_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    grain: str = "day",
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    **trigger,
+):
+    """Streaming continuous-aggregate maintenance, merge-on-read:
+    every micro-batch APPENDS its rollup partials to ``path``;
+    ``read_rollup`` re-aggregates them. Append-only means no
+    read-modify-write race and object-store-safe commits (the
+    lakehouse MERGE INTO equivalent without a table format);
+    periodic compaction is ``read_rollup(...).write`` — exactly the
+    x47 merge, which the oracle proves equals a full recompute.
+
+    Returns the started StreamingQuery (use
+    ``trigger(availableNow=True)`` kwargs for batch-drain tests).
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            rollup_partials(batch_df, grain, ts_col, key_cols, value_col)
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def read_rollup(spark, path: str, key_cols: tuple[str, ...] = ("event_type",)) -> DataFrame:
+    """Merge the appended partials back to the exact rollup: one
+    dimension-sized aggregation over the partials table (never the
+    raw events)."""
+    p = spark.read.parquet(path)
+    return p.groupBy("bucket", *key_cols).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sv").cast("double").alias("sum_value"),
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,3 +77,39 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
     )
     return fact.join(dim, [key, "_salt"]).drop("_salt")
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: list[str] | tuple[str, ...],
+    top: int = 5,
+) -> DataFrame:
+    """One-row skew diagnostic for a prospective shuffle key: distinct
+    keys, heaviest-key share, top-``top`` concentration, and the
+    max/mean imbalance ratio — the numbers that decide between a
+    plain shuffle, AQE skew-split, and a salted join
+    (``salted_agg``/``salted_join`` above).
+
+    Cost: one map-side-combined key count (the same exchange the real
+    aggregation would run), then top-k + three scalars over the
+    key-count table — safe to run inline before a big job. Returns
+    (n_rows, n_keys, max_share, topk_share, imbalance).
+    """
+    kc = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    ranked = kc.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), *key_cols))
+        .alias("rk"),
+    )
+    return ranked.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("max_share"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= top, F.col("n")).otherwise(0))
+            / F.sum("n"),
+            6,
+        ).alias("topk_share"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("imbalance"),
+    )

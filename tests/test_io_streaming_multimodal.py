@@ -417,3 +417,57 @@ def test_json_orc_roundtrip(spark, tmp_path):
     save_orc(a, po)
     assert np.array_equal(load_json(spark, pj).collect(), x)
     assert np.array_equal(load_orc(spark, po).collect(), x)
+
+
+def test_incremental_rollup_stream_equals_batch(spark, tmp_path):
+    """Streaming continuous-aggregate maintenance: drain the events
+    table through incremental_rollup_sink in MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 over a 3-file source), then read_rollup's
+    merged partials must equal the one-shot batch rollup exactly
+    (counts and decimal sums are associative — the merge-on-read
+    contract)."""
+    from dislib_spark.streaming.windows import (
+        incremental_rollup_sink,
+        read_rollup,
+        rollup_partials,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "ev_src")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = str(tmp_path / "rollup")
+    q = incremental_rollup_sink(
+        stream, sink, str(tmp_path / "ckpt"), availableNow=True
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress is not None
+    # > 1 partial row per (bucket, type) proves multi-batch appends
+    n_partials = spark.read.parquet(sink).count()
+
+    got = {
+        (r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in read_rollup(spark, sink).collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        (r["bucket"], r["event_type"]): (
+            r["n"],
+            float(r["sv"]),
+        )
+        for r in rollup_partials(ev)
+        .select(
+            "bucket",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "sv",
+        )
+        .collect()
+    }
+    assert got == want
+    assert n_partials > len(want)

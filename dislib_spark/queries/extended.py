@@ -891,6 +891,34 @@ def x48_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(li, ["l_partkey"], top=5)
 
 
+
+# --- x49: z-order (Morton) layout locality profile --------------------
+def x49_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout profile: interleave 8-bit cells of the two
+    lineitem join keys into a Morton code and show that every
+    256-code bucket confines BOTH dimensions to a ≤16-wide range —
+    the property that lets parquet min-max stats prune scans on
+    either key after `sources.zorder.cluster_by_zorder`. Pure integer
+    bit arithmetic → exact on both engines."""
+    from dislib_spark.sources.zorder import zorder_value
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = (F.col("l_partkey") % 256).alias("x")
+    y = (F.col("l_suppkey") % 256).alias("y")
+    cells = li.select(x, y)
+    z = zorder_value([F.col("x"), F.col("y")], bits=8)
+    return (
+        cells.select("x", "y", F.shiftright(z, 8).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("x") - F.min("x")).alias("x_span"),
+            (F.max("y") - F.min("y")).alias("y_span"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # --- s3: streaming dedup (module code path, batch form) --------------
 def s03_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -934,6 +962,7 @@ QUERIES = {
     "x46_gapfill": x46_gapfill,
     "x47_incremental_rollup": x47_incremental_rollup,
     "x48_skew_profile": x48_skew_profile,
+    "x49_zorder_cells": x49_zorder_cells,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -1317,4 +1346,18 @@ ORACLE["x48_skew_profile"] = """
                  / SUM(n), 6) AS topk_share,
            ROUND(MAX(n)::DOUBLE / AVG(n), 6) AS imbalance
     FROM ranked
+"""
+
+ORACLE["x49_zorder_cells"] = """
+    WITH cells AS (
+        SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem
+    ),
+    coded AS (
+        SELECT x, y, ((((x // 1) % 2) * 1) + (((y // 1) % 2) * 2) + (((x // 2) % 2) * 4) + (((y // 2) % 2) * 8) + (((x // 4) % 2) * 16) + (((y // 4) % 2) * 32) + (((x // 8) % 2) * 64) + (((y // 8) % 2) * 128) + (((x // 16) % 2) * 256) + (((y // 16) % 2) * 512) + (((x // 32) % 2) * 1024) + (((y // 32) % 2) * 2048) + (((x // 64) % 2) * 4096) + (((y // 64) % 2) * 8192) + (((x // 128) % 2) * 16384) + (((y // 128) % 2) * 32768)) // 256 AS bucket
+        FROM cells
+    )
+    SELECT bucket, COUNT(*) AS n,
+           MAX(x) - MIN(x) AS x_span,
+           MAX(y) - MIN(y) AS y_span
+    FROM coded GROUP BY bucket ORDER BY bucket
 """

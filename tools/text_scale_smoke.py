@@ -121,6 +121,21 @@ def main():
         lambda: bpe_pair_counts(docs, top_k=20).collect(),
     )
 
+    def nb_fit_score():
+        from dislib_spark.classification.naive_bayes import MultinomialNB
+
+        labeled = docs.withColumn(
+            "lang", F.concat(F.lit("c"), (F.col("doc_id") % 4))
+        )
+        nb = MultinomialNB(alpha=1.0).fit(labeled, label_col="lang")
+        return (
+            nb.score_documents(docs)
+            .agg(F.count(F.lit(1)), F.avg("joint"))
+            .collect()
+        )
+
+    timed("NB classifier fit + full-corpus score", nb_fit_score)
+
     def gen_vecs():
         base = spark.range(0, N, 1, par)
         vec = F.transform(

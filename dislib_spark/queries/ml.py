@@ -401,6 +401,44 @@ def m13_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m14_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram (calibration-curve) bins for the fixed
+    logistic scorer of m10: bucket predicted probability into 10
+    equal bins and compare mean prediction with the actual positive
+    rate — the model-evaluation kernel next to m11's AUC. One
+    map-side-combined aggregation over the embedding scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    w = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: ((j % 7) - 3) / F.lit(10.0),
+    )
+    z = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), w, lambda a, b: a.cast("double") * b
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    staged = (
+        e.select("label", "embedding")
+        .withColumn("z", z)
+        .withColumn("p", 1.0 / (1.0 + F.exp(-F.col("z"))))
+        .withColumn(
+            "y", F.when(F.col("label") < 5, F.lit(1.0)).otherwise(0.0)
+        )
+    )
+    b = F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("long")
+    return (
+        staged.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p"), 6).alias("avg_pred"),
+            F.round(F.avg("y"), 6).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -415,6 +453,7 @@ QUERIES = {
     "m11_auc": m11_auc,
     "m12_stump_split": m12_stump_split,
     "m13_nb_confusion": m13_nb_confusion,
+    "m14_calibration": m14_calibration,
 }
 
 
@@ -741,4 +780,21 @@ ORACLE["m13_nb_confusion"] = """
     SELECT d.lang AS true_lang, p.pred, COUNT(*) AS n
     FROM pred p JOIN documents d USING (doc_id)
     GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE["m14_calibration"] = """
+    SELECT CAST(LEAST(FLOOR(p * 10), 9) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           ROUND(AVG(p), 6) AS avg_pred,
+           ROUND(AVG(y), 6) AS frac_pos
+    FROM (
+        SELECT 1.0 / (1.0 + exp(-list_inner_product(
+                   list_transform(embedding, v -> v::DOUBLE),
+                   list_transform(range(0, 64),
+                                  j -> ((j % 7) - 3) / 10.0)
+               ))) AS p,
+               CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+        FROM embeddings
+    )
+    GROUP BY 1 ORDER BY bin
 """

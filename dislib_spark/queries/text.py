@@ -548,6 +548,28 @@ def t35_snm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t36_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-entropy profile (Shannon entropy of each
+    doc's own unigram distribution, nats): the scalar
+    diversity/boilerplate signal next to the Gopher repetition
+    ratios. Fully oracle-replayed."""
+    from dislib_spark.text.features import token_entropy
+
+    d = load_table(spark, sf_dir, "documents")
+    ent = token_entropy(d)
+    return (
+        d.select("doc_id", "source")
+        .join(ent, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+            F.round(F.min("entropy"), 6).alias("min_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -584,6 +606,7 @@ QUERIES = {
     "t33_bigram_lm": t33_bigram_lm,
     "t34_dsir_select": t34_dsir_select,
     "t35_snm_dedup": t35_snm_dedup,
+    "t36_token_entropy": t36_token_entropy,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -1432,4 +1455,23 @@ ORACLE["t35_snm_dedup"] = """
     )
     SELECT a_id, b_id, jaccard FROM scored
     WHERE jaccard >= 0.3 ORDER BY a_id, b_id
+"""
+
+ORACLE["t36_token_entropy"] = """
+    WITH dw AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+        ) WHERE w <> '' GROUP BY doc_id, w
+    ),
+    ent AS (
+        SELECT doc_id,
+               LN(SUM(c)) - SUM(c * LN(c)) / SUM(c) AS entropy
+        FROM dw GROUP BY doc_id
+    )
+    SELECT d.source, COUNT(*) AS n_docs,
+           ROUND(AVG(e.entropy), 6) AS avg_entropy,
+           ROUND(MIN(e.entropy), 6) AS min_entropy
+    FROM ent e JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
 """

@@ -208,3 +208,44 @@ def dsir_importance(
             "weight",
         )
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, entropy) — Shannon entropy (nats) of each
+    document's own unigram distribution:
+    ``H = ln(n) − (Σ_w c_w·ln c_w)/n``. The token-diversity quality
+    signal: boilerplate/template text scores low, natural text tracks
+    its vocabulary breadth. Complements the Gopher repetition ratios
+    (t11) with a single scalar.
+
+    One corpus-sized (doc, word) count; the entropy is algebra over
+    that table — same shuffle budget as any per-doc token statistic.
+    """
+    dw = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        dw.groupBy("_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("clogc"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n").cast("long").alias("n_tokens"),
+            (F.log(F.col("n")) - F.col("clogc") / F.col("n")).alias(
+                "entropy"
+            ),
+        )
+    )

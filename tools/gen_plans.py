@@ -34,6 +34,13 @@ PICKS = {
     "x42_copurchase": "basket self-join on the order key after a distinct pre-agg; support filter after the pair count",
     "t33_bigram_lm": "bigram LM tables re-aggregated from one per-(doc,bigram) exchange; 1-row total broadcast",
     "s06_stream_static": "static dimension broadcast onto the event scan; one window aggregation",
+    "t34_dsir_select": "one (word,target) count builds both distributions; weight join through per-(doc,word) tf; 1-row totals broadcast",
+    "t35_snm_dedup": "range sort + floor(rank/w) block equi-joins — windowed candidates with no cartesian",
+    "v09_hybrid_rrf": "two bounded top-100 lists UNION ALL'd into one id aggregation; no list-vs-list join",
+    "m13_nb_confusion": "NB fit = one (class,token) count; predict joins the model on the token key + |C|-row class broadcast",
+    "x45_time_rollup": "hour partials re-aggregated to day grain — the merge reads partials, never raw events twice",
+    "x48_skew_profile": "map-side-combined key count, then top-k scalars over the key table",
+    "x49_zorder_cells": "Morton code is pure codegen bit arithmetic; one exchange on the bucket",
 }
 
 

@@ -919,6 +919,32 @@ def x49_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --- s7: streaming rollup partials (module code path, batch form) -----
+def s07_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming continuous-aggregate sink: the
+    SAME `rollup_partials` the foreachBatch sink appends, split into
+    per-half partial tables and merged by `read_rollup`'s
+    aggregation shape — oracle = one-level day rollup, certifying
+    the streaming module's merge-on-read math."""
+    from dislib_spark.streaming.windows import rollup_partials
+
+    ev = load_table(spark, sf_dir, "events")
+    halves = [
+        rollup_partials(ev.where(F.dayofmonth("ts") % 2 == i))
+        for i in (0, 1)
+    ]
+    return (
+        halves[0].unionAll(halves[1])
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
 # --- s3: streaming dedup (module code path, batch form) --------------
 def s03_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -969,6 +995,7 @@ QUERIES = {
     "s04_sliding": s04_sliding,
     "s05_interval_join": s05_interval_join,
     "s06_stream_static": s06_stream_static,
+    "s07_rollup": s07_rollup,
 }
 
 ORACLE = {
@@ -1360,4 +1387,14 @@ ORACLE["x49_zorder_cells"] = """
            MAX(x) - MIN(x) AS x_span,
            MAX(y) - MIN(y) AS y_span
     FROM coded GROUP BY bucket ORDER BY bucket
+"""
+
+ORACLE["s07_rollup"] = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY bucket, event_type
 """

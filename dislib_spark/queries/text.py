@@ -570,6 +570,24 @@ def t36_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t37_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup-against-index: the daily-crawl-vs-archive
+    shape — band the odd-id batch against the even-id corpus' stored
+    LSH index; candidates are batch-sized, the archive is touched
+    only through the band-hash join. Rows-only in the driver
+    (xxhash64 banding isn't ANSI-replayable); exact-equality-vs-
+    one-shot-batch-dedup is pytest-gated
+    (tests/test_incremental_dedup.py)."""
+    from dislib_spark.text.dedup import dedup_against_index, minhash_index
+
+    d = load_table(spark, sf_dir, "documents")
+    ix = minhash_index(d.where(F.col("doc_id") % 2 == 0))
+    batch = d.where(F.col("doc_id") % 2 == 1)
+    return dedup_against_index(batch, ix, threshold=0.3).orderBy(
+        "new_id", "index_id"
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -607,6 +625,7 @@ QUERIES = {
     "t34_dsir_select": t34_dsir_select,
     "t35_snm_dedup": t35_snm_dedup,
     "t36_token_entropy": t36_token_entropy,
+    "t37_incremental_dedup": t37_incremental_dedup,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.

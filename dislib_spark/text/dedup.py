@@ -488,3 +488,125 @@ def snm_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def _banded_signatures(
+    df: DataFrame,
+    num_hashes: int,
+    bands: int,
+    n: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, shingles, band_idx, band_hash) — the shared banding step
+    of batch LSH dedup and the incremental index below. Identical
+    parameters ⇒ identical band hashes, so an index built yesterday
+    collides correctly with a batch banded today."""
+    hashed = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+        )
+        .select("id", shingles_from_tokens(F.col("_toks"), n).alias("shingles"))
+        .where(F.size("shingles") > 0)
+        .withColumn(
+            "_h",
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rows_per_band = num_hashes // bands
+    sig = (
+        hashed.withColumn("sig", _minhash_signature(F.col("_h"), num_hashes))
+        .drop("_h")
+        .localCheckpoint(eager=True)
+    )
+    return sig.select(
+        "id",
+        "shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        F.col("sig"), b * rows_per_band + 1, rows_per_band
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def minhash_index(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Build the persistent LSH dedup index for a corpus: one row per
+    (doc, band) with the band hash and the doc's shingle set. Write
+    it with ``.write.partitionBy("band_idx").parquet(...)`` and
+    incremental batches dedup against it WITHOUT rescanning the
+    historical corpus — the daily-crawl-vs-archive shape. Appending
+    the new batch's own index rows keeps it current (pure union —
+    band hashes are content-determined, never relative to the
+    corpus)."""
+    return _banded_signatures(df, num_hashes, bands, n, text_col, id_col)
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup detection: band the NEW batch with the
+    index's parameters and equi-join band hashes against the stored
+    index — candidate volume is new-batch-sized, the archive is
+    touched only through the (band_idx, band_hash) join (partition-
+    pruned when the index is written partitionBy(band_idx)). Exact
+    Jaccard re-check on candidates only.
+
+    Returns (new_id, index_id, jaccard ≥ threshold); pairs where the
+    same document appears on both sides (id equality) are excluded.
+    New-vs-new duplicates are `minhash_lsh_pairs` on the batch alone.
+    """
+    banded_new = _banded_signatures(
+        new_docs, num_hashes, bands, n, text_col, id_col
+    )
+    nw = banded_new.select(
+        F.col("id").alias("new_id"),
+        F.col("shingles").alias("new_sh"),
+        "band_idx",
+        "band_hash",
+    )
+    ix = index.select(
+        F.col("id").alias("index_id"),
+        F.col("shingles").alias("index_sh"),
+        "band_idx",
+        "band_hash",
+    )
+    cand = (
+        nw.join(ix, ["band_idx", "band_hash"])
+        .where(F.col("new_id") != F.col("index_id"))
+        .select("new_id", "new_sh", "index_id", "index_sh")
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    return cand.select(
+        "new_id",
+        "index_id",
+        F.round(
+            F.size(F.array_intersect("new_sh", "index_sh")).cast("double")
+            / F.size(F.array_union("new_sh", "index_sh")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)

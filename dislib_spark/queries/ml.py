@@ -439,6 +439,71 @@ def m14_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m15_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed 5-fold cross-validation of 1-feature OLS
+    (l_quantity → l_extendedprice) with NO per-fold retraining scan:
+    ONE pass collects per-fold sufficient statistics (n, Σx, Σy,
+    Σx², Σxy); each fold's train-on-complement model is total-minus-
+    fold algebra on those 5 rows; the tiny (fold, slope, intercept)
+    table broadcasts back onto the fact scan for test RMSE. The
+    model-selection kernel (model_selection.KFold + LinearRegression)
+    expressed as mergeable partials — at 100 TB the data is read
+    exactly twice (stats + scoring), not k times. Folds are md5-hash
+    assigned (engine/layout/rerun-stable, the t10 convention)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    fold = (
+        F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long") % 5
+    ).alias("fold")
+    base = li.select(
+        fold,
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    stats = base.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    tot = stats.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    t = stats.crossJoin(F.broadcast(tot))
+    cn = F.col("tn") - F.col("n")
+    csx = F.col("tsx") - F.col("sx")
+    csy = F.col("tsy") - F.col("sy")
+    csxx = F.col("tsxx") - F.col("sxx")
+    csxy = F.col("tsxy") - F.col("sxy")
+    slope = (cn * csxy - csx * csy) / (cn * csxx - csx * csx)
+    params = t.select(
+        "fold",
+        slope.alias("b"),
+        ((csy - slope * csx) / cn).alias("a"),
+    )
+    resid = F.col("y") - F.col("a") - F.col("b") * F.col("x")
+    return (
+        base.join(F.broadcast(params), "fold")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(F.avg("b"), 6).alias("slope"),
+            F.round(F.avg("a"), 6).alias("intercept"),
+            F.round(F.sqrt(F.avg(resid * resid)), 6).alias("rmse"),
+        )
+        .orderBy("fold")
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -454,6 +519,7 @@ QUERIES = {
     "m12_stump_split": m12_stump_split,
     "m13_nb_confusion": m13_nb_confusion,
     "m14_calibration": m14_calibration,
+    "m15_cv_ols": m15_cv_ols,
 }
 
 
@@ -797,4 +863,42 @@ ORACLE["m14_calibration"] = """
         FROM embeddings
     )
     GROUP BY 1 ORDER BY bin
+"""
+
+ORACLE["m15_cv_ols"] = """
+    WITH base AS (
+        SELECT CAST(('0x' || substr(md5(
+                   CAST(l_orderkey AS VARCHAR) || '-'
+                   || CAST(l_linenumber AS VARCHAR)), 1, 4))
+               AS INTEGER) % 5 AS fold,
+               l_quantity AS x, l_extendedprice AS y
+        FROM lineitem
+    ),
+    stats AS (
+        SELECT fold, COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM base GROUP BY fold
+    ),
+    tot AS (
+        SELECT SUM(n) AS tn, SUM(sx) AS tsx, SUM(sy) AS tsy,
+               SUM(sxx) AS tsxx, SUM(sxy) AS tsxy
+        FROM stats
+    ),
+    params AS (
+        SELECT fold,
+               ((tn - n) * (tsxy - sxy) - (tsx - sx) * (tsy - sy))
+               / ((tn - n) * (tsxx - sxx) - (tsx - sx) * (tsx - sx))
+                   AS b,
+               ((tsy - sy)
+                - ((tn - n) * (tsxy - sxy) - (tsx - sx) * (tsy - sy))
+                  / ((tn - n) * (tsxx - sxx) - (tsx - sx) * (tsx - sx))
+                  * (tsx - sx)) / (tn - n) AS a
+        FROM stats, tot
+    )
+    SELECT fold, COUNT(*) AS n_test,
+           ROUND(AVG(b), 6) AS slope,
+           ROUND(AVG(a), 6) AS intercept,
+           ROUND(SQRT(AVG((y - a - b * x) * (y - a - b * x))), 6) AS rmse
+    FROM base JOIN params USING (fold)
+    GROUP BY fold ORDER BY fold
 """

@@ -159,6 +159,22 @@ def main():
         "LSH ANN top-10 (10 queries, bucket join)",
         lambda: lsh_topk(queries, vecs, k=10).count(),
     )
+
+    def ivf_item():
+        from dislib_spark.vector.search import ivf_topk
+
+        return ivf_topk(queries, vecs, k=10, n_cells=64, n_probe=4).count()
+
+    timed("IVF ANN top-10 (64 cells, probe 4)", ivf_item)
+
+    def pq_item():
+        from dislib_spark.vector.search import (
+            pq_codebooks, pq_encode, pq_topk,
+        )
+
+        return pq_topk(queries, vecs, k=10).count()
+
+    timed("PQ ANN top-10 (ADC scoring + re-rank)", pq_item)
     timed(
         "semantic dedup (256 cells, 5-iter kmeans)",
         lambda: semantic_dedup_pairs(

@@ -473,13 +473,28 @@ def pq_codebooks(
             F.transform(F.col("_raw"), lambda x: x / F.col("_nrm")).alias("v")
         )
     )
+    # Codebooks are trained on a deterministic hash-sample (standard
+    # PQ practice — FAISS trains on ~10-100k vectors regardless of
+    # corpus size): 8 full-corpus KMeans fits were the 500k-smoke
+    # bottleneck. The sampled projection is checkpointed ONCE and
+    # all n_subvectors fits slice it — not one corpus scan per fit.
+    sample_cap = 100_000
+    n = corpus.count()
+    if n > sample_cap:
+        keep = int(10000 * sample_cap / n)
+        src = src.where(F.pmod(F.xxhash64(F.col("v")), F.lit(10000)) < keep)
+    src = src.localCheckpoint(eager=True)
     books = []
     for m in range(n_subvectors):
         sl = src.select(
             array_to_vector(F.slice("v", m * sub + 1, sub)).alias("_s")
         )
         km = KMeans(
-            k=n_centroids, seed=seed + m, featuresCol="_s", predictionCol="c"
+            k=n_centroids,
+            seed=seed + m,
+            featuresCol="_s",
+            predictionCol="c",
+            maxIter=10,
         )
         model = km.fit(sl)
         books.append(
@@ -495,43 +510,58 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Encode each vector as its per-subspace nearest-centroid codes
-    (array<int>, one per subvector). Pure JVM: the codebooks are tiny
-    literals; per subspace the argmin is a fold over ``n_centroids``
-    squared distances. Returns (id, codes)."""
+    (array<int>, one per subvector). Vectorized numpy under
+    ``mapInArrow`` (one argmin matmul per subspace per Arrow batch,
+    codebooks shipped once via closure) — the m·c per-row
+    expression-tree folds of the first cut recomputed the normalize
+    inside every lambda (no CSE in lambda bodies) and measured 100×
+    slower at 500k rows; dense pairwise math belongs in BLAS, the
+    semantic-dedup lesson. Shuffle-free narrow map either way.
+    Returns (id, codes)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
     n_sub = len(codebooks)
     sub = len(codebooks[0][0])
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, c, sub)
+    bnorm2 = (B * B).sum(axis=2)  # (m, c)
 
     staged = fan_out(corpus).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("_raw"),
-        _norm(F.col(vec_col)).alias("_nrm"),
     )
-    v = F.transform(F.col("_raw"), lambda x: x / F.col("_nrm"))
-    code_cols = []
-    for m, book in enumerate(codebooks):
-        sl = F.slice(v, m * sub + 1, sub)
-        # argmin via array_position(min) — a chained when/otherwise
-        # fold would nest the accumulator expression per centroid
-        # (each level copies it twice -> 2^n_centroids tree, OOMs the
-        # planner); this form is linear in n_centroids.
-        d2s = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        sl,
-                        F.array(*[F.lit(float(x)) for x in ctr]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+    out_schema = T.StructType(
+        [
+            T.StructField("id", staged.schema["id"].dataType, True),
+            T.StructField(
+                "codes", T.ArrayType(T.IntegerType(), False), False
+            ),
+        ]
+    )
+
+    def fn(batches):
+        for b in batches:
+            col = b.column(b.schema.get_field_index("_raw"))
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            X = flat.astype(np.float64, copy=False).reshape(len(col), -1)
+            nrm = np.sqrt((X * X).sum(axis=1, keepdims=True))
+            nrm[nrm == 0.0] = 1.0
+            X = X / nrm
+            codes = np.empty((len(col), n_sub), dtype=np.int32)
+            for m in range(n_sub):
+                Xm = X[:, m * sub : (m + 1) * sub]
+                # argmin ||x−c||² == argmin (−2x·c + ||c||²)
+                codes[:, m] = (bnorm2[m] - 2.0 * (Xm @ B[m].T)).argmin(
+                    axis=1
                 )
-                for ctr in book
-            ]
-        )
-        code_cols.append(
-            (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
-        )
-    return staged.select("id", F.array(*code_cols).alias("codes"))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index("id")),
+                 pa.array(codes.tolist(), type=pa.list_(pa.int32()))],
+                names=["id", "codes"],
+            )
+
+    return staged.mapInArrow(fn, out_schema)
 
 
 def pq_topk(

@@ -1,0 +1,107 @@
+"""One-pass distributed summary statistics.
+
+Extension surface (the reference's statistics live inside individual
+estimators — e.g. the Gramian pass of regression/linear/base.py and
+the scatter pass of decomposition/pca — this module exposes the same
+sufficient-statistics pattern as standalone operators).
+
+Scale design: every function here reads the fact table EXACTLY once,
+reduces to O(d²) scalars with map-side-combined aggregates, and does
+the remaining algebra on that single packed row inside the plan — no
+driver collect, no second scan, no shuffle beyond the one final
+aggregation. That is the shape that survives 100 TB: d=100 columns is
+10k floats of reduce state per partition regardless of row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pearson correlation of every column pair in ONE scan.
+
+    Collects the packed sufficient statistics (n, Σxᵢ, Σxᵢ², Σxᵢxⱼ)
+    as a single aggregate row, then unpivots the d(d-1)/2 upper
+    triangle with ``stack`` — so the data is read once for ALL pairs,
+    not once per pair, and the reduce state is O(d²) scalars.
+
+    Returns (col_a, col_b, corr) with col_a < col_b lexically and
+    corr = population Pearson r rounded to 6 places (rounding makes
+    the value hash partition-order independent).
+    """
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs at least 2 columns")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(cols)
+        for b in cols[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    stats = df.agg(*aggs)
+
+    def corr_expr(a: str, b: str):
+        n = F.col("n")
+        cov = F.col(f"sp_{a}_{b}") / n - (F.col(f"s_{a}") / n) * (
+            F.col(f"s_{b}") / n
+        )
+        var_a = F.col(f"ss_{a}") / n - (F.col(f"s_{a}") / n) ** 2
+        var_b = F.col(f"ss_{b}") / n - (F.col(f"s_{b}") / n) ** 2
+        return F.round(cov / F.sqrt(var_a * var_b), 6)
+
+    # Unpivot the single stats row into (col_a, col_b, corr) rows:
+    # project each triple to named columns, then one stack().
+    n_pairs = len(pairs)
+    projected = []
+    for i, (a, b) in enumerate(pairs):
+        projected.append(F.lit(a).alias(f"col_a_{i}"))
+        projected.append(F.lit(b).alias(f"col_b_{i}"))
+        projected.append(corr_expr(a, b).alias(f"corr_{i}"))
+    return stats.select(*projected).selectExpr(
+        f"stack({n_pairs}, "
+        + ", ".join(
+            f"col_a_{i}, col_b_{i}, corr_{i}" for i in range(n_pairs)
+        )
+        + ") AS (col_a, col_b, corr)"
+    )
+
+
+def robust_stats(
+    df: DataFrame, cols: list[str], percentiles=(0.25, 0.5, 0.75)
+) -> DataFrame:
+    """Per-column exact median / quartiles / IQR in ONE aggregate.
+
+    The robust-scaler fit statistics (sklearn RobustScaler contract:
+    center = median, scale = IQR). Exact ``percentile`` keeps the
+    result oracle-checkable; the documented 100 TB path swaps in
+    ``approx_percentile`` (mergeable GK sketch) behind the same
+    column names — see ``sketches.quantile_sketch``.
+
+    Returns one row per column: (col_name, q25, median, q75, iqr).
+    """
+    q25, q50, q75 = percentiles
+    per_col = []
+    for c in cols:
+        per_col.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.round(F.expr(f"percentile({c}, {q25})"), 6).alias("q25"),
+                F.round(F.expr(f"percentile({c}, {q50})"), 6).alias("median"),
+                F.round(F.expr(f"percentile({c}, {q75})"), 6).alias("q75"),
+                F.round(
+                    F.expr(f"percentile({c}, {q75})")
+                    - F.expr(f"percentile({c}, {q25})"),
+                    6,
+                ).alias("iqr"),
+            ).alias(f"st_{c}")
+        )
+    row = df.agg(*per_col)
+    return row.select(
+        F.explode(F.array(*[F.col(f"st_{c}") for c in cols])).alias("s")
+    ).select("s.*")

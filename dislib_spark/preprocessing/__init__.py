@@ -1,3 +1,8 @@
-from dislib_spark.preprocessing.scalers import MinMaxScaler, StandardScaler, column_stats
+from dislib_spark.preprocessing.scalers import (
+    MinMaxScaler,
+    RobustScaler,
+    StandardScaler,
+    column_stats,
+)
 
-__all__ = ["MinMaxScaler", "StandardScaler", "column_stats"]
+__all__ = ["MinMaxScaler", "RobustScaler", "StandardScaler", "column_stats"]

@@ -85,6 +85,60 @@ class StandardScaler:
         return DsArray(df, x.shape)
 
 
+class RobustScaler:
+    """(x - median) / IQR with exact inverse — the outlier-resistant
+    scaler (sklearn RobustScaler contract: center = median, scale =
+    q75 - q25). Extension beyond the reference's mean/minmax scalers;
+    same fit shape: ONE aggregation of exact percentiles (the 100 TB
+    path swaps ``approx_percentile`` behind the same attributes)."""
+
+    def __init__(self, quantile_range: tuple[float, float] = (0.25, 0.75)):
+        self.quantile_range = quantile_range
+        self.center_: np.ndarray | None = None
+        self.scale_: np.ndarray | None = None
+
+    def fit(self, x: DsArray) -> "RobustScaler":
+        d = x.shape[1]
+        lo, hi = self.quantile_range
+        exprs = []
+        for j in range(d):
+            exprs.append(F.expr(f"percentile({_FEAT}[{j}], 0.5)").alias(f"c{j}"))
+            exprs.append(
+                (
+                    F.expr(f"percentile({_FEAT}[{j}], {hi})")
+                    - F.expr(f"percentile({_FEAT}[{j}], {lo})")
+                ).alias(f"s{j}")
+            )
+        row = x.df.agg(*exprs).collect()[0]
+        self.center_ = np.array([row[f"c{j}"] for j in range(d)])
+        self.scale_ = np.array([row[f"s{j}"] or 0.0 for j in range(d)])
+        self.scale_[self.scale_ == 0.0] = 1.0
+        return self
+
+    def transform(self, x: DsArray) -> DsArray:
+        ce, sc = self.center_, self.scale_
+        cols = [
+            (F.element_at(F.col(_FEAT), j + 1) - F.lit(float(ce[j])))
+            / F.lit(float(sc[j]))
+            for j in range(x.shape[1])
+        ]
+        df = x.df.select(_ROW, F.array(*cols).alias(_FEAT))
+        return DsArray(df, x.shape)
+
+    def fit_transform(self, x: DsArray) -> DsArray:
+        return self.fit(x).transform(x)
+
+    def inverse_transform(self, x: DsArray) -> DsArray:
+        ce, sc = self.center_, self.scale_
+        cols = [
+            F.element_at(F.col(_FEAT), j + 1) * F.lit(float(sc[j]))
+            + F.lit(float(ce[j]))
+            for j in range(x.shape[1])
+        ]
+        df = x.df.select(_ROW, F.array(*cols).alias(_FEAT))
+        return DsArray(df, x.shape)
+
+
 class MinMaxScaler:
     """Scale to [lo, hi] with exact inverse (reference
     minmax_scaler.py:31-129)."""

@@ -955,6 +955,30 @@ def s03_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.agg(F.count(F.lit(1)).alias("n"))
 
 
+def x50_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the built-in ``DataFrame.unpivot``
+    (melt): per-returnflag measure columns become (flag, measure,
+    value) rows — the inverse of x11's pivot. Narrow 1→m row
+    expansion AFTER the aggregation, so the unpivot input is
+    group-count-sized, never corpus-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_rows"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).orderBy("l_returnflag", "measure")
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -989,6 +1013,7 @@ QUERIES = {
     "x47_incremental_rollup": x47_incremental_rollup,
     "x48_skew_profile": x48_skew_profile,
     "x49_zorder_cells": x49_zorder_cells,
+    "x50_unpivot": x50_unpivot,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -1397,4 +1422,21 @@ ORACLE["s07_rollup"] = """
     FROM events
     GROUP BY 1, 2
     ORDER BY bucket, event_type
+"""
+
+ORACLE["x50_unpivot"] = """
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               COUNT(*)::DOUBLE AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, value FROM (
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'n_rows', n_rows FROM wide
+    ) ORDER BY l_returnflag, measure
 """

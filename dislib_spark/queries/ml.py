@@ -504,6 +504,37 @@ def m15_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M16_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+def m16_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of four lineitem measures via the
+    engine's one-pass sufficient-statistics kernel
+    (``math.stats.correlation_matrix``): ONE scan collects n/Σx/Σx²/
+    Σxᵢxⱼ, the d(d-1)/2 correlations are algebra on that single
+    packed row (the feature-screening pass before any model fit —
+    and the exact moment pass PCA/OLS build on)."""
+    from dislib_spark.math.stats import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(li, _M16_COLS).orderBy("col_a", "col_b")
+
+
+_M17_COLS = ["l_discount", "l_extendedprice", "l_quantity"]
+
+
+def m17_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RobustScaler fit statistics (center = exact median, scale =
+    IQR) for three lineitem measures in ONE aggregate
+    (``math.stats.robust_stats`` — the outlier-resistant counterpart
+    of m02's mean/std pass; ``approx_percentile`` is the documented
+    100 TB swap-in)."""
+    from dislib_spark.math.stats import robust_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return robust_stats(li, _M17_COLS).orderBy("col_name")
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -520,6 +551,8 @@ QUERIES = {
     "m13_nb_confusion": m13_nb_confusion,
     "m14_calibration": m14_calibration,
     "m15_cv_ols": m15_cv_ols,
+    "m16_corr_matrix": m16_corr_matrix,
+    "m17_robust_stats": m17_robust_stats,
 }
 
 
@@ -901,4 +934,73 @@ ORACLE["m15_cv_ols"] = """
            ROUND(SQRT(AVG((y - a - b * x) * (y - a - b * x))), 6) AS rmse
     FROM base JOIN params USING (fold)
     GROUP BY fold ORDER BY fold
+"""
+
+
+ORACLE["m16_corr_matrix"] = """
+    SELECT col_a, col_b, corr FROM (
+        SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+               ROUND((SUM(l_discount*l_extendedprice)/COUNT(*) - AVG(l_discount)*AVG(l_extendedprice))
+                     / SQRT((SUM(l_discount*l_discount)/COUNT(*) - AVG(l_discount)*AVG(l_discount))
+                          * (SUM(l_extendedprice*l_extendedprice)/COUNT(*) - AVG(l_extendedprice)*AVG(l_extendedprice))), 6) AS corr
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount' AS col_a, 'l_quantity' AS col_b,
+               ROUND((SUM(l_discount*l_quantity)/COUNT(*) - AVG(l_discount)*AVG(l_quantity))
+                     / SQRT((SUM(l_discount*l_discount)/COUNT(*) - AVG(l_discount)*AVG(l_discount))
+                          * (SUM(l_quantity*l_quantity)/COUNT(*) - AVG(l_quantity)*AVG(l_quantity))), 6) AS corr
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
+               ROUND((SUM(l_discount*l_tax)/COUNT(*) - AVG(l_discount)*AVG(l_tax))
+                     / SQRT((SUM(l_discount*l_discount)/COUNT(*) - AVG(l_discount)*AVG(l_discount))
+                          * (SUM(l_tax*l_tax)/COUNT(*) - AVG(l_tax)*AVG(l_tax))), 6) AS corr
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice' AS col_a, 'l_quantity' AS col_b,
+               ROUND((SUM(l_extendedprice*l_quantity)/COUNT(*) - AVG(l_extendedprice)*AVG(l_quantity))
+                     / SQRT((SUM(l_extendedprice*l_extendedprice)/COUNT(*) - AVG(l_extendedprice)*AVG(l_extendedprice))
+                          * (SUM(l_quantity*l_quantity)/COUNT(*) - AVG(l_quantity)*AVG(l_quantity))), 6) AS corr
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b,
+               ROUND((SUM(l_extendedprice*l_tax)/COUNT(*) - AVG(l_extendedprice)*AVG(l_tax))
+                     / SQRT((SUM(l_extendedprice*l_extendedprice)/COUNT(*) - AVG(l_extendedprice)*AVG(l_extendedprice))
+                          * (SUM(l_tax*l_tax)/COUNT(*) - AVG(l_tax)*AVG(l_tax))), 6) AS corr
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b,
+               ROUND((SUM(l_quantity*l_tax)/COUNT(*) - AVG(l_quantity)*AVG(l_tax))
+                     / SQRT((SUM(l_quantity*l_quantity)/COUNT(*) - AVG(l_quantity)*AVG(l_quantity))
+                          * (SUM(l_tax*l_tax)/COUNT(*) - AVG(l_tax)*AVG(l_tax))), 6) AS corr
+        FROM lineitem
+    ) ORDER BY col_a, col_b
+"""
+
+ORACLE["m17_robust_stats"] = """
+    SELECT col_name, q25, median, q75, iqr FROM (
+        SELECT 'l_discount' AS col_name,
+               ROUND(QUANTILE_CONT(l_discount, 0.25), 6) AS q25,
+               ROUND(QUANTILE_CONT(l_discount, 0.5), 6) AS median,
+               ROUND(QUANTILE_CONT(l_discount, 0.75), 6) AS q75,
+               ROUND(QUANTILE_CONT(l_discount, 0.75)
+                     - QUANTILE_CONT(l_discount, 0.25), 6) AS iqr
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice',
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6),
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6),
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 6),
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.75)
+                     - QUANTILE_CONT(l_extendedprice, 0.25), 6)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity',
+               ROUND(QUANTILE_CONT(l_quantity, 0.25), 6),
+               ROUND(QUANTILE_CONT(l_quantity, 0.5), 6),
+               ROUND(QUANTILE_CONT(l_quantity, 0.75), 6),
+               ROUND(QUANTILE_CONT(l_quantity, 0.75)
+                     - QUANTILE_CONT(l_quantity, 0.25), 6)
+        FROM lineitem
+    ) ORDER BY col_name
 """

@@ -588,6 +588,17 @@ def t37_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t38_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram collocation mining by pointwise mutual
+    information (word2vec-phrases step, Mikolov et al. 2013) through
+    ``text.features.pmi_collocations`` — one corpus-sized bigram
+    count, vocab-sized marginal joins, 1-row total broadcast."""
+    from dislib_spark.text.features import pmi_collocations
+
+    d = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(d, min_count=5).orderBy("w1", "w2")
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -626,6 +637,7 @@ QUERIES = {
     "t35_snm_dedup": t35_snm_dedup,
     "t36_token_entropy": t36_token_entropy,
     "t37_incremental_dedup": t37_incremental_dedup,
+    "t38_pmi_collocations": t38_pmi_collocations,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -1493,4 +1505,27 @@ ORACLE["t36_token_entropy"] = """
            ROUND(MIN(e.entropy), 6) AS min_entropy
     FROM ent e JOIN documents d USING (doc_id)
     GROUP BY d.source ORDER BY d.source
+"""
+
+ORACLE["t38_pmi_collocations"] = """
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+    ),
+    big AS (
+        SELECT t[s] AS w1, t[s+1] AS w2
+        FROM toks,
+             UNNEST(generate_series(1, greatest(len(t)-1, 0))) AS r(s)
+        WHERE t[s] <> '' AND t[s+1] <> ''
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY w1, w2),
+    lm AS (SELECT w1, SUM(n12)::DOUBLE AS n1 FROM bc GROUP BY w1),
+    rm AS (SELECT w2, SUM(n12)::DOUBLE AS n2 FROM bc GROUP BY w2),
+    tot AS (SELECT SUM(n12)::DOUBLE AS n FROM bc)
+    SELECT bc.w1, bc.w2, bc.n12,
+           ROUND(LN(bc.n12::DOUBLE * tot.n / (lm.n1 * rm.n2)), 6) AS pmi
+    FROM bc
+    JOIN lm USING (w1)
+    JOIN rm USING (w2), tot
+    WHERE bc.n12 >= 5
+    ORDER BY w1, w2
 """

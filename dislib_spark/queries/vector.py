@@ -142,6 +142,35 @@ def v09_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(15)
 
 
+def v10_ivf_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-once/query-per-batch ANN: build the IVF index on the
+    even-id corpus, persist it ``partitionBy(cell)`` to parquet, read
+    it back, and probe it with odd-id queries — the archive is
+    touched only through the cell equi-join, which partition-prunes
+    the stored inverted lists (the vector twin of t37's incremental
+    dedup index). Rows-only in the driver (MLlib KMeans isn't
+    ANSI-replayable); stored≡in-memory equality and the append path
+    are pytest-gated (tests/test_ivf_index.py)."""
+    import tempfile
+
+    from dislib_spark.vector.search import ivf_index, ivf_query_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") % 2 == 0)
+    queries = e.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 20))
+    centers, assigned = ivf_index(corpus, n_cells=16, seed=17)
+    tmp = tempfile.mkdtemp(prefix="ivf_index_")
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(
+        f"{tmp}/assignments"
+    )
+    centers.write.mode("overwrite").parquet(f"{tmp}/centers")
+    stored_c = spark.read.parquet(f"{tmp}/centers")
+    stored_a = spark.read.parquet(f"{tmp}/assignments")
+    return ivf_query_index(
+        queries, stored_c, stored_a, k=5, n_probe=4
+    ).orderBy("q_id", "rank")
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -152,6 +181,7 @@ QUERIES = {
     "v07_semantic_dedup": v07_semantic_dedup,
     "v08_mips_topk": v08_mips_topk,
     "v09_hybrid_rrf": v09_hybrid_rrf,
+    "v10_ivf_stored_index": v10_ivf_stored_index,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.

@@ -249,3 +249,60 @@ def token_entropy(
             ),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Adjacent-bigram collocation mining by pointwise mutual
+    information — the phrase-detection step of embedding/tokenizer
+    prep (word2vec phrases, Mikolov et al. 2013):
+
+        PMI(w1, w2) = ln( n12 · N / (n1⁺ · n2⁻) )
+
+    with n1⁺ = count of w1 as a LEFT bigram member, n2⁻ = count of w2
+    as a RIGHT member, N = total bigram instances — the standard
+    contingency marginals of the bigram event table, so PMI is exact
+    (Σ cells = N by construction, no end-of-document edge slop).
+
+    Scale: one corpus-sized explode → bigram count (map-side
+    combined); both marginals re-aggregate the vocab²-bounded bigram
+    table, and the final joins are vocab-sized. ``min_count`` prunes
+    the hapax tail before the joins — at 100 TB that's the lever that
+    keeps the collocation table dimension-sized.
+
+    Returns (w1, w2, n12, pmi) for bigrams with n12 >= min_count.
+    """
+    toks = fan_out(docs).select(
+        F.split(F.col(text_col), " ").alias("t")
+    )
+    big = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, greatest(size(t) - 1, 0)), s -> struct(t[s-1] AS w1, t[s] AS w2))")
+        ).alias("b")
+    ).select("b.w1", "b.w2").where((F.col("w1") != "") & (F.col("w2") != ""))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    left_m = bc.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    right_m = bc.groupBy("w2").agg(F.sum("n12").alias("n2"))
+    total = bc.agg(F.sum("n12").cast("double").alias("_n"))
+    return (
+        bc.where(F.col("n12") >= min_count)
+        .join(left_m, "w1")
+        .join(right_m, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            F.round(
+                F.log(
+                    F.col("n12").cast("double")
+                    * F.col("_n")
+                    / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

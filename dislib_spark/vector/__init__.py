@@ -1,9 +1,10 @@
 from dislib_spark.vector.search import (
-    cosine_similarity, cosine_topk, ivf_topk, lsh_topk, neardup_pairs,
-    neardup_pairs_lsh,
+    assign_to_cells, cosine_similarity, cosine_topk, ivf_index,
+    ivf_query_index, ivf_topk, lsh_topk, neardup_pairs, neardup_pairs_lsh,
 )
 
 __all__ = [
-    "cosine_similarity", "cosine_topk", "ivf_topk", "lsh_topk",
-    "neardup_pairs", "neardup_pairs_lsh",
+    "assign_to_cells", "cosine_similarity", "cosine_topk", "ivf_index",
+    "ivf_query_index", "ivf_topk", "lsh_topk", "neardup_pairs",
+    "neardup_pairs_lsh",
 ]

@@ -372,20 +372,26 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
-    queries: DataFrame,
+def ivf_index(
     corpus: DataFrame,
-    k: int = 10,
     n_cells: int = 16,
-    n_probe: int = 4,
     seed: int = 17,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF coarse-quantized ANN: KMeans centroids form the inverted
-    index; each corpus vector is assigned to its nearest cell; each
-    query probes its n_probe nearest cells and scores only those
-    candidate lists. Returns (q_id, c_id, sim, rank)."""
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistent IVF index: ``(centers, assignments)``.
+
+    ``centers`` is the tiny (cell, center) coarse-quantizer table;
+    ``assignments`` is one row per corpus vector (c_id, c_vec, cell)
+    — the inverted lists. Persist with
+    ``assignments.write.partitionBy("cell").parquet(path)`` (plus
+    ``centers`` alongside) and per-batch queries probe the stored
+    lists WITHOUT rescanning or re-clustering the corpus: the probe
+    equi-join on ``cell`` partition-prunes straight to the n_probe
+    lists touched. Appending a new batch = assign its vectors with
+    the SAME centers (``assign_to_cells``) and append — the
+    vector-side twin of ``text.dedup.minhash_index``.
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -397,15 +403,33 @@ def ivf_topk(
     km = KMeans(k=n_cells, seed=seed, featuresCol="_v", predictionCol="cell")
     model = km.fit(corpus_vec)
     assigned = model.transform(corpus_vec).select("c_id", "c_vec", "cell")
-
     centers = model.clusterCenters()
     center_rows = [(i, [float(v) for v in ctr]) for i, ctr in enumerate(centers)]
-    centers_df = queries.sparkSession.createDataFrame(
+    centers_df = corpus.sparkSession.createDataFrame(
         center_rows, "cell int, center array<double>"
     )
+    return centers_df, assigned
+
+
+def ivf_query_index(
+    queries: DataFrame,
+    centers: DataFrame,
+    assignments: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a (possibly parquet-stored) IVF index: nearest n_probe
+    cells per query via the broadcast centers table, exact cosine on
+    the probed inverted lists only. When ``assignments`` is read from
+    a ``partitionBy("cell")`` parquet index, the cell equi-join
+    partition-prunes the scan to the probed lists. Returns
+    (q_id, c_id, sim, rank)."""
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    assigned = assignments
     # nearest n_probe cells per query (centers are tiny → broadcast)
-    qc = q.crossJoin(F.broadcast(centers_df)).select(
+    qc = q.crossJoin(F.broadcast(centers)).select(
         "q_id",
         "q_vec",
         "cell",
@@ -433,6 +457,62 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse-quantized ANN: KMeans centroids form the inverted
+    index; each corpus vector is assigned to its nearest cell; each
+    query probes its n_probe nearest cells and scores only those
+    candidate lists. Composition of ``ivf_index`` + ``ivf_query_index``
+    (build the index once and persist it when the corpus outlives the
+    query batch). Returns (q_id, c_id, sim, rank)."""
+    centers, assigned = ivf_index(corpus, n_cells, seed, id_col, vec_col)
+    return ivf_query_index(
+        queries, centers, assigned, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def assign_to_cells(
+    batch: DataFrame,
+    centers: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign NEW vectors to an existing IVF index's cells (argmin
+    L2 to the broadcast centers) — the append step that keeps a
+    stored index current without re-clustering. Returns
+    (c_id, c_vec, cell), union-compatible with ``ivf_index``'s
+    assignment table."""
+    b = fan_out(batch).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("c_vec"),
+            F.col("center"),
+            lambda a, c: (a.cast("double") - c) * (a.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("c_id").orderBy("d2", "cell")
+    return (
+        b.crossJoin(F.broadcast(centers))
+        .select("c_id", "c_vec", "cell", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_id", "c_vec", "cell")
     )
 
 

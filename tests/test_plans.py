@@ -19,15 +19,18 @@ _BNLJ_OK = {
     "v01_cosine_topk",
     "v08_mips_topk",  # broadcast query set vs corpus scan, like v01
     "v04_ivf_topk",
+    "v10_ivf_stored_index",  # 16-row broadcast of the IVF centers, like v04
     "x02_set_ops",
     "x07_range_join",
     "x14_hll_distinct",  # 1-row broadcast of the merged-total scalar
     "t16_tfidf_topk",  # 1-row broadcast of the corpus doc count
     "t17_bm25",  # 1-row broadcast of corpus (N, avgdl) stats
     "t23_lm_score",  # 1-row broadcast of the corpus token total
+    "m15_cv_ols",  # 1-row broadcast of the total sufficient stats
     "t31_token_mi",  # |classes|-row + 1-row marginal broadcasts
     "t32_source_drift",  # |groups|-row + 1-row marginal broadcasts
     "t33_bigram_lm",  # 1-row broadcast of the corpus token total
+    "t38_pmi_collocations",  # 1-row broadcast of the bigram total
     "x17_bloom_semi_join",  # 1-row broadcast of the bloom bit array
     "v06_pq_topk",  # broadcast of the tiny query set vs PQ codes
     "t34_dsir_select",  # 1-row broadcast of the (N_raw, N_tgt, V) totals

@@ -1,0 +1,117 @@
+"""Numpy/python parity for math.stats, RobustScaler, and
+pmi_collocations (the library functions behind m16/m17/t38)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dislib_spark.array.core import array as ds_array
+from dislib_spark.math.stats import correlation_matrix, robust_stats
+from dislib_spark.preprocessing import RobustScaler
+from dislib_spark.text.features import pmi_collocations
+
+
+@pytest.fixture(scope="module")
+def xmat():
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(400, 4))
+    x[:, 1] = 0.8 * x[:, 0] + 0.2 * x[:, 1]  # correlated pair
+    x[:, 3] = x[:, 3] * 50 + 10  # different scale
+    return x
+
+
+def test_correlation_matrix_numpy_parity(spark, xmat):
+    df = spark.createDataFrame(
+        [tuple(float(v) for v in row) for row in xmat],
+        "a double, b double, c double, d double",
+    )
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in correlation_matrix(df, ["a", "b", "c", "d"]).collect()
+    }
+    ref = np.corrcoef(xmat, rowvar=False)
+    names = ["a", "b", "c", "d"]
+    assert len(got) == 6
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert got[(names[i], names[j])] == pytest.approx(
+                ref[i, j], abs=1e-6
+            )
+
+
+def test_robust_stats_numpy_parity(spark, xmat):
+    df = spark.createDataFrame(
+        [(float(v),) for v in xmat[:, 3]], "d double"
+    )
+    row = robust_stats(df, ["d"]).collect()[0]
+    q25, q50, q75 = np.percentile(xmat[:, 3], [25, 50, 75])
+    assert row["q25"] == pytest.approx(q25, abs=1e-6)
+    assert row["median"] == pytest.approx(q50, abs=1e-6)
+    assert row["q75"] == pytest.approx(q75, abs=1e-6)
+    assert row["iqr"] == pytest.approx(q75 - q25, abs=1e-6)
+
+
+def test_robust_scaler_roundtrip_and_stats(spark, xmat):
+    a = ds_array(xmat[:100], spark)
+    sc = RobustScaler()
+    z = sc.fit_transform(a)
+    # center/scale match numpy medians/IQRs
+    med = np.median(xmat[:100], axis=0)
+    q75, q25 = np.percentile(xmat[:100], [75, 25], axis=0)
+    np.testing.assert_allclose(sc.center_, med, atol=1e-9)
+    np.testing.assert_allclose(sc.scale_, q75 - q25, atol=1e-9)
+    # transform matches numpy; inverse restores the input
+    zt = z.collect()
+    np.testing.assert_allclose(
+        zt, (xmat[:100] - med) / (q75 - q25), atol=1e-9
+    )
+    back = sc.inverse_transform(z).collect()
+    np.testing.assert_allclose(back, xmat[:100], atol=1e-9)
+
+
+def test_pmi_collocations_python_parity(spark):
+    docs = [
+        "new york is a big city",
+        "new york has new parks",
+        "the city is big",
+        "big city big dreams in new york",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["n12"], r["pmi"])
+        for r in pmi_collocations(df, min_count=2).collect()
+    }
+    # pure-python reference
+    bigrams = []
+    for t in docs:
+        w = [x for x in t.split(" ") if x]
+        bigrams += list(zip(w, w[1:]))
+    from collections import Counter
+
+    bc = Counter(bigrams)
+    n1 = Counter(a for a, _ in bigrams)
+    n2 = Counter(b for _, b in bigrams)
+    n = len(bigrams)
+    ref = {
+        p: (c, round(math.log(c * n / (n1[p[0]] * n2[p[1]])), 6))
+        for p, c in bc.items()
+        if c >= 2
+    }
+    assert got == ref
+    assert ("new", "york") in got and got[("new", "york")][0] == 3
+
+
+def test_unpivot_query_shape(spark):
+    from dislib_spark.queries.extended import x50_unpivot
+    from tests.conftest import SF_SMOKE
+
+    df = x50_unpivot(spark, SF_SMOKE)
+    rows = df.collect()
+    flags = {r["l_returnflag"] for r in rows}
+    measures = {r["measure"] for r in rows}
+    assert measures == {"sum_qty", "sum_price", "n_rows"}
+    assert len(rows) == 3 * len(flags)

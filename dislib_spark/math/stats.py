@@ -86,22 +86,25 @@ def robust_stats(
     Returns one row per column: (col_name, q25, median, q75, iqr).
     """
     q25, q50, q75 = percentiles
-    per_col = []
-    for c in cols:
-        per_col.append(
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.round(F.expr(f"percentile({c}, {q25})"), 6).alias("q25"),
-                F.round(F.expr(f"percentile({c}, {q50})"), 6).alias("median"),
-                F.round(F.expr(f"percentile({c}, {q75})"), 6).alias("q75"),
-                F.round(
-                    F.expr(f"percentile({c}, {q75})")
-                    - F.expr(f"percentile({c}, {q25})"),
-                    6,
-                ).alias("iqr"),
-            ).alias(f"st_{c}")
-        )
-    row = df.agg(*per_col)
+    # ONE array-percentile aggregate per column (a single sort/buffer
+    # per column, not one per requested quantile — 3× less agg work).
+    aggs = [
+        F.expr(f"percentile({c}, array({q25}, {q50}, {q75}))").alias(f"p_{c}")
+        for c in cols
+    ]
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.round(F.element_at(f"p_{c}", 1), 6).alias("q25"),
+            F.round(F.element_at(f"p_{c}", 2), 6).alias("median"),
+            F.round(F.element_at(f"p_{c}", 3), 6).alias("q75"),
+            F.round(
+                F.element_at(f"p_{c}", 3) - F.element_at(f"p_{c}", 1), 6
+            ).alias("iqr"),
+        ).alias(f"st_{c}")
+        for c in cols
+    ]
     return row.select(
-        F.explode(F.array(*[F.col(f"st_{c}") for c in cols])).alias("s")
+        F.explode(F.array(*per_col)).alias("s")
     ).select("s.*")

@@ -102,16 +102,18 @@ class RobustScaler:
         lo, hi = self.quantile_range
         exprs = []
         for j in range(d):
-            exprs.append(F.expr(f"percentile({_FEAT}[{j}], 0.5)").alias(f"c{j}"))
+            # one array-percentile per dim: a single sort/buffer
+            # yields (lo, median, hi) together
             exprs.append(
-                (
-                    F.expr(f"percentile({_FEAT}[{j}], {hi})")
-                    - F.expr(f"percentile({_FEAT}[{j}], {lo})")
-                ).alias(f"s{j}")
+                F.expr(
+                    f"percentile({_FEAT}[{j}], array({lo}, 0.5, {hi}))"
+                ).alias(f"p{j}")
             )
         row = x.df.agg(*exprs).collect()[0]
-        self.center_ = np.array([row[f"c{j}"] for j in range(d)])
-        self.scale_ = np.array([row[f"s{j}"] or 0.0 for j in range(d)])
+        self.center_ = np.array([row[f"p{j}"][1] for j in range(d)])
+        self.scale_ = np.array(
+            [(row[f"p{j}"][2] - row[f"p{j}"][0]) or 0.0 for j in range(d)]
+        )
         self.scale_[self.scale_ == 0.0] = 1.0
         return self
 

@@ -979,6 +979,73 @@ def x50_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag", "measure")
 
 
+def x51_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert + delete arms) via ``sources.merge.
+    merge_into``: matched orders get a new status/price, marker rows
+    delete, unmatched updates insert — then a per-status summary of
+    the merged table. ONE full-outer equi-join on the key; at 100 TB
+    the copy-on-write rewrite is partition-scoped (module docstring)."""
+    from dislib_spark.sources.merge import merge_into
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = (
+        o.where(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 97 == 0).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                F.lit("I").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 100 == 50).select(
+                "o_orderkey",
+                F.lit("D").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    merged = merge_into(
+        o, upd, ["o_orderkey"],
+        delete_condition=F.col("o_orderstatus") == "D",
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def x52_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets with GROUPING() disambiguation flags — the
+    full 2^d grouping lattice beyond x01's rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -1014,6 +1081,8 @@ QUERIES = {
     "x48_skew_profile": x48_skew_profile,
     "x49_zorder_cells": x49_zorder_cells,
     "x50_unpivot": x50_unpivot,
+    "x51_merge_upsert": x51_merge_upsert,
+    "x52_cube": x52_cube,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -1439,4 +1508,44 @@ ORACLE["x50_unpivot"] = """
         UNION ALL
         SELECT l_returnflag, 'n_rows', n_rows FROM wide
     ) ORDER BY l_returnflag, measure
+"""
+
+ORACLE["x51_merge_upsert"] = """
+    WITH t AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    upd AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice
+        FROM t WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT -o_orderkey, 'I', o_totalprice
+        FROM t WHERE o_orderkey % 97 = 0
+    ),
+    del AS (SELECT o_orderkey FROM t WHERE o_orderkey % 100 = 50),
+    kept AS (
+        SELECT * FROM t
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+    ),
+    merged AS (
+        SELECT CASE WHEN u.o_orderkey IS NOT NULL
+                    THEN u.o_orderstatus ELSE k.o_orderstatus END AS st,
+               CASE WHEN u.o_orderkey IS NOT NULL
+                    THEN u.o_totalprice ELSE k.o_totalprice END AS price
+        FROM kept k FULL OUTER JOIN upd u ON k.o_orderkey = u.o_orderkey
+    )
+    SELECT st AS o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM merged GROUP BY st ORDER BY st
+"""
+
+ORACLE["x52_cube"] = """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
 """

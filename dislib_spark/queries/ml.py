@@ -535,6 +535,46 @@ def m17_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_stats(li, _M17_COLS).orderBy("col_name")
 
 
+def m18_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Welch two-sample t-test (unequal variances) between
+    returned ('R') and non-returned ('N') lineitem prices: ONE
+    conditional-aggregate pass collects both groups' exact decimal
+    sums/sum-of-squares (order-independent — money values are
+    2-decimal), the t statistic and Welch-Satterthwaite df are scalar
+    algebra on that single row. The A/B-significance kernel at any
+    scale: O(1) reduce state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("decimal(18,2)")
+
+    def grp(flag: str, name: str):
+        m = F.col("l_returnflag") == flag
+        return [
+            F.sum(F.when(m, 1).otherwise(0)).alias(f"n_{name}"),
+            F.sum(F.when(m, v)).cast("double").alias(f"s_{name}"),
+            F.sum(F.when(m, v * v)).cast("double").alias(f"q_{name}"),
+        ]
+
+    stats = li.agg(*grp("R", "r"), *grp("N", "n"))
+    nr, nn = F.col("n_r").cast("double"), F.col("n_n").cast("double")
+    mr, mn = F.col("s_r") / nr, F.col("s_n") / nn
+    # sample variance from exact sums: (q - n*m^2) / (n-1)
+    vr = (F.col("q_r") - nr * mr * mr) / (nr - 1)
+    vn = (F.col("q_n") - nn * mn * mn) / (nn - 1)
+    se2r, se2n = vr / nr, vn / nn
+    t = (mr - mn) / F.sqrt(se2r + se2n)
+    dof = (se2r + se2n) * (se2r + se2n) / (
+        se2r * se2r / (nr - 1) + se2n * se2n / (nn - 1)
+    )
+    return stats.select(
+        F.col("n_r").cast("bigint").alias("n_r"),
+        F.col("n_n").cast("bigint").alias("n_n"),
+        F.round(mr, 6).alias("mean_r"),
+        F.round(mn, 6).alias("mean_n"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_df"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -553,6 +593,7 @@ QUERIES = {
     "m15_cv_ols": m15_cv_ols,
     "m16_corr_matrix": m16_corr_matrix,
     "m17_robust_stats": m17_robust_stats,
+    "m18_welch_ttest": m18_welch_ttest,
 }
 
 
@@ -1003,4 +1044,37 @@ ORACLE["m17_robust_stats"] = """
                      - QUANTILE_CONT(l_quantity, 0.25), 6)
         FROM lineitem
     ) ORDER BY col_name
+"""
+
+ORACLE["m18_welch_ttest"] = """
+    WITH stats AS (
+        SELECT SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_r,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s_r,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS q_r,
+               SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n_n,
+               CAST(SUM(CASE WHEN l_returnflag = 'N'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s_n,
+               CAST(SUM(CASE WHEN l_returnflag = 'N'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS q_n
+        FROM lineitem
+    ),
+    alg AS (
+        SELECT n_r, n_n,
+               s_r / n_r AS mr, s_n / n_n AS mn,
+               ((q_r - n_r * (s_r / n_r) * (s_r / n_r)) / (n_r - 1)) / n_r AS se2r,
+               ((q_n - n_n * (s_n / n_n) * (s_n / n_n)) / (n_n - 1)) / n_n AS se2n
+        FROM stats
+    )
+    SELECT n_r::BIGINT AS n_r, n_n::BIGINT AS n_n,
+           ROUND(mr, 6) AS mean_r,
+           ROUND(mn, 6) AS mean_n,
+           ROUND((mr - mn) / SQRT(se2r + se2n), 6) AS t_stat,
+           ROUND((se2r + se2n) * (se2r + se2n)
+                 / (se2r * se2r / (n_r - 1) + se2n * se2n / (n_n - 1)), 6)
+               AS welch_df
+    FROM alg
 """

@@ -599,6 +599,16 @@ def t38_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(d, min_count=5).orderBy("w1", "w2")
 
 
+def t39_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab-coverage check: OOV rate per source for the
+    top-10 corpus vocabulary (``text.features.vocab_coverage``) —
+    which sources fragment into unknowns under a candidate vocab."""
+    from dislib_spark.text.features import vocab_coverage
+
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(d, vocab_size=10).orderBy("source")
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -638,6 +648,7 @@ QUERIES = {
     "t36_token_entropy": t36_token_entropy,
     "t37_incremental_dedup": t37_incremental_dedup,
     "t38_pmi_collocations": t38_pmi_collocations,
+    "t39_vocab_coverage": t39_vocab_coverage,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -1528,4 +1539,27 @@ ORACLE["t38_pmi_collocations"] = """
     JOIN rm USING (w2), tot
     WHERE bc.n12 >= 5
     ORDER BY w1, w2
+"""
+
+ORACLE["t39_vocab_coverage"] = """
+    WITH gw AS (
+        SELECT source AS g, w, COUNT(*) AS n FROM (
+            SELECT source, UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+        ) WHERE w <> '' GROUP BY source, w
+    ),
+    wc AS (SELECT w, SUM(n) AS cw FROM gw GROUP BY w),
+    vocab AS (
+        SELECT w FROM wc ORDER BY cw DESC, w LIMIT 10
+    ),
+    per AS (
+        SELECT g,
+               SUM(n) AS n_tokens,
+               SUM(CASE WHEN w NOT IN (SELECT w FROM vocab)
+                        THEN n ELSE 0 END) AS n_oov
+        FROM gw GROUP BY g
+    )
+    SELECT g AS source, n_tokens, n_oov,
+           ROUND(n_oov::DOUBLE / n_tokens, 6) AS oov_rate
+    FROM per ORDER BY source
 """

@@ -1,0 +1,91 @@
+"""MERGE INTO (upsert) for parquet-backed tables.
+
+The lakehouse write primitive (Delta/Iceberg MERGE shape) expressed
+as plain DataFrame ops: WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED
+THEN INSERT, optional WHEN MATCHED AND <cond> THEN DELETE. N/A in the
+reference (no mutable table layer); extension surface next to the
+x43 CDC read-side compaction.
+
+Scale design: ONE full-outer equi-join on the key — shuffled hash /
+sort-merge, linear in |target| + |updates|; per-column COALESCE keeps
+everything in whole-stage codegen. ``merge_into_path`` is the
+copy-on-write form: at 100 TB you'd partition the target and rewrite
+only the partitions the updates touch (join the updates' distinct
+partition keys first — partition pruning bounds the rewrite); the
+full-rewrite here is the sf-scale simplification of that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    delete_condition: Column | None = None,
+) -> DataFrame:
+    """Upsert ``updates`` into ``target`` on ``keys``.
+
+    Matched rows take ALL non-key columns from ``updates``; unmatched
+    target rows pass through; unmatched update rows are inserted.
+    ``delete_condition`` (evaluated on the update side's columns,
+    pre-join) drops matched target rows instead of updating them —
+    the WHEN MATCHED ... THEN DELETE arm.
+
+    Both inputs must share the target's schema (names and types).
+    Returns the merged table with the target's column order.
+    """
+    if set(target.columns) != set(updates.columns):
+        raise ValueError(
+            "merge_into requires identical schemas: "
+            f"{sorted(target.columns)} vs {sorted(updates.columns)}"
+        )
+    if delete_condition is not None:
+        deletes = updates.where(delete_condition).select(*keys)
+        updates = updates.where(~delete_condition)
+        target = target.join(deletes, keys, "left_anti")
+    # prefix the update side so every column stays unambiguously
+    # addressable after the full-outer join (a USING-style join would
+    # coalesce the key columns away)
+    u = updates.select(
+        *[F.col(c).alias(f"__u_{c}") for c in updates.columns]
+    )
+    cond = None
+    for k in keys:
+        c = target[k] == u[f"__u_{k}"]
+        cond = c if cond is None else (cond & c)
+    merged = target.join(u, cond, "full_outer")
+    from_update = F.col(f"__u_{keys[0]}").isNotNull()
+    cols = []
+    for c in target.columns:
+        # update wins when the key matched or the row is new; a
+        # matched update with NULL in a column still wins (MERGE
+        # semantics: the WHEN MATCHED arm replaces the row), so pick
+        # by key presence, not per-column coalesce.
+        cols.append(
+            F.when(from_update, F.col(f"__u_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+        )
+    return merged.select(*cols)
+
+
+def merge_into_path(
+    spark,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    delete_condition: Column | None = None,
+) -> None:
+    """Copy-on-write MERGE against a parquet table at ``path``: read,
+    merge, rewrite atomically-enough for a single writer (write to a
+    temp subdir then swap would make it crash-safe; partition-scoped
+    rewrite is the at-scale form — see module docstring)."""
+    target = spark.read.parquet(path)
+    merged = merge_into(target, updates, keys, delete_condition)
+    # materialize before overwrite: the plan reads the files being
+    # replaced
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)

@@ -306,3 +306,57 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 10,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary rate per group for a fixed top-k vocabulary
+    — the tokenizer-coverage check run before committing a vocab to
+    a training run (which sources will fragment into unknowns?).
+
+    Vocabulary = the ``vocab_size`` most frequent corpus tokens
+    (count desc, token asc tiebreak — deterministic at any
+    partitioning). One corpus-sized (group, token) count; the vocab
+    derives from re-aggregating that table and broadcasts back onto
+    it, so after the first aggregation everything is vocab/group-
+    sized. Returns (group, n_tokens, n_oov, oov_rate).
+    """
+    from pyspark.sql import Window
+
+    gw = (
+        fan_out(docs)
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wc = gw.groupBy("w").agg(F.sum("n").alias("cw"))
+    rk = Window.orderBy(F.desc("cw"), "w")
+    vocab = (
+        wc.withColumn("r", F.row_number().over(rk))
+        .where(F.col("r") <= vocab_size)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        gw.join(F.broadcast(vocab), "w", "left")
+        .groupBy("g")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )

@@ -1,0 +1,73 @@
+"""MERGE INTO semantics (sources.merge): update/insert/delete arms,
+NULL-in-update-wins, copy-on-write path round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dislib_spark.sources.merge import merge_into, merge_into_path
+
+
+def _t(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+
+
+def test_update_insert_delete_arms(spark):
+    target = _t(spark)
+    updates = spark.createDataFrame(
+        [
+            (2, "B", 99.0),   # matched -> update
+            (4, "d", 40.0),   # unmatched -> insert
+            (3, "DEL", 0.0),  # matched + delete condition -> delete
+        ],
+        "k long, s string, v double",
+    )
+    got = {
+        r["k"]: (r["s"], r["v"])
+        for r in merge_into(
+            target, updates, ["k"], delete_condition=F.col("s") == "DEL"
+        ).collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 4: ("d", 40.0)}
+
+
+def test_matched_update_null_column_wins(spark):
+    target = _t(spark)
+    updates = spark.createDataFrame(
+        [(1, None, 11.0)], "k long, s string, v double"
+    )
+    got = {r["k"]: (r["s"], r["v"]) for r in merge_into(target, updates, ["k"]).collect()}
+    # MERGE replaces the whole row on match — the NULL is kept, not
+    # coalesced back to the target value
+    assert got[1] == (None, 11.0)
+    assert got[2] == ("b", 20.0)
+
+
+def test_schema_mismatch_raises(spark):
+    target = _t(spark)
+    bad = spark.createDataFrame([(1, "x")], "k long, s string")
+    with pytest.raises(ValueError, match="identical schemas"):
+        merge_into(target, bad, ["k"])
+
+
+def test_merge_into_path_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _t(spark).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(3, "C", 33.0), (5, "e", 50.0)], "k long, s string, v double"
+    )
+    merge_into_path(spark, path, updates, ["k"])
+    got = {
+        r["k"]: (r["s"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        1: ("a", 10.0),
+        2: ("b", 20.0),
+        3: ("C", 33.0),
+        5: ("e", 50.0),
+    }

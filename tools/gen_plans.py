@@ -41,6 +41,11 @@ PICKS = {
     "x45_time_rollup": "hour partials re-aggregated to day grain — the merge reads partials, never raw events twice",
     "x48_skew_profile": "map-side-combined key count, then top-k scalars over the key table",
     "x49_zorder_cells": "Morton code is pure codegen bit arithmetic; one exchange on the bucket",
+    "m16_corr_matrix": "all d^2 sufficient stats in ONE scan (single partial/final agg); corr algebra on the packed row",
+    "m18_welch_ttest": "both groups' decimal sums in one conditional-aggregate pass; t/df are scalar algebra",
+    "t38_pmi_collocations": "one corpus-sized bigram count; marginals re-aggregate the vocab-sized table; 1-row total broadcast",
+    "x51_merge_upsert": "MERGE = one full-outer sort-merge join on the key; per-column arms in codegen",
+    "t39_vocab_coverage": "vocab derives from re-aggregating the (group,token) count and broadcasts back — one corpus shuffle total",
 }
 
 

@@ -126,9 +126,31 @@ def main() -> None:
             .write.format("noop").mode("overwrite").save()
         )
 
+    def corr():
+        from dislib_spark.math.stats import correlation_matrix
+
+        correlation_matrix(
+            li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ).write.format("noop").mode("overwrite").save()
+
+    def merge():
+        from dislib_spark.sources.merge import merge_into
+
+        t = li.select("l_orderkey", "l_partkey", "l_extendedprice")
+        upd = t.where(F.col("l_orderkey") % 100 == 0).select(
+            "l_orderkey",
+            "l_partkey",
+            (F.col("l_extendedprice") + 1.0).alias("l_extendedprice"),
+        )
+        merge_into(t, upd, ["l_orderkey", "l_partkey"]).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     timed("Q1 shape: wide agg, 6 groups", q1)
     timed("Q6 shape: pushdown-only scan", q6)
     timed("co-purchase: distinct + self-join", basket)
+    timed("corr matrix: one-pass 4-col sufficient stats", corr)
+    timed("MERGE upsert: full-outer join on 2-col key", merge)
 
 
 if __name__ == "__main__":

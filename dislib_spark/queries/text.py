@@ -1554,9 +1554,9 @@ ORACLE["t39_vocab_coverage"] = """
     ),
     per AS (
         SELECT g,
-               SUM(n) AS n_tokens,
+               SUM(n)::BIGINT AS n_tokens,
                SUM(CASE WHEN w NOT IN (SELECT w FROM vocab)
-                        THEN n ELSE 0 END) AS n_oov
+                        THEN n ELSE 0 END)::BIGINT AS n_oov
         FROM gw GROUP BY g
     )
     SELECT g AS source, n_tokens, n_oov,

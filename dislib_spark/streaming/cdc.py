@@ -1,0 +1,93 @@
+"""Streaming CDC apply: change stream → upserted parquet table.
+
+Composes the engine's two CDC kernels into the standard "apply a
+change feed to a serving table" sink: within each micro-batch the
+changes compact to latest-per-key (the x43 kernel — a batch may carry
+several changes for one key), then MERGE into the target (the x51
+kernel: update / insert / delete-marker arms). N/A in the reference
+(no streaming layer); the Delta/Iceberg `MERGE INTO ... USING
+changes` shape on plain parquet.
+
+Scale: per micro-batch cost is one window over the (small) batch +
+one full-outer join against the target — at 100 TB the target is
+partitioned and the merge rewrite is partition-scoped (see
+``sources.merge`` docstring); exactly-once comes from the streaming
+checkpoint + idempotent merge (re-applying a batch yields the same
+table).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def compact_changes(
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Latest change per key (ties broken by the remaining column
+    values via a deterministic struct ordering) — the x43 kernel."""
+    others = [c for c in changes.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(ts_col), *[F.desc(c) for c in others if c != ts_col]
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changes(
+    spark,
+    path: str,
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delete_condition: Column | None = None,
+) -> None:
+    """Compact ``changes`` to latest-per-key and MERGE them into the
+    parquet table at ``path`` (bootstraps the table from the first
+    batch if it doesn't exist yet)."""
+    from dislib_spark.sources.merge import merge_into_path
+
+    latest = compact_changes(changes, keys, ts_col)
+    if not os.path.exists(path):
+        if delete_condition is not None:
+            latest = latest.where(~delete_condition)
+        latest.write.parquet(path)
+        return
+    merge_into_path(spark, path, latest, keys, delete_condition)
+
+
+def cdc_apply_sink(
+    changes_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    delete_condition: Column | None = None,
+    **trigger,
+):
+    """Start the foreachBatch CDC-apply sink. ``delete_condition``
+    (on the change rows, e.g. ``F.col("op") == "D"``) routes matched
+    keys to the delete arm. Use ``availableNow=True`` kwargs for
+    batch-drain tests. Returns the started StreamingQuery."""
+    spark = changes_stream.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_changes(
+            spark, path, batch_df, keys, ts_col, delete_condition
+        )
+
+    return (
+        changes_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -575,6 +575,21 @@ def m18_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m19_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "many models" pattern: one OLS line per l_returnflag via
+    ``training.grouped_ols`` — groupBy().applyInPandas ships each
+    segment to one Arrow batch for an arbitrary python fit (numpy
+    normal equations here, deterministic → the oracle replays it with
+    per-group REGR_SLOPE/REGR_INTERCEPT, checking the whole grouped-
+    model path end-to-end)."""
+    from dislib_spark.training.grouped import grouped_ols
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_ols(
+        li, "l_returnflag", "l_quantity", "l_extendedprice"
+    ).orderBy("l_returnflag")
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -594,6 +609,7 @@ QUERIES = {
     "m16_corr_matrix": m16_corr_matrix,
     "m17_robust_stats": m17_robust_stats,
     "m18_welch_ttest": m18_welch_ttest,
+    "m19_grouped_ols": m19_grouped_ols,
 }
 
 
@@ -1077,4 +1093,13 @@ ORACLE["m18_welch_ttest"] = """
                  / (se2r * se2r / (n_r - 1) + se2n * se2n / (n_n - 1)), 6)
                AS welch_df
     FROM alg
+"""
+
+ORACLE["m19_grouped_ols"] = """
+    SELECT l_returnflag, COUNT(*) AS n,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6) AS intercept
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
 """

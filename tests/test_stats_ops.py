@@ -115,3 +115,31 @@ def test_unpivot_query_shape(spark):
     measures = {r["measure"] for r in rows}
     assert measures == {"sum_qty", "sum_price", "n_rows"}
     assert len(rows) == 3 * len(flags)
+
+
+def test_grouped_fit_many_models(spark):
+    import numpy as np
+
+    from dislib_spark.training.grouped import grouped_fit, grouped_ols
+
+    rng = np.random.default_rng(3)
+    rows = []
+    slopes = {"a": 2.0, "b": -1.0, "c": 0.5}
+    for g, sl in slopes.items():
+        x = rng.normal(size=200)
+        y = sl * x + 3.0 + rng.normal(scale=0.01, size=200)
+        rows += [(g, float(xi), float(yi)) for xi, yi in zip(x, y)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: (r["slope"], r["intercept"]) for r in grouped_ols(df, "g", "x", "y").collect()}
+    for g, sl in slopes.items():
+        assert got[g][0] == pytest.approx(sl, abs=0.01)
+        assert got[g][1] == pytest.approx(3.0, abs=0.01)
+
+    # arbitrary-fit harness: per-group max via a custom fit callable
+    res = grouped_fit(
+        df, "g",
+        lambda pdf: {"xmax": float(pdf["x"].max())},
+        "g string, xmax double",
+    )
+    want = {g: max(r[1] for r in rows if r[0] == g) for g in slopes}
+    assert {r["g"]: r["xmax"] for r in res.collect()} == pytest.approx(want)

@@ -609,6 +609,23 @@ def t39_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(d, vocab_size=10).orderBy("source")
 
 
+def t40_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-QA confusion: declared ``lang`` column vs the
+    engine's marker-count language prediction (t02's classifier) —
+    the check that catches mislabeled scrape metadata before it
+    poisons per-language sampling weights. One narrow map + one
+    grouped count."""
+    d = with_text_features(load_table(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "is_match", (F.col("lang") == F.col("pred_lang")).cast("int")
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -649,6 +666,7 @@ QUERIES = {
     "t37_incremental_dedup": t37_incremental_dedup,
     "t38_pmi_collocations": t38_pmi_collocations,
     "t39_vocab_coverage": t39_vocab_coverage,
+    "t40_lang_mismatch": t40_lang_mismatch,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -1562,4 +1580,16 @@ ORACLE["t39_vocab_coverage"] = """
     SELECT g AS source, n_tokens, n_oov,
            ROUND(n_oov::DOUBLE / n_tokens, 6) AS oov_rate
     FROM per ORDER BY source
+"""
+
+ORACLE["t40_lang_mismatch"] = f"""
+    SELECT lang, pred_lang, COUNT(*) AS n,
+           CASE WHEN lang = pred_lang THEN 1 ELSE 0 END AS is_match
+    FROM (
+        SELECT lang, {_PRED_LANG_CASE} AS pred_lang FROM (
+            SELECT lang,
+                   {", ".join(f"{v} AS s_{k}" for k, v in _SCORES.items())}
+            FROM documents
+        )
+    ) GROUP BY lang, pred_lang ORDER BY lang, pred_lang
 """

@@ -171,6 +171,18 @@ def v10_ivf_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+def v11_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-population telemetry: pairwise cosine between
+    per-label centroid vectors (``vector.drift.centroid_similarity``)
+    — one grouped mean over the exploded corpus, then a
+    dimension-sized pair join. Full oracle (means + dots are
+    ANSI-replayable)."""
+    from dislib_spark.vector.drift import centroid_similarity
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("label") < 5)
+    return centroid_similarity(e).orderBy("label_a", "label_b")
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -182,6 +194,7 @@ QUERIES = {
     "v08_mips_topk": v08_mips_topk,
     "v09_hybrid_rrf": v09_hybrid_rrf,
     "v10_ivf_stored_index": v10_ivf_stored_index,
+    "v11_centroid_drift": v11_centroid_drift,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -405,4 +418,20 @@ ORACLE["v09_hybrid_rrf"] = f"""
            COUNT(*) AS n_lists
     FROM unioned GROUP BY doc_id
     ORDER BY rrf DESC, doc_id LIMIT 15
+"""
+
+ORACLE["v11_centroid_drift"] = """
+    WITH cents AS (
+        SELECT label, k, AVG(v) AS c FROM (
+            SELECT label, GENERATE_SUBSCRIPTS(embedding, 1) AS k,
+                   CAST(UNNEST(embedding) AS DOUBLE) AS v
+            FROM embeddings WHERE label < 5
+        ) GROUP BY label, k
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(SUM(a.c * b.c)
+                 / (SQRT(SUM(a.c * a.c)) * SQRT(SUM(b.c * b.c))), 6) AS cos
+    FROM cents a JOIN cents b ON a.k = b.k AND a.label < b.label
+    GROUP BY a.label, b.label
+    ORDER BY label_a, label_b
 """

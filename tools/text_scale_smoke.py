@@ -136,6 +136,27 @@ def main():
 
     timed("NB classifier fit + full-corpus score", nb_fit_score)
 
+    def pmi_item():
+        from dislib_spark.text.features import pmi_collocations
+
+        return (
+            pmi_collocations(docs, min_count=50)
+            .agg(F.count(F.lit(1)), F.max("pmi"))
+            .collect()
+        )
+
+    timed("PMI collocations (bigram count + marginals)", pmi_item)
+
+    def vocab_item():
+        from dislib_spark.text.features import vocab_coverage
+
+        labeled = docs.withColumn(
+            "source", F.concat(F.lit("s"), (F.col("doc_id") % 20))
+        )
+        return vocab_coverage(labeled, vocab_size=10).collect()
+
+    timed("vocab coverage / OOV rate (top-10 vocab)", vocab_item)
+
     def gen_vecs():
         base = spark.range(0, N, 1, par)
         vec = F.transform(

@@ -143,3 +143,46 @@ def test_grouped_fit_many_models(spark):
     )
     want = {g: max(r[1] for r in rows if r[0] == g) for g in slopes}
     assert {r["g"]: r["xmax"] for r in res.collect()} == pytest.approx(want)
+
+
+def test_isotonic_calibrator_pav_parity(spark):
+    import numpy as np
+
+    from dislib_spark.regression.isotonic import IsotonicCalibrator
+
+    rng = np.random.default_rng(11)
+    # distinct scores (tie handling differs across implementations),
+    # noisy monotone labels
+    x = np.sort(rng.choice(np.arange(0, 10_000), size=400, replace=False)) / 10_000.0
+    p = 1.0 / (1.0 + np.exp(-8 * (x - 0.5)))
+    y = (rng.random(400) < p).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "score double, y double"
+    )
+    cal = IsotonicCalibrator().fit(df, "score", "y")
+
+    def pav(vals):
+        # pool-adjacent-violators on unit weights: the PAV fit at the
+        # training points (classic textbook reference implementation)
+        blocks = [[v, 1.0] for v in vals]
+        out = []
+        for b in blocks:
+            out.append(b)
+            while len(out) > 1 and out[-2][0] / out[-2][1] > out[-1][0] / out[-1][1]:
+                s2, w2 = out.pop()
+                out[-1][0] += s2
+                out[-1][1] += w2
+        fitted = []
+        for ssum, w in out:
+            fitted += [ssum / w] * int(w)
+        return np.array(fitted)
+
+    want = pav(list(y))
+    got = {
+        r["score"]: r["calibrated"]
+        for r in cal.transform(df, "score").select("score", "calibrated").collect()
+    }
+    for xi, wi in zip(x, want):
+        assert got[float(xi)] == pytest.approx(wi, abs=1e-9)
+    # monotone non-decreasing step function
+    assert (np.diff(cal.predictions_) >= -1e-12).all()

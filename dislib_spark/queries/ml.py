@@ -590,6 +590,40 @@ def m19_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def m20_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across the three l_returnflag groups
+    (prices): per-group exact decimal sums/sumsq in one grouped pass,
+    then between/within sum-of-squares algebra over the 3-row group
+    table — the multi-group generalization of m18's two-sample test,
+    still O(|groups|) reduce state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("decimal(18,2)")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum(v * v).cast("double").alias("q"),
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ts"),
+        F.sum("q").alias("tq"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("ts") * F.col("ts") / F.col("nn")
+    ssw = F.col("tq") - F.col("sb")
+    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k")))
+    return agg.select(
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.col("nn").cast("bigint").alias("n_rows"),
+        # eta^2 effect size, not raw sums of squares: the raw SS
+        # cancels ~1e20-scale doubles and its last ulps differ across
+        # engines; the RATIO is stable to ~1e-10
+        F.round(ssb / (ssb + ssw), 6).alias("eta_sq"),
+        F.round(fstat, 6).alias("f_stat"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -610,6 +644,7 @@ QUERIES = {
     "m17_robust_stats": m17_robust_stats,
     "m18_welch_ttest": m18_welch_ttest,
     "m19_grouped_ols": m19_grouped_ols,
+    "m20_anova_f": m20_anova_f,
 }
 
 
@@ -1102,4 +1137,26 @@ ORACLE["m19_grouped_ols"] = """
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
+"""
+
+ORACLE["m20_anova_f"] = """
+    WITH g AS (
+        SELECT l_returnflag,
+               COUNT(*)::DOUBLE AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS q
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    agg AS (
+        SELECT COUNT(*)::DOUBLE AS k, SUM(n) AS nn, SUM(s) AS ts,
+               SUM(q) AS tq, SUM(s * s / n) AS sb
+        FROM g
+    )
+    SELECT k::BIGINT AS n_groups, nn::BIGINT AS n_rows,
+           ROUND((sb - ts * ts / nn)
+                 / ((sb - ts * ts / nn) + (tq - sb)), 6) AS eta_sq,
+           ROUND(((sb - ts * ts / nn) / (k - 1))
+                 / ((tq - sb) / (nn - k)), 6) AS f_stat
+    FROM agg
 """

@@ -626,6 +626,38 @@ def t40_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t41_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation gate with per-rule reject accounting: every
+    document is evaluated against the three filter families in ONE
+    pass (length, composite quality score, Gopher dup-3-gram
+    repetition) and each source reports how many docs each rule would
+    reject plus the all-rules pass count — the "why was my data
+    dropped" report every pipeline needs before committing a filter
+    config. Signals come from the engine's real feature columns
+    (with_text_features + with_repetition_features)."""
+    from dislib_spark.text.repetition import with_repetition_features
+
+    d = with_repetition_features(
+        with_text_features(load_table(spark, sf_dir, "documents"))
+    )
+    r_short = F.col("n_tokens") < 25
+    r_quality = F.col("quality") < 0.6
+    r_rep = F.col("dup3_frac") > 0.02
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(r_short.cast("long")).alias("n_reject_short"),
+            F.sum(r_quality.cast("long")).alias("n_reject_quality"),
+            F.sum(r_rep.cast("long")).alias("n_reject_rep"),
+            F.sum(
+                (~(r_short | r_quality | r_rep)).cast("long")
+            ).alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -667,6 +699,7 @@ QUERIES = {
     "t38_pmi_collocations": t38_pmi_collocations,
     "t39_vocab_coverage": t39_vocab_coverage,
     "t40_lang_mismatch": t40_lang_mismatch,
+    "t41_quality_gate": t41_quality_gate,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -1592,4 +1625,34 @@ ORACLE["t40_lang_mismatch"] = f"""
             FROM documents
         )
     ) GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+ORACLE["t41_quality_gate"] = f"""
+    WITH w AS (
+        SELECT doc_id, source, {_TOKENS} AS w,
+               {_N_TOK} AS n_tok, {_QUALITY} AS quality
+        FROM documents
+    ),
+    g3 AS (
+        SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gk
+        FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    dup3 AS (
+        SELECT doc_id,
+               ROUND(1 - COUNT(DISTINCT gk)::DOUBLE / COUNT(*), 6)
+                   AS dup3_frac
+        FROM g3 GROUP BY doc_id
+    ),
+    feat AS (
+        SELECT w.source, w.n_tok, w.quality,
+               COALESCE(d.dup3_frac, 0) AS dup3_frac
+        FROM w LEFT JOIN dup3 d USING (doc_id)
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(CASE WHEN n_tok < 25 THEN 1 ELSE 0 END)::BIGINT AS n_reject_short,
+           SUM(CASE WHEN quality < 0.6 THEN 1 ELSE 0 END)::BIGINT AS n_reject_quality,
+           SUM(CASE WHEN dup3_frac > 0.02 THEN 1 ELSE 0 END)::BIGINT AS n_reject_rep,
+           SUM(CASE WHEN n_tok >= 25 AND quality >= 0.6
+                     AND dup3_frac <= 0.02 THEN 1 ELSE 0 END)::BIGINT AS n_pass
+    FROM feat GROUP BY source ORDER BY source
 """

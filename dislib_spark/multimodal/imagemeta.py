@@ -106,3 +106,65 @@ def image_meta(
             yield pd.DataFrame(out)
 
     return df.select(*id_cols, content_col).mapInPandas(run, schema=schema)
+
+
+def parse_wav_header(data: bytes) -> tuple[int, int, int, float] | None:
+    """(sample_rate, channels, bits_per_sample, duration_s) from a
+    RIFF/WAVE header — same codec-free profiling idea for audio (route
+    by sample rate, drop sub-second clips, estimate decode cost)."""
+    if data is None or len(data) < 44:
+        return None
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(data)
+    rate = ch = bits = None
+    data_len = None
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        clen = struct.unpack("<I", data[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= n:
+            ch, rate = struct.unpack("<HI", data[i + 10 : i + 16])
+            bits = struct.unpack("<H", data[i + 22 : i + 24])[0]
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen & 1)
+    if rate is None or data_len is None or rate == 0 or ch == 0 or bits == 0:
+        return None
+    dur = data_len / (rate * ch * (bits // 8))
+    return (rate, ch, bits, dur)
+
+
+def audio_meta(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: tuple[str, ...] = ("path",),
+) -> DataFrame:
+    """Append (sample_rate, channels, bits, duration_s) parsed from
+    WAV headers; non-WAV payloads get NULLs. Arrow-batched narrow
+    map, same contract as ``image_meta``."""
+    schema = (
+        ", ".join(f"{c} string" for c in id_cols)
+        + ", sample_rate int, channels int, bits int, duration_s double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: pdf[c].astype(str) for c in id_cols}
+            rs, cs, bs, ds = [], [], [], []
+            for data in pdf[content_col]:
+                meta = parse_wav_header(
+                    bytes(data) if data is not None else b""
+                )
+                if meta is None:
+                    rs.append(None); cs.append(None)
+                    bs.append(None); ds.append(None)
+                else:
+                    rs.append(meta[0]); cs.append(meta[1])
+                    bs.append(meta[2]); ds.append(meta[3])
+            out["sample_rate"] = pd.Series(rs, dtype="Int32")
+            out["channels"] = pd.Series(cs, dtype="Int32")
+            out["bits"] = pd.Series(bs, dtype="Int32")
+            out["duration_s"] = pd.Series(ds, dtype="float64")
+            yield pd.DataFrame(out)
+
+    return df.select(*id_cols, content_col).mapInPandas(run, schema=schema)

@@ -82,3 +82,34 @@ def test_image_meta_mapinpandas(spark):
     assert (got["d.jpg"]["format"], got["d.jpg"]["width"], got["d.jpg"]["height"]) == ("jpeg", 1920, 1080)
     assert got["e.txt"]["format"] is None
     assert got["a.png"]["n_bytes"] == len(_png(320, 240))
+
+
+def _wav(rate=16000, ch=1, bits=16, n_frames=16000) -> bytes:
+    data_len = n_frames * ch * (bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", data_len) + b"\x00" * data_len
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_parse_wav_header():
+    from dislib_spark.multimodal.imagemeta import parse_wav_header
+
+    assert parse_wav_header(_wav(16000, 1, 16, 16000)) == (16000, 1, 16, 1.0)
+    assert parse_wav_header(_wav(44100, 2, 16, 44100)) == (44100, 2, 16, 1.0)
+    assert parse_wav_header(b"RIFFxxxxNOPE" + b"\x00" * 40) is None
+    assert parse_wav_header(b"") is None
+
+
+def test_audio_meta_mapinpandas(spark):
+    from dislib_spark.multimodal.imagemeta import audio_meta
+
+    rows = [
+        ("a.wav", bytearray(_wav(16000, 1, 16, 8000))),
+        ("b.png", bytearray(_png(4, 4))),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {r["path"]: r for r in audio_meta(df).collect()}
+    assert got["a.wav"]["sample_rate"] == 16000
+    assert got["a.wav"]["duration_s"] == 0.5
+    assert got["b.png"]["sample_rate"] is None

@@ -1046,6 +1046,19 @@ def x52_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x53_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of orders (null counts + exact
+    NDV per column in ONE aggregate job) — the CBO-stats / data-
+    quality snapshot pass; ``approx_count_distinct`` is the
+    documented 100 TB swap-in (``utils.profile``)."""
+    from dislib_spark.utils.profile import table_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return table_profile(
+        o, ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    ).orderBy("col_name")
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -1083,6 +1096,7 @@ QUERIES = {
     "x50_unpivot": x50_unpivot,
     "x51_merge_upsert": x51_merge_upsert,
     "x52_cube": x52_cube,
+    "x53_table_profile": x53_table_profile,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -1548,4 +1562,30 @@ ORACLE["x52_cube"] = """
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
+ORACLE["x53_table_profile"] = """
+    WITH p AS (
+        SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+               COUNT(o_custkey) AS n_nonnull,
+               COUNT(*) - COUNT(o_custkey) AS n_nulls,
+               COUNT(DISTINCT o_custkey) AS n_distinct
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+               COUNT(*) - COUNT(o_orderstatus),
+               COUNT(DISTINCT o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+               COUNT(*) - COUNT(o_orderpriority),
+               COUNT(DISTINCT o_orderpriority)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate),
+               COUNT(*) - COUNT(o_orderdate),
+               COUNT(DISTINCT o_orderdate)
+        FROM orders
+    )
+    SELECT * FROM p ORDER BY col_name
 """

@@ -624,6 +624,218 @@ def m20_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m21_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between l_returnflag and
+    l_linestatus: one grouped count builds the contingency table
+    (|cells| rows of reduce state at any scale), row/column marginals
+    come from windows OVER that tiny table, and the statistic plus
+    Cramér's V are scalar algebra on exact integer counts — the
+    categorical-association screen next to m16's numeric corr
+    matrix."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    wr = Window.partitionBy("l_returnflag")
+    wc = Window.partitionBy("l_linestatus")
+    wall = Window.partitionBy()
+    cells = cells.select(
+        "o",
+        F.sum("o").over(wr).alias("row_tot"),
+        F.sum("o").over(wc).alias("col_tot"),
+        F.sum("o").over(wall).alias("n"),
+        F.count(F.lit(1)).over(wr).alias("r_cells"),
+        F.count(F.lit(1)).over(wc).alias("c_cells"),
+    )
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    agg = cells.agg(
+        F.max("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("c_cells").alias("n_flags"),
+        F.max("r_cells").alias("n_statuses"),
+        F.sum(term).alias("chi2"),
+    )
+    dof = (F.col("n_flags") - 1) * (F.col("n_statuses") - 1)
+    mindim = F.least(F.col("n_flags"), F.col("n_statuses")) - 1
+    return agg.select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_cells").cast("bigint").alias("n_cells"),
+        dof.cast("bigint").alias("dof"),
+        F.round("chi2", 4).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n_rows") * mindim)), 6
+        ).alias("cramers_v"),
+    )
+
+
+def m22_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between l_quantity and l_discount.
+
+    Average (tie-adjusted) ranks are derived from DISTINCT-VALUE
+    counts — cum_count − (count−1)/2 over the ordered distinct-value
+    table — so the global window runs over ~50 rows, never the fact
+    table; ranks broadcast-join back to rows. Half-integer ranks are
+    doubled to integers and the Pearson cross-moments accumulate as
+    exact DECIMAL(38,0) sums (order-independent — a double sum of
+    rank products overflows 2^53 at sf0.1), with the correlation
+    ratio computed once in double at the end."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("a"), F.col("l_discount").alias("b")
+    )
+
+    def ranks(col: str) -> DataFrame:
+        cnt = li.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        # 2 * average tie rank = 2*cum - (cnt - 1)  (always an integer)
+        return cnt.select(
+            col,
+            (2 * F.sum("cnt").over(w) - (F.col("cnt") - 1))
+            .cast("decimal(38,0)")
+            .alias(f"r2_{col[-1]}"),
+        )
+
+    ranked = (
+        li.join(F.broadcast(ranks("a")), "a")
+        .join(F.broadcast(ranks("b")), "b")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2_a").cast("double").alias("sa"),
+        F.sum("r2_b").cast("double").alias("sb"),
+        F.sum(F.col("r2_a") * F.col("r2_a")).cast("double").alias("qa"),
+        F.sum(F.col("r2_b") * F.col("r2_b")).cast("double").alias("qb"),
+        F.sum(F.col("r2_a") * F.col("r2_b")).cast("double").alias("sab"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sab") - F.col("sa") * F.col("sb")
+    den = F.sqrt(
+        (n * F.col("qa") - F.col("sa") * F.col("sa"))
+        * (n * F.col("qb") - F.col("sb") * F.col("sb"))
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(num / den, 6).alias("spearman_rho"),
+    )
+
+
+def m23_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between returned ('R') and
+    non-returned ('N') lineitem price distributions: one grouped pass
+    collapses rows to per-distinct-price (count_R, count_N) pairs,
+    then a single ordered window walks the merged ECDFs and takes the
+    max gap. Like m11's AUC, the value-ordered window runs AFTER the
+    group-by collapse; at 100 TB the documented swap-in is a binned
+    ECDF (fixed-width value buckets), which bounds the window input
+    at |buckets| rows."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    v = F.col("l_extendedprice").cast("decimal(18,2)")
+    g = li.groupBy(v.alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("cr"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("cn"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    ecdf = g.select(
+        F.sum("cr").over(w).alias("cum_r"),
+        F.sum("cn").over(w).alias("cum_n"),
+        F.sum("cr").over(wall).alias("n_r"),
+        F.sum("cn").over(wall).alias("n_n"),
+    )
+    gap = F.abs(
+        F.col("cum_r").cast("double") / F.col("n_r").cast("double")
+        - F.col("cum_n").cast("double") / F.col("n_n").cast("double")
+    )
+    return ecdf.agg(
+        F.max("n_r").cast("bigint").alias("n_r"),
+        F.max("n_n").cast("bigint").alias("n_n"),
+        F.round(F.max(gap), 6).alias("ks_stat"),
+    )
+
+
+def m24_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin cluster-quality index for the m03 fixed-center
+    assignment: per-cluster mean Euclidean distance to the assigned
+    center (scatter S_i) from ONE grouped pass, then R_i =
+    max_{j≠i} (S_i+S_j)/M_ij over the k×k center-distance table —
+    k-row driver algebra, O(k) reduce state. The internal validation
+    metric the reference's KMeans users compute by hand."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_discount").cast("double").alias("y"),
+    )
+    d2 = [
+        (F.col("x") - cx) * (F.col("x") - cx)
+        + (F.col("y") - cy) * (F.col("y") - cy)
+        for cx, cy in _M03_CENTERS
+    ]
+    best = F.least(*d2)
+    cluster = (
+        F.when(d2[0] == best, 0).when(d2[1] == best, 1).otherwise(2)
+    )
+    # collapse to ONE row of per-cluster (n, scatter) via conditional
+    # aggregation — no join at all (center distances are constants)
+    one = li.select(cluster.alias("cluster"), F.sqrt(best).alias("dist")).agg(
+        *[
+            a
+            for i in range(3)
+            for a in (
+                F.sum(F.when(F.col("cluster") == i, 1).otherwise(0)).alias(
+                    f"n_{i}"
+                ),
+                (
+                    F.sum(F.when(F.col("cluster") == i, F.col("dist")))
+                    / F.sum(F.when(F.col("cluster") == i, 1).otherwise(0))
+                ).alias(f"s_{i}"),
+            )
+        ]
+    )
+    import math
+
+    def r_i(i: int):
+        return F.greatest(
+            *[
+                (F.col(f"s_{i}") + F.col(f"s_{j}"))
+                / F.lit(math.dist(_M03_CENTERS[i], _M03_CENTERS[j]))
+                for j in range(3)
+                if j != i
+            ]
+        )
+
+    wide = one.select(
+        "*", *[r_i(i).alias(f"r_{i}") for i in range(3)]
+    )
+    # reshape the single wide row to k output rows with stack —
+    # `one` is computed exactly once (no per-cluster re-scan)
+    out = wide.select(
+        F.expr(
+            "stack(3,"
+            " CAST(0 AS BIGINT), n_0, s_0, r_0,"
+            " CAST(1 AS BIGINT), n_1, s_1, r_1,"
+            " CAST(2 AS BIGINT), n_2, s_2, r_2)"
+            " AS (cluster, n, scatter, db_ratio)"
+        )
+    ).select(
+        "cluster",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("scatter", 6).alias("scatter"),
+        F.round("db_ratio", 6).alias("db_ratio"),
+    )
+    return out.orderBy("cluster")
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -645,6 +857,10 @@ QUERIES = {
     "m18_welch_ttest": m18_welch_ttest,
     "m19_grouped_ols": m19_grouped_ols,
     "m20_anova_f": m20_anova_f,
+    "m21_chi2_independence": m21_chi2_independence,
+    "m22_spearman": m22_spearman,
+    "m23_ks_statistic": m23_ks_statistic,
+    "m24_davies_bouldin": m24_davies_bouldin,
 }
 
 
@@ -1160,3 +1376,140 @@ ORACLE["m20_anova_f"] = """
                  / ((tq - sb) / (nn - k)), 6) AS f_stat
     FROM agg
 """
+
+ORACLE["m21_chi2_independence"] = """
+    WITH cells AS (
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS o
+        FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT o,
+               SUM(o) OVER (PARTITION BY l_returnflag) AS row_tot,
+               SUM(o) OVER (PARTITION BY l_linestatus) AS col_tot,
+               SUM(o) OVER () AS n,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS r_cells,
+               COUNT(*) OVER (PARTITION BY l_linestatus) AS c_cells
+        FROM cells
+    ),
+    agg AS (
+        SELECT MAX(n) AS n_rows, COUNT(*) AS n_cells,
+               MAX(c_cells) AS n_flags, MAX(r_cells) AS n_statuses,
+               SUM((o::DOUBLE - row_tot::DOUBLE * col_tot::DOUBLE / n::DOUBLE)
+                   * (o::DOUBLE - row_tot::DOUBLE * col_tot::DOUBLE / n::DOUBLE)
+                   / (row_tot::DOUBLE * col_tot::DOUBLE / n::DOUBLE)) AS chi2
+        FROM m
+    )
+    SELECT n_rows::BIGINT AS n_rows, n_cells::BIGINT AS n_cells,
+           ((n_flags - 1) * (n_statuses - 1))::BIGINT AS dof,
+           ROUND(chi2, 4) AS chi2,
+           ROUND(SQRT(chi2 / (n_rows * (LEAST(n_flags, n_statuses) - 1))), 6)
+               AS cramers_v
+    FROM agg
+"""
+
+ORACLE["m22_spearman"] = """
+    WITH base AS (SELECT l_quantity AS a, l_discount AS b FROM lineitem),
+    ca AS (SELECT a, COUNT(*) AS cnt FROM base GROUP BY a),
+    ra AS (
+        SELECT a,
+               2 * SUM(cnt) OVER (ORDER BY a
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - (cnt - 1) AS r2a
+        FROM ca
+    ),
+    cb AS (SELECT b, COUNT(*) AS cnt FROM base GROUP BY b),
+    rb AS (
+        SELECT b,
+               2 * SUM(cnt) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - (cnt - 1) AS r2b
+        FROM cb
+    ),
+    j AS (SELECT r2a, r2b FROM base JOIN ra USING (a) JOIN rb USING (b)),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(r2a) AS DOUBLE) AS sa,
+               CAST(SUM(r2b) AS DOUBLE) AS sb,
+               CAST(SUM(r2a * r2a) AS DOUBLE) AS qa,
+               CAST(SUM(r2b * r2b) AS DOUBLE) AS qb,
+               CAST(SUM(r2a * r2b) AS DOUBLE) AS sab
+        FROM j
+    )
+    SELECT n::BIGINT AS n_rows,
+           ROUND((n::DOUBLE * sab - sa * sb)
+                 / SQRT((n::DOUBLE * qa - sa * sa)
+                      * (n::DOUBLE * qb - sb * sb)), 6) AS spearman_rho
+    FROM s
+"""
+
+ORACLE["m23_ks_statistic"] = """
+    WITH g AS (
+        SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cr,
+               SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS cn
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        GROUP BY 1
+    ),
+    e AS (
+        SELECT SUM(cr) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r,
+               SUM(cn) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+               SUM(cr) OVER () AS n_r,
+               SUM(cn) OVER () AS n_n
+        FROM g
+    )
+    SELECT MAX(n_r)::BIGINT AS n_r, MAX(n_n)::BIGINT AS n_n,
+           ROUND(MAX(ABS(cum_r::DOUBLE / n_r::DOUBLE
+                       - cum_n::DOUBLE / n_n::DOUBLE)), 6) AS ks_stat
+    FROM e
+"""
+
+def _m24_oracle() -> str:
+    import math
+
+    d = {
+        (i, j): repr(math.dist(_M03_CENTERS[i], _M03_CENTERS[j]))
+        for i in range(3)
+        for j in range(3)
+        if i != j
+    }
+    rows = []
+    for i in range(3):
+        js = [j for j in range(3) if j != i]
+        ratio = ", ".join(
+            f"(s_{i} + s_{j}) / {d[(i, j)]}" for j in js
+        )
+        rows.append(
+            f"SELECT {i}::BIGINT AS cluster, n_{i}::BIGINT AS n,"
+            f" ROUND(s_{i}, 6) AS scatter,"
+            f" ROUND(GREATEST({ratio}), 6) AS db_ratio FROM one"
+        )
+    union = "\n        UNION ALL\n        ".join(rows)
+    sums = ",\n               ".join(
+        f"SUM(CASE WHEN cluster = {i} THEN 1 ELSE 0 END) AS n_{i},"
+        f"\n               SUM(CASE WHEN cluster = {i} THEN dist END)"
+        f" / SUM(CASE WHEN cluster = {i} THEN 1 ELSE 0 END) AS s_{i}"
+        for i in range(3)
+    )
+    return f"""
+    WITH a AS (
+        SELECT CASE
+                   WHEN {_D[0]} = LEAST({_D[0]}, {_D[1]}, {_D[2]}) THEN 0
+                   WHEN {_D[1]} = LEAST({_D[0]}, {_D[1]}, {_D[2]}) THEN 1
+                   ELSE 2
+               END AS cluster,
+               SQRT(LEAST({_D[0]}, {_D[1]}, {_D[2]})) AS dist
+        FROM lineitem
+    ),
+    one AS (
+        SELECT {sums}
+        FROM a
+    )
+    SELECT * FROM (
+        {union}
+    ) ORDER BY cluster
+    """
+
+
+ORACLE["m24_davies_bouldin"] = _m24_oracle()

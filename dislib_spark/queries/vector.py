@@ -183,6 +183,31 @@ def v11_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_similarity(e).orderBy("label_a", "label_b")
 
 
+def v12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval: exact cosine top-50 per query
+    (distributed), greedy λ=0.7 re-rank to 10 inside one Arrow batch
+    per query (``vector.search.mmr_rerank``). Greedy selection is
+    sequential → rows-only here; exact-greedy parity is pytest-gated
+    (tests/test_mmr_negatives.py)."""
+    from dislib_spark.vector.search import mmr_rerank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return mmr_rerank(q, e, k=10, fetch_k=50).orderBy("q_id", "rank")
+
+
+def v13_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: per query, exact cosine
+    top-10 among corpus vectors with a DIFFERENT label
+    (``vector.search.hard_negatives``) — full oracle (label filter +
+    unnest-join dot products)."""
+    from dislib_spark.vector.search import hard_negatives
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return hard_negatives(q, e, k=10).orderBy("q_id", "rank")
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -195,6 +220,8 @@ QUERIES = {
     "v09_hybrid_rrf": v09_hybrid_rrf,
     "v10_ivf_stored_index": v10_ivf_stored_index,
     "v11_centroid_drift": v11_centroid_drift,
+    "v12_mmr_rerank": v12_mmr_rerank,
+    "v13_hard_negatives": v13_hard_negatives,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -434,4 +461,34 @@ ORACLE["v11_centroid_drift"] = """
     FROM cents a JOIN cents b ON a.k = b.k AND a.label < b.label
     GROUP BY a.label, b.label
     ORDER BY label_a, label_b
+"""
+
+ORACLE["v13_hard_negatives"] = f"""
+    WITH cells AS ({_CELLS}),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM cells GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id, SUM(a.v * b.v) AS dot
+        FROM cells a JOIN cells b ON a.k = b.k
+        WHERE a.vec_id < 5
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    scored AS (
+        SELECT d.q_id, eq.label AS q_label, d.c_id,
+               ROUND(d.dot / (na.nrm * nb.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.q_id
+        JOIN norms nb ON nb.vec_id = d.c_id
+        JOIN embeddings eq ON eq.vec_id = d.q_id
+        JOIN embeddings ec ON ec.vec_id = d.c_id
+        WHERE ec.label <> eq.label
+    )
+    SELECT q_id, q_label, c_id, sim, rank FROM (
+        SELECT q_id, q_label, c_id, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY sim DESC, c_id
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= 10 ORDER BY q_id, rank
 """

@@ -776,3 +776,136 @@ def rrf_fuse(
         )
         .select(F.col("_id").alias(id_col), "rrf", "n_lists")
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar corpus vectors whose LABEL DIFFERS from the
+    query's (the near-boundary negatives a two-tower/contrastive loss
+    learns most from).
+
+    Same broadcast-query × corpus-scan plan as :func:`cosine_topk`;
+    the label inequality is a pre-ranking filter pushed into the
+    joined scan, so mismatched pairs never reach the window. Not in
+    the reference (no vector layer); standard embedding-training
+    surface.
+
+    Returns (q_id, q_label, c_id, sim, rank), rank 1..k, ties by c_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_nrm"),
+    )
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("c_id"),
+        F.col(label_col).alias("c_label"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_nrm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("c_label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "q_label",
+            "c_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "c_id")
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    fetch_k: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR 1998): fetch the exact cosine top-``fetch_k``
+    per query, then greedily select ``k`` results maximizing
+    ``lam·sim(q,d) − (1−lam)·max_{s∈selected} sim(d,s)``.
+
+    Scale split: candidate generation is the distributed part (the
+    corpus-sized scan of :func:`cosine_topk`); the greedy loop is
+    inherently sequential but only ever sees ``fetch_k`` vectors, so
+    it runs per query group in ONE Arrow batch via
+    ``groupBy().applyInPandas`` — per-query work is O(fetch_k²·dim)
+    numpy, queries parallelize across executors, nothing touches the
+    driver.
+
+    Deterministic: ties broken by lowest candidate id at every pick.
+    Returns (q_id, c_id, sim, mmr_score, rank), rank 1..k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cand = cosine_topk(queries, corpus, k=fetch_k, id_col=id_col,
+                       vec_col=vec_col)
+    cand = cand.join(
+        corpus.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_id",
+    )
+
+    schema = (
+        "q_id bigint, c_id bigint, sim double, mmr_score double, "
+        "rank int"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sim", "c_id"],
+                              ascending=[False, True]).reset_index(drop=True)
+        vecs = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["c_vec"]]
+        )
+        nrm = np.linalg.norm(vecs, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        unit = vecs / nrm[:, None]
+        sims = pdf["sim"].to_numpy()
+        ids = pdf["c_id"].to_numpy()
+        n = len(pdf)
+        chosen: list[int] = []
+        scores: list[float] = []
+        remaining = list(range(n))
+        while remaining and len(chosen) < k:
+            if not chosen:
+                best_i, best_s = remaining[0], sims[remaining[0]]
+            else:
+                sel = unit[chosen]
+                best_i, best_s = -1, -np.inf
+                for i in remaining:
+                    red = float(np.max(sel @ unit[i]))
+                    s = lam * sims[i] - (1.0 - lam) * red
+                    if s > best_s or (s == best_s and ids[i] < ids[best_i]):
+                        best_i, best_s = i, s
+            chosen.append(best_i)
+            scores.append(float(best_s))
+            remaining.remove(best_i)
+        out = pdf.iloc[chosen][["q_id", "c_id", "sim"]].copy()
+        out["mmr_score"] = [round(s, 6) for s in scores]
+        out["rank"] = range(1, len(chosen) + 1)
+        return out
+
+    return cand.groupBy("q_id").applyInPandas(greedy, schema)

@@ -37,6 +37,8 @@ _BNLJ_OK = {
     "v09_hybrid_rrf",  # v01-style broadcast query vec + t17 1-row stats
     "x46_gapfill",  # day-spine × type cross join: both dimension-sized
     "m13_nb_confusion",  # |classes|-row class-stats broadcast per doc
+    "v12_mmr_rerank",  # v01-style broadcast query set feeding the MMR pool
+    "v13_hard_negatives",  # broadcast query set vs corpus scan, like v01
 }
 
 

@@ -1059,6 +1059,58 @@ def x53_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+def x54_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / data-skipping effectiveness audit: for two candidate
+    file layouts of lineitem — insertion order (bucketed by
+    ``floor(l_orderkey/64)``) vs shipdate-clustered (bucketed by
+    month) — compute each bucket's (min, max) l_shipdate zone map and
+    report how many buckets a 3-month date predicate can prune, plus
+    the read amplification (rows scanned in surviving buckets ÷ rows
+    actually matching). The quantified "should I OPTIMIZE/ZORDER this
+    table" decision input behind x49's Morton layout; one grouped
+    pass per layout, per-bucket state only."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    lo = F.lit("1996-03-01").cast("timestamp")
+    hi = F.lit("1996-06-01").cast("timestamp")
+    match = (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+
+    def layout(bucket, name: str) -> DataFrame:
+        per = li.groupBy(bucket.alias("b")).agg(
+            F.min("l_shipdate").alias("mn"),
+            F.max("l_shipdate").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(match.cast("long")).alias("nm"),
+        )
+        pruned = (F.col("mx") < lo) | (F.col("mn") >= hi)
+        return per.agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(pruned.cast("long")).alias("n_pruned"),
+            F.sum(F.when(~pruned, F.col("n")).otherwise(0)).alias(
+                "rows_scanned"
+            ),
+            F.sum("nm").alias("rows_matched"),
+        )
+
+    out = layout(
+        F.floor(F.col("l_orderkey") / 64), "orderkey_insertion"
+    ).unionAll(layout(F.date_trunc("month", "l_shipdate"), "shipdate_month"))
+    return out.select(
+        "layout",
+        "n_buckets",
+        "n_pruned",
+        "rows_scanned",
+        "rows_matched",
+        F.round(
+            F.col("rows_scanned").cast("double")
+            / F.col("rows_matched").cast("double"),
+            4,
+        ).alias("read_amplification"),
+    ).orderBy("layout")
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -1097,6 +1149,7 @@ QUERIES = {
     "x51_merge_upsert": x51_merge_upsert,
     "x52_cube": x52_cube,
     "x53_table_profile": x53_table_profile,
+    "x54_pruning_stats": x54_pruning_stats,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -1588,4 +1641,55 @@ ORACLE["x53_table_profile"] = """
         FROM orders
     )
     SELECT * FROM p ORDER BY col_name
+"""
+
+ORACLE["x54_pruning_stats"] = """
+    WITH li AS (
+        SELECT l_orderkey, l_shipdate,
+               CASE WHEN l_shipdate >= TIMESTAMP '1996-03-01'
+                     AND l_shipdate <  TIMESTAMP '1996-06-01'
+                    THEN 1 ELSE 0 END AS m
+        FROM lineitem
+    ),
+    a AS (
+        SELECT FLOOR(l_orderkey / 64) AS b,
+               MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx,
+               COUNT(*) AS n, SUM(m) AS nm
+        FROM li GROUP BY 1
+    ),
+    b AS (
+        SELECT DATE_TRUNC('month', l_shipdate) AS b,
+               MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx,
+               COUNT(*) AS n, SUM(m) AS nm
+        FROM li GROUP BY 1
+    ),
+    s AS (
+        SELECT 'orderkey_insertion' AS layout,
+               COUNT(*) AS n_buckets,
+               SUM(CASE WHEN mx < TIMESTAMP '1996-03-01'
+                         OR mn >= TIMESTAMP '1996-06-01'
+                        THEN 1 ELSE 0 END) AS n_pruned,
+               SUM(CASE WHEN mx < TIMESTAMP '1996-03-01'
+                         OR mn >= TIMESTAMP '1996-06-01'
+                        THEN 0 ELSE n END) AS rows_scanned,
+               SUM(nm) AS rows_matched
+        FROM a
+        UNION ALL
+        SELECT 'shipdate_month', COUNT(*),
+               SUM(CASE WHEN mx < TIMESTAMP '1996-03-01'
+                         OR mn >= TIMESTAMP '1996-06-01'
+                        THEN 1 ELSE 0 END),
+               SUM(CASE WHEN mx < TIMESTAMP '1996-03-01'
+                         OR mn >= TIMESTAMP '1996-06-01'
+                        THEN 0 ELSE n END),
+               SUM(nm)
+        FROM b
+    )
+    SELECT layout, n_buckets::BIGINT AS n_buckets,
+           n_pruned::BIGINT AS n_pruned,
+           rows_scanned::BIGINT AS rows_scanned,
+           rows_matched::BIGINT AS rows_matched,
+           ROUND(rows_scanned::DOUBLE / rows_matched::DOUBLE, 4)
+               AS read_amplification
+    FROM s ORDER BY layout
 """

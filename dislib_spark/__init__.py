@@ -38,6 +38,10 @@ from dislib_spark.array import (
     from_ds_array,
     load_dataset,
     random_tensors,
+    pad,
+    pad_last_blocks_with_zeros,
+    remove_last_columns,
+    remove_last_rows,
 )
 
 __version__ = "0.1.0"
@@ -72,4 +76,8 @@ __all__ = [
     "from_ds_array",
     "load_dataset",
     "random_tensors",
+    "pad",
+    "pad_last_blocks_with_zeros",
+    "remove_last_columns",
+    "remove_last_rows",
 ]

@@ -27,6 +27,12 @@ from dislib_spark.array.complexa import (
     from_real,
 )
 from dislib_spark.array.sparse import SparseDsArray, load_svmlight_sparse
+from dislib_spark.array.util import (
+    pad,
+    pad_last_blocks_with_zeros,
+    remove_last_columns,
+    remove_last_rows,
+)
 from dislib_spark.array.tensor import (
     DsTensor,
     from_array,
@@ -63,4 +69,8 @@ __all__ = [
     "from_ds_array",
     "load_dataset",
     "random_tensors",
+    "pad",
+    "pad_last_blocks_with_zeros",
+    "remove_last_columns",
+    "remove_last_rows",
 ]

@@ -203,3 +203,29 @@ def test_hstack_npy(spark, tmp_path):
     x = load_hstack_npy_files(spark, str(d))
     assert x.shape == (6, 5)
     assert np.allclose(x.collect(), np.hstack(parts))
+
+
+def test_pad_and_remove_last(spark, mats):
+    A, _, a, _ = mats
+    # pad bottom rows + right columns with a constant
+    padded = ds.pad(a, ((0, 3), (0, 2)), constant_value=7.5)
+    want = np.pad(
+        A, ((0, 3), (0, 2)), mode="constant", constant_values=7.5
+    )
+    assert padded.shape == (26, 9)
+    assert np.allclose(padded.collect(), want)
+    # top/left padding matches the reference's NotImplementedError
+    with pytest.raises(NotImplementedError):
+        ds.pad(a, ((1, 0), (0, 0)))
+    with pytest.raises(NotImplementedError):
+        ds.pad(a, ((0, 0), (2, 0)))
+    # geometry regularization is the identity here
+    assert ds.pad_last_blocks_with_zeros(a) is a
+    # remove_last_rows / remove_last_columns invert the padding
+    trimmed = ds.remove_last_columns(ds.remove_last_rows(padded, 3), 2)
+    assert trimmed.shape == (23, 7)
+    assert np.allclose(trimmed.collect(), A)
+    # zero/negative counts are no-ops; removing all columns raises
+    assert ds.remove_last_rows(a, 0) is a
+    with pytest.raises(ValueError):
+        ds.remove_last_columns(a, 7)

@@ -46,6 +46,11 @@ PICKS = {
     "t38_pmi_collocations": "one corpus-sized bigram count; marginals re-aggregate the vocab-sized table; 1-row total broadcast",
     "x51_merge_upsert": "MERGE = one full-outer sort-merge join on the key; per-column arms in codegen",
     "t39_vocab_coverage": "vocab derives from re-aggregating the (group,token) count and broadcasts back — one corpus shuffle total",
+    "m21_chi2_independence": "contingency counts in one map-side-combined agg; marginal windows run over the |cells| table",
+    "m22_spearman": "rank windows over the ~50-row distinct-value tables, broadcast back; decimal cross-moments in one agg",
+    "m23_ks_statistic": "ECDF window runs AFTER the per-distinct-value collapse (m11 pattern)",
+    "v13_hard_negatives": "label filter applied inside the broadcast-query × corpus scan, before the ranking window",
+    "x54_pruning_stats": "one grouped zone-map pass per candidate layout; per-bucket state only",
 }
 
 

@@ -108,3 +108,70 @@ def robust_stats(
     return row.select(
         F.explode(F.array(*per_col)).alias("s")
     ).select("s.*")
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    n_bins: int | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between ``group_a`` and
+    ``group_b`` rows of ``value_col``.
+
+    ``n_bins=None`` is exact: rows collapse to per-distinct-value
+    (count_a, count_b) pairs and ONE ordered window walks the merged
+    ECDFs (the m23 kernel). With ``n_bins`` set, values are
+    fixed-width-bucketed first, bounding the window input at
+    ``n_bins`` rows regardless of corpus size — the 100 TB path for
+    continuous columns whose distinct count is unbounded. Binning
+    only coarsens D downward by at most the largest per-bin mass
+    (ECDFs agree at every bin boundary), so the estimate is a lower
+    bound that converges as bins shrink.
+
+    Returns one row (n_a, n_b, ks_stat).
+    """
+    from pyspark.sql import Window
+
+    src = df.where(F.col(group_col).isin(group_a, group_b))
+    v = F.col(value_col).cast("double")
+    if n_bins is not None:
+        lohi = src.agg(
+            F.min(v).alias("lo"), F.max(v).alias("hi")
+        )
+        width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+        key = (
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor((v - F.col("lo")) / width),
+                )
+            )
+        ).alias("v")
+        src = src.crossJoin(F.broadcast(lohi))
+    else:
+        key = v.alias("v")
+    g = src.groupBy(key).agg(
+        F.sum((F.col(group_col) == group_a).cast("long")).alias("ca"),
+        F.sum((F.col(group_col) == group_b).cast("long")).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    ecdf = g.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    gap = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+    )
+    return ecdf.agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.max(gap).alias("ks_stat"),
+    )

@@ -186,3 +186,53 @@ def test_isotonic_calibrator_pav_parity(spark):
         assert got[float(xi)] == pytest.approx(wi, abs=1e-9)
     # monotone non-decreasing step function
     assert (np.diff(cal.predictions_) >= -1e-12).all()
+
+
+def _np_ks(a: np.ndarray, b: np.ndarray) -> float:
+    """Straight-line two-sample KS on sorted arrays."""
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), grid, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), grid, side="right") / len(b)
+    return float(np.max(np.abs(fa - fb)))
+
+
+def test_ks_statistic_exact_and_binned(spark):
+    from dislib_spark.math.stats import ks_statistic
+    from dislib_spark.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    rows = li.where(F.col("l_returnflag").isin("R", "N")).select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    a = np.array([r.l_extendedprice for r in rows if r.l_returnflag == "R"])
+    b = np.array([r.l_extendedprice for r in rows if r.l_returnflag == "N"])
+    want = _np_ks(a, b)
+
+    exact = ks_statistic(
+        li, "l_extendedprice", "l_returnflag", "R", "N"
+    ).collect()[0]
+    assert exact.n_a == len(a) and exact.n_b == len(b)
+    assert math.isclose(exact.ks_stat, want, abs_tol=1e-12)
+
+    # binned scale path: lower bound, converging with bin count
+    d256 = ks_statistic(
+        li, "l_extendedprice", "l_returnflag", "R", "N", n_bins=256
+    ).collect()[0].ks_stat
+    d16 = ks_statistic(
+        li, "l_extendedprice", "l_returnflag", "R", "N", n_bins=16
+    ).collect()[0].ks_stat
+    assert d256 <= want + 1e-12
+    assert d16 <= want + 1e-12
+    assert want - d256 <= 0.05
+    assert d256 >= d16 - 0.05
+
+
+def test_ks_statistic_degenerate_constant_column(spark):
+    from dislib_spark.math.stats import ks_statistic
+
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 10 + [("b", 5.0)] * 7, "g string, v double"
+    )
+    out = ks_statistic(df, "v", "g", "a", "b", n_bins=64).collect()[0]
+    assert out.ks_stat == 0.0
+    assert (out.n_a, out.n_b) == (10, 7)

@@ -146,11 +146,30 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
+    def ks_exact():
+        from dislib_spark.math.stats import ks_statistic
+
+        ks_statistic(
+            li, "l_extendedprice", "l_returnflag", "R", "N"
+        ).write.format("noop").mode("overwrite").save()
+
+    def ks_binned():
+        from dislib_spark.math.stats import ks_statistic
+
+        ks_statistic(
+            li, "l_extendedprice", "l_returnflag", "R", "N", n_bins=4096
+        ).write.format("noop").mode("overwrite").save()
+
     timed("Q1 shape: wide agg, 6 groups", q1)
     timed("Q6 shape: pushdown-only scan", q6)
     timed("co-purchase: distinct + self-join", basket)
     timed("corr matrix: one-pass 4-col sufficient stats", corr)
     timed("MERGE upsert: full-outer join on 2-col key", merge)
+    # KS: the exact path's global ECDF window is bounded by the
+    # distinct-value count (~900k here); the binned path bounds it at
+    # n_bins regardless of rows — the 100 TB contrast this smoke shows
+    timed("KS exact: distinct-value ECDF window", ks_exact)
+    timed("KS binned(4096): bounded ECDF window", ks_binned)
 
 
 if __name__ == "__main__":

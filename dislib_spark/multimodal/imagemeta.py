@@ -168,3 +168,97 @@ def audio_meta(
             yield pd.DataFrame(out)
 
     return df.select(*id_cols, content_col).mapInPandas(run, schema=schema)
+
+
+def parse_mp4_header(data: bytes):
+    """(brand, duration_s, width, height) from ISO-BMFF (MP4/MOV) box
+    structure — ``ftyp`` major brand, ``moov/mvhd`` timescale+duration,
+    first ``moov/trak/tkhd`` 16.16 fixed-point dimensions. Same
+    codec-free profiling idea as PNG/WAV: route by container, drop
+    sub-second clips, estimate decode cost — no ffmpeg needed, and
+    only the (typically front-loaded) moov box is touched."""
+    if data is None or len(data) < 16:
+        return None
+
+    def boxes(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = struct.unpack(">I", buf[i : i + 4])[0]
+            btype = buf[i + 4 : i + 8]
+            hdr = 8
+            if size == 1 and i + 16 <= end:
+                size = struct.unpack(">Q", buf[i + 8 : i + 16])[0]
+                hdr = 16
+            elif size == 0:
+                size = end - i
+            if size < hdr:
+                return
+            yield btype, i + hdr, min(i + size, end)
+            i += size
+
+    brand = None
+    dur = width = height = None
+    for btype, s, e in boxes(data, 0, len(data)):
+        if btype == b"ftyp" and e - s >= 4:
+            brand = data[s : s + 4].decode("ascii", "replace").strip()
+        elif btype == b"moov":
+            for b2, s2, e2 in boxes(data, s, e):
+                if b2 == b"mvhd" and e2 - s2 >= 20:
+                    ver = data[s2]
+                    if ver == 1 and e2 - s2 >= 28:
+                        ts = struct.unpack(">I", data[s2 + 20 : s2 + 24])[0]
+                        d = struct.unpack(">Q", data[s2 + 24 : s2 + 32])[0]
+                    else:
+                        ts, d = struct.unpack(
+                            ">II", data[s2 + 12 : s2 + 20]
+                        )
+                    if ts:
+                        dur = d / ts
+                elif b2 == b"trak" and width is None:
+                    for b3, s3, e3 in boxes(data, s2, e2):
+                        if b3 == b"tkhd" and e3 - s3 >= 84:
+                            w, h = struct.unpack(
+                                ">II", data[e3 - 8 : e3]
+                            )
+                            if w and h:
+                                width = w / 65536.0
+                                height = h / 65536.0
+    if brand is None and dur is None:
+        return None
+    return (brand, dur, width, height)
+
+
+def video_meta(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: tuple[str, ...] = ("path",),
+) -> DataFrame:
+    """Append (brand, duration_s, width, height) parsed from ISO-BMFF
+    container boxes; non-MP4 payloads get NULLs. Arrow-batched narrow
+    map, same contract as ``image_meta``/``audio_meta``."""
+    schema = (
+        ", ".join(f"{c} string" for c in id_cols)
+        + ", brand string, duration_s double, width double, height double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: pdf[c].astype(str) for c in id_cols}
+            brs, ds, ws, hs = [], [], [], []
+            for data in pdf[content_col]:
+                meta = parse_mp4_header(
+                    bytes(data) if data is not None else b""
+                )
+                if meta is None:
+                    brs.append(None); ds.append(None)
+                    ws.append(None); hs.append(None)
+                else:
+                    brs.append(meta[0]); ds.append(meta[1])
+                    ws.append(meta[2]); hs.append(meta[3])
+            out["brand"] = pd.Series(brs, dtype="object")
+            out["duration_s"] = pd.Series(ds, dtype="float64")
+            out["width"] = pd.Series(ws, dtype="float64")
+            out["height"] = pd.Series(hs, dtype="float64")
+            yield pd.DataFrame(out)
+
+    return df.select(*id_cols, content_col).mapInPandas(run, schema=schema)

@@ -113,3 +113,64 @@ def test_audio_meta_mapinpandas(spark):
     assert got["a.wav"]["sample_rate"] == 16000
     assert got["a.wav"]["duration_s"] == 0.5
     assert got["b.png"]["sample_rate"] is None
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    import struct as _s
+
+    return _s.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4(brand=b"isom", timescale=1000, duration=2500, w=640, h=360):
+    import struct as _s
+
+    ftyp = _box(b"ftyp", brand + _s.pack(">I", 0) + b"mp41")
+    mvhd = _box(
+        b"mvhd",
+        bytes(4)  # version+flags
+        + bytes(8)  # ctime/mtime
+        + _s.pack(">II", timescale, duration)
+        + bytes(80),
+    )
+    tkhd = _box(
+        b"tkhd",
+        bytes(4) + bytes(8) + _s.pack(">I", 1) + bytes(4)
+        + _s.pack(">I", duration) + bytes(8)
+        + bytes(2 + 2 + 2 + 2) + bytes(36)
+        + _s.pack(">II", w << 16, h << 16),
+    )
+    trak = _box(b"trak", tkhd)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def test_parse_mp4_header():
+    from dislib_spark.multimodal.imagemeta import parse_mp4_header
+
+    got = _mp4(timescale=1000, duration=2500, w=640, h=360)
+    brand, dur, w, h = parse_mp4_header(got)
+    assert brand == "isom"
+    assert abs(dur - 2.5) < 1e-9
+    assert (w, h) == (640.0, 360.0)
+    assert parse_mp4_header(b"RIFFxxxxWAVE") is None
+    assert parse_mp4_header(b"") is None
+    # 64-bit largesize box header still walks correctly
+    import struct as _s
+
+    big = _s.pack(">I", 1) + b"free" + _s.pack(">Q", 24) + bytes(8)
+    assert parse_mp4_header(big + _mp4())[0] == "isom"
+
+
+def test_video_meta_mapinpandas(spark):
+    from dislib_spark.multimodal.imagemeta import video_meta
+
+    rows = [
+        ("a.mp4", bytearray(_mp4(duration=1500, w=320, h=240))),
+        ("b.bin", bytearray(b"garbage bytes not a container")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = {r.path: r for r in video_meta(df).collect()}
+    assert out["a.mp4"].brand == "isom"
+    assert abs(out["a.mp4"].duration_s - 1.5) < 1e-9
+    assert out["a.mp4"].width == 320.0
+    assert out["b.bin"].brand is None

@@ -658,6 +658,42 @@ def t41_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t42_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α=0.5) language re-balancing, the mC4/XLM-R rule:
+    per-language keep-rates derived from ONE corpus count
+    (``sampling.temperature_rates`` — p_s ∝ √n_s, rare languages
+    boosted), then the deterministic md5-hash keep decision applied
+    through the broadcast-JOIN form (``sampling.sample_by_rates`` —
+    no CASE-chain ceiling, any strata cardinality). α=0.5 on purpose:
+    SQRT is IEEE-correctly-rounded on both engines, so the whole rate
+    derivation is value-replayable. Reports per-language original vs
+    kept counts and the effective threshold."""
+    from dislib_spark.sampling import sample_by_rates, temperature_rates
+
+    d = load_table(spark, sf_dir, "documents")
+    rates = temperature_rates(d, "lang", alpha=0.5)
+    kept = (
+        sample_by_rates(d, rates, "lang", "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.select(
+            F.col("stratum").alias("lang"),
+            F.col("n").alias("n_orig"),
+            F.round(F.col("rate") * 100).cast("int").alias("rate_pct"),
+        )
+        .join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_orig",
+            "rate_pct",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -700,6 +736,7 @@ QUERIES = {
     "t39_vocab_coverage": t39_vocab_coverage,
     "t40_lang_mismatch": t40_lang_mismatch,
     "t41_quality_gate": t41_quality_gate,
+    "t42_temperature_sample": t42_temperature_sample,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -1655,4 +1692,30 @@ ORACLE["t41_quality_gate"] = f"""
            SUM(CASE WHEN n_tok >= 25 AND quality >= 0.6
                      AND dup3_frac <= 0.02 THEN 1 ELSE 0 END)::BIGINT AS n_pass
     FROM feat GROUP BY source ORDER BY source
+"""
+
+ORACLE["t42_temperature_sample"] = """
+    WITH c AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    m AS (SELECT lang, n, SQRT(n::DOUBLE) AS mass FROM c),
+    t AS (SELECT SUM(mass) AS tm, SUM(n) AS tn FROM m),
+    r AS (
+        SELECT lang, n,
+               CAST(ROUND(LEAST(1.0,
+                    tn::DOUBLE * (mass / tm) / n::DOUBLE) * 100)
+                    AS INTEGER) AS rate_pct
+        FROM m, t
+    ),
+    kept AS (
+        SELECT d.lang, COUNT(*) AS n_kept
+        FROM documents d JOIN r USING (lang)
+        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                   AS INTEGER) % 100 < r.rate_pct
+        GROUP BY d.lang
+    )
+    SELECT r.lang, r.n AS n_orig, r.rate_pct,
+           COALESCE(kept.n_kept, 0) AS n_kept
+    FROM r LEFT JOIN kept ON kept.lang = r.lang
+    ORDER BY r.lang
 """

@@ -111,3 +111,82 @@ def hash_split(
         )
         lo = hi
     return out
+
+
+def temperature_rates(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    target_total: int | None = None,
+) -> DataFrame:
+    """Per-stratum keep-rates from temperature sampling (the
+    mC4/XLM-R language-balancing rule): sampling mass p_s ∝ n_s^alpha,
+    so rare strata are boosted and head strata suppressed as alpha→0.
+
+    Returns (stratum, n, rate): ``rate = min(1, target·p_s / n_s)``
+    with ``target`` defaulting to the corpus size (pure re-balance,
+    no shrink). ONE grouped count over the corpus; the normalization
+    runs on the |strata|-sized table (1-row total broadcast).
+
+    Unlike :func:`stratified_hash_sample`'s literal dict (a CASE
+    chain — fine for a handful of strata), the returned DataFrame is
+    meant for :func:`sample_by_rates`'s broadcast JOIN, which is the
+    scale form when strata count is large (domains, languages×source
+    pairs)."""
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mass = counts.select(
+        "stratum",
+        "n",
+        F.pow(F.col("n").cast("double"), float(alpha)).alias("m"),
+    )
+    tot = mass.agg(
+        F.sum("m").alias("tm"), F.sum("n").alias("tn")
+    )
+    target = (
+        F.lit(float(target_total))
+        if target_total is not None
+        else F.col("tn").cast("double")
+    )
+    return (
+        mass.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n",
+            F.least(
+                F.lit(1.0),
+                target
+                * (F.col("m") / F.col("tm"))
+                / F.col("n").cast("double"),
+            ).alias("rate"),
+        )
+    )
+
+
+def sample_by_rates(
+    df: DataFrame,
+    rates: DataFrame,
+    strata_col: str,
+    key_col: str,
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic per-stratum hash sampling with rates supplied as
+    a (stratum, rate) DataFrame — broadcast-joined onto the scan, so
+    any strata cardinality works (no CASE-chain ceiling). Keep rule
+    is identical to :func:`stratified_hash_sample`:
+    ``hash_bucket(key) < round(rate·buckets)``."""
+    r = rates.select(
+        F.col("stratum").alias(strata_col), "rate"
+    )
+    b = hash_bucket(F.col(key_col), buckets)
+    return (
+        df.join(F.broadcast(r), strata_col, "left")
+        .where(
+            b
+            < F.round(F.coalesce(F.col("rate"), F.lit(0.0)) * buckets).cast(
+                "int"
+            )
+        )
+        .drop("rate")
+    )

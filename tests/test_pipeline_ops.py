@@ -379,3 +379,60 @@ def test_fan_out_contract(spark):
     wide = spark.range(0, 1000, 1, par)
     # identical object back — no extra shuffle inserted
     assert fan_out(wide) is wide
+
+
+def test_temperature_rates_properties(spark):
+    """α=0 flattens to equal per-stratum mass; α=1 is the identity
+    (rate 1 everywhere when target = corpus size); rates stay in
+    (0, 1]; kept counts track n·rate."""
+    import math as _math
+
+    from dislib_spark.sampling import sample_by_rates, temperature_rates
+    from dislib_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    counts = {
+        r.lang: r.cnt
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+
+    # alpha=1: p_s = n_s/N, so target*p_s/n_s == 1 → keep everything
+    r1 = {r.stratum: r.rate for r in temperature_rates(d, "lang", 1.0).collect()}
+    assert all(abs(v - 1.0) < 1e-12 for v in r1.values())
+
+    # alpha=0.5: numpy replay of the formula
+    r5 = {r.stratum: r.rate for r in temperature_rates(d, "lang", 0.5).collect()}
+    tm = sum(_math.sqrt(n) for n in counts.values())
+    tn = sum(counts.values())
+    for lang, n in counts.items():
+        want = min(1.0, tn * (_math.sqrt(n) / tm) / n)
+        assert abs(r5[lang] - want) < 1e-9, lang
+    assert all(0.0 < v <= 1.0 for v in r5.values())
+
+    # rare strata get boosted relative to head strata
+    rare = min(counts, key=counts.get)
+    head = max(counts, key=counts.get)
+    if counts[rare] < counts[head]:
+        assert r5[rare] > r5[head]
+
+    # kept fraction ≈ rate (md5 buckets are near-uniform; threshold
+    # is exact so the kept count equals the per-bucket population)
+    kept = sample_by_rates(
+        d, temperature_rates(d, "lang", 0.5), "lang", "doc_id"
+    )
+    kn = {
+        r.lang: r.cnt
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for lang, n in counts.items():
+        frac = kn.get(lang, 0) / n
+        assert abs(frac - min(1.0, r5[lang])) < 0.15, lang
+
+    # missing-strata rows are dropped (left join + coalesce(0))
+    extra = spark.createDataFrame(
+        [(999999, "xx")], "doc_id long, lang string"
+    )
+    out = sample_by_rates(
+        extra, temperature_rates(d, "lang", 0.5), "lang", "doc_id"
+    )
+    assert out.count() == 0

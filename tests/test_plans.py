@@ -8,6 +8,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from dislib_spark.queries import all_queries
 from tests.conftest import SF_SMOKE
@@ -39,6 +40,7 @@ _BNLJ_OK = {
     "m13_nb_confusion",  # |classes|-row class-stats broadcast per doc
     "v12_mmr_rerank",  # v01-style broadcast query set feeding the MMR pool
     "v13_hard_negatives",  # broadcast query set vs corpus scan, like v01
+    "t42_temperature_sample",  # 1-row broadcast of the (Σmass, Σn) totals
 }
 
 
@@ -79,3 +81,25 @@ def test_no_unexpected_cartesian_or_python(spark):
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
         if "BroadcastNestedLoopJoin" in plan:
             assert name in _BNLJ_OK, f"{name}: unexpected BNLJ"
+
+
+def test_plancheck_utility(spark):
+    """plan_facts/assert_scale_safe agree with the raw-plan greps this
+    suite runs, on one good query and one deliberately bad plan."""
+    from dislib_spark.utils.plancheck import assert_scale_safe, plan_facts
+
+    df = all_queries()["q06_join_agg"](spark, SF_SMOKE)
+    facts = assert_scale_safe(df)
+    assert "BroadcastHashJoin" in facts.join_kinds
+    assert not facts.has_cartesian and not facts.has_python_row_udf
+    assert facts.n_scans >= 2
+    assert facts.pushed_filters  # q06's date filter reaches the scan
+
+    a = spark.range(100).select(F.col("id").alias("a"))
+    b = spark.range(100).select(F.col("id").alias("b"))
+    bad = a.crossJoin(b)
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="scale-safe"):
+        assert_scale_safe(bad)
+    assert plan_facts(bad).has_bnlj or plan_facts(bad).has_cartesian

@@ -1111,6 +1111,63 @@ def x54_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("layout")
 
 
+def x55_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI share-of-total report: revenue per nation, its share of the
+    REGION subtotal and of the grand total, plus dense-rank within
+    region — windows layered OVER the grouped aggregate (the window
+    input is |nations| rows, never the fact table), with the two
+    dimension joins broadcast onto one fact scan. Exact decimal
+    revenue so shares are engine-stable."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        )
+    )
+    wr = Window.partitionBy("r_name")
+    wall = Window.partitionBy()
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        # cast the exact decimal sums to double BEFORE dividing: both
+        # engines then do the same IEEE divide (decimal division has
+        # engine-specific scale/rounding rules)
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(wr).cast("double"),
+            6,
+        ).alias("region_share"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(wall).cast("double"),
+            6,
+        ).alias("total_share"),
+        F.dense_rank()
+        .over(wr.orderBy(F.desc("rev"), "n_name"))
+        .alias("rank_in_region"),
+    ).orderBy("r_name", "rank_in_region", "n_name")
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -1150,6 +1207,7 @@ QUERIES = {
     "x52_cube": x52_cube,
     "x53_table_profile": x53_table_profile,
     "x54_pruning_stats": x54_pruning_stats,
+    "x55_share_report": x55_share_report,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -1692,4 +1750,28 @@ ORACLE["x54_pruning_stats"] = """
            ROUND(rows_scanned::DOUBLE / rows_matched::DOUBLE, 4)
                AS read_amplification
     FROM s ORDER BY layout
+"""
+
+ORACLE["x55_share_report"] = """
+    WITH per_nation AS (
+        SELECT r.r_name, n.n_name, COUNT(*) AS n_orders,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT r_name, n_name, n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE),
+                 6) AS region_share,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS total_share,
+           DENSE_RANK() OVER (
+               PARTITION BY r_name ORDER BY rev DESC, n_name
+           ) AS rank_in_region
+    FROM per_nation
+    ORDER BY r_name, rank_in_region, n_name
 """

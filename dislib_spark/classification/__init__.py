@@ -6,6 +6,7 @@ from dislib_spark.classification.forest import (
 )
 from dislib_spark.classification.csvm import CascadeSVM, LinearSVC
 from dislib_spark.classification.smo import SimpleSVC
+from dislib_spark.classification.logistic import LogisticRegression
 from dislib_spark.classification.naive_bayes import MultinomialNB
 from dislib_spark.neighbors.knn import KNeighborsClassifier
 
@@ -13,5 +14,5 @@ __all__ = [
     "DecisionTreeClassifier", "DecisionTreeRegressor",
     "RandomForestClassifier", "RandomForestRegressor",
     "CascadeSVM", "LinearSVC", "SimpleSVC", "KNeighborsClassifier",
-    "MultinomialNB",
+    "MultinomialNB", "LogisticRegression",
 ]

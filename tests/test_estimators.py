@@ -406,3 +406,40 @@ def test_knn_callable_weights(spark):
     # …while uniform voting flips it (two label-1 votes beat one)
     out = knn_classify(queries, corpus, k=3, weights="uniform").collect()
     assert out[0]["pred_label"] == 1
+
+
+def test_logistic_regression_sklearn_parity(spark):
+    """Separable blobs: accuracy ~1.0 and decision function sign
+    agrees with sklearn's lbfgs fit on the same data."""
+    import numpy as np
+
+    import dislib_spark as ds
+    from dislib_spark.classification import LogisticRegression
+
+    rng = np.random.RandomState(11)
+    x0 = rng.randn(80, 3) + np.array([2.0, 2.0, 0.0])
+    x1 = rng.randn(80, 3) + np.array([-2.0, -2.0, 0.0])
+    X = np.vstack([x0, x1])
+    y = np.array([0.0] * 80 + [1.0] * 80)
+    perm = rng.permutation(160)
+    X, y = X[perm], y[perm]
+
+    dx = ds.array(X, spark)
+    dy = ds.array(y.reshape(-1, 1), spark)
+    clf = LogisticRegression(max_iter=100).fit(dx, dy)
+    assert clf.score(dx, dy) >= 0.99
+
+    proba = clf.predict_proba(dx).collect()
+    assert proba.shape == (160, 2)
+    assert np.allclose(proba.sum(axis=1), 1.0, atol=1e-9)
+
+    try:
+        from sklearn.linear_model import LogisticRegression as SK
+    except ImportError:
+        return
+    sk = SK(max_iter=200, C=1e6).fit(X, y)
+    # same predictions on a held-out grid of fresh points
+    Xt = rng.randn(50, 3)
+    got = clf.predict(ds.array(Xt, spark)).collect().ravel()
+    want = sk.predict(Xt)
+    assert (got == want).mean() >= 0.95

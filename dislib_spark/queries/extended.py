@@ -1168,6 +1168,18 @@ def x55_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("r_name", "rank_in_region", "n_name")
 
 
+def s08_decayed_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed heavy hitters over events (trending-keys
+    primitive): per-(user, hour) counts decayed by the dyadic-exact
+    0.5^Δh rule (``streaming.decay.decayed_counts``). The batch form
+    of the append-only streaming sink; stream ≡ batch is pytest-gated
+    (tests/test_decayed_hitters.py)."""
+    from dislib_spark.streaming.decay import decayed_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return decayed_counts(ev, "user_id", top_k=20)
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -1215,6 +1227,7 @@ QUERIES = {
     "s05_interval_join": s05_interval_join,
     "s06_stream_static": s06_stream_static,
     "s07_rollup": s07_rollup,
+    "s08_decayed_hitters": s08_decayed_hitters,
 }
 
 ORACLE = {
@@ -1774,4 +1787,20 @@ ORACLE["x55_share_report"] = """
            ) AS rank_in_region
     FROM per_nation
     ORDER BY r_name, rank_in_region, n_name
+"""
+
+ORACLE["s08_decayed_hitters"] = """
+    WITH hc AS (
+        SELECT user_id AS key, DATE_TRUNC('hour', ts) AS hour,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ref AS (SELECT MAX(hour) AS ref_hour FROM hc)
+    SELECT key, SUM(n) AS n_total,
+           ROUND(SUM(n::DOUBLE * POWER(0.5,
+               (EPOCH(ref_hour) - EPOCH(hour)) / 3600.0)), 6) AS score
+    FROM hc, ref
+    GROUP BY key
+    ORDER BY score DESC, key
+    LIMIT 20
 """

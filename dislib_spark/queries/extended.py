@@ -1180,6 +1180,36 @@ def s08_decayed_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_counts(ev, "user_id", top_k=20)
 
 
+def x56_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day RANGE-frame window (time-based frame, the
+    variant x24's 3-ROW frame can't express — gaps in the calendar
+    must still bound the lookback by TIME): daily event counts per
+    type, then a range frame over day numbers. The window runs over
+    the |days × types| pre-aggregate, never raw events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = daily.withColumn("dayno", F.datediff("day", F.lit("1970-01-01")))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dayno")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("trailing7_n"),
+        F.round(
+            F.sum("n").over(w).cast("double") / F.count("n").over(w), 6
+        ).alias("trailing7_daily_avg"),
+    ).orderBy("event_type", "day")
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -1220,6 +1250,7 @@ QUERIES = {
     "x53_table_profile": x53_table_profile,
     "x54_pruning_stats": x54_pruning_stats,
     "x55_share_report": x55_share_report,
+    "x56_range_frame": x56_range_frame,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -1803,4 +1834,31 @@ ORACLE["s08_decayed_hitters"] = """
     GROUP BY key
     ORDER BY score DESC, key
     LIMIT 20
+"""
+
+ORACLE["x56_range_frame"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT event_type, day, n,
+               DATEDIFF('day', DATE '1970-01-01', day) AS dayno
+        FROM daily
+    )
+    SELECT event_type, day, n,
+           SUM(n) OVER (
+               PARTITION BY event_type ORDER BY dayno
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS trailing7_n,
+           ROUND(SUM(n) OVER (
+               PARTITION BY event_type ORDER BY dayno
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           )::DOUBLE / COUNT(n) OVER (
+               PARTITION BY event_type ORDER BY dayno
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 6) AS trailing7_daily_avg
+    FROM d
+    ORDER BY event_type, day
 """

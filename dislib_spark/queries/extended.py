@@ -1210,6 +1210,36 @@ def x56_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+def x57_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics portability: a nullable key (every k≡0 mod 3
+    json value → NULL) grouped WITH its null group, then joined to a
+    label dimension by NULL-SAFE equality (``eqNullSafe`` /
+    ``IS NOT DISTINCT FROM``) so the null group keeps its 'missing'
+    label instead of being dropped by equi-join semantics; ordered
+    NULLS LAST explicitly. The three null behaviors (grouping,
+    joining, ordering) every cross-engine port trips over, in one
+    checked query."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    key = F.when(k % 3 == 0, F.lit(None).cast("long")).otherwise(k % 5)
+    g = ev.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dim = spark.createDataFrame(
+        [(None, "missing"), (1, "one"), (2, "two"), (3, "three"), (4, "four")],
+        "key long, label string",
+    )
+    return (
+        g.join(F.broadcast(dim), g["key"].eqNullSafe(dim["key"]), "left")
+        .select(
+            g["key"].alias("key"),
+            F.coalesce("label", F.lit("?")).alias("label"),
+            "n",
+        )
+        .orderBy(F.col("key").asc_nulls_last())
+    )
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -1251,6 +1281,7 @@ QUERIES = {
     "x54_pruning_stats": x54_pruning_stats,
     "x55_share_report": x55_share_report,
     "x56_range_frame": x56_range_frame,
+    "x57_null_semantics": x57_null_semantics,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -1861,4 +1892,21 @@ ORACLE["x56_range_frame"] = """
            ), 6) AS trailing7_daily_avg
     FROM d
     ORDER BY event_type, day
+"""
+
+ORACLE["x57_null_semantics"] = """
+    WITH src AS (
+        SELECT CASE WHEN k % 3 = 0 THEN NULL ELSE k % 5 END AS key
+        FROM (
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+    ),
+    g AS (SELECT key, COUNT(*) AS n FROM src GROUP BY key),
+    dim(key, label) AS (VALUES
+        (NULL, 'missing'), (1, 'one'), (2, 'two'),
+        (3, 'three'), (4, 'four'))
+    SELECT g.key, COALESCE(dim.label, '?') AS label, g.n
+    FROM g LEFT JOIN dim ON g.key IS NOT DISTINCT FROM dim.key
+    ORDER BY g.key NULLS LAST
 """

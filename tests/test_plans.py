@@ -41,6 +41,7 @@ _BNLJ_OK = {
     "v12_mmr_rerank",  # v01-style broadcast query set feeding the MMR pool
     "v13_hard_negatives",  # broadcast query set vs corpus scan, like v01
     "t42_temperature_sample",  # 1-row broadcast of the (Σmass, Σn) totals
+    "s08_decayed_hitters",  # 1-row broadcast of the decay reference hour
 }
 
 

@@ -1240,6 +1240,56 @@ def x57_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x58_window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection (the monitoring twin of
+    x56): each day's event count per type is z-scored against the
+    PRECEDING 7 days' mean/std (current day excluded — no
+    self-contamination), then per-type anomaly counts roll up. All
+    windows run over the |days × types| daily pre-aggregate; std
+    comes from exact integer sum/sumsq window algebra."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = daily.withColumn(
+        "dayno", F.datediff("day", F.lit("1970-01-01"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dayno")
+        .rangeBetween(-7, -1)
+    )
+    x = F.col("n").cast("double")
+    cnt = F.count("n").over(w).cast("double")
+    s = F.sum("n").over(w).cast("double")
+    q = F.sum(F.col("n") * F.col("n")).over(w).cast("double")
+    mean = s / cnt
+    var = (q - s * s / cnt) / (cnt - 1)
+    z = (x - mean) / F.sqrt(var)
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n",
+        # need >= 2 trailing days and positive variance for a z-score
+        F.when((cnt >= 2) & (var > 0), z).alias("z"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.count("z").alias("n_scored"),
+            F.sum((F.abs(F.col("z")) > 2).cast("long")).alias(
+                "n_anomalies"
+            ),
+            F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -1282,6 +1332,7 @@ QUERIES = {
     "x55_share_report": x55_share_report,
     "x56_range_frame": x56_range_frame,
     "x57_null_semantics": x57_null_semantics,
+    "x58_window_anomaly": x58_window_anomaly,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -1909,4 +1960,43 @@ ORACLE["x57_null_semantics"] = """
     SELECT g.key, COALESCE(dim.label, '?') AS label, g.n
     FROM g LEFT JOIN dim ON g.key IS NOT DISTINCT FROM dim.key
     ORDER BY g.key NULLS LAST
+"""
+
+ORACLE["x58_window_anomaly"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT event_type, day, n,
+               DATEDIFF('day', DATE '1970-01-01', day) AS dayno
+        FROM daily
+    ),
+    scored AS (
+        SELECT event_type, day, n,
+               COUNT(n) OVER w AS cnt,
+               SUM(n) OVER w AS s,
+               SUM(n * n) OVER w AS q
+        FROM d
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY dayno
+            RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING
+        )
+    ),
+    z AS (
+        SELECT event_type, day,
+               CASE WHEN cnt >= 2
+                     AND (q::DOUBLE - s::DOUBLE * s::DOUBLE / cnt::DOUBLE)
+                         / (cnt::DOUBLE - 1) > 0
+                    THEN (n::DOUBLE - s::DOUBLE / cnt::DOUBLE)
+                         / SQRT((q::DOUBLE - s::DOUBLE * s::DOUBLE
+                                 / cnt::DOUBLE) / (cnt::DOUBLE - 1))
+               END AS z
+        FROM scored
+    )
+    SELECT event_type, COUNT(*) AS n_days, COUNT(z) AS n_scored,
+           SUM(CASE WHEN ABS(z) > 2 THEN 1 ELSE 0 END) AS n_anomalies,
+           ROUND(MAX(ABS(z)), 4) AS max_abs_z
+    FROM z GROUP BY event_type ORDER BY event_type
 """

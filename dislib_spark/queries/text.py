@@ -694,6 +694,48 @@ def t42_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t43_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the token frequency distribution: OLS slope
+    of log(freq) on log(rank) over the vocabulary (a healthy natural
+    corpus slopes ≈ −1; template spam / synthetic junk bends it) —
+    ONE corpus-sized word count, then ranking + regression algebra on
+    the vocab-sized table. The distribution-shape QA scalar next to
+    t36's per-doc entropy."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = vocab.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), "w"))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        F.col("n").cast("bigint").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -737,6 +779,7 @@ QUERIES = {
     "t40_lang_mismatch": t40_lang_mismatch,
     "t41_quality_gate": t41_quality_gate,
     "t42_temperature_sample": t42_temperature_sample,
+    "t43_zipf_fit": t43_zipf_fit,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -1718,4 +1761,28 @@ ORACLE["t42_temperature_sample"] = """
            COALESCE(kept.n_kept, 0) AS n_kept
     FROM r LEFT JOIN kept ON kept.lang = r.lang
     ORDER BY r.lang
+"""
+
+ORACLE["t43_zipf_fit"] = """
+    WITH vocab AS (
+        SELECT w, COUNT(*) AS freq FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+        ) WHERE w <> '' GROUP BY w
+    ),
+    ranked AS (
+        SELECT LN(ROW_NUMBER() OVER (ORDER BY freq DESC, w)::DOUBLE) AS x,
+               LN(freq::DOUBLE) AS y
+        FROM vocab
+    ),
+    s AS (
+        SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM ranked
+    )
+    SELECT n::BIGINT AS vocab_size,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS zipf_intercept
+    FROM s
 """

@@ -1290,6 +1290,31 @@ def x58_window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X59_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_linestatus), ())
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
+
+def x59_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the third grouping-lattice variant
+    beyond x01's ROLLUP and x52's CUBE — an arbitrary subset list,
+    here skipping the per-returnflag-only set) run verbatim through
+    ``spark.sql``; the oracle executes the same string."""
+    from dislib_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_X59_SQL)
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -1333,6 +1358,7 @@ QUERIES = {
     "x56_range_frame": x56_range_frame,
     "x57_null_semantics": x57_null_semantics,
     "x58_window_anomaly": x58_window_anomaly,
+    "x59_grouping_sets": x59_grouping_sets,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -2000,3 +2026,5 @@ ORACLE["x58_window_anomaly"] = """
            ROUND(MAX(ABS(z)), 4) AS max_abs_z
     FROM z GROUP BY event_type ORDER BY event_type
 """
+
+ORACLE["x59_grouping_sets"] = _X59_SQL

@@ -85,11 +85,20 @@ def x04_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- x5: per-group exact percentiles ---------------------------------
 def x05_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # array-form percentile: ONE sort/buffer per group for both
+    # quantiles (the m17 fix — two scalar percentile aggs each
+    # buffered the whole group)
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.9))"
+            ).alias("_p")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("_p", 1), 6).alias("p50"),
+            F.round(F.element_at("_p", 2), 6).alias("p90"),
         )
         .orderBy("l_returnflag")
     )

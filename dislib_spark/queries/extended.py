@@ -624,8 +624,12 @@ def x44_sketch_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"),
-        F.expr("percentile(value, 0.45)").alias("_p45"),
-        F.expr("percentile(value, 0.55)").alias("_p55"),
+        F.expr("percentile(value, array(0.45, 0.55))").alias("_pq"),
+    ).select(
+        "event_type",
+        "exact_users",
+        F.element_at("_pq", 1).alias("_p45"),
+        F.element_at("_pq", 2).alias("_p55"),
     )
     hll = hll_distinct(ev, "user_id", ["event_type"]).withColumnRenamed(
         "approx_distinct", "_hll"

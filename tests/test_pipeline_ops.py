@@ -436,3 +436,39 @@ def test_temperature_rates_properties(spark):
         extra, temperature_rates(d, "lang", 0.5), "lang", "doc_id"
     )
     assert out.count() == 0
+
+
+def test_observation_metrics_match_separate_aggregation(spark):
+    """Observation metrics collected during ONE action equal a
+    separate aggregation pass — and chained observations report every
+    funnel stage from a single terminal action."""
+    from dislib_spark.utils.observe import observed
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    gated = d.where(F.col("n_chars") > 200)
+    obs_df, obs = observed(
+        gated,
+        "gate",
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+    n_rows = obs_df.count()  # the single action
+    got = obs.get
+    want = gated.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    ).collect()[0]
+    assert got["n_kept"] == want.n_kept == n_rows
+    assert got["chars_kept"] == want.chars_kept
+
+    # chained funnel: both stages observed by one terminal action
+    s1, o1 = observed(
+        d, "all_docs", F.count(F.lit(1)).alias("n")
+    )
+    s2, o2 = observed(
+        s1.where(F.col("n_chars") > 200), "gated",
+        F.count(F.lit(1)).alias("n"),
+    )
+    s2.write.format("noop").mode("overwrite").save()
+    assert o1.get["n"] == d.count()
+    assert o2.get["n"] == n_rows

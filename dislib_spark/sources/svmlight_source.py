@@ -1,0 +1,124 @@
+"""SVMLight as a REAL Spark data source (Python DataSource API).
+
+``sources.load_svmlight_file`` parses svmlight through ``spark.read
+.text`` + column expressions; this module registers the same format
+as a first-class source — ``spark.read.format("svmlight")`` — using
+Spark 4's Python DataSource API (reference surface: dislib
+``data/io.py:15-75`` ``load_svmlight_file``):
+
+- one ``InputPartition`` per file → files scan in parallel across
+  executors (a directory of shards behaves like any multi-file scan);
+- rows come back sparse (label, indices, values) — densify only on
+  request, same contract as ``array.load_svmlight_sparse``.
+
+``pushFilters`` is deliberately NOT implemented: in Spark 4.1 the
+reader instance is cached inside the DataFrame's scan relation and
+``pushFilters`` is only invoked when the query has pushable
+conjuncts — so a filter pushed by one query LEAKS into later
+filterless queries on the same DataFrame (verified empirically:
+``df.where(label==1).count()`` then ``df.count()`` returned the
+filtered count). A row-skipping option (``.option("min_label", x)``)
+gives the same scan-side saving without cross-query mutable state;
+tests/test_svmlight_source.py pins the no-leak behavior.
+
+Register once per session::
+
+    from dislib_spark.sources.svmlight_source import register
+    register(spark)
+    df = (spark.read.format("svmlight")
+          .option("n_features", "10")
+          .load("/data/train_dir"))
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("label", DoubleType()),
+        StructField("indices", ArrayType(IntegerType())),
+        StructField("values", ArrayType(DoubleType())),
+    ]
+)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class SvmlightReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        # scan-side row skipping via explicit options (stateless
+        # across queries — see module docstring for why pushFilters
+        # is not used)
+        self.min_label = options.get("min_label")
+        self.max_label = options.get("max_label")
+
+    def partitions(self):
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if not f.startswith((".", "_"))
+            )
+        else:
+            files = [self.path]
+        return [_FilePartition(p) for p in files]
+
+    def _keep(self, label: float) -> bool:
+        if self.min_label is not None and label < float(self.min_label):
+            return False
+        if self.max_label is not None and label > float(self.max_label):
+            return False
+        return True
+
+    def read(self, partition):
+        with open(partition.path) as fh:
+            for line in fh:
+                line = line.split("#", 1)[0].strip()
+                if not line:
+                    continue
+                parts = line.split()
+                label = float(parts[0])
+                if not self._keep(label):
+                    continue
+                idx, vals = [], []
+                for tok in parts[1:]:
+                    i, v = tok.split(":", 1)
+                    idx.append(int(i))
+                    vals.append(float(v))
+                yield (label, idx, vals)
+
+
+class SvmlightDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "svmlight"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema):
+        opts = dict(self.options)
+        return SvmlightReader(opts)
+
+
+def register(spark) -> None:
+    """Register the ``svmlight`` format for this session."""
+    spark.dataSource.register(SvmlightDataSource)

@@ -37,7 +37,9 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     ArrayType,
@@ -118,7 +120,54 @@ class SvmlightDataSource(DataSource):
         opts = dict(self.options)
         return SvmlightReader(opts)
 
+    def writer(self, schema, overwrite: bool):
+        return SvmlightWriter(dict(self.options), overwrite)
+
 
 def register(spark) -> None:
     """Register the ``svmlight`` format for this session."""
     spark.dataSource.register(SvmlightDataSource)
+
+
+class _Committed(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class SvmlightWriter(DataSourceWriter):
+    """Per-partition shard writer: each task writes one
+    ``part-<pid>-<taskid>.txt`` (task id in the name → speculative /
+    retried tasks can't collide), commit is the no-op of a
+    files-are-the-contract sink. Input rows must carry
+    (label, indices, values)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        tid = ctx.taskAttemptId() if ctx else 0
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{pid:05d}-{tid}.txt")
+        n = 0
+        with open(out, "w") as fh:
+            for row in iterator:
+                pairs = " ".join(
+                    f"{i}:{v:g}" for i, v in zip(row.indices, row.values)
+                )
+                fh.write(f"{row.label:g} {pairs}\n".rstrip() + "\n")
+                n += 1
+        return _Committed(out, n)
+
+    def commit(self, messages):
+        return None
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)

@@ -74,3 +74,24 @@ def test_svmlight_source_no_cross_query_leak(spark, tmp_path):
     assert df.count() == 5  # unfiltered re-query unaffected
     assert df.where(F.size("indices") == 2).count() == 2
     assert df.count() == 5
+
+
+def test_svmlight_source_write_read_roundtrip(spark, tmp_path):
+    from dislib_spark.sources.svmlight_source import register
+
+    register(spark)
+    src = _write_files(tmp_path)
+    df = spark.read.format("svmlight").load(src)
+    out = str(tmp_path / "out_svm")
+    df.repartition(3).write.format("svmlight").mode("append").save(out)
+    back = spark.read.format("svmlight").load(out)
+    a = sorted(
+        (r.label, tuple(r.indices), tuple(r.values)) for r in df.collect()
+    )
+    b = sorted(
+        (r.label, tuple(r.indices), tuple(r.values)) for r in back.collect()
+    )
+    assert a == b
+    import os
+
+    assert len(os.listdir(out)) == 3  # one shard per partition

@@ -1294,9 +1294,11 @@ def x58_window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_days"),
             F.count("z").alias("n_scored"),
-            F.sum((F.abs(F.col("z")) > 2).cast("long")).alias(
-                "n_anomalies"
-            ),
+            # when(...).otherwise(0), not a bare cast: an all-NULL z
+            # group must report 0 like the oracle's ELSE 0, not NULL
+            F.sum(
+                F.when(F.abs(F.col("z")) > 2, 1).otherwise(0)
+            ).alias("n_anomalies"),
             F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
         )
         .orderBy("event_type")

@@ -25,9 +25,8 @@ Register once per session::
 
     from dislib_spark.sources.svmlight_source import register
     register(spark)
-    df = (spark.read.format("svmlight")
-          .option("n_features", "10")
-          .load("/data/train_dir"))
+    df = spark.read.format("svmlight").load("/data/train_dir")
+    # optional scan-side skipping: .option("min_label", "0.5")
 """
 
 from __future__ import annotations
@@ -66,6 +65,11 @@ class _FilePartition(InputPartition):
 class SvmlightReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
+        if self.path is None:
+            raise ValueError(
+                "svmlight source requires a path: "
+                "spark.read.format('svmlight').load('/file-or-dir')"
+            )
         # scan-side row skipping via explicit options (stateless
         # across queries — see module docstring for why pushFilters
         # is not used)
@@ -78,6 +82,7 @@ class SvmlightReader(DataSourceReader):
                 os.path.join(self.path, f)
                 for f in os.listdir(self.path)
                 if not f.startswith((".", "_"))
+                and not f.endswith(".inprogress")
             )
         else:
             files = [self.path]
@@ -136,15 +141,31 @@ class _Committed(WriterCommitMessage):
 
 
 class SvmlightWriter(DataSourceWriter):
-    """Per-partition shard writer: each task writes one
-    ``part-<pid>-<taskid>.txt`` (task id in the name → speculative /
-    retried tasks can't collide), commit is the no-op of a
-    files-are-the-contract sink. Input rows must carry
-    (label, indices, values)."""
+    """Two-phase per-partition shard writer (shared-filesystem
+    semantics — local fs here, NFS/fuse mounts at scale):
+
+    - tasks write ``part-<pid>-<taskid>.txt.inprogress`` (task
+      attempt id in the name → speculative/retried attempts never
+      collide) and return the path in their commit message;
+    - ``commit`` renames exactly the COMMITTED attempts' files to
+      final ``.txt`` names and sweeps any leftover ``.inprogress``
+      (zombie / speculative-loser / truncated attempts) — readers
+      only ever see fully-written shards;
+    - ``mode("overwrite")`` clears prior ``.txt`` shards up front
+      (driver-side, before any task runs).
+    """
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
-        self.overwrite = overwrite
+        if self.path is None:
+            raise ValueError(
+                "svmlight writer requires a path: "
+                "df.write.format('svmlight').save('/dir')"
+            )
+        if overwrite and os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                if f.endswith(".txt") or f.endswith(".inprogress"):
+                    os.remove(os.path.join(self.path, f))
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -153,7 +174,9 @@ class SvmlightWriter(DataSourceWriter):
         pid = ctx.partitionId() if ctx else 0
         tid = ctx.taskAttemptId() if ctx else 0
         os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{pid:05d}-{tid}.txt")
+        out = os.path.join(
+            self.path, f"part-{pid:05d}-{tid}.txt.inprogress"
+        )
         n = 0
         with open(out, "w") as fh:
             for row in iterator:
@@ -165,9 +188,23 @@ class SvmlightWriter(DataSourceWriter):
         return _Committed(out, n)
 
     def commit(self, messages):
+        committed = set()
+        for m in messages:
+            if m is None:
+                continue
+            final = m.path[: -len(".inprogress")]
+            if os.path.exists(m.path):
+                os.replace(m.path, final)
+            committed.add(os.path.basename(final))
+        # sweep losers: attempts that wrote but weren't committed
+        if os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                if f.endswith(".inprogress"):
+                    os.remove(os.path.join(self.path, f))
         return None
 
     def abort(self, messages):
-        for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+        if os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                if f.endswith(".inprogress"):
+                    os.remove(os.path.join(self.path, f))

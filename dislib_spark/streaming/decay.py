@@ -83,15 +83,19 @@ def decayed_hitters_sink(
     key_col: str,
     ts_col: str = "ts",
 ):
-    """Streaming form: append per-micro-batch hour partials to
-    ``path`` (merge-on-read — the reader decays+merges). Use
-    ``trigger(availableNow=True)`` for catch-up runs; exactly-once
-    follows from the append-only sink + checkpointed offsets."""
+    """Streaming form: write per-micro-batch hour partials under
+    ``path`` (merge-on-read — the reader decays+merges). Each batch
+    goes to its OWN ``batch=<id>`` subdirectory with overwrite: a
+    replayed micro-batch (failure between sink write and checkpoint
+    commit — foreachBatch is at-least-once) rewrites the same
+    subdirectory instead of appending duplicate partials, making the
+    sink idempotent on batch_id and the pipeline exactly-once
+    end-to-end."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         hour_counts(batch_df, key_col, ts_col).write.mode(
-            "append"
-        ).parquet(path)
+            "overwrite"
+        ).parquet(f"{path}/batch={batch_id}")
 
     return (
         stream.writeStream.foreachBatch(_write)

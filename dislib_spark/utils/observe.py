@@ -42,15 +42,24 @@ def observed(
 
 
 def funnel_metrics(
-    stages: list[tuple[str, DataFrame]]
-) -> tuple[list[DataFrame], list]:
-    """Attach a row-count observation to every (name, df) stage of a
-    filter funnel. Returns (observed frames, observations) — drive ONE
-    action over the last frame (stages normally chain) and read every
-    stage's count without re-scanning."""
-    out_frames, out_obs = [], []
-    for name, df in stages:
-        f, o = observed(df, name, F.count(F.lit(1)).alias("n"))
-        out_frames.append(f)
-        out_obs.append(o)
-    return out_frames, out_obs
+    df: DataFrame, stages: list[tuple[str, Column]]
+) -> tuple[DataFrame, list]:
+    """Build a filter funnel with a row-count observation BETWEEN
+    every stage: ``stages`` is an ordered list of (name, predicate).
+    Returns (final df, observations) — one action on the final frame
+    populates every observation (each observed node is in the
+    executed plan's lineage because the chain is built here).
+
+    The chain MUST be built through the observed frames — observing a
+    frame returns a NEW DataFrame, and an observation on a frame the
+    executed plan never references blocks forever on ``.get``. This
+    helper exists so callers can't fall into that trap."""
+    obs_list = []
+    cur, o = observed(df, "funnel_in", F.count(F.lit(1)).alias("n"))
+    obs_list.append(o)
+    for name, pred in stages:
+        cur, o = observed(
+            cur.where(pred), name, F.count(F.lit(1)).alias("n")
+        )
+        obs_list.append(o)
+    return cur, obs_list

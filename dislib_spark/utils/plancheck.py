@@ -66,9 +66,11 @@ def plan_facts(df: DataFrame) -> PlanFacts:
             )
         )
     )
-    # shuffle exchanges only — broadcast exchanges counted separately
-    n_bx = len(re.findall(r"BroadcastExchange", plan))
-    n_ex = len(re.findall(r"\bExchange\b", plan))
+    # count NODE HEADERS ("(4) Exchange") only: explain("formatted")
+    # prints every node twice (tree line + detail section), so a raw
+    # substring count would double every figure
+    n_bx = len(re.findall(r"^\(\d+\) BroadcastExchange", plan, re.M))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
     return PlanFacts(
         has_cartesian="CartesianProduct" in plan,
         has_bnlj="BroadcastNestedLoopJoin" in plan,
@@ -81,7 +83,11 @@ def plan_facts(df: DataFrame) -> PlanFacts:
         ),
         n_exchanges=n_ex,
         n_broadcast_exchanges=n_bx,
-        n_scans=len(re.findall(r"Scan parquet|Scan ExistingRDD", plan)),
+        n_scans=len(
+            re.findall(
+                r"^\(\d+\) Scan (?:parquet|ExistingRDD)", plan, re.M
+            )
+        ),
         pushed_filters=pushed,
         read_schemas=schemas,
         join_kinds=joins,

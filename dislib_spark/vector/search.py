@@ -869,9 +869,12 @@ def mmr_rerank(
         "c_id",
     )
 
+    # id columns inherit the caller's id_col type (string doc ids are
+    # as valid as bigint vec ids)
+    id_type = corpus.schema[id_col].dataType.simpleString()
     schema = (
-        "q_id bigint, c_id bigint, sim double, mmr_score double, "
-        "rank int"
+        f"q_id {id_type}, c_id {id_type}, sim double, "
+        "mmr_score double, rank int"
     )
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:

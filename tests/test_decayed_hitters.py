@@ -51,6 +51,23 @@ def test_decayed_hitters_stream_equals_batch(spark, tmp_path):
     ]
     assert got == want
 
+    # replay idempotence: re-writing a batch's own subdirectory (what
+    # a recovered foreachBatch does) must not change the result
+    from dislib_spark.streaming.decay import hour_counts
+
+    first_batch = spark.read.parquet(src).limit(100)
+    hour_counts(first_batch, "user_id").write.mode("overwrite").parquet(
+        sink + "/batch=0"
+    )
+    hour_counts(first_batch, "user_id").write.mode("overwrite").parquet(
+        sink + "/batch=0"
+    )
+    again = [
+        (r.key, r.n_total, r.score)
+        for r in read_decayed(spark, sink, top_k=50).collect()
+    ]
+    assert len(again) == len(got)
+
 
 def test_decay_weights_are_exact_and_monotone(spark):
     """Hand-built fixture: a key with all-recent traffic must outrank

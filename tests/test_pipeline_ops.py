@@ -461,14 +461,21 @@ def test_observation_metrics_match_separate_aggregation(spark):
     assert got["n_kept"] == want.n_kept == n_rows
     assert got["chars_kept"] == want.chars_kept
 
-    # chained funnel: both stages observed by one terminal action
-    s1, o1 = observed(
-        d, "all_docs", F.count(F.lit(1)).alias("n")
+    # funnel helper: every stage observed by ONE terminal action
+    from dislib_spark.utils.observe import funnel_metrics
+
+    final, obs_list = funnel_metrics(
+        d,
+        [
+            ("len_gate", F.col("n_chars") > 200),
+            ("lang_gate", F.col("lang") == "en"),
+        ],
     )
-    s2, o2 = observed(
-        s1.where(F.col("n_chars") > 200), "gated",
-        F.count(F.lit(1)).alias("n"),
-    )
-    s2.write.format("noop").mode("overwrite").save()
-    assert o1.get["n"] == d.count()
-    assert o2.get["n"] == n_rows
+    final.write.format("noop").mode("overwrite").save()
+    counts = [o.get["n"] for o in obs_list]
+    assert counts[0] == d.count()
+    assert counts[1] == n_rows
+    assert counts[2] == d.where(
+        (F.col("n_chars") > 200) & (F.col("lang") == "en")
+    ).count()
+    assert counts[0] >= counts[1] >= counts[2]

@@ -95,3 +95,20 @@ def test_svmlight_source_write_read_roundtrip(spark, tmp_path):
     import os
 
     assert len(os.listdir(out)) == 3  # one shard per partition
+
+
+def test_svmlight_source_overwrite_replaces(spark, tmp_path):
+    from dislib_spark.sources.svmlight_source import register
+
+    register(spark)
+    src = _write_files(tmp_path)
+    df = spark.read.format("svmlight").load(src)
+    out = str(tmp_path / "ow_svm")
+    df.write.format("svmlight").mode("overwrite").save(out)
+    df.write.format("svmlight").mode("overwrite").save(out)
+    back = spark.read.format("svmlight").load(out)
+    assert back.count() == 5  # NOT doubled — overwrite replaced shards
+    import os
+
+    # no in-progress leftovers after commit
+    assert not [f for f in os.listdir(out) if f.endswith(".inprogress")]

@@ -42,6 +42,18 @@ from dislib_spark.array import (
     pad_last_blocks_with_zeros,
     remove_last_columns,
     remove_last_rows,
+    exp,
+    gammaln,
+    log,
+    matadd,
+    matsubtract,
+)
+from dislib_spark.sources import (
+    load_mdcrd_file,
+    load_npy_file,
+    load_svmlight_file,
+    load_txt_file,
+    save_txt,
 )
 
 __version__ = "0.1.0"
@@ -80,4 +92,14 @@ __all__ = [
     "pad_last_blocks_with_zeros",
     "remove_last_columns",
     "remove_last_rows",
+    "exp",
+    "gammaln",
+    "log",
+    "matadd",
+    "matsubtract",
+    "load_svmlight_file",
+    "load_npy_file",
+    "load_txt_file",
+    "load_mdcrd_file",
+    "save_txt",
 ]

@@ -106,3 +106,35 @@ def remove_last_columns(a: DsArray, n_columns: int) -> DsArray:
         a.df.select(_ROW, F.slice(F.col(_FEAT), 1, keep).alias(_FEAT)),
         (n, keep),
     )
+
+
+# --- reference top-level function forms ------------------------------
+# dislib exposes these as module functions (``dislib/__init__.py``:
+# ``matadd, matsubtract, exp, log, gammaln``); DsArray carries them as
+# operators/methods. The function forms exist so reference code ports
+# verbatim: ``ds.matadd(a, b)`` == ``a + b``.
+
+
+def matadd(a: DsArray, b: DsArray) -> DsArray:
+    """Elementwise sum (reference ``data/array.py`` ``matadd``)."""
+    return a + b
+
+
+def matsubtract(a: DsArray, b: DsArray) -> DsArray:
+    """Elementwise difference (reference ``matsubtract``)."""
+    return a - b
+
+
+def exp(a: DsArray) -> DsArray:
+    """Elementwise e**x (reference top-level ``exp``)."""
+    return a.exp()
+
+
+def log(a: DsArray) -> DsArray:
+    """Elementwise natural log (reference top-level ``log``)."""
+    return a.log()
+
+
+def gammaln(a: DsArray) -> DsArray:
+    """Elementwise log-gamma (reference top-level ``gammaln``)."""
+    return a.gammaln()

@@ -229,3 +229,18 @@ def test_pad_and_remove_last(spark, mats):
     assert ds.remove_last_rows(a, 0) is a
     with pytest.raises(ValueError):
         ds.remove_last_columns(a, 7)
+
+
+def test_reference_toplevel_function_forms(spark, mats):
+    """dislib exposes matadd/matsubtract/exp/log/gammaln as MODULE
+    functions (dislib/__init__.py) — reference code must port
+    verbatim through the same names here."""
+    A, B, a, b = mats
+    assert np.allclose(ds.matadd(a, b).collect(), A + B)
+    assert np.allclose(ds.matsubtract(a, b).collect(), A - B)
+    assert np.allclose(ds.exp(a).collect(), np.exp(A))
+    assert np.allclose(ds.log(a).collect(), np.log(A))
+    import math
+
+    want = np.vectorize(math.lgamma)(A)
+    assert np.allclose(ds.gammaln(a).collect(), want)

@@ -1330,6 +1330,55 @@ def x59_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_X59_SQL)
 
 
+def x60_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint verification report: primary-key
+    uniqueness (orders), referential integrity orders→customer
+    (orphan count via anti-join), value-range and null-rate checks —
+    each check one row (check, metric, passed). Uniqueness and the
+    range/null checks share ONE orders scan (conditional aggregate);
+    the FK check is a broadcast anti-join. The audit every scheduled
+    pipeline runs before publishing a table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    base = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("n_bad_price"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_null_cust"),
+    )
+    orphans = o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    w = base.crossJoin(F.broadcast(orphans))
+    checks = [
+        ("pk_unique_o_orderkey", F.col("n") - F.col("n_keys")),
+        ("fk_orders_customer_orphans", F.col("n_orphans")),
+        ("range_o_totalprice_positive", F.col("n_bad_price")),
+        ("nonnull_o_custkey", F.col("n_null_cust")),
+    ]
+    out = w.select(
+        F.col("n").alias("n_rows"),
+        *[expr.cast("long").alias(name) for name, expr in checks],
+    )
+    stacked = out.select(
+        "n_rows",
+        F.expr(
+            "stack(4,"
+            " 'fk_orders_customer_orphans', fk_orders_customer_orphans,"
+            " 'nonnull_o_custkey', nonnull_o_custkey,"
+            " 'pk_unique_o_orderkey', pk_unique_o_orderkey,"
+            " 'range_o_totalprice_positive', range_o_totalprice_positive)"
+            " AS (check, n_violations)"
+        ),
+    )
+    return stacked.select(
+        "check",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check")
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -1374,6 +1423,7 @@ QUERIES = {
     "x57_null_semantics": x57_null_semantics,
     "x58_window_anomaly": x58_window_anomaly,
     "x59_grouping_sets": x59_grouping_sets,
+    "x60_quality_checks": x60_quality_checks,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -2043,3 +2093,35 @@ ORACLE["x58_window_anomaly"] = """
 """
 
 ORACLE["x59_grouping_sets"] = _X59_SQL
+
+ORACLE["x60_quality_checks"] = """
+    WITH base AS (
+        SELECT COUNT(*) AS n,
+               COUNT(DISTINCT o_orderkey) AS n_keys,
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                   AS n_bad_price,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                   AS n_null_cust
+        FROM orders
+    ),
+    orph AS (
+        SELECT COUNT(*) AS n_orphans FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+        )
+    ),
+    checks AS (
+        SELECT 'pk_unique_o_orderkey' AS chk, n, n - n_keys AS v
+        FROM base
+        UNION ALL
+        SELECT 'fk_orders_customer_orphans', base.n, orph.n_orphans
+        FROM base, orph
+        UNION ALL
+        SELECT 'range_o_totalprice_positive', n, n_bad_price FROM base
+        UNION ALL
+        SELECT 'nonnull_o_custkey', n, n_null_cust FROM base
+    )
+    SELECT chk AS check, n::BIGINT AS n_rows, v::BIGINT AS n_violations,
+           v = 0 AS passed
+    FROM checks ORDER BY chk
+"""

@@ -42,6 +42,7 @@ _BNLJ_OK = {
     "v13_hard_negatives",  # broadcast query set vs corpus scan, like v01
     "t42_temperature_sample",  # 1-row broadcast of the (Σmass, Σn) totals
     "s08_decayed_hitters",  # 1-row broadcast of the decay reference hour
+    "x60_quality_checks",  # 1-row broadcast of the FK-orphan count
 }
 
 

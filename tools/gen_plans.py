@@ -51,6 +51,8 @@ PICKS = {
     "m23_ks_statistic": "ECDF window runs AFTER the per-distinct-value collapse (m11 pattern)",
     "v13_hard_negatives": "label filter applied inside the broadcast-query × corpus scan, before the ranking window",
     "x54_pruning_stats": "one grouped zone-map pass per candidate layout; per-bucket state only",
+    "x55_share_report": "windows layered over the grouped aggregate; dims broadcast onto one fact scan",
+    "x60_quality_checks": "PK/range/null checks share one conditional-aggregate scan; FK orphans via broadcast anti-join",
 }
 
 

@@ -1202,11 +1202,15 @@ def x56_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
+    # day stays a TIMESTAMP: a DATE here serializes as date-vs-
+    # midnight-timestamp across the two engines' pandas/driver forms
     daily = ev.groupBy(
         "event_type",
-        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.date_trunc("day", "ts").alias("day"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    daily = daily.withColumn("dayno", F.datediff("day", F.lit("1970-01-01")))
+    daily = daily.withColumn(
+        "dayno", F.datediff(F.col("day").cast("date"), F.lit("1970-01-01"))
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("dayno")
@@ -2000,7 +2004,7 @@ ORACLE["s08_decayed_hitters"] = """
         FROM events GROUP BY 1, 2
     ),
     ref AS (SELECT MAX(hour) AS ref_hour FROM hc)
-    SELECT key, SUM(n) AS n_total,
+    SELECT key, CAST(SUM(n) AS BIGINT) AS n_total,
            ROUND(SUM(n::DOUBLE * POWER(0.5,
                (EPOCH(ref_hour) - EPOCH(hour)) / 3600.0)), 6) AS score
     FROM hc, ref
@@ -2011,20 +2015,21 @@ ORACLE["s08_decayed_hitters"] = """
 
 ORACLE["x56_range_frame"] = """
     WITH daily AS (
-        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
                COUNT(*) AS n
         FROM events GROUP BY 1, 2
     ),
     d AS (
         SELECT event_type, day, n,
-               DATEDIFF('day', DATE '1970-01-01', day) AS dayno
+               DATEDIFF('day', DATE '1970-01-01', CAST(day AS DATE)) AS dayno
         FROM daily
     )
     SELECT event_type, day, n,
-           SUM(n) OVER (
+           CAST(SUM(n) OVER (
                PARTITION BY event_type ORDER BY dayno
                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
-           ) AS trailing7_n,
+           ) AS BIGINT) AS trailing7_n,
            ROUND(SUM(n) OVER (
                PARTITION BY event_type ORDER BY dayno
                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
@@ -2087,7 +2092,8 @@ ORACLE["x58_window_anomaly"] = """
         FROM scored
     )
     SELECT event_type, COUNT(*) AS n_days, COUNT(z) AS n_scored,
-           SUM(CASE WHEN ABS(z) > 2 THEN 1 ELSE 0 END) AS n_anomalies,
+           CAST(SUM(CASE WHEN ABS(z) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalies,
            ROUND(MAX(ABS(z)), 4) AS max_abs_z
     FROM z GROUP BY event_type ORDER BY event_type
 """

@@ -20,6 +20,14 @@ the (row_id, features) DataFrame directly:
 
 Like the reference, only bottom/right padding is supported
 (``base.py:34-40`` raises for top/left too).
+
+.. warning:: **In-place vs pure divergence.** The reference versions
+   of ``pad`` / ``remove_last_rows`` / ``remove_last_columns`` MUTATE
+   the array argument and return ``None``; these ports are PURE — the
+   input is untouched and the result is the return value. Reference
+   code ported verbatim (calling them as statements and reusing the
+   argument) silently no-ops: rebind, e.g.
+   ``a = pad(a, ((0, 2), (0, 0)))``.
 """
 
 from __future__ import annotations
@@ -34,9 +42,10 @@ def pad(a: DsArray, pad_width, constant_value: float = 0.0) -> DsArray:
 
     ``pad_width = ((top, bottom), (left, right))`` — top/left must be
     0 (NotImplementedError, matching reference ``base.py:34-40``).
-    Unlike the reference (which mutates in place and cannot grow past
-    a block boundary), this returns a new lazy array of shape
-    ``(n + bottom, d + right)`` with no block-size ceiling.
+    PURE, not in-place: unlike the reference (which mutates the
+    argument, returns None, and cannot grow past a block boundary),
+    this returns a new lazy array of shape ``(n + bottom, d + right)``
+    with no block-size ceiling — rebind the result.
     """
     (top, bottom), (left, right) = pad_width
     if top != 0:
@@ -70,18 +79,23 @@ def pad(a: DsArray, pad_width, constant_value: float = 0.0) -> DsArray:
 
 
 def pad_last_blocks_with_zeros(a: DsArray) -> DsArray:
-    """Identity: block-geometry regularization has no meaning without
-    blocks (reference ``base.py:101-140`` changes only the grid, not
-    the values)."""
+    """Identity AT THE VALUE LEVEL only: block-geometry regularization
+    has no meaning without blocks. NOT shape-identical to the
+    reference — ``base.py:101-140`` grows ``a._shape`` up to the next
+    block multiple (zero-filled), so ported code that relies on the
+    grown logical shape must call :func:`pad` explicitly with the
+    desired bottom/right widths. Also pure (returns ``a``), where the
+    reference mutates in place."""
     return a
 
 
 def remove_last_rows(a: DsArray, n_rows: int) -> DsArray:
     """Drop the last ``n_rows`` rows (reference ``base.py:143-184``).
 
-    A ``row_id < n - n_rows`` predicate — reaches the scan as a
-    pushed filter; no renumbering needed because surviving ids are
-    already dense."""
+    PURE where the reference mutates in place and returns None —
+    rebind the result (see module warning). A ``row_id < n - n_rows``
+    predicate — reaches the scan as a pushed filter; no renumbering
+    needed because surviving ids are already dense."""
     if n_rows <= 0:
         return a
     n, d = a.shape
@@ -92,7 +106,8 @@ def remove_last_rows(a: DsArray, n_rows: int) -> DsArray:
 def remove_last_columns(a: DsArray, n_columns: int) -> DsArray:
     """Drop the last ``n_columns`` columns (reference
     ``base.py:187-216``; same ValueError contract when asked to
-    remove every column)."""
+    remove every column). PURE where the reference mutates in place
+    and returns None — rebind the result (see module warning)."""
     n, d = a.shape
     if n_columns >= d:
         raise ValueError(

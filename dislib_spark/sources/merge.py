@@ -80,12 +80,32 @@ def merge_into_path(
     keys: list[str],
     delete_condition: Column | None = None,
 ) -> None:
-    """Copy-on-write MERGE against a parquet table at ``path``: read,
-    merge, rewrite atomically-enough for a single writer (write to a
-    temp subdir then swap would make it crash-safe; partition-scoped
-    rewrite is the at-scale form — see module docstring)."""
+    """Copy-on-write MERGE against a parquet table at ``path``.
+
+    Crash-safe single-writer protocol: the merged result is written to
+    a temp sibling directory first, then swapped in with two directory
+    renames (old → ``.__old__``, tmp → ``path``). A crash before the
+    first rename leaves the target untouched; a crash between the two
+    renames leaves the committed result in ``.__tmp__`` and the prior
+    table in ``.__old__`` — nothing is ever deleted before the new
+    data is fully durable. Stale ``.__tmp__``/``.__old__`` leftovers
+    from a previous crash are cleared on entry. Partition-scoped
+    rewrite is the at-scale form — see module docstring.
+    """
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + ".__tmp__"
+    old = path.rstrip("/") + ".__old__"
+    for leftover in (tmp, old):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
     target = spark.read.parquet(path)
     merged = merge_into(target, updates, keys, delete_condition)
-    # materialize before overwrite: the plan reads the files being
-    # replaced
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    # write the full result to the sibling BEFORE touching the target:
+    # the plan reads the files being replaced, and the target must
+    # survive any failure up to the final rename
+    merged.write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)

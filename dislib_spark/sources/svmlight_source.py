@@ -180,10 +180,12 @@ class SvmlightWriter(DataSourceWriter):
         n = 0
         with open(out, "w") as fh:
             for row in iterator:
+                # %.17g round-trips IEEE doubles exactly ('%g' would
+                # truncate to 6 significant digits and lose precision)
                 pairs = " ".join(
-                    f"{i}:{v:g}" for i, v in zip(row.indices, row.values)
+                    f"{i}:{v:.17g}" for i, v in zip(row.indices, row.values)
                 )
-                fh.write(f"{row.label:g} {pairs}\n".rstrip() + "\n")
+                fh.write(f"{row.label:.17g} {pairs}\n".rstrip() + "\n")
                 n += 1
         return _Committed(out, n)
 

@@ -11,9 +11,14 @@ changes` shape on plain parquet.
 Scale: per micro-batch cost is one window over the (small) batch +
 one full-outer join against the target — at 100 TB the target is
 partitioned and the merge rewrite is partition-scoped (see
-``sources.merge`` docstring); exactly-once comes from the streaming
-checkpoint + idempotent merge (re-applying a batch yields the same
-table).
+``sources.merge`` docstring). Delivery is effectively-once for a
+single writer: the streaming checkpoint replays unacknowledged
+batches and the merge is idempotent (re-applying a batch yields the
+same table), while the sink's temp-dir-then-rename swap in
+``merge_into_path`` never deletes the prior table before the new one
+is durable — a crash mid-swap leaves both the old and new table on
+disk for manual recovery rather than losing data. True transactional
+exactly-once needs a table format with commit logs (Delta/Iceberg).
 """
 
 from __future__ import annotations

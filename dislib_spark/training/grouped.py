@@ -33,7 +33,11 @@ def grouped_fit(
     """Fit ``fit(pdf) -> dict`` once per group; each dict becomes one
     output row (must include the group key or it is added). ``schema``
     is the output DDL string."""
-    out_cols = [f.strip().split()[0] for f in schema.split(",")]
+    # parse with the real DDL parser — a naive split(',') mis-parses
+    # parameterized/nested types like decimal(10,2) or array<struct<>>
+    from pyspark.sql.types import _parse_datatype_string
+
+    out_cols = [f.name for f in _parse_datatype_string(schema).fields]
 
     # no type hints: pyspark tries to infer the eval type from them
     # and warns on the (key, pdf) form
@@ -75,9 +79,13 @@ def grouped_ols(
             "intercept": round(float(intercept), 6),
         }
 
+    # derive the group key's type from the input schema rather than
+    # hardcoding string — non-string keys (int dates, bigint ids)
+    # must round-trip with their own type
+    key_ddl = df.schema[group_col].dataType.simpleString()
     return grouped_fit(
         df.select(group_col, x_col, y_col),
         group_col,
         _fit,
-        f"{group_col} string, n long, slope double, intercept double",
+        f"{group_col} {key_ddl}, n long, slope double, intercept double",
     )

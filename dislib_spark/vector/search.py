@@ -561,8 +561,11 @@ def pq_codebooks(
     sample_cap = 100_000
     n = corpus.count()
     if n > sample_cap:
-        keep = int(10000 * sample_cap / n)
-        src = src.where(F.pmod(F.xxhash64(F.col("v")), F.lit(10000)) < keep)
+        # modulus 10**9 keeps the fraction from truncating to zero
+        # until n > 1e14 rows; max(1, ...) guards even past that
+        mod = 1_000_000_000
+        keep = max(1, int(mod * sample_cap / n))
+        src = src.where(F.pmod(F.xxhash64(F.col("v")), F.lit(mod)) < keep)
     src = src.localCheckpoint(eager=True)
     books = []
     for m in range(n_subvectors):

@@ -71,3 +71,24 @@ def test_merge_into_path_roundtrip(spark, tmp_path):
         3: ("C", 33.0),
         5: ("e", 50.0),
     }
+
+
+def test_merge_into_path_crash_safe_swap(spark, tmp_path):
+    """The rewrite goes through a temp sibling + rename swap: no
+    leftover __tmp__/__old__ dirs after success, and stale leftovers
+    from a prior crash are cleared instead of breaking the merge."""
+    import os
+
+    path = str(tmp_path / "tbl2")
+    _t(spark).write.parquet(path)
+    # simulate debris from a crashed previous run
+    os.makedirs(path + ".__tmp__", exist_ok=True)
+    os.makedirs(path + ".__old__", exist_ok=True)
+    updates = spark.createDataFrame(
+        [(1, "A", 11.0)], "k long, s string, v double"
+    )
+    merge_into_path(spark, path, updates, ["k"])
+    assert not os.path.exists(path + ".__tmp__")
+    assert not os.path.exists(path + ".__old__")
+    got = {r["k"]: r["s"] for r in spark.read.parquet(path).collect()}
+    assert got[1] == "A" and set(got) == {1, 2, 3}

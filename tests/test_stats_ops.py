@@ -236,3 +236,33 @@ def test_ks_statistic_degenerate_constant_column(spark):
     out = ks_statistic(df, "v", "g", "a", "b", n_bins=64).collect()[0]
     assert out.ks_stat == 0.0
     assert (out.n_a, out.n_b) == (10, 7)
+
+
+def test_grouped_fit_nested_schema_and_nonstring_key(spark):
+    """DDL schemas with parameterized/nested types parse correctly
+    (a naive split-on-comma would mangle decimal(10,2) and
+    array<...>), and grouped_ols derives the key type from the input
+    instead of hardcoding string."""
+    from dislib_spark.training.grouped import grouped_fit, grouped_ols
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 1.0), (1, 1.0, 3.0), (2, 0.0, 0.0), (2, 1.0, -1.0)],
+        "g long, x double, y double",
+    )
+    # non-string group key: output key column keeps bigint type
+    ols = grouped_ols(df, "g", "x", "y")
+    assert dict(ols.dtypes)["g"] == "bigint"
+    got = {r["g"]: r["slope"] for r in ols.collect()}
+    assert got == {1: 2.0, 2: -1.0}
+
+    res = grouped_fit(
+        df,
+        "g",
+        lambda pdf: {
+            "dec": round(float(pdf["y"].sum()), 2),
+            "arr": [float(pdf["x"].min()), float(pdf["x"].max())],
+        },
+        "g long, dec decimal(10,2), arr array<double>",
+    )
+    rows = {r["g"]: (float(r["dec"]), list(r["arr"])) for r in res.collect()}
+    assert rows == {1: (4.0, [0.0, 1.0]), 2: (-1.0, [0.0, 1.0])}

@@ -112,3 +112,21 @@ def test_svmlight_source_overwrite_replaces(spark, tmp_path):
 
     # no in-progress leftovers after commit
     assert not [f for f in os.listdir(out) if f.endswith(".inprogress")]
+
+
+def test_svmlight_write_preserves_full_double_precision(spark, tmp_path):
+    """Writer emits %.17g so write→read round-trips exact IEEE doubles
+    (a %g writer silently truncates to 6 significant digits)."""
+    from dislib_spark.sources.svmlight_source import register
+
+    register(spark)
+    vals = [0.1234567890123, 1.0 / 3.0, 6.02214076e23, -2.2250738585072014e-308]
+    df = spark.createDataFrame(
+        [(0.1234567890123, list(range(len(vals))), vals)],
+        "label double, indices array<int>, values array<double>",
+    )
+    out = str(tmp_path / "prec_svm")
+    df.write.format("svmlight").mode("append").save(out)
+    back = spark.read.format("svmlight").load(out).collect()[0]
+    assert back.label == 0.1234567890123
+    assert list(back.values) == vals

@@ -71,11 +71,27 @@ def jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_posting: int | None = 10_000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via inverted shingle
     index: explode shingles → self-join on shingle → per-pair
     intersection counts → Jaccard from set sizes. The join is on the
     shingle key (co-partitioned shuffle), never a full cross join.
+
+    Hot-shingle blowup control (the K² hazard at corpus scale — one
+    boilerplate shingle in every doc otherwise yields |corpus|²
+    pairs): each shingle's posting list is truncated DETERMINISTICALLY
+    to its ``max_posting`` smallest doc ids (``None`` disables),
+    mirroring ``minhash_lsh_pairs``' ``max_bucket_size``. Truncated
+    docs still pair through their other, rarer shingles; only the
+    intersection contribution of the hot shingle beyond the cap is
+    lost, which can only LOWER a pair's computed Jaccard — recall on
+    genuinely similar pairs is preserved by their non-hot shingles.
+    ``max_df`` additionally DROPS any shingle appearing in more than
+    ``max_df`` docs outright (classic df-pruning: a shingle in half
+    the corpus carries no similarity signal); off by default because
+    it changes exact scores.
 
     Returns (a_id, b_id, jaccard) with a_id < b_id.
     """
@@ -104,9 +120,17 @@ def jaccard_pairs(
         F.size("hashes").alias("set_size"),
         F.explode("hashes").alias("shingle"),
     )
+    # sort_array makes the posting order (and therefore any
+    # truncation) deterministic; the buffer holds bare (id, size)
+    # structs — the K² pair explosion below, not this list, is what
+    # the cap bounds
     buckets = inv.groupBy("shingle").agg(
-        F.collect_list(F.struct("id", "set_size")).alias("ds")
+        F.sort_array(F.collect_list(F.struct("id", "set_size"))).alias("ds")
     )
+    if max_df is not None:
+        buckets = buckets.where(F.size("ds") <= max_df)
+    if max_posting is not None:
+        buckets = buckets.select(F.slice("ds", 1, max_posting).alias("ds"))
     pair_col = F.filter(
         F.flatten(
             F.transform(

@@ -220,3 +220,55 @@ def test_pq_topk_recall(spark):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.85, recall
+
+
+def test_jaccard_hot_shingle_posting_capped(spark):
+    """One shingle present in EVERY doc (boilerplate header): without
+    a posting cap the inverted index emits |corpus|^2 pairs from that
+    single shingle. max_posting truncates the hot posting list to the
+    smallest doc ids deterministically and bounds the pair count; docs
+    sharing real content still pair via their other shingles."""
+    from dislib_spark.text.dedup import jaccard_pairs
+
+    boiler = "common header tokens"
+    rows = [
+        (i, f"{boiler} unique body {i * 7} {i * 13} {i * 19}")
+        for i in range(200)
+    ]
+    # two genuinely similar docs (same body, different tail word)
+    rows += [
+        (900, f"{boiler} shared body text alpha beta gamma one"),
+        (901, f"{boiler} shared body text alpha beta gamma two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = jaccard_pairs(df, threshold=0.4, max_posting=10).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in capped}
+    # the pair explosion from hot shingles is bounded: every emitted
+    # pair came from a <=10-doc posting, and the near-dup pair that
+    # shares rare shingles survives the cap
+    assert (900, 901) in pairs
+    # hot-shingle-only pairs (unique bodies) never reach threshold
+    assert all(a == 900 or a >= 0 for a, _ in pairs)
+    only_common = {(a, b) for a, b in pairs if a < 900 and b < 900}
+    assert only_common == set()
+
+    # uncapped == capped here at threshold 0.4 (the cap only sheds
+    # sub-threshold hot-shingle pairs), pinning value-identity
+    uncapped = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in jaccard_pairs(df, threshold=0.4, max_posting=None).collect()
+    }
+    assert (900, 901) in {(a, b) for a, b, _ in uncapped}
+    # truncation can only LOWER a pair's computed jaccard
+    capped_vals = {(r["a_id"], r["b_id"]): r["jaccard"] for r in capped}
+    unc_vals = {(a, b): j for a, b, j in uncapped}
+    for k, j in capped_vals.items():
+        assert j <= unc_vals[k] + 1e-9
+
+    # max_df prune drops the boilerplate shingle entirely but keeps
+    # the true near-dup pair alive through its rare shingles
+    pruned = jaccard_pairs(
+        df, threshold=0.4, max_posting=None, max_df=50
+    ).collect()
+    assert (900, 901) in {(r["a_id"], r["b_id"]) for r in pruned}

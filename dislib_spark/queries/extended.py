@@ -731,13 +731,34 @@ def x24_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- x19: NTILE quantile bucketing -----------------------------------
 def x19_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile customers by account balance (fully deterministic
-    ordering: acctbal then custkey) — per-bucket count and bounds."""
-    from pyspark.sql import Window
+    ordering: acctbal then custkey) — per-bucket count and bounds.
 
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    NO global Window: ``ntile(k) OVER (ORDER BY ...)`` funnels the
+    whole table through one partition. Instead the global rank comes
+    from ``with_global_index`` (range-partitioned sort + per-partition
+    offsets — TeraSort-shaped, every partition stays ~n/P) and the
+    NTILE bucket is computed arithmetically from (rank, n): the first
+    ``n % k`` buckets hold ``n//k + 1`` rows, the rest ``n//k`` —
+    exactly SQL NTILE's row-position semantics. ``n`` arrives via a
+    1-row broadcast (no driver action)."""
+    from dislib_spark.utils.base import with_global_index
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_acctbal", "c_custkey"
+    )
+    ranked = with_global_index(c, ["c_acctbal", "c_custkey"], "_r")
+    tot = F.broadcast(c.agg(F.count(F.lit(1)).alias("_n")))
+    # integer DIV keeps the bucket math exact at any n (no double
+    # rounding); first n%4 buckets get n DIV 4 + 1 rows, rest n DIV 4
+    q = F.expr(
+        "CAST(CASE WHEN _r < (_n % 4) * (_n DIV 4 + 1) "
+        "THEN _r DIV (_n DIV 4 + 1) + 1 "
+        "ELSE (_n % 4) + (_r - (_n % 4) * (_n DIV 4 + 1)) DIV (_n DIV 4) + 1 "
+        "END AS INT)"
+    ).alias("q")
     return (
-        c.withColumn("q", F.ntile(4).over(w))
+        ranked.crossJoin(tot)
+        .select(q, "c_acctbal")
         .groupBy("q")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -43,6 +43,7 @@ _BNLJ_OK = {
     "t42_temperature_sample",  # 1-row broadcast of the (Σmass, Σn) totals
     "s08_decayed_hitters",  # 1-row broadcast of the decay reference hour
     "x60_quality_checks",  # 1-row broadcast of the FK-orphan count
+    "x19_ntile",  # 1-row broadcast of the total row count
 }
 
 
@@ -105,3 +106,17 @@ def test_plancheck_utility(spark):
     with _pytest.raises(AssertionError, match="scale-safe"):
         assert_scale_safe(bad)
     assert plan_facts(bad).has_bnlj or plan_facts(bad).has_cartesian
+
+
+def test_x19_ntile_no_global_window(spark):
+    """NTILE must not funnel the table through one partition: the
+    distributed-rank form has NO Window operator and NO
+    single-partition exchange (ntile(k) OVER (ORDER BY ...) would
+    show both)."""
+    plan = _plan(spark, "x19_ntile")
+    assert "Window" not in plan
+    # the only single-partition exchange is the scalar COUNT(*)'s
+    # final 1-row aggregate (partial agg runs map-side; the exchange
+    # moves #partitions rows, not data) — the ranked DATA path must
+    # never collapse to one partition
+    assert plan.count("SinglePartition") <= 1

@@ -119,20 +119,37 @@ def v09_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank fusion, the standard RAG retrieval combiner. Both input
     lists are bounded top-100 rankings on 6-dp-rounded scores with
     id tiebreaks, so ranks — and therefore the fused score — are
-    bit-deterministic on both engines."""
-    from pyspark.sql import Window
+    bit-deterministic on both engines.
 
+    The lexical top-100 is ``orderBy().limit(100)`` — Spark plans it
+    as TakeOrderedAndProject (per-partition top-k then a k-row merge),
+    NOT a global row_number Window that would funnel every scored doc
+    through one partition. Rank numbers are then assigned on the
+    already-bounded 100-row set via one sorted-array posexplode (a
+    100-row scalar agg, no Window operator at all)."""
     from dislib_spark.text.tfidf import bm25_scores
     from dislib_spark.vector.search import rrf_fuse
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
     lex = bm25_scores(d, ["spark", "query", "stream"])
-    wl = Window.orderBy(F.desc("bm25"), "doc_id")
+    top = lex.orderBy(F.desc("bm25"), "doc_id").limit(100)
     lex_rank = (
-        lex.withColumn("rank", F.row_number().over(wl))
-        .where(F.col("rank") <= 100)
-        .select("doc_id", "rank")
+        top.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("bm25")).alias("_nb"),
+                        F.col("doc_id").alias("doc_id"),
+                    )
+                )
+            ).alias("_a")
+        )
+        .select(F.posexplode("_a").alias("_pos", "_s"))
+        .select(
+            F.col("_s.doc_id").alias("doc_id"),
+            (F.col("_pos") + 1).cast("int").alias("rank"),
+        )
     )
     dense_rank = (
         cosine_topk(e.where(F.col("vec_id") == 0), e, k=100)

@@ -120,3 +120,21 @@ def test_x19_ntile_no_global_window(spark):
     # moves #partitions rows, not data) — the ranked DATA path must
     # never collapse to one partition
     assert plan.count("SinglePartition") <= 1
+
+
+def test_v09_lexical_topk_no_global_window(spark):
+    """The lexical top-100 must plan as TakeOrderedAndProject
+    (per-partition top-k + k-row merge), never a global row_number
+    Window over every scored document. The only Window allowed is
+    cosine_topk's per-q_id partitioned one (WindowGroupLimit pushes
+    the k-limit into it)."""
+    plan = _plan(spark, "v09_hybrid_rrf")
+    assert "TakeOrderedAndProject" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            # every window spec must name a partition key (a global
+            # window's spec starts with the sort column + DESC/ASC)
+            spec = line.split("windowspecdefinition(", 1)[1]
+            assert spec.startswith("q_id"), f"global window: {line}"
+    # bounded scalar aggs only (1-row corpus stats, 100-row rank agg)
+    assert plan.count("SinglePartition") <= 2

@@ -175,3 +175,73 @@ def ks_statistic(
         F.max("n_b").cast("bigint").alias("n_b"),
         F.max(gap).alias("ks_stat"),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int | None = None,
+) -> DataFrame:
+    """Mann-Whitney ROC AUC with tie-averaged ranks.
+
+    ``n_bins=None`` is exact: rows collapse to per-distinct-score
+    (count, positives) pairs first, then ONE ordered running-sum
+    window walks the grouped rows — the window input is the DISTINCT
+    score cardinality, not the corpus (the m11 kernel). With
+    ``n_bins`` set, scores are fixed-width-bucketed before grouping,
+    bounding the window input at ``n_bins`` rows regardless of corpus
+    size — the 100 TB path for continuous scores whose distinct count
+    is unbounded (mirrors ``ks_statistic(n_bins=...)``). Binning
+    treats every score inside a bin as tied, which moves the AUC by
+    at most the tied mass fraction; the estimate converges to exact
+    as bins shrink (pinned by tests/test_stats_ops.py's
+    exact-vs-binned convergence test).
+
+    Returns one row (auc, n_pos, n_neg); auc rounded to 6 places.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    src = df
+    if n_bins is not None:
+        lohi = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
+        width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+        key = (
+            F.when(F.col("hi") == F.col("lo"), F.lit(0.0))
+            .otherwise(
+                F.least(
+                    F.lit(float(n_bins - 1)),
+                    F.floor((v - F.col("lo")) / width).cast("double"),
+                )
+            )
+        ).alias("score")
+        src = df.crossJoin(F.broadcast(lohi))
+    else:
+        key = v.alias("score")
+    grp = src.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("n_pos_g"),
+    )
+    cum = F.coalesce(
+        F.sum("n").over(
+            Window.orderBy("score").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ),
+        F.lit(0),
+    )
+    ranked = grp.withColumn("arank", cum + (F.col("n") + 1) / 2.0)
+    return ranked.agg(
+        F.round(
+            (
+                F.sum(F.col("n_pos_g") * F.col("arank"))
+                - F.sum("n_pos_g") * (F.sum("n_pos_g") + 1) / 2.0
+            )
+            / (F.sum("n_pos_g") * (F.sum("n") - F.sum("n_pos_g"))),
+            6,
+        ).alias("auc"),
+        F.sum("n_pos_g").cast("bigint").alias("n_pos"),
+        (F.sum("n") - F.sum("n_pos_g")).cast("bigint").alias("n_neg"),
+    )

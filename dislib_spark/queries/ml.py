@@ -284,35 +284,18 @@ def m11_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("label") < 5, F.lit(1.0)).otherwise(0.0).alias("y"),
         F.round(z, 9).alias("score"),
     )
-    # scale shape: aggregate to per-score groups FIRST (distinct-score
-    # cardinality), then one running-sum window over the grouped rows
-    # for the tie-averaged rank — a global row_number over raw rows
-    # would collapse the whole table into one window partition.
-    grp = scored.groupBy("score").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("y").alias("n_pos_g"),
-    )
-    cum = F.coalesce(
-        F.sum("n").over(
-            Window.orderBy("score").rowsBetween(
-                Window.unboundedPreceding, -1
-            )
-        ),
-        F.lit(0),
-    )
-    ranked = grp.withColumn("arank", cum + (F.col("n") + 1) / 2.0)
-    return ranked.agg(
-        F.round(
-            (
-                F.sum(F.col("n_pos_g") * F.col("arank"))
-                - F.sum("n_pos_g") * (F.sum("n_pos_g") + 1) / 2.0
-            )
-            / (F.sum("n_pos_g") * (F.sum("n") - F.sum("n_pos_g"))),
-            6,
-        ).alias("auc"),
-        F.sum("n_pos_g").cast("bigint").alias("n_pos"),
-        (F.sum("n") - F.sum("n_pos_g")).cast("bigint").alias("n_neg"),
-    )
+    # scale shape: math.stats.roc_auc aggregates to per-score groups
+    # FIRST (distinct-score cardinality), then one running-sum window
+    # over the grouped rows for the tie-averaged rank — a global
+    # row_number over raw rows would collapse the whole table into one
+    # window partition. Exact here because the oracle replays it; at
+    # 100 TB with a continuous score column swap in
+    # roc_auc(..., n_bins=10_000), which bounds the window input at
+    # n_bins rows (gated like m23's ks_statistic(n_bins=...); the
+    # exact-vs-binned convergence is pinned in tests/test_stats_ops.py).
+    from dislib_spark.math.stats import roc_auc
+
+    return roc_auc(scored, "score", "y")
 
 
 _M12_THRESHOLDS = [5.0, 10.0, 15.0, 20.0, 25.0, 30.0, 35.0, 40.0, 45.0]

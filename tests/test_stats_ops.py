@@ -266,3 +266,51 @@ def test_grouped_fit_nested_schema_and_nonstring_key(spark):
     )
     rows = {r["g"]: (float(r["dec"]), list(r["arr"])) for r in res.collect()}
     assert rows == {1: (4.0, [0.0, 1.0]), 2: (-1.0, [0.0, 1.0])}
+
+
+def test_roc_auc_exact_vs_binned_convergence(spark):
+    """Binned AUC (the 100 TB swap-in for continuous scores)
+    converges to the exact tie-averaged Mann-Whitney AUC as bins
+    shrink, and matches a numpy reference exactly in the n_bins=None
+    path."""
+    import numpy as np
+
+    from dislib_spark.math.stats import roc_auc
+
+    rng = np.random.default_rng(7)
+    neg = rng.normal(0.0, 1.0, 4000)
+    pos = rng.normal(0.8, 1.0, 1000)
+    rows = [(float(s), 0.0) for s in neg] + [(float(s), 1.0) for s in pos]
+    df = spark.createDataFrame(rows, "score double, y double")
+
+    # numpy exact tie-averaged AUC (rank-sum form)
+    allv = np.concatenate([neg, pos])
+    order = np.argsort(allv, kind="mergesort")
+    ranks = np.empty(len(allv))
+    sv = allv[order]
+    i = 0
+    r = np.arange(1, len(allv) + 1, dtype=float)
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        r[i : j + 1] = (i + 1 + j + 1) / 2.0
+        i = j + 1
+    ranks[order] = r
+    pos_ranks = ranks[len(neg):]
+    want = (pos_ranks.sum() - len(pos) * (len(pos) + 1) / 2.0) / (
+        len(pos) * len(neg)
+    )
+
+    exact = roc_auc(df, "score", "y").collect()[0]
+    assert exact["n_pos"] == 1000 and exact["n_neg"] == 4000
+    assert exact["auc"] == pytest.approx(want, abs=1e-6)
+
+    errs = []
+    for nb in (16, 256, 4096):
+        b = roc_auc(df, "score", "y", n_bins=nb).collect()[0]
+        errs.append(abs(b["auc"] - want))
+    # convergence: error shrinks with finer bins and is tiny at 4096
+    assert errs[0] >= errs[1] >= errs[2]
+    assert errs[2] < 1e-3
+    assert errs[0] < 0.05

@@ -291,3 +291,127 @@ def _matmul_local(arr: DsArray, local: np.ndarray) -> DsArray:
     )
     df = arr.df.select(_ROW, feat.alias(_FEAT))
     return DsArray(df, (arr.shape[0], local.shape[1]))
+
+
+def qr_full(arr: DsArray, indexes: list[int] | None = None):
+    """Full QR: A (n×d) = Q (n×n, orthogonal) · R (n×d, upper
+    triangular). Reference contract: ``decomposition/qr/base.py``
+    mode='full' and ``decomposition/tsqr/base.py`` mode='complete'
+    (their tests assert QᵀQ=I, triu(R)=R, Q·R=A — pinned here by
+    tests/test_model_tensor_qr.py).
+
+    One-level TSQR with null-space completion, two distributed passes:
+
+    1. Per row-block (``applyInPandas`` over ``row_id DIV b``): local
+       reduced QR → R_p (k_p×d, k_p=min(m_p,d)). Only the stacked
+       R_p's (K×d, K=Σk_p ≤ L·d — L row blocks) reach the driver,
+       where one small COMPLETE QR gives Qs (K×K) and the global
+       R = [Rs; 0].
+    2. Same grouping again: local COMPLETE QR → Q_p (m_p×m_p);
+       leaf p's n output columns are
+       ``[Q_p[:,:k_p] @ Qs[rows_p] | Q_p[:,k_p:] at own offset]`` —
+       the identity columns of rows the leaf's R didn't touch pass
+       through untouched (block-diagonal ⊕ structure), so each leaf
+       writes exactly its m_p rows. Local QRs are LAPACK-deterministic,
+       so pass 2 reproduces pass 1's R_p bit-for-bit.
+
+    ``indexes`` (reference tsqr ``indexes=`` param) selects Q COLUMNS:
+    the per-leaf compute then builds only m_p×|indexes| values — at
+    scale this sidesteps the n² output entirely. Full-Q itself is
+    inherently O(n²) output; use it for moderate n (or pass indexes),
+    exactly like the reference, whose complete modes materialize the
+    same n×n factor.
+
+    Returns (Q: DsArray (n×n) — or (n×|indexes|), R: np.ndarray (n×d)).
+    """
+    import pandas as pd
+
+    n, d = arr.shape
+    spark = arr.spark
+    par = spark.sparkContext.defaultParallelism
+    b = max(d, -(-n // max(1, par)))  # block size ≥ d, ~n/parallelism
+    leaf_count = -(-n // b)
+    leaf = (F.col(_ROW) / F.lit(b)).cast("long").alias("_leaf")
+
+    src = arr.df.select(leaf, _ROW, _FEAT)
+
+    def _phase1(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("row_id")
+        A = np.vstack(pdf["features"].to_numpy())
+        r = np.linalg.qr(A, mode="r")
+        k = min(A.shape[0], d)
+        return pd.DataFrame(
+            {
+                "_leaf": [int(pdf["_leaf"].iloc[0])],
+                "m": [A.shape[0]],
+                "r_flat": [r[:k].reshape(-1).tolist()],
+            }
+        )
+
+    parts = (
+        src.groupBy("_leaf")
+        .applyInPandas(
+            _phase1, schema="_leaf long, m long, r_flat array<double>"
+        )
+        .collect()
+    )
+    parts.sort(key=lambda row: row["_leaf"])
+    r_blocks, row_offs, id_offs, sizes = [], {}, {}, {}
+    K = 0
+    id_off = 0
+    for row in parts:
+        m_p = int(row["m"])
+        k_p = min(m_p, d)
+        row_offs[row["_leaf"]] = K
+        id_offs[row["_leaf"]] = id_off
+        sizes[row["_leaf"]] = m_p
+        r_blocks.append(
+            np.array(row["r_flat"], dtype=np.float64).reshape(k_p, d)
+        )
+        K += k_p
+        id_off += m_p - k_p
+    S = np.vstack(r_blocks) if r_blocks else np.zeros((0, d))
+    Qs, Rs = np.linalg.qr(S, mode="complete")
+    R_full = np.zeros((n, d))
+    R_full[:K] = Rs
+    n_out = n if indexes is None else len(indexes)
+    idx = None if indexes is None else [int(i) for i in indexes]
+    if idx is not None and not idx:
+        # R-only callers (tsqr mode='r_complete'): skip the Q pass
+        return None, R_full
+
+    bc = spark.sparkContext.broadcast(
+        (Qs, row_offs, id_offs, sizes, K, idx)
+    )
+
+    def _phase2(pdf: pd.DataFrame) -> pd.DataFrame:
+        Qs_b, row_offs_b, id_offs_b, sizes_b, K_b, idx_b = bc.value
+        pdf = pdf.sort_values("row_id")
+        p = int(pdf["_leaf"].iloc[0])
+        A = np.vstack(pdf["features"].to_numpy())
+        m_p = A.shape[0]
+        k_p = min(m_p, d)
+        Qp, _ = np.linalg.qr(A, mode="complete")
+        ro, io = row_offs_b[p], id_offs_b[p]
+        if idx_b is None:
+            out = np.zeros((m_p, n))
+            out[:, :K_b] = Qp[:, :k_p] @ Qs_b[ro : ro + k_p, :]
+            out[:, K_b + io : K_b + io + (m_p - k_p)] = Qp[:, k_p:]
+        else:
+            out = np.zeros((m_p, len(idx_b)))
+            for j, c in enumerate(idx_b):
+                if c < K_b:
+                    out[:, j] = Qp[:, :k_p] @ Qs_b[ro : ro + k_p, c]
+                elif io <= c - K_b < io + (m_p - k_p):
+                    out[:, j] = Qp[:, k_p + (c - K_b - io)]
+        return pd.DataFrame(
+            {
+                "row_id": pdf["row_id"].to_numpy(),
+                "features": list(out),
+            }
+        )
+
+    qdf = src.groupBy("_leaf").applyInPandas(
+        _phase2, schema=f"{_ROW} long, {_FEAT} array<double>"
+    )
+    return DsArray(qdf, (n, n_out)), R_full

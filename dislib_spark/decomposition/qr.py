@@ -9,9 +9,13 @@ Spark-first: economic/r modes ride the communication-avoiding TSQR in
 ``dislib_spark.array.linalg.qr_economic`` (RowMatrix.tallSkinnyQR —
 the same R-merge tree the reference builds by hand, minus the
 power-of-2 block constraint, which was an artifact of its block
-geometry). Full-Q (n×n) is intentionally unsupported: materializing
-an n×n orthogonal factor is anti-scale (documented divergence,
-SURVEY.md §7 hard parts).
+geometry). Full/complete modes ride
+``dislib_spark.array.linalg.qr_full`` — one-level TSQR with
+null-space completion (two ``applyInPandas`` passes; only the K×d
+stacked leaf R's touch the driver). The n×n Q output is inherently
+O(n²) — same as the reference's full modes — so use it for moderate
+n, or pass ``indexes`` to materialize only the selected Q columns
+(O(n·|indexes|), the at-scale path).
 """
 
 from __future__ import annotations
@@ -19,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 
 from dislib_spark.array.core import DsArray
-from dislib_spark.array.linalg import qr_economic, svd
+from dislib_spark.array.linalg import qr_economic, qr_full, svd
 
 
 def qr(a: DsArray, mode: str = "economic"):
@@ -27,7 +31,8 @@ def qr(a: DsArray, mode: str = "economic"):
 
     mode='economic' → (Q (n×d) DsArray, R (d×d) ndarray)
     mode='r'        → R only
-    mode='full'     → raises (see module docstring)
+    mode='full'     → (Q (n×n) DsArray, R (n×d) ndarray), QᵀQ=I,
+                      triu(R)=R, Q·R=A (reference tests/test_qr.py)
     """
     if mode == "economic":
         return qr_economic(a)
@@ -35,10 +40,7 @@ def qr(a: DsArray, mode: str = "economic"):
         _, r = qr_economic(a)
         return r
     if mode == "full":
-        raise NotImplementedError(
-            "full-Q QR materializes an n×n factor; unsupported by design "
-            "(use mode='economic')"
-        )
+        return qr_full(a)
     raise ValueError(f"unknown mode {mode}")
 
 
@@ -50,28 +52,53 @@ def tsqr(a: DsArray, mode: str = "reduced", indexes=None):
     reconstruction for matrix inversion, served by a driver-side
     solve on the small R).
 
-    complete / r_complete / complete_inverse raise: the reference's
-    complete mode materializes an n×n orthogonal Q
-    (tests/test_tsqr.py asserts those shapes) — anti-scale by
-    design here, and silently returning the economic (n×d) shape
-    would corrupt a caller's downstream math. Same policy as
-    ``qr(mode='full')``.
+    complete → (Q (n×n), R (n×d)) via ``linalg.qr_full``;
+    r_complete → the n×d R only; complete_inverse → same (Q, R)
+    contract as complete (the reference's "_inverse" variants differ
+    only in HOW Q is accumulated — backward — not in what is
+    returned; its tests assert the identical QᵀQ=I / triu / Q·R=A
+    properties). Unlike the reference, no power-of-2 block-count
+    restriction (an artifact of its block geometry — ValueError
+    tsqr/base.py:287-289).
+
+    ``indexes`` selects columns of Q (reference ``indexes=`` — its
+    _construct_identity right-multiplies Q by identity columns):
+    supported for every Q-returning mode; with the complete modes it
+    avoids the n² materialization entirely.
     """
     if mode == "reduced":
-        return qr_economic(a)
+        q, r = qr_economic(a)
+        return (_q_columns(q, indexes), r) if indexes else (q, r)
     if mode == "r_reduced":
         _, r = qr_economic(a)
         return r
     if mode == "reduced_inverse":
         q, r = qr_economic(a)
-        return q, np.linalg.inv(r)
-    if mode in ("complete", "r_complete", "complete_inverse"):
-        raise NotImplementedError(
-            f"tsqr mode={mode!r} materializes an n×n orthogonal factor "
-            "(reference tsqr/base.py complete modes); unsupported by "
-            "design at scale — use mode='reduced' (economic shapes)"
+        return (
+            (_q_columns(q, indexes), np.linalg.inv(r))
+            if indexes
+            else (q, np.linalg.inv(r))
         )
+    if mode in ("complete", "complete_inverse"):
+        return qr_full(a, indexes=indexes)
+    if mode == "r_complete":
+        _, r = qr_full(a, indexes=[])
+        return r
     raise ValueError(f"unknown mode {mode}")
+
+
+def _q_columns(q: DsArray, indexes) -> DsArray:
+    """Column-select a DsArray (reference indexes= semantics)."""
+    from pyspark.sql import functions as F
+
+    from dislib_spark.array.core import _FEAT, _ROW
+
+    cols = F.array(
+        *[F.element_at(F.col(_FEAT), int(i) + 1) for i in indexes]
+    )
+    return DsArray(
+        q.df.select(_ROW, cols.alias(_FEAT)), (q.shape[0], len(indexes))
+    )
 
 
 def lanczos_svd(a: DsArray, k: int, *args, **kwargs):

@@ -106,8 +106,15 @@ def test_qr_modes(spark):
     assert np.allclose(Q @ r, A, atol=1e-8)
     r_only = qr(a, mode="r")
     assert np.allclose(np.abs(r_only), np.abs(r), atol=1e-8)
-    with pytest.raises(NotImplementedError):
-        qr(a, mode="full")
+
+    # full mode: Q (n,n) orthogonal, R (n,d) upper triangular, QR=A
+    # (reference tests/test_qr.py contract)
+    qf, rf = qr(a, mode="full")
+    assert qf.shape == (40, 40) and rf.shape == (40, 6)
+    Qf = qf.collect()
+    assert np.allclose(Qf @ Qf.T, np.eye(40), atol=1e-8)
+    assert np.allclose(np.triu(rf), rf)
+    assert np.allclose(Qf @ rf, A, atol=1e-8)
 
     # r_inv pairs with ITS OWN run's R (tallSkinnyQR row signs are
     # run-dependent): Q·R = A ⇒ Q = A·R⁻¹ ⇒ Q·(R⁻¹)⁻¹ = A
@@ -128,11 +135,53 @@ def test_tsqr_mode_shapes(spark):
     assert r_only.shape == (4, 4)
     q2, r_inv = tsqr(a, mode="reduced_inverse")
     assert q2.shape == (30, 4) and r_inv.shape == (4, 4)
-    for mode in ("complete", "r_complete", "complete_inverse"):
-        with pytest.raises(NotImplementedError):
-            tsqr(a, mode=mode)
+    A_np = A
+    for mode in ("complete", "complete_inverse"):
+        qc, rc = tsqr(a, mode=mode)
+        assert qc.shape == (30, 30) and rc.shape == (30, 4)
+        Qc = qc.collect()
+        assert np.allclose(Qc @ Qc.T, np.eye(30), atol=1e-8)
+        assert np.allclose(np.triu(rc), rc)
+        assert np.allclose(Qc @ rc, A_np, atol=1e-8)
+    rc_only = tsqr(a, mode="r_complete")
+    assert rc_only.shape == (30, 4)
+    assert np.allclose(np.triu(rc_only), rc_only)
     with pytest.raises(ValueError):
         tsqr(a, mode="bogus")
+
+
+def test_tsqr_complete_indexes_and_irregular(spark):
+    """indexes= returns only the selected Q columns (reference
+    tests/test_tsqr.py inverse_indexes contract) without the n^2
+    materialization; irregular n (not a multiple of the block size or
+    of d) still satisfies the full contract; wide (n<d) upper-
+    trapezoidal R also holds."""
+    A = RNG.randn(37, 5)  # irregular: 37 rows across parallelism
+    a = ds.array(A, spark)
+    qf, rf = tsqr(a, mode="complete")
+    Qf = qf.collect()
+    assert np.allclose(Qf @ Qf.T, np.eye(37), atol=1e-8)
+    assert np.allclose(Qf @ rf, A, atol=1e-8)
+
+    qi, ri = tsqr(a, mode="complete_inverse", indexes=[2, 3, 4])
+    assert qi.shape == (37, 3)
+    # selected columns match the full Q's columns
+    assert np.allclose(qi.collect(), Qf[:, [2, 3, 4]], atol=1e-8)
+    assert np.allclose(ri, rf)
+
+    # reduced + indexes: economic Q column selection
+    qr_red, _ = tsqr(a, mode="reduced", indexes=[0, 2])
+    assert qr_red.shape == (37, 2)
+
+    # wide case: n < d -> Q (n,n), R (n,d) upper trapezoidal
+    W = RNG.randn(6, 9)
+    w = ds.array(W, spark)
+    qw, rw = tsqr(w, mode="complete")
+    Qw = qw.collect()
+    assert qw.shape == (6, 6) and rw.shape == (6, 9)
+    assert np.allclose(Qw @ Qw.T, np.eye(6), atol=1e-8)
+    assert np.allclose(np.triu(rw), rw)
+    assert np.allclose(Qw @ rw, W, atol=1e-8)
 
 
 def test_svd_aliases(spark):

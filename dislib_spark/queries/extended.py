@@ -680,28 +680,20 @@ def x43_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x42_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing in the same
     order at least 3 times, support-ranked — the candidate-pair step
-    of frequent-itemset mining. The self-join key is the order id, so
-    the join fan-out is Σ basket² (baskets are small and bounded);
-    the distinct-items pre-agg keeps duplicate lines from inflating
-    pairs, and the p1 < p2 predicate halves the output. At 100 TB the
-    lever is basket-size capping — a giant basket is the skew risk,
-    same shape as the dedup bucket caps."""
+    of frequent-itemset mining (``functions.basket.copurchase_pairs``).
+    ONE shuffle (groupBy order), pairs exploded from each basket's
+    sorted item array — no self-join. Fan-out is Σ basket²; at 100 TB
+    the giant-basket skew lever is ``max_basket`` (deterministic
+    smallest-item-ids truncation, same shape as the dedup bucket
+    caps) — off here because TPC-H baskets are ≤7 lines and the
+    oracle replays exact pairs; the bounded-fan-out property is
+    pytest-pinned (tests/test_stats_ops.py)."""
+    from dislib_spark.functions.basket import copurchase_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    a = b.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
-    )
-    c = b.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
-    )
-    return (
-        a.join(c, "ok")
-        .where(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 3)
-        .orderBy(F.desc("n"), "p1", "p2")
-    )
+    return copurchase_pairs(
+        li, "l_orderkey", "l_partkey", min_support=3
+    ).orderBy(F.desc("n"), "p1", "p2")
 
 
 # --- x24: moving-average window frame --------------------------------

@@ -314,3 +314,38 @@ def test_roc_auc_exact_vs_binned_convergence(spark):
     assert errs[0] >= errs[1] >= errs[2]
     assert errs[2] < 1e-3
     assert errs[0] < 0.05
+
+
+def test_copurchase_giant_basket_capped(spark):
+    """A synthetic whale basket (5000 items in one order) would emit
+    ~12.5M pairs uncapped; max_basket bounds the per-basket fan-out at
+    max_basket^2 with deterministic smallest-id truncation, and normal
+    baskets are untouched (cap-invariant)."""
+    from dislib_spark.functions.basket import copurchase_pairs
+
+    rows = [(999, i) for i in range(5000)]  # the whale
+    rows += [(1, 10), (1, 11), (2, 10), (2, 11), (2, 12), (2, 12)]
+    df = spark.createDataFrame(rows, "ok long, item long")
+
+    capped = copurchase_pairs(
+        df, "ok", "item", min_support=1, max_basket=20
+    ).collect()
+    pairs = {(r["p1"], r["p2"]) for r in capped}
+    # whale contributes exactly C(20,2) pairs over its 20 SMALLEST ids
+    # (which already include the small baskets' items 10-12), so the
+    # distinct pair count is exactly 190 — not ~12.5M
+    assert len(capped) == (20 * 19) // 2
+    assert max(p2 for _, p2 in pairs) == 19  # truncation kept ids 0..19
+    # support merges across baskets; duplicate lines count once
+    sup = {(r["p1"], r["p2"]): r["n"] for r in capped}
+    assert sup[(10, 11)] == 3  # whale + order1 + order2
+    assert sup[(11, 12)] == 2  # whale + order2 (dup line once)
+    assert sup[(0, 1)] == 1  # whale-only pair
+
+    # uncapped run on the small baskets alone is cap-invariant
+    small = df.where(F.col("ok") < 10)
+    got = {
+        (r["p1"], r["p2"]): r["n"]
+        for r in copurchase_pairs(small, "ok", "item").collect()
+    }
+    assert got == {(10, 11): 2, (10, 12): 1, (11, 12): 1}

@@ -6,10 +6,21 @@ engine's training-data-pipeline surface. Design: media are opaque
 steps are Arrow-batched ``mapInPandas`` UDFs so each executor
 processes whole batches without driver involvement.
 
-The actual codec calls are STUBBED (image/audio libs are not in
-this container — ``decode_image`` raises unless given the
-deterministic fake codec); the Spark-side plumbing (schema,
-partitioning, batch shapes, UDF signatures) is real and tested.
+Codec tiers, all sharing one ``bytes -> ndarray`` contract so they
+drop into the same pipelines interchangeably:
+
+- deterministic fakes (``fake_decode`` / ``fake_pcm_decode``) —
+  hermetic pipeline tests with zero deps;
+- stdlib real codecs (``pgm_decode`` for netpbm images,
+  ``wav_pcm_decode`` for RIFF/WAV audio) — genuine bytes-in
+  formats exercised even in minimal containers;
+- optional-dependency adapters (``pil_decode`` /
+  ``soundfile_pcm_decode``) gated behind import-try with a clear
+  ImportError — the full-format path when Pillow/soundfile are
+  installed (their tests skip, not fail, without them).
+
+The Spark-side plumbing (schema, partitioning, Arrow batch shapes,
+UDF signatures) is identical across tiers and fully tested.
 """
 
 from __future__ import annotations
@@ -61,12 +72,66 @@ def fake_decode(content: bytes, width: int = 8, height: int = 8) -> np.ndarray:
     return rng.randint(0, 256, size=(height, width)).astype(np.float64)
 
 
-def decode_image(content: bytes) -> np.ndarray:  # pragma: no cover
-    """Real decoder stub — wire PIL/opencv here when available."""
-    raise NotImplementedError(
-        "image codecs not available in this environment; "
-        "use codec=fake_decode for the deterministic fake"
-    )
+def pil_decode(content: bytes) -> np.ndarray:
+    """Real image decoder via Pillow (optional dependency): any
+    PIL-supported format → grayscale float64 (h, w). Same
+    ``bytes -> ndarray`` contract as ``fake_decode``, so it drops
+    into ``decode_features``/``frame_sample`` unchanged. Raises
+    ImportError when Pillow is absent (tests skip, fake path
+    unaffected)."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "pil_decode needs Pillow (pip install pillow); "
+            "use codec=fake_decode or pgm_decode without it"
+        ) from e
+    img = Image.open(io.BytesIO(content)).convert("L")
+    return np.asarray(img, dtype=np.float64)
+
+
+def pgm_decode(content: bytes) -> np.ndarray:
+    """Real image decoder, stdlib-only: netpbm PGM (P5 binary / P2
+    ascii, 8-bit) → float64 (h, w). A genuine on-disk format, so the
+    decode→pool→embed pipeline is exercised against real image bytes
+    even in environments without Pillow."""
+    if not content.startswith((b"P5", b"P2")):
+        raise ValueError("not a PGM payload (want P5/P2 magic)")
+    # header = magic, width, height, maxval — whitespace/comment
+    # separated, then raster
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":
+            while i < len(content) and content[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        tokens.append(content[i:j])
+        i = j
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit PGM unsupported")
+    if content.startswith(b"P5"):
+        raster = content[i + 1 : i + 1 + w * h]
+        arr = np.frombuffer(raster, dtype=np.uint8, count=w * h)
+    else:
+        arr = np.array(content[i:].split()[: w * h], dtype=np.uint8)
+    return arr.reshape(h, w).astype(np.float64)
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Auto-dispatching real decoder: PGM handled in-process
+    (stdlib), anything else through Pillow when installed."""
+    if content.startswith((b"P5", b"P2")):
+        return pgm_decode(content)
+    return pil_decode(content)
 
 
 def decode_features(
@@ -136,6 +201,51 @@ def fake_pcm_decode(content: bytes, n_samples: int = 4096) -> np.ndarray:
         int.from_bytes(digest[4:8], "little", signed=False)
     )
     return (rng.rand(n_samples).astype("float32") * 2.0) - 1.0
+
+
+def wav_pcm_decode(content: bytes) -> np.ndarray:
+    """Real audio decoder, stdlib-only: RIFF/WAV (8/16/32-bit int or
+    32-bit float PCM) → mono float32 in [-1, 1]. Same contract as
+    ``fake_pcm_decode``, so ``audio_windows`` runs against real audio
+    bytes without soundfile/ffmpeg."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as wf:
+        n_ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 1:  # unsigned 8-bit
+        pcm = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 2:
+        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        ints = np.frombuffer(raw, dtype="<i4")
+        pcm = ints.astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if n_ch > 1:
+        pcm = pcm.reshape(-1, n_ch).mean(axis=1)
+    return pcm.astype(np.float32)
+
+
+def soundfile_pcm_decode(content: bytes) -> np.ndarray:
+    """Real audio decoder via soundfile (optional dependency): any
+    libsndfile format → mono float32. Raises ImportError when absent
+    (tests skip; ``wav_pcm_decode`` covers WAV without it)."""
+    import io
+
+    try:
+        import soundfile as sf
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "soundfile_pcm_decode needs soundfile (pip install "
+            "soundfile); use wav_pcm_decode or fake_pcm_decode"
+        ) from e
+    data, _sr = sf.read(io.BytesIO(content), dtype="float32")
+    if data.ndim > 1:
+        data = data.mean(axis=1)
+    return data.astype(np.float32)
 
 
 def audio_windows(

@@ -471,3 +471,133 @@ def test_incremental_rollup_stream_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert n_partials > len(want)
+
+
+def _pgm_bytes(h, w, seed, ascii_form=False):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    if ascii_form:
+        body = "\n".join(" ".join(str(v) for v in row) for row in img)
+        return f"P2\n# comment\n{w} {h}\n255\n{body}\n".encode(), img
+    return b"P5\n# comment\n%d %d\n255\n" % (w, h) + img.tobytes(), img
+
+
+def _wav_bytes(n, seed, width=2):
+    import io
+    import wave
+
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    pcm = (rng.rand(n) * 2 - 1).astype(np.float32)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(width)
+        wf.setframerate(16000)
+        wf.writeframes((pcm * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_multimodal_decode_real_pgm_codec(spark):
+    """The SAME decode->pool pipeline as test_multimodal_decode, but
+    through the real stdlib PGM codec on genuine image bytes — the
+    real-codec swap-in is pipeline-identical to the fake (only the
+    codec callable changes)."""
+    import numpy as np
+
+    from dislib_spark.multimodal.binary import decode_image, pgm_decode
+
+    rows, imgs = [], {}
+    for i in range(4):
+        payload, img = _pgm_bytes(8, 8, seed=i, ascii_form=(i % 2 == 1))
+        rows.append((i, payload))
+        imgs[i] = img
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    feats = decode_features(media, codec=decode_image, out_side=4)
+    got = {r["media_id"]: r["features"] for r in feats.collect()}
+    assert len(got) == 4
+    for mid, img in imgs.items():
+        pooled = (
+            img.astype(np.float64).reshape(4, 2, 4, 2).mean(axis=(1, 3))
+        )
+        assert np.allclose(got[mid], pooled.ravel())
+    # local codec agrees on both P5 and P2 forms of the same raster
+    p5, raw = _pgm_bytes(5, 7, seed=42)
+    p2, _ = _pgm_bytes(5, 7, seed=42, ascii_form=True)
+    assert np.array_equal(pgm_decode(p5), pgm_decode(p2))
+    assert np.array_equal(pgm_decode(p5), raw.astype(float))
+
+
+def test_audio_windows_real_wav_codec(spark):
+    """audio_windows through the real stdlib WAV codec: window
+    geometry and RMS/peak match a local numpy replay of the same
+    bytes (same assertions as the fake-codec test)."""
+    import numpy as np
+
+    from dislib_spark.multimodal.binary import audio_windows, wav_pcm_decode
+
+    rows = [(i, _wav_bytes(4096, seed=i)) for i in range(3)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = audio_windows(
+        media, window=1024, hop=512, codec=wav_pcm_decode
+    ).collect()
+    assert len(got) == 3 * 7
+    by_key = {(r.media_id, r.win_idx): r for r in got}
+    for mid, content in rows:
+        pcm = wav_pcm_decode(content)
+        assert pcm.shape == (4096,) and pcm.dtype == np.float32
+        for i, start in enumerate(range(0, 4096 - 1024 + 1, 512)):
+            seg = pcm[start : start + 1024]
+            r = by_key[(mid, i)]
+            assert abs(r.rms - float(np.sqrt(np.mean(seg**2)))) < 1e-6
+            assert abs(r.peak - float(np.abs(seg).max())) < 1e-6
+
+
+def test_multimodal_decode_pil_codec(spark):
+    """Same pipeline through Pillow when installed; skipped (with the
+    gate asserted) otherwise."""
+    from dislib_spark.multimodal.binary import pil_decode
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="Pillow"):
+            pil_decode(b"\x89PNG\r\n")
+        pytest.skip("Pillow not installed")
+    payload, img = _pgm_bytes(8, 8, seed=9)  # PIL reads PGM too
+    media = spark.createDataFrame(
+        [(0, payload)], "media_id long, content binary"
+    )
+    got = decode_features(media, codec=pil_decode, out_side=4).collect()
+    assert len(got) == 1 and len(got[0]["features"]) == 16
+
+
+def test_audio_windows_soundfile_codec(spark):
+    """Same pipeline through soundfile when installed; skipped (with
+    the gate asserted) otherwise."""
+    from dislib_spark.multimodal.binary import (
+        audio_windows,
+        soundfile_pcm_decode,
+        wav_pcm_decode,
+    )
+
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="soundfile"):
+            soundfile_pcm_decode(_wav_bytes(64, seed=1))
+        pytest.skip("soundfile not installed")
+    import numpy as np
+
+    wav = _wav_bytes(2048, seed=3)
+    assert np.allclose(
+        soundfile_pcm_decode(wav), wav_pcm_decode(wav), atol=1e-4
+    )
+    media = spark.createDataFrame([(0, wav)], "media_id long, content binary")
+    got = audio_windows(
+        media, window=512, hop=256, codec=soundfile_pcm_decode
+    ).collect()
+    assert len(got) == (2048 - 512) // 256 + 1

@@ -8,12 +8,25 @@ Runs the declared query set plus representative estimator fits at
 Timing uses the noop sink — full computation, no driver
 materialization (collect would melt at scale and measure the wrong
 thing).
+
+Modes:
+- default: one pass over every item in one JVM (the driver's run).
+  One-pass totals carry JIT/GC noise (~2x item variance observed).
+- ``--isolate [--ledger FILE] [--factor 1.5]``: after the one-pass
+  run, any item slower than factor x its ledger value (the
+  ``queries`` map of a prior BENCH_r*.json) is re-run alone in a
+  FRESH python+JVM subprocess and its isolated timing replaces the
+  one-pass number — regressions become attributable instead of
+  drowning in shared-JVM noise. Items that throw are never retried.
+- ``--only NAME``: internal per-item mode used by --isolate (runs
+  one item in this process, prints {"name": sec}).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -24,86 +37,180 @@ def _run_df(df) -> float:
     return time.perf_counter() - t0
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+def _fit_items(spark, sf_dir):
+    """Estimator-fit ledger items as (name, thunk) pairs — lazy so
+    --only can run exactly one."""
+    from pyspark.sql import functions as F
 
-    from dislib_spark.session import get_spark
+    from dislib_spark.array.core import DsArray
+    from dislib_spark.tables import load_table
+
+    def _emb_x():
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("row_id"),
+            F.col("embedding").cast("array<double>").alias("features"),
+        )
+        return emb, DsArray(emb, (emb.count(), 64))
+
+    def fit_kmeans():
+        from dislib_spark.cluster.kmeans import KMeans
+
+        _, x = _emb_x()
+        KMeans(n_clusters=8, max_iter=10, random_state=42).fit(x)
+
+    def fit_ols():
+        from dislib_spark.regression.linear import ols_fit
+
+        li = load_table(spark, sf_dir, "lineitem")
+        ols_fit(li, ["l_quantity"], "l_extendedprice")
+
+    def terasort():
+        li = load_table(spark, sf_dir, "lineitem")
+        li.orderBy("l_quantity").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def fit_rf():
+        from dislib_spark.classification.forest import (
+            RandomForestClassifier,
+        )
+
+        emb, x = _emb_x()
+        y = DsArray(
+            emb.select(
+                "row_id",
+                F.array(
+                    (F.xxhash64(F.col("row_id")) % 2 == 0).cast("double")
+                ).alias("features"),
+            ),
+            (x.shape[0], 1),
+        )
+        RandomForestClassifier(
+            n_estimators=10, max_depth=8, random_state=7
+        ).fit(x, y)
+
+    def fit_als():
+        from dislib_spark.recommendation.als import ALS
+
+        ev = load_table(spark, sf_dir, "events")
+        ratings = ev.select(
+            (F.col("user_id") % 500).cast("int").alias("user_id"),
+            (F.col("event_id") % 200).cast("int").alias("item_id"),
+            (F.pmod(F.col("value"), F.lit(5.0)) + 1.0).alias("rating"),
+        )
+        ALS(n_f=8, max_iter=5, random_state=11).fit(ratings)
+
+    return [
+        ("fit_kmeans_embeddings", fit_kmeans),
+        ("fit_ols_lineitem", fit_ols),
+        ("terasort_lineitem", terasort),
+        ("fit_rf_embeddings", fit_rf),
+        ("fit_als_events", fit_als),
+    ]
+
+
+def _run_items(spark, sf_dir, names=None) -> dict[str, float]:
+    import gc
+
     from dislib_spark.queries import all_queries
 
-    spark = get_spark(app_name="dislib-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
     timings: dict[str, float] = {}
-    for name, fn in sorted(all_queries().items()):
+    queries = all_queries()
+    fits = dict(_fit_items(spark, sf_dir))
+    order = sorted(queries) + [n for n, _ in _fit_items(spark, sf_dir)]
+    if names is not None:
+        order = [n for n in order if n in set(names)]
+    for name in order:
         try:
-            timings[name] = round(_run_df(fn(spark, sf_dir)), 3)
+            if name in queries:
+                timings[name] = round(
+                    _run_df(queries[name](spark, sf_dir)), 3
+                )
+            else:
+                t0 = time.perf_counter()
+                fits[name]()
+                timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — record, keep benching
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
         # release caches/localCheckpoint blocks between items so one
         # query's storage doesn't skew the next one's timing
         spark.catalog.clearCache()
-        import gc
-
         gc.collect()
+    return timings
 
-    # estimator fits (BASELINE.md ledger items)
-    from pyspark.sql import functions as F
 
-    from dislib_spark.array.core import DsArray
-    from dislib_spark.cluster.kmeans import KMeans
-    from dislib_spark.regression.linear import ols_fit
-    from dislib_spark.tables import load_table
+def _isolated_rerun(name: str, sf_dir: str) -> float | None:
+    """Run one item in a fresh python+JVM subprocess; None on failure."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only", name],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            env=env,
+        )
+        for line in out.stdout.splitlines()[::-1]:
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line).get(name)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: isolated {name} failed: {exc}", file=sys.stderr)
+    return None
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("row_id"),
-        F.col("embedding").cast("array<double>").alias("features"),
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(
+        os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1
     )
-    n_emb = emb.count()
-    x = DsArray(emb, (n_emb, 64))
 
-    t0 = time.perf_counter()
-    KMeans(n_clusters=8, max_iter=10, random_state=42).fit(x)
-    timings["fit_kmeans_embeddings"] = round(time.perf_counter() - t0, 3)
+    from dislib_spark.session import get_spark
 
-    li = load_table(spark, sf_dir, "lineitem")
-    t0 = time.perf_counter()
-    ols_fit(li, ["l_quantity"], "l_extendedprice")
-    timings["fit_ols_lineitem"] = round(time.perf_counter() - t0, 3)
+    if "--only" in args:
+        name = args[args.index("--only") + 1]
+        spark = get_spark(app_name=f"dislib-spark-bench-{name}")
+        spark.sparkContext.setLogLevel("ERROR")
+        timings = _run_items(spark, sf_dir, names=[name])
+        print(json.dumps(timings))
+        return
 
-    t0 = time.perf_counter()
-    li.orderBy("l_quantity").write.format("noop").mode("overwrite").save()
-    timings["terasort_lineitem"] = round(time.perf_counter() - t0, 3)
+    spark = get_spark(app_name="dislib-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings = _run_items(spark, sf_dir)
 
-    # RF fit (embeddings -> synthetic label) — BASELINE.md ledger item
-    from dislib_spark.classification.forest import RandomForestClassifier
-
-    y = DsArray(
-        emb.select(
-            "row_id",
-            F.array((F.xxhash64(F.col("row_id")) % 2 == 0).cast("double")).alias(
-                "features"
-            ),
-        ),
-        (n_emb, 1),
-    )
-    t0 = time.perf_counter()
-    RandomForestClassifier(n_estimators=10, max_depth=8, random_state=7).fit(x, y)
-    timings["fit_rf_embeddings"] = round(time.perf_counter() - t0, 3)
-
-    # ALS fit (synthetic ratings from events) — BASELINE.md ledger item
-    from dislib_spark.recommendation.als import ALS
-
-    ev = load_table(spark, sf_dir, "events")
-    ratings = ev.select(
-        (F.col("user_id") % 500).cast("int").alias("user_id"),
-        (F.col("event_id") % 200).cast("int").alias("item_id"),
-        (F.pmod(F.col("value"), F.lit(5.0)) + 1.0).alias("rating"),
-    )
-    t0 = time.perf_counter()
-    ALS(n_f=8, max_iter=5, random_state=11).fit(ratings)
-    timings["fit_als_events"] = round(time.perf_counter() - t0, 3)
+    if "--isolate" in args:
+        ledger_path = None
+        if "--ledger" in args:
+            ledger_path = args[args.index("--ledger") + 1]
+        factor = (
+            float(args[args.index("--factor") + 1])
+            if "--factor" in args
+            else 1.5
+        )
+        ledger: dict[str, float] = {}
+        if ledger_path and os.path.exists(ledger_path):
+            with open(ledger_path) as fh:
+                ledger = json.load(fh).get("queries", {})
+        flagged = [
+            n
+            for n, v in timings.items()
+            if v > 0
+            and ledger.get(n, 0) > 0
+            and v > factor * ledger[n]
+        ]
+        if flagged:
+            print(
+                f"bench: isolating {len(flagged)} flagged items: "
+                f"{flagged}",
+                file=sys.stderr,
+            )
+        for name in flagged:
+            iso = _isolated_rerun(name, sf_dir)
+            if iso is not None and iso > 0:
+                timings[name] = round(iso, 3)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     print(

@@ -1206,6 +1206,54 @@ def s08_decayed_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_counts(ev, "user_id", top_k=20)
 
 
+def s09_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator run FOR REAL: per-user
+    running (count, sum, max) through ``applyInPandasWithState``
+    (``streaming.windows.running_user_stats``) on an availableNow
+    file stream into a memory sink, then reduced to each user's FINAL
+    state row. The final state equals the batch GROUP BY, so this
+    arbitrary-stateful path gets a full DuckDB oracle — value-exact
+    because events.value is 2-decimal money: every per-user sum is a
+    multiple of 0.01, which sits 0.5e-6 - O(1e-9 accumulation error)
+    away from any 6-dp rounding boundary, so ROUND(total, 6) is
+    order-of-summation-proof on both engines. State is O(users)
+    across the cluster; rows stream through in Arrow batches."""
+    import tempfile
+    import uuid
+
+    from dislib_spark.streaming.windows import running_user_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="s09_src_")
+    ev.write.mode("overwrite").parquet(src)
+    sink = f"s09_sink_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update mode emits one row per (micro-batch, key); the final
+    # state per user is the max-n row (n strictly grows per emit)
+    final = (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n", "total", "vmax")).alias("s"))
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n").alias("n"),
+        F.round("s.total", 6).alias("total"),
+        F.col("s.vmax").alias("vmax"),
+    ).orderBy("user_id")
+
+
 def x56_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day RANGE-frame window (time-based frame, the
     variant x24's 3-ROW frame can't express — gaps in the calendar
@@ -1449,6 +1497,7 @@ QUERIES = {
     "s06_stream_static": s06_stream_static,
     "s07_rollup": s07_rollup,
     "s08_decayed_hitters": s08_decayed_hitters,
+    "s09_stateful_running": s09_stateful_running,
 }
 
 ORACLE = {
@@ -2143,4 +2192,14 @@ ORACLE["x60_quality_checks"] = """
     SELECT chk AS check, n::BIGINT AS n_rows, v::BIGINT AS n_violations,
            v = 0 AS passed
     FROM checks ORDER BY chk
+"""
+
+ORACLE["s09_stateful_running"] = """
+    SELECT user_id,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 6) AS total,
+           MAX(value) AS vmax
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
 """

@@ -25,6 +25,13 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
     )
+    # protobuf fallback must land in PYTHONPATH BEFORE the JVM starts:
+    # the transformWithState driver-side python worker inherits the
+    # JVM's env, which is frozen at gateway launch (addPyFile alone
+    # cannot reach it). No-op when the wheel is installed.
+    from dislib_spark.streaming.stateful import ensure_protobuf
+
+    ensure_protobuf()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -10,18 +10,67 @@ the state store per key — O(keys) memory across the cluster, rows
 stream through in Arrow batches.
 
 Environment gate: the transformWithState state-server protocol needs
-``google.protobuf``, absent from this container (the driver worker
-crashes with an ImportError otherwise) — ``running_user_stats_v2``
-raises a clear error up front when protobuf is missing, and
+``google.protobuf``. ``ensure_protobuf`` prefers an installed
+runtime and falls back to the repo-vendored pure-python copy
+(``vendor/google/protobuf``, see vendor/README.md) — added to the
+driver's ``sys.path`` and shipped to executor python workers via
+``sc.addPyFile`` (a zip of the vendor tree), so the state server
+runs even in containers without the protobuf wheel.
 ``windows.running_user_stats`` (applyInPandasWithState, no protobuf
-dependency) remains the always-available stateful operator.
+dependency) remains the zero-dependency stateful operator.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+from pathlib import Path
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+_VENDOR = Path(__file__).resolve().parents[2] / "vendor"
+_vendor_zip: str | None = None
+
+
+def ensure_protobuf(spark=None) -> bool:
+    """Make ``google.protobuf`` importable on the driver AND on Spark
+    python workers; True on success. Installed wheel wins; otherwise
+    the vendored runtime is path-injected (driver) and shipped as a
+    zip through ``addPyFile`` (workers — runtime-safe, unlike
+    PYTHONPATH, which an already-running JVM would never see)."""
+    global _vendor_zip
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    if not (_VENDOR / "google" / "protobuf").is_dir():
+        return False
+    if str(_VENDOR) not in sys.path:
+        sys.path.insert(0, str(_VENDOR))
+    # also cover python workers spawned by future JVMs in this process
+    os.environ["PYTHONPATH"] = (
+        str(_VENDOR) + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
+    if spark is not None:
+        if _vendor_zip is None:
+            import shutil
+            import tempfile
+
+            base = os.path.join(
+                tempfile.mkdtemp(prefix="dislib_vendor_"), "pb_vendor"
+            )
+            _vendor_zip = shutil.make_archive(base, "zip", str(_VENDOR))
+        spark.sparkContext.addPyFile(_vendor_zip)
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 class _RunningStatsProcessor(StatefulProcessor):
@@ -63,15 +112,14 @@ def running_user_stats_v2(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     API — same semantics as ``windows.running_user_stats`` (the
     applyInPandasWithState form); tests assert the two agree.
     Streaming only."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as exc:
+    if not ensure_protobuf(events.sparkSession):
         raise ImportError(
             "transformWithState requires google.protobuf (state-server "
-            "protocol); not available in this environment — use "
+            "protocol); neither an installed wheel nor the vendored "
+            "runtime (vendor/google/protobuf) is available — use "
             "dislib_spark.streaming.windows.running_user_stats "
             "(applyInPandasWithState) instead"
-        ) from exc
+        )
 
     from dislib_spark.streaming.windows import _watermarked
 

@@ -298,49 +298,70 @@ def test_stream_stream_interval_join(spark, tmp_path):
 
 def test_transform_with_state_v2(spark, tmp_path):
     """transformWithState (Spark 4 stateful v2) running stats agree
-    with the applyInPandasWithState form on the same stream. Skipped
-    where google.protobuf (the TWS state-server protocol dep) is
-    absent — the operator itself raises a clear ImportError there."""
-    from dislib_spark.streaming.stateful import running_user_stats_v2
+    with the applyInPandasWithState form on the same stream. Runs
+    against the installed protobuf wheel OR the repo-vendored runtime
+    (ensure_protobuf ships it to workers via addPyFile); skips only
+    when neither exists."""
+    from dislib_spark.streaming.stateful import (
+        ensure_protobuf,
+        running_user_stats_v2,
+    )
     from dislib_spark.streaming.windows import running_user_stats
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
+    if not ensure_protobuf(spark):
         with pytest.raises(ImportError, match="transformWithState"):
             running_user_stats_v2(
                 spark.readStream.schema(
                     load_table(spark, SF_SMOKE, "events").schema
                 ).parquet(str(tmp_path))
             )
-        pytest.skip("google.protobuf unavailable in this container")
+        pytest.skip("no protobuf runtime (wheel or vendored) available")
 
     ev = load_table(spark, SF_SMOKE, "events")
     src_dir = str(tmp_path / "tws_src")
     ev.write.mode("overwrite").parquet(src_dir)
 
+    # TWS state (multiple column families) needs the RocksDB provider
+    # (HDFSBacked raises STATE_STORE_MULTIPLE_COLUMN_FAMILIES);
+    # rocksdbjni ships inside the spark jars. Scoped to this test.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
     results = {}
-    for name, fn in (("v2", running_user_stats_v2), ("v1", running_user_stats)):
-        stream = spark.readStream.schema(ev.schema).parquet(src_dir)
-        q = (
-            fn(stream)
-            .writeStream.format("memory")
-            .queryName(f"tws_{name}")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-        rows = spark.sql(
-            f"SELECT user_id, n, total, vmax FROM tws_{name}"
-        ).collect()
-        # update mode may emit a row per micro-batch per key; keep the
-        # final (max-n) row per user
-        final = {}
-        for r in rows:
-            if r.user_id not in final or r.n > final[r.user_id][0]:
-                final[r.user_id] = (r.n, round(r.total, 6), r.vmax)
-        results[name] = final
+    try:
+        for name, fn in (
+            ("v2", running_user_stats_v2),
+            ("v1", running_user_stats),
+        ):
+            stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+            q = (
+                fn(stream)
+                .writeStream.format("memory")
+                .queryName(f"tws_{name}")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            rows = spark.sql(
+                f"SELECT user_id, n, total, vmax FROM tws_{name}"
+            ).collect()
+            # update mode may emit a row per micro-batch per key; keep
+            # the final (max-n) row per user
+            final = {}
+            for r in rows:
+                if r.user_id not in final or r.n > final[r.user_id][0]:
+                    final[r.user_id] = (r.n, round(r.total, 6), r.vmax)
+            results[name] = final
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
 
     assert results["v2"] == results["v1"]
     assert len(results["v2"]) > 0

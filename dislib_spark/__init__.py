@@ -49,6 +49,7 @@ from dislib_spark.array import (
     matsubtract,
 )
 from dislib_spark.sources import (
+    load_blocks_rechunk,
     load_mdcrd_file,
     load_npy_file,
     load_svmlight_file,
@@ -100,6 +101,7 @@ __all__ = [
     "load_svmlight_file",
     "load_npy_file",
     "load_txt_file",
+    "load_blocks_rechunk",
     "load_mdcrd_file",
     "save_txt",
 ]

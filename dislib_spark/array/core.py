@@ -289,6 +289,27 @@ class DsArray:
         needed a deep block copy)."""
         return DsArray(self._df, self._shape)
 
+    def rechunk(self, block_size: tuple[int, int]) -> "DsArray":
+        """Re-partition into row blocks of ``block_size[0]`` rows
+        (reference array.py:1228-1245 ``rechunk``). Value-identity;
+        the physical translation of "block size" here is PARTITION
+        granularity: a range-partition on row_id into ⌈n/b⌉ chunks —
+        contiguous row ranges per partition, exactly the reference's
+        row-block layout. The column component is accepted and
+        ignored (row-oriented storage has no column blocks); same
+        ValueError contract for oversized blocks."""
+        b = int(block_size[0])
+        n, d = self._shape
+        if b > n or int(block_size[1]) > d:
+            raise ValueError(
+                "The block size requested for rechunk "
+                "is greater than the ds-array"
+            )
+        parts = max(1, -(-n // b))
+        return DsArray(
+            self._df.repartitionByRange(parts, F.col(_ROW)), self._shape
+        )
+
     # -- assignment as immutable rewrite (reference __setitem__
     #    array.py:162-204, _set_column :719-748) ----------------------
     def set_element(self, i: int, j: int, value: float) -> "DsArray":

@@ -18,11 +18,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry in FAMILY-INTERLEAVED insertion order (one query per
+    family per cycle, within-family order preserved): the driver's
+    correctness harness samples a PREFIX of this order, so any prefix
+    must span every family (relational/text/vector/ml/extended/tpch)
+    rather than exhausting q+t first."""
+    from itertools import zip_longest
+
     from dislib_spark.queries import extended, ml, relational, text, tpch, vector
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, text, vector, ml, extended, tpch):
-        out.update(mod.QUERIES)
+    families = [
+        list(m.QUERIES.items())
+        for m in (relational, text, vector, ml, extended, tpch)
+    ]
+    for cycle in zip_longest(*families):
+        for item in cycle:
+            if item is not None:
+                out[item[0]] = item[1]
     return out
 
 

@@ -271,3 +271,38 @@ def save_orc(arr: DsArray, path: str) -> None:
 
 def load_orc(spark: SparkSession, path: str) -> DsArray:
     return _as_ds_array(spark.read.orc(path))
+
+
+def load_blocks_rechunk(
+    blocks,
+    shape: tuple[int, int],
+    block_size: tuple[int, int],
+    new_block_size: tuple[int, int],
+    spark: SparkSession | None = None,
+) -> DsArray:
+    """Assemble a DsArray from a flat row-major list of numpy blocks,
+    then :meth:`DsArray.rechunk` it to ``new_block_size`` (reference
+    ``data/io.py:405-444`` — its blocks are COMPSs futures, ours are
+    local ndarrays; the grid layout ``blocks[i*n_cols + j]`` and the
+    oversized-block ValueError are identical). Block geometry maps to
+    partition granularity (see rechunk)."""
+    import numpy as np
+
+    from dislib_spark.array.core import array as ds_array
+
+    if shape[0] < new_block_size[0] or shape[1] < new_block_size[1]:
+        raise ValueError(
+            "The block size requested for rechunk "
+            "is greater than the ds-array"
+        )
+    spark = spark or SparkSession.getActiveSession()
+    n_rows = int(shape[0] / block_size[0])
+    n_cols = int(shape[1] / block_size[1])
+    grid = [
+        [np.asarray(blocks[i * n_cols + j]) for j in range(n_cols)]
+        for i in range(n_rows)
+    ]
+    full = np.block(grid)
+    if full.shape != tuple(shape):
+        full = full[: shape[0], : shape[1]]
+    return ds_array(full, spark).rechunk(new_block_size)

@@ -146,3 +146,37 @@ def test_triangle_count_matches_python(spark):
     row = triangle_count(df).collect()[0]
     assert row["n_edges"] == len(edges)
     assert row["n_triangles"] == want == 4
+
+
+def test_rechunk_and_load_blocks_rechunk(spark):
+    """rechunk = value-identity repartition into contiguous row
+    ranges (reference array.py:1228); load_blocks_rechunk assembles a
+    row-major block grid then rechunks (reference data/io.py:405) —
+    same ValueError contract for oversized blocks."""
+    import numpy as np
+    import pytest
+
+    import dislib_spark as ds
+
+    A = np.arange(48, dtype=float).reshape(12, 4)
+    a = ds.array(A, spark)
+    r = a.rechunk((5, 4))
+    assert r.shape == (12, 4)
+    assert np.allclose(r.collect(), A)
+    assert r.df.rdd.getNumPartitions() == 3  # ceil(12/5) row blocks
+    with pytest.raises(ValueError, match="greater than the ds-array"):
+        a.rechunk((13, 4))
+
+    # 2x2 grid of 3x2 blocks, row-major flat list
+    blocks = [A[i : i + 3, j : j + 2] for i in (0, 3) for j in (0, 2)]
+    got = ds.load_blocks_rechunk(
+        blocks, shape=(6, 4), block_size=(3, 2), new_block_size=(2, 4),
+        spark=spark,
+    )
+    assert got.shape == (6, 4)
+    assert np.allclose(got.collect(), A[:6])
+    assert got.df.rdd.getNumPartitions() == 3
+    with pytest.raises(ValueError, match="greater than the ds-array"):
+        ds.load_blocks_rechunk(
+            blocks, (6, 4), (3, 2), (7, 4), spark=spark
+        )

@@ -31,12 +31,13 @@ PICKS = {
     "x28_tpch_q6": "every predicate pushed into the parquet scan; zero joins",
     "x35_tpch_q15": "CTE revenue agg reused; scalar MAX subquery broadcast back",
     "x37_tpch_q17": "correlated per-part AVG rewritten to an aggregate + broadcast join",
-    "x42_copurchase": "basket self-join on the order key after a distinct pre-agg; support filter after the pair count",
+    "x42_copurchase": "ONE basket shuffle, pairs exploded in-bucket (no self-join); max_basket caps whale fan-out",
+    "x19_ntile": "distributed rank (range partition + offsets), arithmetic NTILE — no Window, data never single-partition",
     "t33_bigram_lm": "bigram LM tables re-aggregated from one per-(doc,bigram) exchange; 1-row total broadcast",
     "s06_stream_static": "static dimension broadcast onto the event scan; one window aggregation",
     "t34_dsir_select": "one (word,target) count builds both distributions; weight join through per-(doc,word) tf; 1-row totals broadcast",
     "t35_snm_dedup": "range sort + floor(rank/w) block equi-joins — windowed candidates with no cartesian",
-    "v09_hybrid_rrf": "two bounded top-100 lists UNION ALL'd into one id aggregation; no list-vs-list join",
+    "v09_hybrid_rrf": "lexical top-100 via TakeOrderedAndProject, dense per-q_id WindowGroupLimit; no global window",
     "m13_nb_confusion": "NB fit = one (class,token) count; predict joins the model on the token key + |C|-row class broadcast",
     "x45_time_rollup": "hour partials re-aggregated to day grain — the merge reads partials, never raw events twice",
     "x48_skew_profile": "map-side-combined key count, then top-k scalars over the key table",

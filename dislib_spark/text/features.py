@@ -338,10 +338,13 @@ def vocab_coverage(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     wc = gw.groupBy("w").agg(F.sum("n").alias("cw"))
-    rk = Window.orderBy(F.desc("cw"), "w")
+    # top-vocab_size via TakeOrderedAndProject (per-partition heap +
+    # k-row merge) — a global row_number Window here would pull the
+    # whole distinct-word table through one partition, unbounded at
+    # corpus scale; only MEMBERSHIP is needed, not the rank value
     vocab = (
-        wc.withColumn("r", F.row_number().over(rk))
-        .where(F.col("r") <= vocab_size)
+        wc.orderBy(F.desc("cw"), "w")
+        .limit(vocab_size)
         .select("w", F.lit(1).alias("in_vocab"))
     )
     return (

@@ -92,24 +92,30 @@ def skew_profile(
 
     Cost: one map-side-combined key count (the same exchange the real
     aggregation would run), then top-k + three scalars over the
-    key-count table — safe to run inline before a big job. Returns
+    key-count table. The top-k is ``orderBy().limit(top)`` —
+    TakeOrderedAndProject (per-partition heap + top-row merge), never
+    a global row_number Window: a high-cardinality key column would
+    otherwise funnel its whole count table through one partition —
+    the exact skew this utility exists to detect. Safe to run inline
+    before a big job. Returns
     (n_rows, n_keys, max_share, topk_share, imbalance).
     """
     kc = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
-    ranked = kc.select(
-        "n",
-        F.row_number()
-        .over(Window.orderBy(F.desc("n"), *key_cols))
-        .alias("rk"),
-    )
-    return ranked.agg(
+    totals = kc.agg(
         F.sum("n").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),
-        F.round(F.max("n") / F.sum("n"), 6).alias("max_share"),
-        F.round(
-            F.sum(F.when(F.col("rk") <= top, F.col("n")).otherwise(0))
-            / F.sum("n"),
-            6,
-        ).alias("topk_share"),
-        F.round(F.max("n") / F.avg("n"), 6).alias("imbalance"),
+        F.max("n").alias("_max_n"),
+        F.avg("n").alias("_avg_n"),
+    )
+    top_sum = F.broadcast(
+        kc.orderBy(F.desc("n"), *key_cols)
+        .limit(top)
+        .agg(F.sum("n").alias("_top_n"))
+    )
+    return totals.crossJoin(top_sum).select(
+        "n_rows",
+        "n_keys",
+        F.round(F.col("_max_n") / F.col("n_rows"), 6).alias("max_share"),
+        F.round(F.col("_top_n") / F.col("n_rows"), 6).alias("topk_share"),
+        F.round(F.col("_max_n") / F.col("_avg_n"), 6).alias("imbalance"),
     )

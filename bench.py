@@ -19,7 +19,10 @@ Modes:
   one-pass number — regressions become attributable instead of
   drowning in shared-JVM noise. Items that throw are never retried.
 - ``--only NAME``: internal per-item mode used by --isolate (runs
-  one item in this process, prints {"name": sec}).
+  one item in this process, prints {"name": sec}). Runs the item
+  TWICE and reports the second timing: a fresh JVM's first execution
+  is cold-JIT-dominated (measured 2-4x the warm number), and the
+  ledger values being compared against are warm in-batch timings.
 """
 
 from __future__ import annotations
@@ -173,6 +176,7 @@ def main() -> None:
         name = args[args.index("--only") + 1]
         spark = get_spark(app_name=f"dislib-spark-bench-{name}")
         spark.sparkContext.setLogLevel("ERROR")
+        _run_items(spark, sf_dir, names=[name])  # cold-JIT warmup
         timings = _run_items(spark, sf_dir, names=[name])
         print(json.dumps(timings))
         return

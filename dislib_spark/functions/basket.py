@@ -54,3 +54,64 @@ def copurchase_pairs(
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= min_support)
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 1,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Pairwise association rules over ``copurchase_pairs``'s
+    candidate pairs: for each co-occurring pair (p1 < p2) with
+    ``n_ab`` joint baskets, attach the per-item basket counts
+    ``n_a``/``n_b`` and the classic rule metrics —
+    ``conf_ab = n_ab/n_a`` (a⇒b), ``conf_ba = n_ab/n_b`` (b⇒a) and
+    the symmetric ``lift = n_ab·N / (n_a·n_b)`` (>1 ⇔ positive
+    association). All metrics are exact integer ratios surfaced as
+    doubles.
+
+    Scale: the pair kernel is the capped single-shuffle explode
+    (see ``copurchase_pairs``); item counts are one groupBy on the
+    item key; the two enrichment joins hash-partition on p1/p2 (the
+    item-count side is |items|, orders of magnitude under |pairs| —
+    Catalyst/AQE broadcasts it when it fits); the basket total
+    arrives as a 1-row broadcast, never a driver collect.
+    """
+    lines = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).dropDuplicates(["b", "i"])
+    pairs = copurchase_pairs(
+        df, basket_col, item_col, min_support=min_support,
+        max_basket=max_basket,
+    ).withColumnRenamed("n", "n_ab")
+    item_counts = lines.groupBy("i").agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.broadcast(
+        lines.select("b").distinct().agg(F.count(F.lit(1)).alias("n_bask"))
+    )
+    ca = item_counts.select(
+        F.col("i").alias("p1"), F.col("cnt").alias("n_a")
+    )
+    cb = item_counts.select(
+        F.col("i").alias("p2"), F.col("cnt").alias("n_b")
+    )
+    return (
+        pairs.join(ca, "p1")
+        .join(cb, "p2")
+        .crossJoin(total)
+        .select(
+            "p1",
+            "p2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_ab"),
+            F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_ba"),
+            F.round(
+                (F.col("n_ab") * F.col("n_bask"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -1444,6 +1444,61 @@ def x60_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("check")
 
 
+# --- x61: batch sessionization (gaps-and-islands) --------------------
+def x61_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session detail rows from ``temporal.sessionize`` (30-min
+    inactivity gap, event_id tiebreak): session start, event count,
+    decimal-exact spend, duration seconds — the batch complement of
+    s02's streaming session_window, keeping every event row so
+    per-session detail stays queryable. Window is ALWAYS
+    partitionBy(user) — no global sort at any scale."""
+    from dislib_spark.temporal import _epoch_seconds, sessionize
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    sess = sessionize(
+        ev, "user_id", "ts", gap="30 minutes", tiebreak="event_id"
+    )
+    sec = _epoch_seconds(sess, "ts")
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.date_trunc("second", F.min("ts")).alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend"),
+            (F.max(sec) - F.min(sec)).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --- x62: recency-decayed scoring ------------------------------------
+def x62_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed spend
+    (``temporal.recency_weighted_sum``, 7-day half-life anchored at a
+    pinned t_ref) — the recency weight a training-data sampler or
+    feature store applies, expressed as one ORDER-INDEPENDENT
+    aggregation (per-term decimal cast; no sequential EWMA recursion,
+    so map-side partials work and batch ≡ incremental)."""
+    from dislib_spark.temporal import recency_weighted_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    out = recency_weighted_sum(
+        ev,
+        "user_id",
+        "ts",
+        "value",
+        half_life=7 * 86400.0,
+        t_ref_epoch=1706745600,  # 2024-02-01T00:00:00Z
+    )
+    return out.select(
+        "user_id",
+        F.round("decayed_sum", 6).alias("decayed_spend"),
+        "n_events",
+    ).orderBy("user_id")
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -1489,6 +1544,8 @@ QUERIES = {
     "x58_window_anomaly": x58_window_anomaly,
     "x59_grouping_sets": x59_grouping_sets,
     "x60_quality_checks": x60_quality_checks,
+    "x61_sessionize": x61_sessionize,
+    "x62_decay_score": x62_decay_score,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -2199,6 +2256,60 @@ ORACLE["s09_stateful_running"] = """
            COUNT(*) AS n,
            ROUND(SUM(value), 6) AS total,
            MAX(value) AS vmax
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+# x61: the flag/cumsum replay orders by (whole second, event_id) —
+# identical to the Spark side's (micro-ts, event_id) for session
+# purposes because the gap test only sees whole seconds: same-second
+# clusters keep their membership under any intra-cluster order, so
+# flags, cumsums and per-session aggregates agree exactly.
+ORACLE["x61_sessionize"] = """
+    WITH e AS (
+        SELECT user_id, event_id, value, ts,
+               CAST(EPOCH(date_trunc('second', ts)) AS BIGINT) AS sec
+        FROM events WHERE user_id < 50
+    ),
+    flg AS (
+        SELECT *,
+               CASE WHEN LAG(sec) OVER w IS NULL
+                         OR sec - LAG(sec) OVER w > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sess AS (
+        SELECT *,
+               CAST(SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flg
+    )
+    SELECT user_id, session_id,
+           CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP)
+               AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+           MAX(sec) - MIN(sec) AS duration_s
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+"""
+
+# x62: LN(2) is hardcoded to its nearest-double so both engines feed
+# EXP the identical argument; the per-term DECIMAL(28,12) cast makes
+# the sum order-exact and the final ROUND(,6) absorbs any last-ulp
+# EXP difference between libm implementations.
+ORACLE["x62_decay_score"] = """
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(
+               value * EXP((1706745600
+                            - CAST(EPOCH(date_trunc('second', ts))
+                                   AS BIGINT))
+                           / -604800.0 * 0.6931471805599453)
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS decayed_spend,
+           COUNT(*) AS n_events
     FROM events
     GROUP BY user_id
     ORDER BY user_id

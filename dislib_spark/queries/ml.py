@@ -819,6 +819,22 @@ def m24_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("cluster")
 
 
+# --- m25: pairwise association rules ---------------------------------
+def m25_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining on TPC-H baskets
+    (``functions.basket.association_rules``): support, per-direction
+    confidence and lift for part pairs co-ordered ≥3 times, top-20 by
+    lift — the rule-scoring step on top of x42's candidate pairs. All
+    metrics are exact integer ratios (long·long stays exact, then one
+    double division), so the oracle replays them bit-for-bit; top-20
+    via TakeOrderedAndProject, no global window."""
+    from dislib_spark.functions.basket import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = association_rules(li, "l_orderkey", "l_partkey", min_support=3)
+    return out.orderBy(F.desc("lift"), "p1", "p2").limit(20)
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -844,6 +860,7 @@ QUERIES = {
     "m22_spearman": m22_spearman,
     "m23_ks_statistic": m23_ks_statistic,
     "m24_davies_bouldin": m24_davies_bouldin,
+    "m25_lift_rules": m25_lift_rules,
 }
 
 
@@ -1496,3 +1513,27 @@ def _m24_oracle() -> str:
 
 
 ORACLE["m24_davies_bouldin"] = _m24_oracle()
+
+# m25: integer counts make every metric an exact ratio; the BIGINT
+# products stay under 2^63 at any TPC-H scale (n_ab, N ≤ rows).
+ORACLE["m25_lift_rules"] = """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.it AS p1, c.it AS p2, COUNT(*) AS n_ab
+        FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    items AS (SELECT it, COUNT(*) AS cnt FROM b GROUP BY it),
+    tot AS (SELECT COUNT(DISTINCT bk) AS n_bask FROM b)
+    SELECT p1, p2, n_ab, ca.cnt AS n_a, cb.cnt AS n_b,
+           ROUND(n_ab / ca.cnt, 6) AS conf_ab,
+           ROUND(n_ab / cb.cnt, 6) AS conf_ba,
+           ROUND((n_ab * n_bask) / (ca.cnt * cb.cnt), 6) AS lift
+    FROM pairs
+    JOIN items ca ON ca.it = p1
+    JOIN items cb ON cb.it = p2
+    CROSS JOIN tot
+    ORDER BY lift DESC, p1, p2 LIMIT 20
+"""

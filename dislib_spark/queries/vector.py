@@ -225,6 +225,19 @@ def v13_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(q, e, k=10).orderBy("q_id", "rank")
 
 
+# --- v14: SQ8 scalar-quantization acceptance report ------------------
+def v14_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization reconstruction-error report per label
+    (``vector.quantize.sq8_error_stats``): the 4× -compression
+    acceptance gate before an ANN index swaps to quantized codes. One
+    min/max aggregation pass (no explode), stats broadcast back,
+    codes + exact-decimal error sums map-side."""
+    from dislib_spark.vector.quantize import sq8_error_stats
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return sq8_error_stats(e, "embedding", dim=64, by="label")
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -239,6 +252,7 @@ QUERIES = {
     "v11_centroid_drift": v11_centroid_drift,
     "v12_mmr_rerank": v12_mmr_rerank,
     "v13_hard_negatives": v13_hard_negatives,
+    "v14_sq8_error": v14_sq8_error,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -508,4 +522,37 @@ ORACLE["v13_hard_negatives"] = f"""
                ) AS rank
         FROM scored
     ) WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+# v14: quantize/reconstruct is pure double IEEE arithmetic (identical
+# bits in any engine); per-dim squared errors go through
+# DECIMAL(28,15) so every sum is order-exact — the replay is
+# bit-for-bit, not tolerance-based.
+ORACLE["v14_sq8_error"] = """
+    WITH flat AS (
+        SELECT vec_id, label, GENERATE_SUBSCRIPTS(embedding, 1) AS k,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    stats AS (SELECT k, MIN(v) AS mn, MAX(v) AS mx FROM flat GROUP BY k),
+    terms AS (
+        SELECT f.vec_id, f.label,
+               CAST(CASE WHEN s.mx = s.mn THEN 0.0 ELSE
+                   (f.v - (s.mn + FLOOR((f.v - s.mn) * 255.0 / (s.mx - s.mn)
+                                        + 0.5)
+                                  * (s.mx - s.mn) / 255.0))
+                   * (f.v - (s.mn + FLOOR((f.v - s.mn) * 255.0 / (s.mx - s.mn)
+                                          + 0.5)
+                                    * (s.mx - s.mn) / 255.0))
+               END AS DECIMAL(28,15)) AS t
+        FROM flat f JOIN stats s USING (k)
+    ),
+    per_vec AS (
+        SELECT vec_id, label, SUM(t) AS err
+        FROM terms GROUP BY vec_id, label
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(err) AS DOUBLE) / (COUNT(*) * 64), 6) AS mse,
+           ROUND(CAST(MAX(err) AS DOUBLE), 6) AS max_err
+    FROM per_vec GROUP BY label ORDER BY label
 """

@@ -17,6 +17,8 @@ survive 100 TB:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -158,3 +160,101 @@ def interval_join(
         )
     )
     return lhs.join(rhs, cond, how)
+
+
+def _epoch_seconds(df: DataFrame, time_col: str) -> Column:
+    """Whole seconds since 1970-01-01 for ``time_col``, floor-
+    truncated, TIMEZONE-FREE for both timestamp flavors: TIMESTAMP
+    (instant) casts straight to long; TIMESTAMP_NTZ subtracts the
+    epoch wall-clock and casts the day-time interval to long
+    (``unix_timestamp``/string parsing would re-interpret the wall
+    clock in the session timezone and shift results between
+    deployments)."""
+    if dict(df.dtypes).get(time_col) == "timestamp_ntz":
+        return (
+            F.col(time_col)
+            - F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        ).cast("long")
+    return F.col(time_col).cast("long")
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    gap: str = "30 minutes",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Batch gaps-and-islands sessionization: adds a ``session_id``
+    column (1-based island number per ``key``) — a new session starts
+    whenever the gap since the previous event for the same key
+    exceeds ``gap`` (an INTERVAL string).
+
+    The batch complement of ``streaming.windows.session_windows``
+    (Spark's ``session_window`` needs a streaming-style aggregation
+    and only yields window bounds); this keeps every event row, so
+    per-session detail queries (duration, n-th event, funnel position)
+    stay expressible.
+
+    Scale: one hash shuffle on ``key`` + per-key sort — the window is
+    always ``partitionBy(key)``, never global, so partitions stay
+    ~n/P at any corpus size. Key skew (one bot user with 10^8 events)
+    is the same lever as any windowed op: pre-split hot keys upstream.
+
+    Extension surface (no reference counterpart — dislib has no
+    relational/temporal layer).
+    """
+    units = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    qty, unit = gap.split()
+    gap_seconds = int(qty) * units[unit.rstrip("s")]
+    sec = _epoch_seconds(df, time_col)
+    order = [time_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    gap_passed = (sec - F.lag(sec).over(w)) > F.lit(gap_seconds)
+    new_session = F.when(
+        gap_passed | F.lag(time_col).over(w).isNull(), 1
+    ).otherwise(0)
+    run = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("session_id", F.sum(new_session).over(run))
+
+
+def recency_weighted_sum(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    half_life: float,
+    t_ref_epoch: int,
+) -> DataFrame:
+    """Per-key exponentially time-decayed value sum:
+    ``score = Σ value · 2^(-(t_ref - t) / half_life)`` with ``t`` in
+    epoch seconds and ``half_life`` in seconds — the standard recency
+    weight for training-data sampling and feature freshness, as a
+    single ORDER-INDEPENDENT aggregation (each term is computed
+    map-side, then summed; no sequential EWMA recursion, so it
+    parallelizes and its batch form equals its incremental form).
+
+    ``t_ref_epoch`` is the "now" anchor in EPOCH SECONDS (an int, not
+    a timestamp string: a string literal would parse in the session
+    timezone and silently shift the weights between deployments);
+    pinning it keeps the query deterministic and replayable.
+
+    Determinism: each double term is cast to DECIMAL(28,12) before
+    SUM so the aggregate is summation-order-exact, then the result
+    surfaces as DOUBLE. Scale: partial aggregation map-side; one
+    shuffle on ``key``.
+    """
+    age = F.lit(int(t_ref_epoch)) - _epoch_seconds(df, time_col)
+    term = F.col(value_col) * F.exp(
+        age.cast("double") / F.lit(-float(half_life)) * float(math.log(2))
+    )
+    return df.groupBy(key).agg(
+        F.sum(term.cast("decimal(28,12)"))
+        .cast("double")
+        .alias("decayed_sum"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

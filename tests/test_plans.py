@@ -44,6 +44,9 @@ _BNLJ_OK = {
     "s08_decayed_hitters",  # 1-row broadcast of the decay reference hour
     "x60_quality_checks",  # 1-row broadcast of the FK-orphan count
     "x19_ntile",  # 1-row broadcast of the total row count
+    "x48_skew_profile",  # 1-row broadcast of the top-k count scalar
+    "m25_lift_rules",  # 1-row broadcast of the basket-total scalar
+    "v14_sq8_error",  # 1-row broadcast of the SQ8 min/max stats
 }
 
 

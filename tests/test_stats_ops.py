@@ -349,3 +349,75 @@ def test_copurchase_giant_basket_capped(spark):
         for r in copurchase_pairs(small, "ok", "item").collect()
     }
     assert got == {(10, 11): 2, (10, 12): 1, (11, 12): 1}
+
+
+def test_association_rules_hand_computed(spark):
+    """4 baskets: {a,b}, {a,b}, {a,c}, {b}. n_a=3 n_b=3 n_c=1 N=4;
+    pair (a,b): n_ab=2, conf both 2/3, lift 2·4/9."""
+    from dislib_spark.functions.basket import association_rules
+
+    lines = spark.createDataFrame(
+        [
+            (1, "a"), (1, "b"),
+            (2, "a"), (2, "b"), (2, "b"),  # dup line counts once
+            (3, "a"), (3, "c"),
+            (4, "b"),
+        ],
+        "ok long, item string",
+    )
+    rules = {
+        (r["p1"], r["p2"]): r
+        for r in association_rules(lines, "ok", "item").collect()
+    }
+    ab = rules[("a", "b")]
+    assert (ab["n_ab"], ab["n_a"], ab["n_b"]) == (2, 3, 3)
+    assert ab["conf_ab"] == round(2 / 3, 6)
+    assert ab["conf_ba"] == round(2 / 3, 6)
+    assert ab["lift"] == round(2 * 4 / (3 * 3), 6)
+    ac = rules[("a", "c")]
+    assert (ac["n_ab"], ac["n_a"], ac["n_b"]) == (1, 3, 1)
+    assert ac["lift"] == round(1 * 4 / (3 * 1), 6)
+    # min_support filters the tail
+    from dislib_spark.functions.basket import association_rules as ar
+
+    assert {(r["p1"], r["p2"]) for r in
+            ar(lines, "ok", "item", min_support=2).collect()} == {("a", "b")}
+
+
+def test_sq8_quantization_numpy_parity(spark):
+    """Codes and reconstruction error match the numpy SQ8 closed form
+    on a small deterministic matrix."""
+    import numpy as np
+
+    from dislib_spark.vector.quantize import sq8_encode, sq8_error_stats
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(40, 6)).astype(np.float32)
+    labels = (np.arange(40) % 2).astype(int)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row], int(l))
+         for i, (row, l) in enumerate(zip(x, labels))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    xd = x.astype(np.float64)
+    mn, mx = xd.min(axis=0), xd.max(axis=0)
+    q = np.floor((xd - mn) * 255.0 / (mx - mn) + 0.5)
+    recon = mn + q * (mx - mn) / 255.0
+    got_codes = {
+        r["vec_id"]: r["codes"]
+        for r in sq8_encode(df, "embedding", 6).collect()
+    }
+    for i in range(40):
+        assert got_codes[i] == [int(c) for c in q[i]]
+        assert all(0 <= c <= 255 for c in got_codes[i])
+    err = ((xd - recon) ** 2).sum(axis=1)
+    stats = {
+        r["label"]: r
+        for r in sq8_error_stats(df, "embedding", 6, by="label").collect()
+    }
+    for lab in (0, 1):
+        mask = labels == lab
+        assert stats[lab]["n_vecs"] == int(mask.sum())
+        assert abs(stats[lab]["mse"]
+                   - err[mask].sum() / (mask.sum() * 6)) < 1e-6
+        assert abs(stats[lab]["max_err"] - err[mask].max()) < 1e-6

@@ -146,3 +146,77 @@ def test_interval_join_stream_stream(spark, tmp_path):
     assert sorted((r.lid, r.rid) for r in rows) == [
         (1, 101), (2, 101), (2, 102), (3, 103), (3, 104),
     ]
+
+
+def test_sessionize_islands(spark):
+    from dislib_spark.temporal import sessionize
+
+    ev = spark.createDataFrame(
+        [
+            (1, "u", dt.datetime(2024, 1, 1, 0, 0)),
+            (2, "u", dt.datetime(2024, 1, 1, 0, 20)),   # within 30m
+            (3, "u", dt.datetime(2024, 1, 1, 1, 0)),    # 40m gap → new
+            (4, "u", dt.datetime(2024, 1, 1, 1, 30, 1)),  # 30m1s → new
+            (5, "w", dt.datetime(2024, 1, 1, 0, 0)),    # own key
+        ],
+        "eid long, k string, t timestamp",
+    )
+    got = {
+        r["eid"]: r["session_id"]
+        for r in sessionize(ev, "k", "t", "30 minutes", tiebreak="eid")
+        .collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 3, 5: 1}
+
+
+def test_sessionize_gap_boundary_inclusive(spark):
+    """A gap of EXACTLY the threshold stays in the same session (the
+    test is strictly-greater, matching the x61 oracle's ``> 1800``)."""
+    from dislib_spark.temporal import sessionize
+
+    ev = spark.createDataFrame(
+        [
+            (1, "u", dt.datetime(2024, 1, 1, 0, 0)),
+            (2, "u", dt.datetime(2024, 1, 1, 0, 30)),  # exactly 1800s
+        ],
+        "eid long, k string, t timestamp",
+    )
+    got = {
+        r["eid"]: r["session_id"]
+        for r in sessionize(ev, "k", "t", "30 minutes").collect()
+    }
+    assert got == {1: 1, 2: 1}
+
+
+def test_recency_weighted_sum_closed_form(spark):
+    """Each term is value · 2^(-age/half_life); check against the
+    python closed form, including that batch ≡ per-event incremental
+    (order independence)."""
+    import math
+
+    from dislib_spark.temporal import recency_weighted_sum
+
+    t_ref = int(dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc).timestamp())
+    rows = [
+        ("u", dt.datetime(2024, 1, 1, 0, 0), 10.0),
+        ("u", dt.datetime(2024, 1, 1, 12, 0), 4.0),
+        ("w", dt.datetime(2024, 1, 1, 23, 0), 1.5),
+    ]
+    ev = spark.createDataFrame(rows, "k string, t timestamp, v double")
+    out = {
+        r["k"]: (r["decayed_sum"], r["n_events"])
+        for r in recency_weighted_sum(
+            ev, "k", "t", "v", half_life=43200.0, t_ref_epoch=t_ref
+        ).collect()
+    }
+
+    def expect(key):
+        return sum(
+            v * 2.0 ** (-(t_ref - int(t.replace(
+                tzinfo=dt.timezone.utc).timestamp())) / 43200.0)
+            for k, t, v in rows if k == key
+        )
+
+    assert math.isclose(out["u"][0], expect("u"), rel_tol=1e-9)
+    assert out["u"][1] == 2
+    assert math.isclose(out["w"][0], expect("w"), rel_tol=1e-9)

@@ -54,6 +54,10 @@ PICKS = {
     "x54_pruning_stats": "one grouped zone-map pass per candidate layout; per-bucket state only",
     "x55_share_report": "windows layered over the grouped aggregate; dims broadcast onto one fact scan",
     "x60_quality_checks": "PK/range/null checks share one conditional-aggregate scan; FK orphans via broadcast anti-join",
+    "x61_sessionize": "flag + cumsum windows share ONE per-user exchange+sort; the session agg reuses that partitioning (zero extra shuffles)",
+    "x62_decay_score": "decay weights computed map-side; one map-side-combined decimal aggregation on the user key",
+    "m25_lift_rules": "rule metrics join the capped pair kernel to item counts; basket total is a 1-row broadcast",
+    "v14_sq8_error": "per-dim min/max as 128 scalar agg exprs (no explode); codes + errors map-side off a 1-row broadcast",
 }
 
 

@@ -238,6 +238,20 @@ def v14_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_error_stats(e, "embedding", dim=64, by="label")
 
 
+# --- v15: binary (sign-bit) quantization + Hamming top-k -------------
+def v15_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit embedding search: sign bits packed to 32-bit words
+    (``vector.quantize.binary_quantize``), top-10 per query by
+    ``Σ bit_count(xor(words))`` — the 32×-compression first-stage
+    filter in front of exact rerank. Pure integer arithmetic, so the
+    oracle replay is exact, not tolerance-based."""
+    from dislib_spark.vector.quantize import hamming_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return hamming_topk(q, e, dim=64, k=10).orderBy("q_id", "rank")
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -253,6 +267,7 @@ QUERIES = {
     "v12_mmr_rerank": v12_mmr_rerank,
     "v13_hard_negatives": v13_hard_negatives,
     "v14_sq8_error": v14_sq8_error,
+    "v15_hamming_topk": v15_hamming_topk,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -555,4 +570,36 @@ ORACLE["v14_sq8_error"] = """
            ROUND(CAST(SUM(err) AS DOUBLE) / (COUNT(*) * 64), 6) AS mse,
            ROUND(CAST(MAX(err) AS DOUBLE), 6) AS max_err
     FROM per_vec GROUP BY label ORDER BY label
+"""
+
+# v15: packing and Hamming distance are pure integer arithmetic —
+# POWER(2, j) for j <= 31 is double-exact, everything after is
+# BIGINT/bit ops, so both engines agree bit-for-bit by construction.
+ORACLE["v15_hamming_topk"] = """
+    WITH flat AS (
+        SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS k,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    bits AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN v > 0 AND k <= 32
+                             THEN CAST(POWER(2, k - 1) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS w0,
+               CAST(SUM(CASE WHEN v > 0 AND k > 32
+                             THEN CAST(POWER(2, k - 33) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS w1
+        FROM flat GROUP BY vec_id
+    ),
+    scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               CAST(bit_count(xor(q.w0, c.w0))
+                    + bit_count(xor(q.w1, c.w1)) AS INT) AS hamming
+        FROM bits q JOIN bits c ON q.vec_id < 5
+    )
+    SELECT q_id, c_id, hamming, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY hamming, c_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10 ORDER BY q_id, rank
 """

@@ -101,3 +101,78 @@ def sq8_error_stats(
         )
         .orderBy(by)
     )
+
+
+def binary_quantize(
+    df: DataFrame, col: str, dim: int, out_col: str = "bits"
+) -> DataFrame:
+    """Adds ``out_col``: the sign bits of ``col`` packed into
+    ``ceil(dim/32)`` longs (bit j of word w set ⇔ element 32w+j > 0)
+    — 32× compression (float32 → 1 bit), the coarsest standard
+    embedding-index quantization. 32-bit words keep every value a
+    small positive BIGINT (no sign-bit wraparound to reason about on
+    any engine). Pure integer arithmetic map-side; zero shuffles."""
+    n_words = (dim + 31) // 32
+
+    def word(w: int) -> Column:
+        lo = 32 * w
+        width = min(32, dim - lo)
+        return F.expr(
+            f"aggregate(sequence(0, {width - 1}), CAST(0 AS BIGINT), "
+            f"(acc, j) -> acc + IF(element_at({col}, {lo} + j + 1) > 0, "
+            f"CAST(POW(2, j) AS BIGINT), CAST(0 AS BIGINT)))"
+        )
+
+    return df.withColumn(
+        out_col, F.array(*[word(w) for w in range(n_words)])
+    )
+
+
+def hamming_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by Hamming distance between sign-bit codes:
+    both sides pack to words map-side, the (small) query set
+    broadcasts against the corpus scan, distance is
+    ``Σ bit_count(xor(word pairs))`` — pure 64-bit integer ops in
+    codegen, ~dim/64 instructions per pair vs dim multiply-adds for
+    cosine. Rank per query with a partitioned window, ties by c_id.
+
+    The standard first-stage filter at 100 TB: scan the 1-bit codes,
+    then exact-rerank the survivors with ``cosine_topk``."""
+    n_words = (dim + 31) // 32
+    q = binary_quantize(queries, vec_col, dim).select(
+        F.col(id_col).alias("q_id"), F.col("bits").alias("q_bits")
+    )
+    c = binary_quantize(corpus, vec_col, dim).select(
+        F.col(id_col).alias("c_id"), F.col("bits").alias("c_bits")
+    )
+    dist = sum(
+        (
+            F.bit_count(
+                F.element_at("q_bits", w + 1).bitwiseXOR(
+                    F.element_at("c_bits", w + 1)
+                )
+            )
+            for w in range(n_words)
+        ),
+        F.lit(0),
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select("q_id", "c_id", dist.cast("int").alias("hamming"))
+    )
+    w = Window.partitionBy("q_id").orderBy("hamming", "c_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "hamming", "rank")
+    )

@@ -47,6 +47,7 @@ _BNLJ_OK = {
     "x48_skew_profile",  # 1-row broadcast of the top-k count scalar
     "m25_lift_rules",  # 1-row broadcast of the basket-total scalar
     "v14_sq8_error",  # 1-row broadcast of the SQ8 min/max stats
+    "v15_hamming_topk",  # broadcast query codes vs corpus scan, like v01
 }
 
 

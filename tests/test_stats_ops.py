@@ -421,3 +421,37 @@ def test_sq8_quantization_numpy_parity(spark):
         assert abs(stats[lab]["mse"]
                    - err[mask].sum() / (mask.sum() * 6)) < 1e-6
         assert abs(stats[lab]["max_err"] - err[mask].max()) < 1e-6
+
+
+def test_binary_quantize_hamming_numpy_parity(spark):
+    """Sign-bit packing and Hamming top-k match the numpy closed form
+    (including a >32-dim split across two words)."""
+    import numpy as np
+
+    from dislib_spark.vector.quantize import binary_quantize, hamming_topk
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(30, 40)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    signs = (x.astype(np.float64) > 0).astype(np.int64)
+    w0 = (signs[:, :32] << np.arange(32)).sum(axis=1)
+    w1 = (signs[:, 32:] << np.arange(8)).sum(axis=1)
+    got = {
+        r["vec_id"]: r["bits"]
+        for r in binary_quantize(df, "embedding", 40).collect()
+    }
+    for i in range(30):
+        assert got[i] == [int(w0[i]), int(w1[i])]
+    ham = (signs[:, None, :] != signs[None, :, :]).sum(axis=2)
+    top = hamming_topk(
+        df.where("vec_id < 3"), df, dim=40, k=5
+    ).collect()
+    for r in top:
+        assert r["hamming"] == int(ham[r["q_id"], r["c_id"]])
+    # rank-1 is always the query itself at distance 0
+    assert {(r["q_id"], r["c_id"]) for r in top if r["rank"] == 1} == {
+        (0, 0), (1, 1), (2, 2)
+    }

@@ -1499,6 +1499,39 @@ def x62_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+# --- x63: time-weighted average (tick-database TWAP) -----------------
+def x63_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) time-weighted average event value
+    (``temporal.twap``): each observation weighted by the seconds it
+    was current — the hypertable aggregate a naive AVG gets wrong
+    whenever observations are irregularly spaced. One per-(user, day)
+    window for the lead + one map-side-combined agg; integer weights
+    and decimal sums make the replay exact."""
+    from dislib_spark.temporal import twap
+
+    ev = load_table(spark, sf_dir, "events")
+    return twap(
+        ev, "user_id", "ts", "value", bucket="day", tiebreak="event_id"
+    ).orderBy("user_id", "bucket")
+
+
+# --- x64: OHLC bars ---------------------------------------------------
+def x64_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly open/high/low/close/volume bars per event type
+    (``temporal.ohlc_bars``) — the canonical hypertable rollup.
+    Open/close ride a lexicographic struct MIN/MAX on
+    (second, event_id, value), so the whole bar is ONE
+    map-side-combined aggregation: no window, no sort, one shuffle on
+    the (type, hour) key at any scale."""
+    from dislib_spark.temporal import ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_bars(
+        ev, "event_type", "ts", "value", bucket="hour",
+        tiebreak="event_id",
+    ).orderBy("event_type", "bucket")
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -1546,6 +1579,8 @@ QUERIES = {
     "x60_quality_checks": x60_quality_checks,
     "x61_sessionize": x61_sessionize,
     "x62_decay_score": x62_decay_score,
+    "x63_twap": x63_twap,
+    "x64_ohlc": x64_ohlc,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -2313,4 +2348,61 @@ ORACLE["x62_decay_score"] = """
     FROM events
     GROUP BY user_id
     ORDER BY user_id
+"""
+
+# x63: dt weights are exact integers; value*dt is one IEEE multiply
+# (identical bits both engines) cast to DECIMAL(28,6) so the weighted
+# sum is order-exact; DuckDB's HUGEINT window/group sums cast back to
+# BIGINT to match Spark's long.
+ORACLE["x63_twap"] = """
+    WITH e AS (
+        SELECT user_id, date_trunc('day', ts) AS bucket,
+               CAST(EPOCH(date_trunc('second', ts)) AS BIGINT) AS sec,
+               event_id, value
+        FROM events
+    ),
+    w AS (
+        SELECT *, LEAD(sec) OVER (
+                   PARTITION BY user_id, bucket
+                   ORDER BY sec, event_id) - sec AS dt
+        FROM e
+    )
+    SELECT user_id, CAST(bucket AS TIMESTAMP) AS bucket,
+           ROUND(CAST(SUM(CAST(value * dt AS DECIMAL(28,6))) AS DOUBLE)
+                 / CAST(SUM(dt) AS BIGINT), 6) AS twap,
+           CAST(SUM(dt) AS BIGINT) AS span_s,
+           COUNT(*) AS n_obs
+    FROM w WHERE dt IS NOT NULL
+    GROUP BY user_id, bucket
+    ORDER BY user_id, bucket
+"""
+
+# x64: open/close replayed with first/last row_number picks over the
+# (sec, event_id) order — exactly the struct-MIN/MAX lexicographic
+# pick because (sec, event_id) is unique.
+ORACLE["x64_ohlc"] = """
+    WITH e AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               CAST(EPOCH(date_trunc('second', ts)) AS BIGINT) AS sec,
+               event_id, value
+        FROM events
+    ),
+    w AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY sec, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY sec DESC, event_id DESC) AS rn_d
+        FROM e
+    )
+    SELECT event_type, CAST(bucket AS TIMESTAMP) AS bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           COUNT(*) AS n_obs,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM w
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
 """

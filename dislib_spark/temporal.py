@@ -258,3 +258,85 @@ def recency_weighted_sum(
         .alias("decayed_sum"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def twap(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    bucket: str = "day",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-weighted average value per (``key``, ``bucket``): each
+    observation is weighted by how long it was "current" — the
+    seconds until the next observation of the same key inside the
+    same bucket (tick-database TWAP; the last observation of a bucket
+    carries no duration and is excluded, so buckets with a single
+    observation yield no row). Weights are exact integers; the
+    weighted sum goes through DECIMAL(28,6) so it is summation-order
+    exact.
+
+    Scale: ONE per-(key, bucket) window (hash shuffle + sort) for the
+    lead, then a map-side-combined aggregation on the same key — the
+    window partitioning is never global."""
+    sec = _epoch_seconds(df, time_col)
+    bkt = F.date_trunc(bucket, F.col(time_col))
+    order = [sec.asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else [F.col(time_col).asc()]
+    )
+    w = Window.partitionBy(F.col(key), bkt).orderBy(*order)
+    staged = df.select(
+        F.col(key),
+        bkt.alias("bucket"),
+        sec.alias("_sec"),
+        F.col(value_col).alias("_v"),
+        (F.lead(sec).over(w) - sec).alias("_dt"),
+    ).where(F.col("_dt").isNotNull())
+    return (
+        staged.groupBy(key, "bucket")
+        .agg(
+            F.round(
+                F.sum((F.col("_v") * F.col("_dt")).cast("decimal(28,6)"))
+                .cast("double")
+                / F.sum("_dt"),
+                6,
+            ).alias("twap"),
+            F.sum("_dt").alias("span_s"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    bucket: str = "hour",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Open/high/low/close bars per (``key``, time ``bucket``) — the
+    canonical hypertable rollup. Open/close are the first/last
+    observation by (whole second, ``tiebreak``): a lexicographic
+    struct MIN/MAX, so the whole bar is ONE map-side-combined
+    aggregation — no window, no sort, no second scan. Volume-style
+    sum is decimal-cast (order-exact)."""
+    sec = _epoch_seconds(df, time_col)
+    order = [sec] + ([F.col(tiebreak)] if tiebreak else [])
+    tagged = F.struct(*order, F.col(value_col).alias("_v"))
+    return (
+        df.groupBy(
+            F.col(key), F.date_trunc(bucket, F.col(time_col)).alias("bucket")
+        )
+        .agg(
+            F.min(tagged).getField("_v").alias("open"),
+            F.max(tagged).getField("_v").alias("close"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("volume"),
+        )
+    )

@@ -220,3 +220,53 @@ def test_recency_weighted_sum_closed_form(spark):
     assert math.isclose(out["u"][0], expect("u"), rel_tol=1e-9)
     assert out["u"][1] == 2
     assert math.isclose(out["w"][0], expect("w"), rel_tol=1e-9)
+
+
+def test_twap_hand_computed(spark):
+    """Irregular ticks: value 10 held 60 s then 20 held 180 s in one
+    day-bucket → TWAP (10*60+20*180)/240 = 17.5; the final tick
+    carries no duration; a single-tick bucket emits nothing."""
+    from dislib_spark.temporal import twap
+
+    ev = spark.createDataFrame(
+        [
+            (1, 7, dt.datetime(2024, 1, 1, 0, 0, 0), 10.0),
+            (2, 7, dt.datetime(2024, 1, 1, 0, 1, 0), 20.0),
+            (3, 7, dt.datetime(2024, 1, 1, 0, 4, 0), 99.0),  # last: no dt
+            (4, 8, dt.datetime(2024, 1, 1, 5, 0, 0), 42.0),  # lone tick
+        ],
+        "eid long, k long, t timestamp, v double",
+    )
+    rows = twap(ev, "k", "t", "v", bucket="day", tiebreak="eid").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["k"], r["twap"], r["span_s"], r["n_obs"]) == (7, 17.5, 240, 2)
+
+
+def test_ohlc_bars_hand_computed(spark):
+    """Open/close follow (second, tiebreak) order including a
+    same-second tie; high/low/volume are plain aggregates."""
+    from dislib_spark.temporal import ohlc_bars
+
+    ev = spark.createDataFrame(
+        [
+            (1, "a", dt.datetime(2024, 1, 1, 9, 0, 5), 3.0),
+            (2, "a", dt.datetime(2024, 1, 1, 9, 0, 5), 9.0),  # same sec, eid 2
+            (3, "a", dt.datetime(2024, 1, 1, 9, 59, 0), 1.0),
+            (4, "a", dt.datetime(2024, 1, 1, 10, 1, 0), 7.0),  # next hour
+        ],
+        "eid long, k string, t timestamp, v double",
+    )
+    bars = {
+        r["bucket"]: r
+        for r in ohlc_bars(
+            ev, "k", "t", "v", bucket="hour", tiebreak="eid"
+        ).collect()
+    }
+    b9 = bars[dt.datetime(2024, 1, 1, 9, 0)]
+    assert (b9["open"], b9["close"], b9["high"], b9["low"]) == (
+        3.0, 1.0, 9.0, 1.0,
+    )
+    assert (b9["n_obs"], b9["volume"]) == (3, 13.0)
+    b10 = bars[dt.datetime(2024, 1, 1, 10, 0)]
+    assert (b10["open"], b10["close"], b10["n_obs"]) == (7.0, 7.0, 1)

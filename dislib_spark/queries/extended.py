@@ -2372,7 +2372,7 @@ ORACLE["x63_twap"] = """
                  / CAST(SUM(dt) AS BIGINT), 6) AS twap,
            CAST(SUM(dt) AS BIGINT) AS span_s,
            COUNT(*) AS n_obs
-    FROM w WHERE dt IS NOT NULL
+    FROM w WHERE dt > 0
     GROUP BY user_id, bucket
     ORDER BY user_id, bucket
 """

@@ -271,11 +271,14 @@ def twap(
     """Time-weighted average value per (``key``, ``bucket``): each
     observation is weighted by how long it was "current" — the
     seconds until the next observation of the same key inside the
-    same bucket (tick-database TWAP; the last observation of a bucket
-    carries no duration and is excluded, so buckets with a single
-    observation yield no row). Weights are exact integers; the
-    weighted sum goes through DECIMAL(28,6) so it is summation-order
-    exact.
+    same bucket (tick-database TWAP). Only observations with a
+    POSITIVE duration carry weight: the bucket's last observation has
+    none, and same-second bursts collapse onto whichever tick the
+    ``tiebreak`` order puts last in the second — so buckets whose
+    ticks all share one second (span 0) yield no row rather than an
+    ANSI divide-by-zero (property-tested). Weights are exact
+    integers; the weighted sum goes through DECIMAL(28,6) so it is
+    summation-order exact.
 
     Scale: ONE per-(key, bucket) window (hash shuffle + sort) for the
     lead, then a map-side-combined aggregation on the same key — the
@@ -292,7 +295,7 @@ def twap(
         sec.alias("_sec"),
         F.col(value_col).alias("_v"),
         (F.lead(sec).over(w) - sec).alias("_dt"),
-    ).where(F.col("_dt").isNotNull())
+    ).where(F.col("_dt") > 0)
     return (
         staged.groupBy(key, "bucket")
         .agg(

@@ -149,3 +149,105 @@ def test_pii_redaction_idempotent(spark, text):
         redact(F.col("text")).alias("r")
     )
     assert once.collect() == twice.collect()
+
+
+@st.composite
+def event_stream(draw):
+    """Random (key, epoch-second, value) ticks with duplicate-second
+    collisions likely (small second range)."""
+    n = draw(st.integers(min_value=2, max_value=25))
+    secs = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=7200),
+            min_size=n, max_size=n,
+        )
+    )
+    keys = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=2), min_size=n, max_size=n
+        )
+    )
+    vals = draw(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, width=32),
+            min_size=n, max_size=n,
+        )
+    )
+    return list(zip(keys, secs, vals))
+
+
+@given(rows=event_stream(), gap_s=st.integers(min_value=60, max_value=1800))
+@settings(**_SETTINGS)
+def test_sessionize_matches_python_brute_force(spark, rows, gap_s):
+    """Session assignment equals the obvious sequential python scan
+    for any tick pattern (ties, bursts, lone events)."""
+    import datetime as dt
+
+    from dislib_spark.temporal import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, k, base + dt.timedelta(seconds=s), v)
+            for i, (k, s, v) in enumerate(rows)
+        ],
+        "eid long, k long, t timestamp, v double",
+    )
+    got = {
+        r["eid"]: r["session_id"]
+        for r in sessionize(
+            df, "k", "t", f"{gap_s} seconds", tiebreak="eid"
+        ).collect()
+    }
+    expect = {}
+    for k in {r[0] for r in rows}:
+        ticks = sorted(
+            (s, i) for i, (kk, s, _) in enumerate(rows) if kk == k
+        )
+        sid, prev = 0, None
+        for s, i in ticks:
+            if prev is None or s - prev > gap_s:
+                sid += 1
+            expect[i] = sid
+            prev = s
+    assert got == expect
+
+
+@given(rows=event_stream())
+@settings(**_SETTINGS)
+def test_twap_matches_python_brute_force(spark, rows):
+    """TWAP equals the sequential duration-weighted mean per (key,
+    day-bucket) for any tick pattern (all seconds < 2h → one bucket)."""
+    import datetime as dt
+    import math
+
+    from dislib_spark.temporal import twap
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, k, base + dt.timedelta(seconds=s), v)
+            for i, (k, s, v) in enumerate(rows)
+        ],
+        "eid long, k long, t timestamp, v double",
+    )
+    got = {
+        r["k"]: (r["twap"], r["span_s"], r["n_obs"])
+        for r in twap(
+            df, "k", "t", "v", bucket="day", tiebreak="eid"
+        ).collect()
+    }
+    for k in {r[0] for r in rows}:
+        ticks = sorted(
+            (s, i, v) for i, (kk, s, v) in enumerate(rows) if kk == k
+        )
+        num = den = 0.0
+        for (s0, _, v0), (s1, _, _) in zip(ticks, ticks[1:]):
+            num += v0 * (s1 - s0)
+            den += s1 - s0
+        if den == 0:
+            # every tick simultaneous or single tick → no weighted row
+            assert k not in got or got[k][1] == 0 or k not in got
+            continue
+        assert math.isclose(got[k][0], round(num / den, 6), abs_tol=2e-6)
+        assert got[k][1] == int(den)

@@ -119,8 +119,9 @@ def _run_items(spark, sf_dir, names=None) -> dict[str, float]:
 
     timings: dict[str, float] = {}
     queries = all_queries()
-    fits = dict(_fit_items(spark, sf_dir))
-    order = sorted(queries) + [n for n, _ in _fit_items(spark, sf_dir)]
+    fit_items = _fit_items(spark, sf_dir)
+    fits = dict(fit_items)
+    order = sorted(queries) + [n for n, _ in fit_items]
     if names is not None:
         order = [n for n in order if n in set(names)]
     for name in order:

@@ -48,16 +48,16 @@ def tsqr(a: DsArray, mode: str = "reduced", indexes=None):
     """reference decomposition/tsqr/base.py:11-740.
 
     reduced → (Q (n×d), R (d×d)); r_reduced → R only;
-    reduced_inverse → (Q, R⁻¹) (the reference's backward-Q
-    reconstruction for matrix inversion, served by a driver-side
-    solve on the small R).
+    reduced_inverse → same (Q, R) contract as reduced.
 
     complete → (Q (n×n), R (n×d)) via ``linalg.qr_full``;
     r_complete → the n×d R only; complete_inverse → same (Q, R)
-    contract as complete (the reference's "_inverse" variants differ
-    only in HOW Q is accumulated — backward — not in what is
-    returned; its tests assert the identical QᵀQ=I / triu / Q·R=A
-    properties). Unlike the reference, no power-of-2 block-count
+    contract as complete. BOTH "_inverse" variants return plain
+    (Q, R): in the reference they differ only in HOW Q is accumulated
+    — backward, "from end to beginning" (tsqr/base.py:21-23) — not in
+    what is returned; its tests (tests/test_tsqr.py:204-243) assert
+    triu(R) and Q·R = A on the reduced_inverse output, NOT an
+    inverted R. Unlike the reference, no power-of-2 block-count
     restriction (an artifact of its block geometry — ValueError
     tsqr/base.py:287-289).
 
@@ -74,11 +74,7 @@ def tsqr(a: DsArray, mode: str = "reduced", indexes=None):
         return r
     if mode == "reduced_inverse":
         q, r = qr_economic(a)
-        return (
-            (_q_columns(q, indexes), np.linalg.inv(r))
-            if indexes
-            else (q, np.linalg.inv(r))
-        )
+        return (_q_columns(q, indexes), r) if indexes else (q, r)
     if mode in ("complete", "complete_inverse"):
         return qr_full(a, indexes=indexes)
     if mode == "r_complete":

@@ -204,8 +204,11 @@ def fake_pcm_decode(content: bytes, n_samples: int = 4096) -> np.ndarray:
 
 
 def wav_pcm_decode(content: bytes) -> np.ndarray:
-    """Real audio decoder, stdlib-only: RIFF/WAV (8/16/32-bit int or
-    32-bit float PCM) → mono float32 in [-1, 1]. Same contract as
+    """Real audio decoder, stdlib-only: RIFF/WAV INTEGER PCM
+    (8/16/32-bit) → mono float32 in [-1, 1]. IEEE-float WAV is NOT
+    supported: stdlib ``wave`` rejects WAVE_FORMAT_IEEE_FLOAT
+    (wave.Error), and the width-4 branch below decodes int32 — use
+    ``soundfile_pcm_decode`` for float streams. Same contract as
     ``fake_pcm_decode``, so ``audio_windows`` runs against real audio
     bytes without soundfile/ffmpeg."""
     import io

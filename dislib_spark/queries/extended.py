@@ -1238,7 +1238,14 @@ def s09_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        # a silent partial memory table would hash-diverge from the
+        # oracle with no error pointing here — fail loudly instead
+        q.stop()
+        raise TimeoutError(
+            "s09 availableNow stream did not finish within 300 s"
+        )
     # update mode emits one row per (micro-batch, key); the final
     # state per user is the max-n row (n strictly grows per emit)
     final = (

@@ -285,7 +285,13 @@ def load_blocks_rechunk(
     ``data/io.py:405-444`` — its blocks are COMPSs futures, ours are
     local ndarrays; the grid layout ``blocks[i*n_cols + j]`` and the
     oversized-block ValueError are identical). Block geometry maps to
-    partition granularity (see rechunk)."""
+    partition granularity (see rechunk).
+
+    Divergence (deliberate): the grid is ``ceil(shape/block_size)``
+    blocks per dimension, where the reference floors — identical for
+    the divisible shapes the reference's callers use, but a
+    non-divisible ``shape`` keeps its trailing partial blocks here
+    instead of silently dropping the last block row/column."""
     import numpy as np
 
     from dislib_spark.array.core import array as ds_array
@@ -296,8 +302,8 @@ def load_blocks_rechunk(
             "is greater than the ds-array"
         )
     spark = spark or SparkSession.getActiveSession()
-    n_rows = int(shape[0] / block_size[0])
-    n_cols = int(shape[1] / block_size[1])
+    n_rows = -(-shape[0] // block_size[0])
+    n_cols = -(-shape[1] // block_size[1])
     grid = [
         [np.asarray(blocks[i * n_cols + j]) for j in range(n_cols)]
         for i in range(n_rows)

@@ -88,15 +88,33 @@ def merge_into_path(
     first rename leaves the target untouched; a crash between the two
     renames leaves the committed result in ``.__tmp__`` and the prior
     table in ``.__old__`` — nothing is ever deleted before the new
-    data is fully durable. Stale ``.__tmp__``/``.__old__`` leftovers
-    from a previous crash are cleared on entry. Partition-scoped
-    rewrite is the at-scale form — see module docstring.
+    data is fully durable. Recovery on entry FIRST checks whether the
+    target is missing (the mid-swap crash state) and completes the
+    swap from ``.__tmp__`` (preferred: it holds the fully-written
+    merged result) or rolls back from ``.__old__``; only when the
+    target exists are leftovers stale debris safe to clear.
+    Partition-scoped rewrite is the at-scale form — see module
+    docstring.
     """
     import os
     import shutil
 
     tmp = path.rstrip("/") + ".__tmp__"
     old = path.rstrip("/") + ".__old__"
+    if not os.path.isdir(path):
+        # mid-swap crash: the rename of path → old succeeded but
+        # tmp → path did not. NEVER delete the survivors here — they
+        # are the only copies. Prefer tmp (the durable merged result,
+        # written in full before the first rename), else roll back.
+        if os.path.isdir(tmp):
+            os.rename(tmp, path)
+        elif os.path.isdir(old):
+            os.rename(old, path)
+        else:
+            raise FileNotFoundError(
+                f"merge target {path!r} missing and no "
+                f".__tmp__/.__old__ survivor to recover from"
+            )
     for leftover in (tmp, old):
         if os.path.isdir(leftover):
             shutil.rmtree(leftover)

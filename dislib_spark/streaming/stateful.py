@@ -42,19 +42,27 @@ def ensure_protobuf(spark=None) -> bool:
     PYTHONPATH, which an already-running JVM would never see)."""
     global _vendor_zip
     try:
-        import google.protobuf  # noqa: F401
+        import google.protobuf
 
-        return True
+        # A REAL install is assumed cluster-wide → nothing to ship.
+        # But if the import only succeeded because a previous call
+        # path-injected the VENDORED copy on this driver, executors
+        # still need the zip — fall through to addPyFile (the early
+        # return here used to strand non-local executors without
+        # protobuf while reporting success).
+        pb_file = getattr(google.protobuf, "__file__", "") or ""
+        if not pb_file.startswith(str(_VENDOR)):
+            return True
     except ImportError:
-        pass
-    if not (_VENDOR / "google" / "protobuf").is_dir():
-        return False
-    if str(_VENDOR) not in sys.path:
-        sys.path.insert(0, str(_VENDOR))
-    # also cover python workers spawned by future JVMs in this process
-    os.environ["PYTHONPATH"] = (
-        str(_VENDOR) + os.pathsep + os.environ.get("PYTHONPATH", "")
-    )
+        if not (_VENDOR / "google" / "protobuf").is_dir():
+            return False
+        if str(_VENDOR) not in sys.path:
+            sys.path.insert(0, str(_VENDOR))
+        # also cover python workers spawned by future JVMs in this
+        # process
+        os.environ["PYTHONPATH"] = (
+            str(_VENDOR) + os.pathsep + os.environ.get("PYTHONPATH", "")
+        )
     if spark is not None:
         if _vendor_zip is None:
             import shutil

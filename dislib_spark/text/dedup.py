@@ -71,7 +71,7 @@ def jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_posting: int | None = 10_000,
+    max_posting: int | None = None,
     max_df: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via inverted shingle
@@ -82,8 +82,12 @@ def jaccard_pairs(
     Hot-shingle blowup control (the K² hazard at corpus scale — one
     boilerplate shingle in every doc otherwise yields |corpus|²
     pairs): each shingle's posting list is truncated DETERMINISTICALLY
-    to its ``max_posting`` smallest doc ids (``None`` disables),
-    mirroring ``minhash_lsh_pairs``' ``max_bucket_size``. Truncated
+    to its ``max_posting`` smallest doc ids, mirroring
+    ``minhash_lsh_pairs``' ``max_bucket_size``. OFF by default
+    (``None``): the default contract is EXACT all-pairs Jaccard — the
+    declared oracles model no cap, so a silently-binding default
+    would diverge precisely at the scale it first matters; a 100 TB
+    corpus opts in explicitly (10_000 is a proven setting). Truncated
     docs still pair through their other, rarer shingles; only the
     intersection contribution of the hot shingle beyond the cap is
     lost, which can only LOWER a pair's computed Jaccard — recall on

@@ -180,3 +180,25 @@ def test_rechunk_and_load_blocks_rechunk(spark):
         ds.load_blocks_rechunk(
             blocks, (6, 4), (3, 2), (7, 4), spark=spark
         )
+
+
+def test_load_blocks_rechunk_non_divisible_shape(spark):
+    """A 5x4 array from a 3x2 grid of 2x2 blocks (last block row is
+    1x2): ceil-division assembly keeps the trailing partial blocks —
+    the floored grid would silently drop the fifth data row."""
+    import numpy as np
+
+    import dislib_spark as ds
+
+    full = np.arange(20, dtype=float).reshape(5, 4)
+    blocks = [
+        full[i : i + 2, j : j + 2]
+        for i in range(0, 5, 2)
+        for j in range(0, 4, 2)
+    ]
+    got = ds.load_blocks_rechunk(
+        blocks, shape=(5, 4), block_size=(2, 2), new_block_size=(3, 4),
+        spark=spark,
+    )
+    assert got.shape == (5, 4)
+    assert np.array_equal(got.collect(), full)

@@ -92,3 +92,66 @@ def test_merge_into_path_crash_safe_swap(spark, tmp_path):
     assert not os.path.exists(path + ".__old__")
     got = {r["k"]: r["s"] for r in spark.read.parquet(path).collect()}
     assert got[1] == "A" and set(got) == {1, 2, 3}
+
+
+def test_merge_into_path_mid_swap_recovery_prefers_tmp(spark, tmp_path):
+    """Crash state AFTER path→old but BEFORE tmp→path: the target dir
+    is gone, the merged result lives in .__tmp__ and the prior table
+    in .__old__. Recovery must complete the swap from tmp (never
+    delete the only surviving copies) and then merge normally."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "tbl3")
+    _t(spark).write.parquet(path)
+    # build a genuine "merged result" in tmp (k=1 already updated)
+    merged = merge_into(
+        spark.read.parquet(path),
+        spark.createDataFrame([(1, "A", 11.0)], "k long, s string, v double"),
+        ["k"],
+    )
+    merged.write.parquet(path + ".__tmp__")
+    os.rename(path, path + ".__old__")  # the mid-swap crash state
+
+    updates = spark.createDataFrame(
+        [(2, "B", 22.0)], "k long, s string, v double"
+    )
+    merge_into_path(spark, path, updates, ["k"])
+    got = {r["k"]: r["s"] for r in spark.read.parquet(path).collect()}
+    # tmp (with k=1 → "A") was recovered, then k=2 → "B" merged on top
+    assert got[1] == "A" and got[2] == "B" and set(got) == {1, 2, 3}
+    assert not os.path.exists(path + ".__tmp__")
+    assert not os.path.exists(path + ".__old__")
+    shutil.rmtree(path)
+
+
+def test_merge_into_path_mid_swap_recovery_rolls_back_from_old(
+    spark, tmp_path
+):
+    """Crash state where only .__old__ survived (tmp was lost): roll
+    the prior table back instead of deleting it."""
+    import os
+
+    path = str(tmp_path / "tbl4")
+    _t(spark).write.parquet(path)
+    os.rename(path, path + ".__old__")
+    updates = spark.createDataFrame(
+        [(3, "C", 33.0)], "k long, s string, v double"
+    )
+    merge_into_path(spark, path, updates, ["k"])
+    got = {r["k"]: r["s"] for r in spark.read.parquet(path).collect()}
+    assert got[3] == "C" and set(got) == {1, 2, 3}
+
+
+def test_merge_into_path_missing_target_no_survivors_raises(
+    spark, tmp_path
+):
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="no .*survivor"):
+        merge_into_path(
+            spark,
+            str(tmp_path / "nope"),
+            spark.createDataFrame([(1, "A", 1.0)], "k long, s string, v double"),
+            ["k"],
+        )

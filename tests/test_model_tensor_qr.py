@@ -116,10 +116,11 @@ def test_qr_modes(spark):
     assert np.allclose(np.triu(rf), rf)
     assert np.allclose(Qf @ rf, A, atol=1e-8)
 
-    # r_inv pairs with ITS OWN run's R (tallSkinnyQR row signs are
-    # run-dependent): Q·R = A ⇒ Q = A·R⁻¹ ⇒ Q·(R⁻¹)⁻¹ = A
-    q2, r_inv = tsqr(a, mode="reduced_inverse")
-    assert np.allclose(q2.collect() @ np.linalg.inv(r_inv), A, atol=1e-8)
+    q2, r2 = tsqr(a, mode="reduced_inverse")
+    # the reference's _inverse modes return plain (Q, R) — its tests
+    # (test_tsqr.py:204-243) assert triu(R) and Q.R = A, not inv(R)
+    assert np.allclose(np.triu(r2), r2)
+    assert np.allclose(q2.collect() @ r2, A, atol=1e-8)
 
 
 def test_tsqr_mode_shapes(spark):
@@ -133,8 +134,8 @@ def test_tsqr_mode_shapes(spark):
     assert np.allclose(q.collect() @ r, A, atol=1e-8)
     r_only = tsqr(a, mode="r_reduced")
     assert r_only.shape == (4, 4)
-    q2, r_inv = tsqr(a, mode="reduced_inverse")
-    assert q2.shape == (30, 4) and r_inv.shape == (4, 4)
+    q2, r2 = tsqr(a, mode="reduced_inverse")
+    assert q2.shape == (30, 4) and r2.shape == (4, 4)
     A_np = A
     for mode in ("complete", "complete_inverse"):
         qc, rc = tsqr(a, mode=mode)

@@ -736,6 +736,29 @@ def t43_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --- t44: deterministic weighted sampling (Efraimidis-Spirakis) ------
+def t44_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sample without replacement: top-5 docs per
+    source by the A-ES key ln(u)/w (u = stable md5 uniform of doc_id,
+    w = n_chars) — ``sampling.weighted_sample_topk``. The curation
+    step "keep the k best docs per source, weighted by score" with
+    rerun/engine/partitioning-stable output; the md5-uniform + 12-dp
+    key rounding make the oracle replay exact."""
+    from dislib_spark.sampling import weighted_sample_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    out = weighted_sample_topk(
+        d, weight_col="n_chars", key_col="doc_id", k=5, by="source"
+    )
+    return out.select(
+        "source",
+        "doc_id",
+        F.round("es_key", 6).alias("es_key"),
+        "rank",
+    ).orderBy("source", "rank")
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -780,6 +803,7 @@ QUERIES = {
     "t41_quality_gate": t41_quality_gate,
     "t42_temperature_sample": t42_temperature_sample,
     "t43_zipf_fit": t43_zipf_fit,
+    "t44_weighted_sample": t44_weighted_sample,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -1785,4 +1809,26 @@ ORACLE["t43_zipf_fit"] = """
            ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
                  / n, 6) AS zipf_intercept
     FROM s
+"""
+
+# t44: '0x'||hex → BIGINT replays Spark's conv(hex,16,10); the A-ES
+# key is rounded to 1e-12 (7 orders above cross-engine LN ulp noise)
+# BEFORE ranking, ties break on doc_id — the selected set and ranks
+# are bit-stable on both engines.
+ORACLE["t44_weighted_sample"] = """
+    WITH keyed AS (
+        SELECT source, doc_id,
+               ROUND(LN((CAST(('0x' || substr(
+                              md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) + 1.0) / 4294967296.0)
+                     / n_chars, 12) AS es_key
+        FROM documents
+    )
+    SELECT source, doc_id, ROUND(es_key, 6) AS es_key,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY es_key DESC, doc_id) AS rank
+        FROM keyed
+    ) WHERE rank <= 5 ORDER BY source, rank
 """

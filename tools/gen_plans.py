@@ -58,6 +58,9 @@ PICKS = {
     "x62_decay_score": "decay weights computed map-side; one map-side-combined decimal aggregation on the user key",
     "m25_lift_rules": "rule metrics join the capped pair kernel to item counts; basket total is a 1-row broadcast",
     "v14_sq8_error": "per-dim min/max as 128 scalar agg exprs (no explode); codes + errors map-side off a 1-row broadcast",
+    "x63_twap": "lead window shares the (user,day) hash shuffle with the final agg; weights map-side",
+    "x64_ohlc": "the whole bar is ONE map-side-combined aggregation — struct MIN/MAX open/close, no window, no sort",
+    "t44_weighted_sample": "A-ES keys computed map-side; per-source top-k window (partitioned, WindowGroupLimit)",
 }
 
 

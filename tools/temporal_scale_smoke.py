@@ -100,6 +100,28 @@ def main() -> None:
 
     timed("recency_weighted_sum", run_decay)
 
+    def run_twap():
+        from dislib_spark.temporal import twap
+
+        (
+            twap(ev, "user_id", "ts", "value", bucket="day",
+                 tiebreak="event_id")
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    timed("twap (lead window + agg)", run_twap)
+
+    def run_ohlc():
+        from dislib_spark.temporal import ohlc_bars
+
+        (
+            ohlc_bars(ev, "user_id", "ts", "value", bucket="hour",
+                      tiebreak="event_id")
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    timed("ohlc bars (single agg)", run_ohlc)
+
     nv = max(N // 10, 1)
 
     def gen_vectors():
@@ -136,6 +158,16 @@ def main() -> None:
         ).mode("overwrite").save()
 
     timed("SQ8 error report (min/max + codes)", run_sq8)
+
+    def run_hamming():
+        from dislib_spark.vector.quantize import hamming_topk
+
+        q = vecs.where(F.col("vec_id") < 5)
+        hamming_topk(q, vecs, dim=64, k=10).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timed("binary-quantize Hamming top-10 x5 queries", run_hamming)
 
 
 if __name__ == "__main__":

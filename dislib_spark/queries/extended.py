@@ -1539,6 +1539,56 @@ def x64_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket")
 
 
+# --- x65: SCD2 dimension build + point-in-time lookup ----------------
+def x65_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 from an event stream: each
+    user's event_type history becomes validity intervals
+    ``[valid_from, valid_to)`` via one per-user lead window (the SCD2
+    *build* every warehouse runs on CDC feeds — x43 is the SCD1
+    compact, this keeps full history), then three pinned probe
+    instants look up the active version per user — a
+    broadcast-probes interval join, returning (probe_s, user_id,
+    event_type, version, n_versions).
+
+    Scale: the build is ONE per-user window (hash shuffle on user);
+    the lookup broadcasts the tiny probe list against the interval
+    table — never a corpus×corpus range join. Epoch-second interval
+    bounds + event_id tiebreak make the replay exact."""
+    from pyspark.sql import Window
+
+    from dislib_spark.temporal import _epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = _epoch_seconds(ev, "ts")
+    w = Window.partitionBy("user_id").orderBy(sec.asc(), F.col("event_id"))
+    dim = ev.select(
+        "user_id",
+        "event_type",
+        sec.alias("valid_from"),
+        F.coalesce(
+            F.lead(sec).over(w), F.lit(2**62)
+        ).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+    )
+    probes = spark.range(3).select(
+        (F.lit(1704844800) + F.col("id") * 864000).alias("probe_s")
+    )  # 2024-01-10 / -20 / -30 00:00:00Z
+    hits = dim.join(
+        F.broadcast(probes),
+        (F.col("valid_from") <= F.col("probe_s"))
+        & (F.col("probe_s") < F.col("valid_to")),
+    )
+    counts = dim.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions")
+    )
+    return (
+        hits.join(counts, "user_id")
+        .select("probe_s", "user_id", "event_type", "version", "n_versions")
+        .where(F.col("user_id") < 40)
+        .orderBy("probe_s", "user_id")
+    )
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -1588,6 +1638,7 @@ QUERIES = {
     "x62_decay_score": x62_decay_score,
     "x63_twap": x63_twap,
     "x64_ohlc": x64_ohlc,
+    "x65_scd2": x65_scd2,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -2412,4 +2463,37 @@ ORACLE["x64_ohlc"] = """
     FROM w
     GROUP BY event_type, bucket
     ORDER BY event_type, bucket
+"""
+
+# x65: interval bounds are exact integer seconds; version numbering
+# rides the same (sec, event_id) total order on both engines; the
+# probe instants are pinned epoch ints (no timestamp-string parsing).
+ORACLE["x65_scd2"] = """
+    WITH dim AS (
+        SELECT user_id, event_type,
+               CAST(EPOCH(date_trunc('second', ts)) AS BIGINT)
+                   AS valid_from,
+               COALESCE(LEAD(CAST(EPOCH(date_trunc('second', ts))
+                                  AS BIGINT)) OVER w,
+                        4611686018427387904) AS valid_to,
+               CAST(ROW_NUMBER() OVER w AS INT) AS version
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY CAST(EPOCH(date_trunc('second', ts)) AS BIGINT),
+                     event_id)
+    ),
+    probes AS (
+        SELECT 1704844800 + k * 864000 AS probe_s
+        FROM UNNEST([0, 1, 2]) AS t(k)
+    ),
+    counts AS (
+        SELECT user_id, COUNT(*) AS n_versions FROM dim GROUP BY user_id
+    )
+    SELECT probe_s, d.user_id, event_type, version, n_versions
+    FROM dim d
+    JOIN probes p ON d.valid_from <= p.probe_s AND p.probe_s < d.valid_to
+    JOIN counts c ON c.user_id = d.user_id
+    WHERE d.user_id < 40
+    ORDER BY probe_s, d.user_id
 """

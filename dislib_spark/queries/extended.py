@@ -1589,6 +1589,41 @@ def x65_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x66: blocked entity resolution (record linkage) -----------------
+def x66_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage over customers (``linkage.entity_pairs``):
+    candidates blocked on (nation, market segment) — an equi-join,
+    never a corpus self-join — scored 0.6·name-levenshtein-sim +
+    0.4·balance-proximity, top-30 matches. The Splink-style
+    structured-record dedup that text dedup (t26) can't express:
+    multi-field weighted evidence with cheap blocking. All similarity
+    math is exact integer/2-dec arithmetic, so the replay is exact."""
+    from dislib_spark.linkage import (
+        entity_pairs,
+        numeric_similarity,
+        string_similarity,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey", "c_mktsegment"
+    )
+    scores = {
+        "name": string_similarity(F.col("a_c_name"), F.col("b_c_name")),
+        "acctbal": numeric_similarity(
+            F.col("a_c_acctbal"), F.col("b_c_acctbal"), scale=2000.0
+        ),
+    }
+    out = entity_pairs(
+        c,
+        "c_custkey",
+        ["c_nationkey", "c_mktsegment"],
+        scores,
+        weights={"name": 0.6, "acctbal": 0.4},
+        threshold=0.5,
+    )
+    return out.orderBy(F.desc("score"), "a_id", "b_id").limit(30)
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -1639,6 +1674,7 @@ QUERIES = {
     "x63_twap": x63_twap,
     "x64_ohlc": x64_ohlc,
     "x65_scd2": x65_scd2,
+    "x66_entity_resolution": x66_entity_resolution,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -2496,4 +2532,34 @@ ORACLE["x65_scd2"] = """
     JOIN counts c ON c.user_id = d.user_id
     WHERE d.user_id < 40
     ORDER BY probe_s, d.user_id
+"""
+
+# x66: levenshtein is exact integer DP on both engines; sims round to
+# 9dp before the weighted sum (fixed field order, left-assoc) and the
+# final score/display round to 6 — the filter applies to the ROUNDED
+# score on both sides.
+ORACLE["x66_entity_resolution"] = """
+    WITH pairs AS (
+        SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+               1.0 - levenshtein(a.c_name, b.c_name)
+                     / CAST(GREATEST(LENGTH(a.c_name),
+                                     LENGTH(b.c_name)) AS DOUBLE)
+                   AS s_name,
+               1.0 - LEAST(ABS(a.c_acctbal - b.c_acctbal) / 2000.0, 1.0)
+                   AS s_bal
+        FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+         AND a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+    ),
+    scored AS (
+        SELECT a_id, b_id,
+               ROUND(s_name, 6) AS sim_name,
+               ROUND(s_bal, 6) AS sim_acctbal,
+               ROUND(0.0 + ROUND(s_name, 9) * 0.6
+                         + ROUND(s_bal, 9) * 0.4, 6) AS score
+        FROM pairs
+    )
+    SELECT * FROM scored WHERE score >= 0.5
+    ORDER BY score DESC, a_id, b_id LIMIT 30
 """

@@ -455,3 +455,45 @@ def test_binary_quantize_hamming_numpy_parity(spark):
     assert {(r["q_id"], r["c_id"]) for r in top if r["rank"] == 1} == {
         (0, 0), (1, 1), (2, 2)
     }
+
+
+def test_entity_pairs_hand_computed(spark):
+    """Blocked linkage: pairs only within blocks; similarities match
+    the python closed form; max_block caps a whale block."""
+    from pyspark.sql import functions as F
+
+    from dislib_spark.linkage import (
+        entity_pairs,
+        numeric_similarity,
+        string_similarity,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alice", 100.0, "B1"),
+            (2, "alicx", 150.0, "B1"),  # lev 1, |Δbal| 50
+            (3, "bob", 100.0, "B1"),
+            (4, "alice", 100.0, "B2"),  # other block: never pairs w/ 1
+        ],
+        "id long, name string, bal double, blk string",
+    )
+    scores = {
+        "name": string_similarity(F.col("a_name"), F.col("b_name")),
+        "bal": numeric_similarity(F.col("a_bal"), F.col("b_bal"), 100.0),
+    }
+    out = {
+        (r["a_id"], r["b_id"]): r
+        for r in entity_pairs(
+            df, "id", ["blk"], scores, {"name": 0.5, "bal": 0.5}
+        ).collect()
+    }
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    r12 = out[(1, 2)]
+    assert r12["sim_name"] == round(1 - 1 / 5, 6)
+    assert r12["sim_bal"] == 0.5
+    assert abs(r12["score"] - (0.5 * (1 - 1 / 5) + 0.5 * 0.5)) < 1e-6
+    # whale-block cap: keep 2 smallest ids per block → only (1,2)
+    capped = entity_pairs(
+        df, "id", ["blk"], scores, {"name": 1.0}, max_block=2
+    ).collect()
+    assert {(r["a_id"], r["b_id"]) for r in capped} == {(1, 2)}

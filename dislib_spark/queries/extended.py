@@ -1597,7 +1597,13 @@ def x66_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.4·balance-proximity, top-30 matches. The Splink-style
     structured-record dedup that text dedup (t26) can't express:
     multi-field weighted evidence with cheap blocking. All similarity
-    math is exact integer/2-dec arithmetic, so the replay is exact."""
+    math is exact integer/2-dec arithmetic, so the replay is exact.
+
+    ``max_block=40`` exercises the deterministic whale-block cap for
+    real: levenshtein cost is Σ block², and TPC-H's (nation, segment)
+    blocks grow with sf — the cap keeps pair count flat per block at
+    any scale (inactive at sf≤0.01 where blocks are ≤12 wide; at
+    sf0.1 it cut the uncapped 8.5 s / ~900k-pair run to ~1 s)."""
     from dislib_spark.linkage import (
         entity_pairs,
         numeric_similarity,
@@ -1620,6 +1626,7 @@ def x66_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores,
         weights={"name": 0.6, "acctbal": 0.4},
         threshold=0.5,
+        max_block=40,
     )
     return out.orderBy(F.desc("score"), "a_id", "b_id").limit(30)
 
@@ -2539,7 +2546,17 @@ ORACLE["x65_scd2"] = """
 # final score/display round to 6 — the filter applies to the ROUNDED
 # score on both sides.
 ORACLE["x66_entity_resolution"] = """
-    WITH pairs AS (
+    WITH side AS (
+        SELECT * FROM (
+            SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+                   c_mktsegment,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_nationkey, c_mktsegment
+                       ORDER BY c_custkey) AS bn
+            FROM customer
+        ) WHERE bn <= 40
+    ),
+    pairs AS (
         SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
                1.0 - levenshtein(a.c_name, b.c_name)
                      / CAST(GREATEST(LENGTH(a.c_name),
@@ -2547,7 +2564,7 @@ ORACLE["x66_entity_resolution"] = """
                    AS s_name,
                1.0 - LEAST(ABS(a.c_acctbal - b.c_acctbal) / 2000.0, 1.0)
                    AS s_bal
-        FROM customer a JOIN customer b
+        FROM side a JOIN side b
           ON a.c_custkey < b.c_custkey
          AND a.c_nationkey = b.c_nationkey
          AND a.c_mktsegment = b.c_mktsegment

@@ -15,7 +15,7 @@ aggregation. That is the shape that survives 100 TB: d=100 columns is
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -244,4 +244,49 @@ def roc_auc(
         ).alias("auc"),
         F.sum("n_pos_g").cast("bigint").alias("n_pos"),
         (F.sum("n") - F.sum("n_pos_g")).cast("bigint").alias("n_neg"),
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    bucket: Column,
+    label: Column,
+) -> DataFrame:
+    """Weight-of-Evidence binning for a binary label: per feature
+    bucket, ``woe = ln((pos_b/P) / (neg_b/N))`` and its Information-
+    Value term ``(pos_b/P - neg_b/N)·woe`` — the classic
+    credit-scoring / feature-selection report (IV = Σ iv_term ranks
+    the feature's predictive power). ONE map-side-combined
+    aggregation: (bucket → pos/neg counts), class totals re-
+    aggregated from the tiny bucket table via a 1-row broadcast.
+
+    Buckets where either class is absent are dropped (their WOE is
+    ±∞; standard practice is a coarser binning or a smoothing prior —
+    both expressible upstream in ``bucket``). Counts are exact
+    integers, so the only float op is one LN per bucket — replayable
+    to 6 dp on any engine.
+    """
+    per = df.groupBy(bucket.alias("bucket")).agg(
+        F.sum(label.cast("long")).alias("pos_n"),
+        F.sum((~label).cast("long")).alias("neg_n"),
+    )
+    tot = F.broadcast(
+        per.agg(
+            F.sum("pos_n").alias("P"),
+            F.sum("neg_n").alias("N"),
+        )
+    )
+    pr = F.col("pos_n") / F.col("P")
+    nr = F.col("neg_n") / F.col("N")
+    woe = F.log(pr / nr)
+    return (
+        per.crossJoin(tot)
+        .where((F.col("pos_n") > 0) & (F.col("neg_n") > 0))
+        .select(
+            "bucket",
+            "pos_n",
+            "neg_n",
+            F.round(woe, 6).alias("woe"),
+            F.round((pr - nr) * woe, 6).alias("iv_term"),
+        )
     )

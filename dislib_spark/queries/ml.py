@@ -835,6 +835,23 @@ def m25_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("lift"), "p1", "p2").limit(20)
 
 
+# --- m26: Weight-of-Evidence / Information Value ----------------------
+def m26_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE binning of quantity deciles against the "returned" label
+    (``math.stats.woe_iv``) — the credit-scoring feature-selection
+    report (IV = Σ iv_term). One map-side-combined count pass; class
+    totals re-aggregate the bucket table through a 1-row broadcast;
+    exact integer counts make the single LN per bucket replayable."""
+    from dislib_spark.math.stats import woe_iv
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return woe_iv(
+        li,
+        bucket=F.floor(F.col("l_quantity") / 10).cast("int"),
+        label=F.col("l_returnflag") == "R",
+    ).orderBy("bucket")
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -861,6 +878,7 @@ QUERIES = {
     "m23_ks_statistic": m23_ks_statistic,
     "m24_davies_bouldin": m24_davies_bouldin,
     "m25_lift_rules": m25_lift_rules,
+    "m26_woe_iv": m26_woe_iv,
 }
 
 
@@ -1536,4 +1554,27 @@ ORACLE["m25_lift_rules"] = """
     JOIN items cb ON cb.it = p2
     CROSS JOIN tot
     ORDER BY lift DESC, p1, p2 LIMIT 20
+"""
+
+# m26: counts are exact integers; the single LN per bucket is the
+# only float op (round 6 absorbs libm ulp); buckets missing a class
+# are dropped on both sides identically.
+ORACLE["m26_woe_iv"] = """
+    WITH per AS (
+        SELECT CAST(FLOOR(l_quantity / 10) AS INT) AS bucket,
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS pos_n,
+               SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                   AS neg_n
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(pos_n) AS P, SUM(neg_n) AS N FROM per)
+    SELECT bucket, CAST(pos_n AS BIGINT) AS pos_n,
+           CAST(neg_n AS BIGINT) AS neg_n,
+           ROUND(LN((pos_n / P) / (neg_n / N)), 6) AS woe,
+           ROUND((pos_n / P - neg_n / N)
+                 * LN((pos_n / P) / (neg_n / N)), 6) AS iv_term
+    FROM per CROSS JOIN tot
+    WHERE pos_n > 0 AND neg_n > 0
+    ORDER BY bucket
 """

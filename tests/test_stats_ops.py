@@ -497,3 +497,28 @@ def test_entity_pairs_hand_computed(spark):
         df, "id", ["blk"], scores, {"name": 1.0}, max_block=2
     ).collect()
     assert {(r["a_id"], r["b_id"]) for r in capped} == {(1, 2)}
+
+
+def test_woe_iv_python_parity(spark):
+    """WOE/IV match the closed form; a bucket missing one class is
+    dropped (its WOE is infinite)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dislib_spark.math.stats import woe_iv
+
+    rows = [(b, lab) for b, n_pos, n_neg in [(0, 8, 2), (1, 3, 7), (2, 5, 0)]
+            for lab in [True] * n_pos + [False] * n_neg]
+    df = spark.createDataFrame(rows, "b int, y boolean")
+    got = {
+        r["bucket"]: r
+        for r in woe_iv(df, F.col("b"), F.col("y")).collect()
+    }
+    assert set(got) == {0, 1}  # bucket 2 has no negatives → dropped
+    P, N = 16, 9
+    for b, (p, n) in {0: (8, 2), 1: (3, 7)}.items():
+        woe = math.log((p / P) / (n / N))
+        assert abs(got[b]["woe"] - woe) < 1e-6
+        assert abs(got[b]["iv_term"] - (p / P - n / N) * woe) < 1e-6
+        assert (got[b]["pos_n"], got[b]["neg_n"]) == (p, n)

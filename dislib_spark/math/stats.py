@@ -290,3 +290,134 @@ def woe_iv(
             F.round((pr - nr) * woe, 6).alias("iv_term"),
         )
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int | None = None,
+) -> DataFrame:
+    """Average precision (step-interpolated PR-AUC): with rows ranked
+    by score descending, ``AP = Σ_t (pos_t / P) · precision@t`` over
+    the distinct score thresholds t — the ranking-quality twin of
+    :func:`roc_auc` that weights the head of the ranking (retrieval /
+    hard-negative mining care about this one, not ROC).
+
+    Same scale shape as ``roc_auc``: rows collapse to per-distinct-
+    score (count, positives) pairs FIRST, then ONE descending
+    running-sum window walks the grouped rows — window input is the
+    distinct-score cardinality, never the corpus. ``n_bins`` bounds
+    that cardinality for continuous scores (the 100 TB path,
+    convergence pinned in tests/test_stats_ops.py). Ties share one
+    threshold (the whole tied block enters precision at once), which
+    is the standard tie treatment.
+
+    Returns one row (ap, n_pos, n_neg); ap rounded to 6 places.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    src = df
+    if n_bins is not None:
+        lohi = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
+        width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+        key = (
+            F.when(F.col("hi") == F.col("lo"), F.lit(0.0))
+            .otherwise(
+                F.least(
+                    F.lit(float(n_bins - 1)),
+                    F.floor((v - F.col("lo")) / width).cast("double"),
+                )
+            )
+        ).alias("score")
+        src = df.crossJoin(F.broadcast(lohi))
+    else:
+        key = v.alias("score")
+    grp = src.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("pos"),
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = grp.select(
+        "n",
+        "pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+    )
+    return r.agg(
+        F.round(
+            F.sum(F.col("pos") * F.col("cp") / F.col("cn"))
+            / F.sum("pos"),
+            6,
+        ).alias("ap"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        (F.sum("n") - F.sum("pos")).cast("bigint").alias("n_neg"),
+    )
+
+
+def km_curve(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator: ``S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ)``
+    over event times tᵢ, with right-censoring (``event=0`` rows leave
+    the risk set without contributing a failure) — churn / reliability
+    / time-to-conversion analysis on event logs.
+
+    Scale shape: the corpus collapses to per-distinct-duration
+    (events, leavers) pairs in ONE map-side-combined aggregate; the
+    at-risk count is a suffix running sum and the survival product an
+    ``exp(Σ ln)`` prefix sum, both windows over the distinct-duration
+    table (days, not rows — bounded by the observation span at any
+    corpus size). No driver collect, no self-join, no per-row state.
+
+    A zero factor (everyone at risk fails at t) would make ``ln``
+    engine-dependent, so it is excluded from the log sum and the
+    survival pinned to exactly 0.0 from that time on via a windowed
+    min guard.
+
+    Returns (t, n_risk, n_event, survival) for event times only,
+    survival rounded to 6 places.
+    """
+    from pyspark.sql import Window
+
+    g = df.groupBy(
+        F.col(duration_col).cast("long").alias("t")
+    ).agg(
+        F.sum(F.col(event_col).cast("long")).alias("d"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    suffix = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.select(
+        "t", "d", F.sum("m").over(suffix).alias("n_risk")
+    )
+    f = F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
+    surv = F.when(F.min(f).over(cum) == 0, F.lit(0.0)).otherwise(
+        F.exp(
+            F.sum(
+                F.when(F.col("d") < F.col("n_risk"), F.log(f)).otherwise(
+                    F.lit(0.0)
+                )
+            ).over(cum)
+        )
+    )
+    return (
+        r.select(
+            "t",
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("n_event"),
+            F.round(surv, 6).alias("survival"),
+        )
+        .where(F.col("n_event") > 0)
+        .orderBy("t")
+    )

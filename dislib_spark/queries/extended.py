@@ -1631,6 +1631,134 @@ def x66_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("score"), "a_id", "b_id").limit(30)
 
 
+# --- x67: Markov transition matrix -----------------------------------
+def x67_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition probabilities per user
+    journey (``temporal.markov_transitions``): lead() in a
+    partitionBy(user) window → one map-side-combined pair count →
+    row-normalize over the |states|² table. The clickstream model
+    that x15's funnel and x61's sessions read off — no global sort,
+    no self-join, exact integer counts."""
+    from dislib_spark.temporal import markov_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_transitions(
+        ev, "user_id", "event_type", ["ts", "event_id"]
+    ).orderBy("prev_state", "next_state")
+
+
+# --- x68: month-over-month growth ------------------------------------
+def x68_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period KPI report: monthly order revenue per
+    region with month-over-month growth — lag() layered OVER the
+    grouped aggregate (window input is |regions × months| rows,
+    never the fact scan), dims broadcast, decimal-exact sums cast to
+    double BEFORE the growth divide."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            "r_name", F.date_trunc("month", "o_orderdate").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        )
+    )
+    w = Window.partitionBy("r_name").orderBy("month")
+    prev = F.lag(F.col("rev")).over(w)
+    return monthly.select(
+        "r_name",
+        "month",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev").cast("double") - prev.cast("double"))
+            / prev.cast("double"),
+            6,
+        ).alias("mom_growth"),
+    ).orderBy("r_name", "month")
+
+
+# --- x69: Gini revenue concentration ---------------------------------
+def x69_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-revenue concentration per region: Gini coefficient
+    via the rank formula G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over
+    revenue-ranked customers — the Lorenz-curve summary behind
+    "top-1% of customers" dashboards. Ranks are per-REGION windows
+    over the customer-level pre-aggregate (at 100 TB swap the rank
+    for utils.base.with_global_index's range-partition form); the
+    rank·revenue cross-moment accumulates as exact DECIMAL(38,2)
+    (a double sum overflows 2^53), cast to double only for the final
+    scalar algebra."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    w = Window.partitionBy("r_name").orderBy("rev", "c_custkey")
+    ranked = per_cust.select(
+        "r_name",
+        "rev",
+        F.row_number().over(w).cast("decimal(20,0)").alias("i"),
+    )
+    s1 = F.sum((F.col("i") * F.col("rev")).cast("decimal(38,2)"))
+    return (
+        ranked.groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("rev").alias("tot"),
+            s1.alias("s1"),
+        )
+        .select(
+            "r_name",
+            "n_cust",
+            F.col("tot").cast("double").alias("revenue"),
+            F.round(
+                F.lit(2.0)
+                * F.col("s1").cast("double")
+                / (F.col("n_cust") * F.col("tot").cast("double"))
+                - (F.col("n_cust") + 1) / F.col("n_cust").cast("double"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("r_name")
+    )
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -1682,6 +1810,9 @@ QUERIES = {
     "x64_ohlc": x64_ohlc,
     "x65_scd2": x65_scd2,
     "x66_entity_resolution": x66_entity_resolution,
+    "x67_markov_transitions": x67_markov_transitions,
+    "x68_mom_growth": x68_mom_growth,
+    "x69_gini": x69_gini,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -2579,4 +2710,84 @@ ORACLE["x66_entity_resolution"] = """
     )
     SELECT * FROM scored WHERE score >= 0.5
     ORDER BY score DESC, a_id, b_id LIMIT 30
+"""
+
+# x67: transition counts are exact integers; each probability is one
+# IEEE-exact division of a count by its row total.
+ORACLE["x67_markov_transitions"] = """
+    WITH p AS (
+        SELECT event_type AS prev_state,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_state
+        FROM events
+    ),
+    c AS (
+        SELECT prev_state, next_state, COUNT(*) AS n
+        FROM p WHERE next_state IS NOT NULL
+        GROUP BY prev_state, next_state
+    )
+    SELECT prev_state, next_state, CAST(n AS BIGINT) AS n,
+           ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY prev_state), 6)
+               AS prob
+    FROM c ORDER BY prev_state, next_state
+"""
+
+# x68: DATE_TRUNC('month') yields DATE in DuckDB but TIMESTAMP in
+# Spark -> cast; revenue sums stay DECIMAL(18,2) until the divide.
+ORACLE["x68_mom_growth"] = """
+    WITH monthly AS (
+        SELECT r.r_name,
+               CAST(DATE_TRUNC('month', o.o_orderdate) AS TIMESTAMP)
+                   AS month,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, DATE_TRUNC('month', o.o_orderdate)
+    )
+    SELECT r_name, month, CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND((CAST(rev AS DOUBLE)
+                  - CAST(LAG(rev) OVER w AS DOUBLE))
+                 / CAST(LAG(rev) OVER w AS DOUBLE), 6) AS mom_growth
+    FROM monthly
+    WINDOW w AS (PARTITION BY r_name ORDER BY month)
+    ORDER BY r_name, month
+"""
+
+# x69: the rank*revenue cross-moment is summed as exact DECIMAL(38,2)
+# on both engines (a double sum tops 2^53), cast to double only for
+# the final scalar Gini algebra.
+ORACLE["x69_gini"] = """
+    WITH per_cust AS (
+        SELECT r.r_name, c.c_custkey,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, c.c_custkey
+    ),
+    ranked AS (
+        SELECT r_name, rev,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r_name ORDER BY rev, c_custkey
+               ) AS i
+        FROM per_cust
+    ),
+    g AS (
+        SELECT r_name, COUNT(*) AS n_cust,
+               SUM(rev) AS tot,
+               SUM(CAST(i * rev AS DECIMAL(38,2))) AS s1
+        FROM ranked GROUP BY r_name
+    )
+    SELECT r_name, CAST(n_cust AS BIGINT) AS n_cust,
+           CAST(tot AS DOUBLE) AS revenue,
+           ROUND(2.0 * CAST(s1 AS DOUBLE)
+                     / (n_cust * CAST(tot AS DOUBLE))
+                 - (n_cust + 1) / CAST(n_cust AS DOUBLE), 6) AS gini
+    FROM g ORDER BY r_name
 """

@@ -852,6 +852,141 @@ def m26_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def _m10_score():
+    """Shared fixed-weight linear scorer over embeddings (the m10/m11
+    logistic model): z = Σ e_j · w_j with w_j = ((j%7)-3)/10, rounded
+    to 9 dp so the 64-term fold is order-proof across engines."""
+    w = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: ((j % 7) - 3) / F.lit(10.0),
+    )
+    z = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), w, lambda a, b: a.cast("double") * b
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.round(z, 9)
+
+
+def m27_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (step-interpolated PR-AUC) of the fixed m10
+    scorer — the ranking-quality metric retrieval and hard-negative
+    mining actually optimize (ROC-AUC ignores the head of the
+    ranking; AP weights it). ``math.stats.average_precision``:
+    distinct-score collapse + ONE descending running-sum window, same
+    scale shape as m11's rank-sum AUC; ``n_bins=`` is the bounded-
+    window 100 TB swap-in (convergence pinned in
+    tests/test_stats_ops.py)."""
+    from dislib_spark.math.stats import average_precision
+
+    e = load_table(spark, sf_dir, "embeddings")
+    scored = e.select(
+        F.when(F.col("label") < 5, F.lit(1.0)).otherwise(0.0).alias("y"),
+        _m10_score().alias("score"),
+    )
+    return average_precision(scored, "score", "y")
+
+
+def m28_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between the fixed
+    m10 classifier (z > 0 ⇔ σ(z) > 0.5) and the binary label. The
+    model-eval sibling of m13's confusion matrix: one conditional-
+    aggregate pass to the four cell counts (O(1) reduce state), then
+    kappa = (p_o − p_e)/(1 − p_e) as scalar algebra on exact integer
+    counts — every float op is a division of exact ints, replayable
+    to the last ulp."""
+    e = load_table(spark, sf_dir, "embeddings")
+    t = e.select(
+        (F.col("label") < 5).cast("long").alias("y"),
+        (_m10_score() > 0).cast("long").alias("p"),
+    )
+    cells = t.agg(
+        F.sum(F.col("y") * F.col("p")).alias("n11"),
+        F.sum(F.col("y") * (1 - F.col("p"))).alias("n10"),
+        F.sum((1 - F.col("y")) * F.col("p")).alias("n01"),
+        F.sum((1 - F.col("y")) * (1 - F.col("p"))).alias("n00"),
+    )
+    n = F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")
+    po = (F.col("n11") + F.col("n00")) / n
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (n * n)
+    return cells.select(
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        F.round(po, 6).alias("p_o"),
+        F.round(pe, 6).alias("p_e"),
+        n.cast("bigint").alias("n"),
+    )
+
+
+def m29_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier fulfillment-time survival over orders: duration =
+    days from order date to the last lineitem shipment, event =
+    status 'F' (fully shipped observed), 'O'/'P' right-censored.
+    ``math.stats.km_curve``: one equi-join + one grouped collapse to
+    per-day (events, leavers), then suffix/prefix windows over the
+    distinct-DAY table (bounded by the observation span, never the
+    order count) — the churn/time-to-X estimator for event logs."""
+    from dislib_spark.math.stats import km_curve
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dur = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderstatus")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.datediff(
+                F.to_date("last_ship"), F.to_date("o_orderdate")
+            ).alias("dur"),
+            (F.col("o_orderstatus") == "F").cast("long").alias("ev"),
+        )
+    )
+    return km_curve(dur, "dur", "ev")
+
+
+def m30_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette for the m03 fixed-center
+    assignment: per row a = distance to own centroid, b = distance to
+    the nearest OTHER centroid, s = (b−a)/max(a,b); mean s per
+    cluster. The per-point companion of m24's cluster-level
+    Davies-Bouldin — ONE scan with k literal-center distances sorted
+    in-expression (array_sort), no join, O(k) state. SQRT is
+    IEEE-exact so the only cross-engine drift is summation order,
+    absorbed by the 6-dp rounding."""
+    d_exprs = [
+        (F.col("q") - F.lit(cx)) * (F.col("q") - F.lit(cx))
+        + (F.col("dc") - F.lit(cd)) * (F.col("dc") - F.lit(cd))
+        for cx, cd in _M03_CENTERS
+    ]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("q"),
+        F.col("l_discount").cast("double").alias("dc"),
+    )
+    least = F.least(*d_exprs)
+    cluster = (
+        F.when(d_exprs[0] == least, 0)
+        .when(d_exprs[1] == least, 1)
+        .otherwise(2)
+    )
+    arr = F.array_sort(F.array(*d_exprs))
+    a = F.sqrt(F.element_at(arr, 1))
+    b = F.sqrt(F.element_at(arr, 2))
+    s = (b - a) / F.greatest(a, b)
+    return (
+        li.select(cluster.alias("cluster"), s.alias("s"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("s"), 6).alias("mean_s"),
+        )
+        .orderBy("cluster")
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -879,6 +1014,10 @@ QUERIES = {
     "m24_davies_bouldin": m24_davies_bouldin,
     "m25_lift_rules": m25_lift_rules,
     "m26_woe_iv": m26_woe_iv,
+    "m27_average_precision": m27_average_precision,
+    "m28_cohens_kappa": m28_cohens_kappa,
+    "m29_kaplan_meier": m29_kaplan_meier,
+    "m30_silhouette": m30_silhouette,
 }
 
 
@@ -1577,4 +1716,131 @@ ORACLE["m26_woe_iv"] = """
     FROM per CROSS JOIN tot
     WHERE pos_n > 0 AND neg_n > 0
     ORDER BY bucket
+"""
+
+_M10_SCORE_SQL = """ROUND(list_inner_product(
+    list_transform(embedding, v -> v::DOUBLE),
+    list_transform(range(0, 64), j -> ((j % 7) - 3) / 10.0)
+), 9)"""
+
+# m27: exact integer counts per distinct 9-dp score; each AP term is
+# one IEEE-exact division, the final sum is rounded 6 orders above
+# accumulated ulp drift.
+ORACLE["m27_average_precision"] = f"""
+    WITH s AS (
+        SELECT CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,
+               {_M10_SCORE_SQL} AS score
+        FROM embeddings
+    ),
+    g AS (
+        SELECT score, COUNT(*) AS n, SUM(y) AS pos
+        FROM s GROUP BY score
+    ),
+    r AS (
+        SELECT n, pos,
+               SUM(n) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cn,
+               SUM(pos) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cp
+        FROM g
+    )
+    SELECT ROUND(SUM(pos * cp / cn) / SUM(pos), 6) AS ap,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(n) - SUM(pos) AS BIGINT) AS n_neg
+    FROM r
+"""
+
+# m28: all four cells are exact integer counts; kappa/p_o/p_e are
+# divisions of exact ints — bit-identical on both engines.
+ORACLE["m28_cohens_kappa"] = f"""
+    WITH t AS (
+        SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+               CASE WHEN {_M10_SCORE_SQL} > 0 THEN 1 ELSE 0 END AS p
+        FROM embeddings
+    ),
+    c AS (
+        SELECT SUM(y * p) AS n11, SUM(y * (1 - p)) AS n10,
+               SUM((1 - y) * p) AS n01,
+               SUM((1 - y) * (1 - p)) AS n00
+        FROM t
+    )
+    SELECT ROUND(((n11 + n00)::DOUBLE / (n11 + n10 + n01 + n00)
+                  - ((n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00))::DOUBLE
+                    / ((n11 + n10 + n01 + n00)::DOUBLE
+                       * (n11 + n10 + n01 + n00)))
+                 / (1 - ((n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00))::DOUBLE
+                        / ((n11 + n10 + n01 + n00)::DOUBLE
+                           * (n11 + n10 + n01 + n00))), 6) AS kappa,
+           ROUND((n11 + n00)::DOUBLE
+                 / (n11 + n10 + n01 + n00), 6) AS p_o,
+           ROUND(((n11 + n10) * (n11 + n01)
+                  + (n01 + n00) * (n10 + n00))::DOUBLE
+                 / ((n11 + n10 + n01 + n00)::DOUBLE
+                    * (n11 + n10 + n01 + n00)), 6) AS p_e,
+           CAST(n11 + n10 + n01 + n00 AS BIGINT) AS n
+    FROM c
+"""
+
+# m29: counts are exact integers; the factor 1-d/n is an IEEE-exact
+# division; LN/EXP accumulate <=1 ulp per of ~400 terms, six orders
+# below the 6-dp rounding grain. Zero factors bypass LN entirely.
+ORACLE["m29_kaplan_meier"] = """
+    WITH dur AS (
+        SELECT DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                         CAST(MAX(l.l_shipdate) AS DATE)) AS t,
+               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus
+    ),
+    g AS (SELECT t, SUM(ev) AS d, COUNT(*) AS m FROM dur GROUP BY t),
+    r AS (
+        SELECT t, d,
+               SUM(m) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                            AND UNBOUNDED FOLLOWING) AS n_risk
+        FROM g
+    ),
+    s AS (
+        SELECT t, d, n_risk,
+               CASE WHEN MIN(1 - d::DOUBLE / n_risk) OVER cum = 0
+                    THEN 0.0
+                    ELSE EXP(SUM(CASE WHEN d < n_risk
+                                      THEN LN(1 - d::DOUBLE / n_risk)
+                                      ELSE 0.0 END) OVER cum)
+               END AS surv
+        FROM r
+        WINDOW cum AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+    )
+    SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_event, ROUND(surv, 6) AS survival
+    FROM s WHERE d > 0 ORDER BY t
+"""
+
+# m30: distances reuse the m03/m24 literal centers; SQRT and the
+# (b-a)/max(a,b) ratio are IEEE-exact per row, so only the per-group
+# mean's summation order differs — absorbed by ROUND(...,6).
+ORACLE["m30_silhouette"] = f"""
+    WITH p AS (
+        SELECT CASE
+                   WHEN {_D[0]} = LEAST({_D[0]}, {_D[1]}, {_D[2]})
+                       THEN 0
+                   WHEN {_D[1]} = LEAST({_D[0]}, {_D[1]}, {_D[2]})
+                       THEN 1
+                   ELSE 2
+               END AS cluster,
+               list_sort([{_D[0]}, {_D[1]}, {_D[2]}]) AS arr
+        FROM lineitem
+    ),
+    s AS (
+        SELECT cluster,
+               (SQRT(arr[2]) - SQRT(arr[1]))
+                   / GREATEST(SQRT(arr[1]), SQRT(arr[2])) AS s
+        FROM p
+    )
+    SELECT cluster, COUNT(*) AS n, ROUND(AVG(s), 6) AS mean_s
+    FROM s GROUP BY cluster ORDER BY cluster
 """

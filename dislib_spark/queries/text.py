@@ -759,6 +759,46 @@ def t44_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "rank")
 
 
+def t45_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novelty report from ``text.features.ngram_novelty``
+    (word-trigram first-seen share, min-doc_id ownership): the
+    dedup-aware contribution score that orders crawl batches —
+    boilerplate scores ~0, new text ~1. Corpus work is one exploded
+    distinct (doc, trigram) table + one co-shuffled equi-join back on
+    the trigram key; per-doc ratios are exact integer divisions, the
+    per-source mean is rounded 6 dp."""
+    from dislib_spark.text.features import ngram_novelty
+
+    d = load_table(spark, sf_dir, "documents")
+    nov = ngram_novelty(d, n=3)
+    return (
+        d.select("doc_id", "source")
+        .join(nov, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("novelty"), 6).alias("avg_novelty"),
+            F.sum(
+                (F.col("novelty") < 0.5).cast("long")
+            ).alias("n_stale"),
+        )
+        .orderBy("source")
+    )
+
+
+def t46_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-&-Gale term burstiness (``text.features
+    .term_burstiness``): variance-to-mean ratio of per-doc counts —
+    zeros included via the sufficient-statistics identity, never
+    materialized — for the 20 highest-frequency terms. VMR≈1 =
+    Poisson function words, VMR≫1 = clumping template/topic terms;
+    the evidence behind stopword and boilerplate lists."""
+    from dislib_spark.text.features import term_burstiness
+
+    d = load_table(spark, sf_dir, "documents")
+    return term_burstiness(d, top_k=20)
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -804,6 +844,8 @@ QUERIES = {
     "t42_temperature_sample": t42_temperature_sample,
     "t43_zipf_fit": t43_zipf_fit,
     "t44_weighted_sample": t44_weighted_sample,
+    "t45_ngram_novelty": t45_ngram_novelty,
+    "t46_burstiness": t46_burstiness,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -1831,4 +1873,56 @@ ORACLE["t44_weighted_sample"] = """
             PARTITION BY source ORDER BY es_key DESC, doc_id) AS rank
         FROM keyed
     ) WHERE rank <= 5 ORDER BY source, rank
+"""
+
+# t45: per-doc novelty is an exact integer ratio; only the per-source
+# mean's summation order differs across engines -> ROUND(...,6).
+ORACLE["t45_ngram_novelty"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS t
+        FROM documents
+    ),
+    tris AS (
+        SELECT DISTINCT doc_id,
+               UNNEST([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]) AS g
+        FROM toks WHERE len(t) >= 3
+    ),
+    first AS (SELECT g, MIN(doc_id) AS first_id FROM tris GROUP BY g),
+    per_doc AS (
+        SELECT t.doc_id,
+               SUM(CASE WHEN t.doc_id = f.first_id THEN 1 ELSE 0 END)
+                   ::DOUBLE / COUNT(*) AS novelty
+        FROM tris t JOIN first f USING (g)
+        GROUP BY t.doc_id
+    )
+    SELECT d.source, COUNT(*) AS n_docs,
+           ROUND(AVG(p.novelty), 6) AS avg_novelty,
+           CAST(SUM(CASE WHEN p.novelty < 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stale
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+"""
+
+# t46: C/S/df/N are exact integers; VMR = (S/N - (C/N)^2)/(C/N) is
+# deterministic double algebra on both engines.
+ORACLE["t46_burstiness"] = """
+    WITH dw AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+        ) WHERE w <> '' GROUP BY doc_id, w
+    ),
+    per AS (
+        SELECT w AS term, SUM(c) AS ct, SUM(c * c) AS s2,
+               COUNT(*) AS df
+        FROM dw GROUP BY w
+    ),
+    nd AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT term, CAST(ct AS BIGINT) AS total, CAST(df AS BIGINT) AS df,
+           ROUND((s2::DOUBLE / n - (ct::DOUBLE / n) * (ct::DOUBLE / n))
+                 / (ct::DOUBLE / n), 6) AS vmr
+    FROM per CROSS JOIN nd
+    ORDER BY total DESC, term LIMIT 20
 """

@@ -252,6 +252,20 @@ def v15_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_topk(q, e, dim=64, k=10).orderBy("q_id", "rank")
 
 
+# --- v16: per-group centroid medoids ---------------------------------
+def v16_centroid_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection (``vector.drift
+    .centroid_medoids``): each label's 3 most central vectors by
+    cosine to the group mean — the exemplar-picking step after any
+    clustering/grouping (SemDeDup keeps the same winner). One grouped
+    mean + one broadcast-join scoring pass; ranking windows are
+    per-label on the 9-dp-rounded cosine with vec_id tiebreak."""
+    from dislib_spark.vector.drift import centroid_medoids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return centroid_medoids(e, k=3)
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -268,6 +282,7 @@ QUERIES = {
     "v13_hard_negatives": v13_hard_negatives,
     "v14_sq8_error": v14_sq8_error,
     "v15_hamming_topk": v15_hamming_topk,
+    "v16_centroid_medoids": v16_centroid_medoids,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -602,4 +617,38 @@ ORACLE["v15_hamming_topk"] = """
             PARTITION BY q_id ORDER BY hamming, c_id) AS rank
         FROM scored
     ) WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+# v16: centroids are grouped means (summation-order drift ~1e-15);
+# the ranking key rounds to 9 dp -- six orders above that drift --
+# with a vec_id tiebreak, so the top-3 membership is engine-stable.
+ORACLE["v16_centroid_medoids"] = """
+    WITH cells AS (
+        SELECT vec_id, label, GENERATE_SUBSCRIPTS(embedding, 1) AS k,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT label, k, AVG(v) AS c FROM cells GROUP BY label, k
+    ),
+    cn AS (SELECT label, SUM(c * c) AS c2 FROM cents GROUP BY label),
+    pv AS (
+        SELECT a.label, a.vec_id, SUM(a.v * c.c) AS dot,
+               SUM(a.v * a.v) AS v2
+        FROM cells a JOIN cents c ON a.label = c.label AND a.k = c.k
+        GROUP BY a.label, a.vec_id
+    ),
+    s AS (
+        SELECT p.label, p.vec_id,
+               p.dot / (SQRT(p.v2) * SQRT(cn.c2)) AS cosr
+        FROM pv p JOIN cn USING (label)
+    )
+    SELECT label, vec_id, ROUND(cosr, 6) AS cos, rank FROM (
+        SELECT label, vec_id, cosr,
+               ROW_NUMBER() OVER (
+                   PARTITION BY label
+                   ORDER BY ROUND(cosr, 9) DESC, vec_id
+               ) AS rank
+        FROM s
+    ) WHERE rank <= 3 ORDER BY label, rank
 """

@@ -343,3 +343,45 @@ def ohlc_bars(
             .alias("volume"),
         )
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    order_by: list[str],
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: P(next_state | prev_state) estimated from adjacent
+    pairs — the user-journey / clickstream model behind funnel (x15)
+    and sessionization (x61) analyses.
+
+    Scale shape: ``lead`` runs in a ``partitionBy(key)`` window (one
+    sort per key's events, never a global sort), pairs collapse via
+    ONE map-side-combined count to a |states|² table, and the
+    row-normalizing total is a window over that tiny table. Counts
+    are exact integers; each probability is a single IEEE-exact
+    division.
+
+    Returns (prev_state, next_state, n, prob), prob rounded 6.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_by)
+    nxt = F.lead(state_col).over(w)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("prev_state"), nxt.alias("next_state")
+        )
+        .where(F.col("next_state").isNotNull())
+    )
+    counts = pairs.groupBy("prev_state", "next_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy("prev_state"))
+    return counts.select(
+        "prev_state",
+        "next_state",
+        "n",
+        F.round(F.col("n") / tot, 6).alias("prob"),
+    )

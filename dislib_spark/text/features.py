@@ -363,3 +363,108 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_ngrams, novelty) — the fraction of a document's
+    distinct word n-grams whose FIRST corpus appearance (minimum
+    doc_id) is this document. The dedup-aware contribution score used
+    to order crawl batches: near-duplicates and boilerplate-heavy
+    pages score ~0, genuinely new text ~1 (the per-doc complement of
+    the corpus-level dedup ops in text/dedup.py).
+
+    Scale: one exploded distinct (doc, ngram) table, ONE grouped min
+    for the first-seen owner, and an equi-join back on the ngram key
+    — both sides hash-partition on the same key, so the join is
+    co-shuffled, never broadcast-sized. Docs with fewer than ``n``
+    tokens have no n-grams and drop out (they carry no novelty
+    evidence).
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda w: w != F.lit("")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("t", i + j) for j in range(n)]
+        ),
+    )
+    pairs = (
+        fan_out(docs)
+        .select(F.col(id_col).alias("_id"), toks.alias("t"))
+        .where(F.size("t") >= n)
+        .select("_id", F.explode(F.array_distinct(grams)).alias("g"))
+    )
+    first = pairs.groupBy("g").agg(F.min("_id").alias("first_id"))
+    return (
+        pairs.join(first, "g")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                (F.col("_id") == F.col("first_id")).cast("long")
+            ).alias("novel"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            (F.col("novel") / F.col("n_ngrams")).alias("novelty"),
+        )
+    )
+
+
+def term_burstiness(
+    docs: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(term, total, df, vmr) for the ``top_k`` highest-frequency
+    terms: the variance-to-mean ratio of the term's per-document
+    count across the WHOLE corpus (zero-count documents included —
+    Church & Gale burstiness). VMR ≈ 1 is Poisson scatter (function
+    words); VMR ≫ 1 means the term clumps into few documents
+    (topical/template terms) — the signal behind stopword lists and
+    template detection.
+
+    Zeros are never materialized: with N docs, C = Σc, S = Σc², the
+    population variance is S/N − (C/N)² — so one corpus-sized
+    (doc, term) count collapses to per-term (C, S, df) scalars and
+    the N-doc total rides in on a 1-row broadcast. Exact integer
+    sums make the replay exact; output is TopK (orderBy+limit, never
+    a global row_number window).
+    """
+    dw = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_term = dw.groupBy("w").agg(
+        F.sum("c").alias("ct"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    ndocs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("nd")))
+    mean = F.col("ct") / F.col("nd")
+    var = F.col("s2") / F.col("nd") - mean * mean
+    return (
+        per_term.crossJoin(ndocs)
+        .select(
+            F.col("w").alias("term"),
+            F.col("ct").cast("long").alias("total"),
+            F.col("df").cast("long").alias("df"),
+            F.round(var / mean, 6).alias("vmr"),
+        )
+        .orderBy(F.desc("total"), "term")
+        .limit(top_k)
+    )

@@ -72,3 +72,62 @@ def centroid_similarity(
             ).alias("cos"),
         )
     )
+
+
+def centroid_medoids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+) -> DataFrame:
+    """(label, id, cos, rank) — each group's ``k`` most central
+    members by cosine to the group's own mean vector: the cheap
+    medoid approximation used to pick cluster representatives /
+    canonical exemplars after any grouping (the member-level
+    companion of :func:`centroid_similarity`; SemDeDup keeps the
+    same per-cluster "closest to centroid" winner).
+
+    Scale: centroids come from ONE grouped mean (|groups|·d state);
+    they broadcast back onto the exploded corpus keyed (label, dim),
+    so scoring is a map-side join + one grouped dot product — the
+    corpus is read once and never self-joined. Ranking is a
+    partitionBy(label) window on the 9-dp-rounded cosine (six orders
+    above centroid summation-order drift) with an id tiebreak.
+    """
+    from pyspark.sql import Window
+
+    cents = group_centroids(df, label_col, vec_col)
+    cn = cents.groupBy("label").agg(
+        F.sum(F.col("c") * F.col("c")).alias("c2")
+    )
+    ex = fan_out(df).select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "k", "v"
+        ),
+    )
+    per_vec = (
+        ex.join(F.broadcast(cents), ["label", "k"])
+        .groupBy("label", "_id")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("v2"),
+        )
+    )
+    cos = F.col("dot") / (F.sqrt("v2") * F.sqrt("c2"))
+    w = Window.partitionBy("label").orderBy(
+        F.desc(F.round(cos, 9)), "_id"
+    )
+    return (
+        per_vec.join(F.broadcast(cn), "label")
+        .select(
+            "label",
+            F.col("_id").alias(id_col),
+            F.round(cos, 6).alias("cos"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+        .orderBy("label", "rank")
+    )

@@ -514,3 +514,75 @@ def test_weighted_sample_topk_python_parity(spark):
     top = weighted_sample_topk(df, "w", "id", k=4).collect()
     all_keys = sorted(((key(i, w), -i) for i, s, w in rows), reverse=True)
     assert [r["id"] for r in top] == [-i for _, i in all_keys[:4]]
+
+
+def test_ngram_novelty_hand_computed(spark):
+    """Trigram first-seen ownership on a 3-doc toy: the original doc
+    scores 1.0, its near-copy scores the unshared fraction, short
+    docs (<3 tokens) drop out."""
+    from dislib_spark.text.features import ngram_novelty
+
+    rows = [
+        (1, "a b c d"),      # trigrams {a b c, b c d} -> both first here
+        (2, "a b c x"),      # {a b c (seen), b c x (new)} -> 0.5
+        (3, "a b"),          # too short -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["novelty"])
+        for r in ngram_novelty(df, n=3).collect()
+    }
+    assert got == {1: (2, 1.0), 2: (2, 0.5)}
+
+
+def test_term_burstiness_hand_computed(spark):
+    """VMR with implicit zeros: hand sufficient-statistics values on a
+    3-doc toy corpus (zero-count docs included via N, never
+    materialized)."""
+    from dislib_spark.text.features import term_burstiness
+
+    rows = [(1, "a a b"), (2, "a c"), (3, "c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["term"]: (r["total"], r["df"], r["vmr"])
+        for r in term_burstiness(df, top_k=10).collect()
+    }
+    # a: counts (2,1,0): mean 1, var (5/3 - 1) = 2/3 -> vmr 2/3
+    assert got["a"] == (3, 2, round(2 / 3, 6))
+    # b: counts (1,0,0): mean 1/3, var 2/9 -> vmr 2/3
+    assert got["b"] == (1, 1, round(2 / 3, 6))
+    # c: counts (0,1,1): mean 2/3, var 2/9 -> vmr 1/3
+    assert got["c"] == (2, 2, round(1 / 3, 6))
+
+
+def test_centroid_medoids_numpy_parity(spark):
+    """Top-k most-central members per label match a direct numpy
+    cosine-to-centroid ranking on random vectors."""
+    import numpy as np
+
+    from dislib_spark.vector.drift import centroid_medoids
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8))
+    labels = np.arange(40) % 4
+    rows = [
+        (int(i), int(labels[i]), [float(x) for x in vecs[i]])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    got = {}
+    for r in centroid_medoids(df, k=3).collect():
+        got.setdefault(r["label"], []).append(r["vec_id"])
+
+    for lab in range(4):
+        sub = vecs[labels == lab]
+        ids = np.arange(40)[labels == lab]
+        c = sub.mean(axis=0)
+        cos = (sub @ c) / (
+            np.linalg.norm(sub, axis=1) * np.linalg.norm(c)
+        )
+        order = sorted(zip(-np.round(cos, 9), ids))
+        want = [int(i) for _, i in order[:3]]
+        assert got[lab] == want

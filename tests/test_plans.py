@@ -50,6 +50,7 @@ _BNLJ_OK = {
     "v15_hamming_topk",  # broadcast query codes vs corpus scan, like v01
     "x65_scd2",  # 3-row probe list broadcast against the interval table
     "m26_woe_iv",  # 1-row broadcast of the class totals
+    "t46_burstiness",  # 1-row broadcast of the corpus doc-count scalar
 }
 
 

@@ -522,3 +522,135 @@ def test_woe_iv_python_parity(spark):
         assert abs(got[b]["woe"] - woe) < 1e-6
         assert abs(got[b]["iv_term"] - (p / P - n / N) * woe) < 1e-6
         assert (got[b]["pos_n"], got[b]["neg_n"]) == (p, n)
+
+
+def test_average_precision_exact_vs_binned(spark):
+    """Exact AP matches the numpy tie-block formula; the binned
+    variant (the bounded-window 100 TB path) converges as bins
+    shrink."""
+    import numpy as np
+
+    from dislib_spark.math.stats import average_precision
+
+    rng = np.random.default_rng(11)
+    neg = rng.normal(0.0, 1.0, 4000)
+    pos = rng.normal(0.8, 1.0, 1000)
+    rows = [(float(s), 0.0) for s in neg] + [(float(s), 1.0) for s in pos]
+    df = spark.createDataFrame(rows, "score double, y double")
+
+    allv = np.concatenate([neg, pos])
+    ally = np.concatenate([np.zeros(len(neg)), np.ones(len(pos))])
+    # tie-block AP: AP = sum over distinct thresholds of
+    # (pos_in_block / P) * (cum_pos / cum_n)
+    order = np.argsort(-allv, kind="mergesort")
+    sv, sy = allv[order], ally[order]
+    want, cum_n, cum_p = 0.0, 0, 0.0
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        blk_p = sy[i : j + 1].sum()
+        cum_n += j - i + 1
+        cum_p += blk_p
+        want += blk_p * (cum_p / cum_n)
+        i = j + 1
+    want /= ally.sum()
+
+    exact = average_precision(df, "score", "y").collect()[0]
+    assert exact["n_pos"] == 1000 and exact["n_neg"] == 4000
+    assert exact["ap"] == pytest.approx(want, abs=1e-6)
+
+    errs = []
+    for nb in (16, 256, 4096):
+        b = average_precision(df, "score", "y", n_bins=nb).collect()[0]
+        errs.append(abs(b["ap"] - want))
+    assert errs[0] >= errs[2]
+    assert errs[2] < 1e-3
+    assert errs[0] < 0.05
+
+
+def test_cohens_kappa_numpy_parity(spark):
+    """m28's cell-count kappa formula agrees with the textbook
+    (p_o - p_e)/(1 - p_e) computed independently in numpy on the
+    reconstructed label pairs (sklearn.metrics.cohen_kappa_score's
+    definition)."""
+    import numpy as np
+
+    from dislib_spark.queries.ml import m28_cohens_kappa
+
+    row = m28_cohens_kappa(spark, "/root/testdata/sf0.001").collect()[0]
+
+    import duckdb
+
+    yp = duckdb.sql(
+        """
+        SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+               CASE WHEN ROUND(list_inner_product(
+                   list_transform(embedding, v -> v::DOUBLE),
+                   list_transform(range(0, 64),
+                                  j -> ((j % 7) - 3) / 10.0)), 9) > 0
+                    THEN 1 ELSE 0 END AS p
+        FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')
+        """
+    ).df()
+    y, p = yp["y"].to_numpy(), yp["p"].to_numpy()
+    n = len(y)
+    po = float((y == p).mean())
+    pe = float(
+        (y == 1).mean() * (p == 1).mean()
+        + (y == 0).mean() * (p == 0).mean()
+    )
+    want = (po - pe) / (1 - pe)
+    assert row["kappa"] == pytest.approx(want, abs=1e-6)
+    assert row["p_o"] == pytest.approx(po, abs=1e-6)
+    assert row["n"] == n
+    assert -1.0 <= row["kappa"] <= 1.0
+
+
+def test_km_curve_textbook_toy(spark):
+    """Hand-computed Kaplan-Meier on the classic 6-subject example,
+    including a terminal all-fail time (survival pinned to 0 without
+    any ln(0))."""
+    from dislib_spark.math.stats import km_curve
+
+    rows = [(1, 1), (1, 0), (2, 1), (3, 1), (3, 0), (4, 1)]
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    got = {
+        r["t"]: (r["n_risk"], r["n_event"], r["survival"])
+        for r in km_curve(df, "dur", "ev").collect()
+    }
+    assert set(got) == {1, 2, 3, 4}  # censored-only times excluded
+    assert got[1] == (6, 1, round(5 / 6, 6))
+    assert got[2] == (4, 1, round(5 / 6 * 3 / 4, 6))
+    assert got[3] == (3, 1, round(5 / 6 * 3 / 4 * 2 / 3, 6))
+    assert got[4] == (1, 1, 0.0)
+
+
+def test_silhouette_numpy_parity(spark):
+    """m30's per-cluster simplified silhouette matches a direct numpy
+    evaluation of (b-a)/max(a,b) against the fixed m03 centers."""
+    import numpy as np
+    import pandas as pd
+
+    from dislib_spark.queries.ml import _M03_CENTERS, m30_silhouette
+
+    pdf = pd.read_parquet(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_quantity", "l_discount"],
+    )
+    x = pdf.to_numpy(dtype=float)
+    c = np.array(_M03_CENTERS)
+    d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    cl = np.argmin(d2, axis=1)
+    srt = np.sqrt(np.sort(d2, axis=1))
+    s = (srt[:, 1] - srt[:, 0]) / np.maximum(srt[:, 0], srt[:, 1])
+
+    got = {
+        r["cluster"]: (r["n"], r["mean_s"])
+        for r in m30_silhouette(spark, "/root/testdata/sf0.001").collect()
+    }
+    for k in range(3):
+        n, mean_s = got[k]
+        assert n == int((cl == k).sum())
+        assert mean_s == pytest.approx(float(s[cl == k].mean()), abs=1e-6)

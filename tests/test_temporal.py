@@ -286,3 +286,78 @@ def test_scd2_query_shape(spark):
         assert key not in per_probe, f"duplicate active version {key}"
         per_probe[key] = r
         assert 1 <= r["version"] <= r["n_versions"]
+
+
+def test_markov_transitions_hand_computed(spark):
+    """Two-user toy journey: transition counts and row-normalized
+    probabilities match the hand enumeration; last event of each key
+    emits no pair."""
+    from dislib_spark.temporal import markov_transitions
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        (2, 1, "a"), (2, 2, "a"), (2, 3, "c"),
+    ]
+    df = spark.createDataFrame(rows, "u int, seq int, s string")
+    got = {
+        (r["prev_state"], r["next_state"]): (r["n"], r["prob"])
+        for r in markov_transitions(df, "u", "s", ["seq"]).collect()
+    }
+    # user1: a->b, b->a, a->b ; user2: a->a, a->c
+    assert got[("a", "b")] == (2, 0.5)
+    assert got[("a", "a")] == (1, 0.25)
+    assert got[("a", "c")] == (1, 0.25)
+    assert got[("b", "a")] == (1, 1.0)
+    assert len(got) == 4  # no pair from terminal events
+
+
+def test_gini_closed_form(spark):
+    """x69's rank-formula Gini on a 1-region toy matches the closed
+    form: equal values -> 0; [1,0,0,0] concentration -> (n-1)/n - ...
+    (hand value 0.75 - 0.25... = use direct formula)."""
+    import numpy as np
+
+    from dislib_spark.tables import load_table  # noqa: F401
+
+    def gini_np(vals):
+        x = np.sort(np.asarray(vals, dtype=float))
+        n = len(x)
+        i = np.arange(1, n + 1)
+        return 2 * (i * x).sum() / (n * x.sum()) - (n + 1) / n
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    for vals in ([5.0, 5.0, 5.0, 5.0], [10.0, 0.01, 0.01, 0.01],
+                 [1.0, 2.0, 3.0, 4.0]):
+        df = spark.createDataFrame(
+            [("r", i, v) for i, v in enumerate(vals)],
+            "r_name string, c_custkey int, rev_d double",
+        ).select(
+            "r_name", "c_custkey",
+            F.col("rev_d").cast("decimal(18,2)").alias("rev"),
+        )
+        w = Window.partitionBy("r_name").orderBy("rev", "c_custkey")
+        ranked = df.select(
+            "r_name", "rev",
+            F.row_number().over(w).cast("decimal(20,0)").alias("i"),
+        )
+        row = (
+            ranked.groupBy("r_name")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("rev").alias("tot"),
+                F.sum(
+                    (F.col("i") * F.col("rev")).cast("decimal(38,2)")
+                ).alias("s1"),
+            )
+            .select(
+                (
+                    F.lit(2.0) * F.col("s1").cast("double")
+                    / (F.col("n") * F.col("tot").cast("double"))
+                    - (F.col("n") + 1) / F.col("n").cast("double")
+                ).alias("g")
+            )
+            .collect()[0]
+        )
+        assert abs(row["g"] - gini_np(vals)) < 1e-9

@@ -421,3 +421,79 @@ def km_curve(
         .where(F.col("n_event") > 0)
         .orderBy("t")
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test with tie correction:
+    the rank-based two-sample location test that needs no normality
+    assumption — the non-parametric sibling of :func:`welch_ttest`
+    (m18) next to the distribution-shape KS test (m23).
+
+    Scale shape (the m11/m27 recipe): rows collapse FIRST to
+    per-distinct-value (count-in-A, total) pairs in one map-side-
+    combined aggregate, then ONE ordered running-sum window over the
+    distinct-value table assigns midranks (tied blocks share the
+    average rank). For continuous values pre-round/bin the column
+    (the ``ks_statistic(n_bins=…)`` pattern) so the window input
+    stays bounded.
+
+    Numerics: midranks are half-integers, so the rank sum is carried
+    DOUBLED as an exact ``DECIMAL(38,0)`` cross-moment (a double sum
+    overflows 2^53 at ~1e9 rows); the tie term Σ(t³−t) likewise. The
+    z statistic (normal approximation, no continuity correction) and
+    the rank-biserial effect size are pure IEEE algebra on those
+    exact integers — replayable to the last ulp.
+
+    Returns one row: (n_a, n_b, u_a, z, rank_biserial).
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    src = df.where(g.isin([group_a, group_b]))
+    per = src.groupBy(v.alias("val")).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).alias("na_v"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # doubled midrank of a tied block = 2·(rows before it) + t + 1
+    r = per.select(
+        "na_v",
+        "t",
+        (F.lit(2) * F.sum("t").over(w) - F.col("t") + 1).alias("rank2"),
+    )
+    s = r.agg(
+        F.sum(
+            F.col("na_v").cast("decimal(38,0)") * F.col("rank2")
+        ).alias("r2a"),
+        F.sum("na_v").cast("decimal(38,0)").alias("na"),
+        F.sum("t").cast("decimal(38,0)").alias("nn"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("ties"),
+    )
+    na = F.col("na").cast("double")
+    nb = (F.col("nn") - F.col("na")).cast("double")
+    n = F.col("nn").cast("double")
+    ua = (F.col("r2a").cast("double") - na * (na + 1)) / 2.0
+    mu = na * nb / 2.0
+    sig2 = (
+        na * nb / 12.0
+        * ((n + 1) - F.col("ties").cast("double") / (n * (n - 1)))
+    )
+    return s.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        (F.col("nn") - F.col("na")).cast("bigint").alias("n_b"),
+        F.round(ua, 6).alias("u_a"),
+        F.round((ua - mu) / F.sqrt(sig2), 6).alias("z"),
+        F.round(1.0 - 2.0 * ua / (na * nb), 6).alias("rank_biserial"),
+    )

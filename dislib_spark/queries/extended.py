@@ -1759,6 +1759,25 @@ def x69_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x70: revenue autocorrelation -------------------------------------
+def x70_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality diagnostic: autocorrelation of monthly order
+    revenue at lags 1-12 (``temporal.acf``). The fact scan collapses
+    to one row per month FIRST; every window/join in the ACF runs
+    over that |months|-row rollup (bounded by the calendar span at
+    any corpus size). Deviations are 4-dp DECIMAL so both Σ are
+    order-exact — the only float ops are the final divisions."""
+    from dislib_spark.temporal import acf
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    return acf(monthly, "m", "rev", 12)
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -1813,6 +1832,7 @@ QUERIES = {
     "x67_markov_transitions": x67_markov_transitions,
     "x68_mom_growth": x68_mom_growth,
     "x69_gini": x69_gini,
+    "x70_acf": x70_acf,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -2790,4 +2810,38 @@ ORACLE["x69_gini"] = """
                      / (n_cust * CAST(tot AS DOUBLE))
                  - (n_cust + 1) / CAST(n_cust AS DOUBLE), 6) AS gini
     FROM g ORDER BY r_name
+"""
+
+# x70: deviations rounded to 4 dp and carried as DECIMAL(18,4), so
+# numerator and denominator sums are exact on both engines; mu is one
+# IEEE division of the exact decimal total.
+ORACLE["x70_acf"] = """
+    WITH monthly AS (
+        SELECT DATE_TRUNC('month', o_orderdate) AS m,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY DATE_TRUNC('month', o_orderdate)
+    ),
+    st AS (
+        SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS mu FROM monthly
+    ),
+    dev AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY m) AS i,
+               CAST(ROUND(CAST(rev AS DOUBLE) - mu, 4)
+                    AS DECIMAL(18,4)) AS d
+        FROM monthly, st
+    ),
+    den AS (
+        SELECT SUM(CAST(d AS DECIMAL(19,4)) * d) AS dd FROM dev
+    ),
+    ks AS (SELECT UNNEST(range(1, 13)) AS k),
+    num AS (
+        SELECT ks.k, COUNT(*) AS n_pairs,
+               SUM(CAST(a.d AS DECIMAL(19,4)) * b.d) AS num
+        FROM ks, dev a, dev b
+        WHERE b.i = a.i + ks.k
+        GROUP BY ks.k
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n_pairs AS BIGINT) AS n_pairs,
+           ROUND(CAST(num AS DOUBLE) / CAST(dd AS DOUBLE), 6) AS acf_k
+    FROM num, den ORDER BY k
 """

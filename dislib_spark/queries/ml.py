@@ -351,31 +351,37 @@ def m12_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("thr")
 
 
+def _nb_pred(d: DataFrame) -> DataFrame:
+    """Shared NB prediction pipeline for m13/m32: fit MultinomialNB
+    on the documents corpus, score, argmax on 6-dp-rounded joints
+    with a class tiebreak (|joint| ~ 1e3 → float drift ~1e-12, five
+    orders below the rounding grain, so engines can never disagree
+    on a prediction). Returns (doc_id, pred)."""
+    from pyspark.sql import Window
+
+    from dislib_spark.classification.naive_bayes import MultinomialNB
+
+    nb = MultinomialNB(alpha=1.0).fit(d, label_col="lang")
+    sc = nb.score_documents(d)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("joint", 6)), "c"
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("c").alias("pred"))
+    )
+
+
 def m13_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed multinomial Naive Bayes (the fastText-shaped
     quality/language gate of LLM curation pipelines): fit on the
     documents corpus with lang labels, score every document, report
     the confusion matrix. The whole estimator — token-class counts,
     Lidstone smoothing, per-doc joint log-likelihoods, argmax — is
-    replayed by the oracle. Argmax runs on 6-dp-rounded joints with a
-    class tiebreak so float partial-sum ordering can never flip a
-    prediction between engines (|joint| ~ 1e3 -> absolute drift
-    ~1e-12, five orders below the rounding grain)."""
-    from pyspark.sql import Window
-
-    from dislib_spark.classification.naive_bayes import MultinomialNB
-
+    replayed by the oracle (``_nb_pred`` has the tiebreak story)."""
     d = load_table(spark, sf_dir, "documents")
-    nb = MultinomialNB(alpha=1.0).fit(d, label_col="lang")
-    sc = nb.score_documents(d)
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc(F.round("joint", 6)), "c"
-    )
-    pred = (
-        sc.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", F.col("c").alias("pred"))
-    )
+    pred = _nb_pred(d)
     return (
         pred.join(d.select("doc_id", "lang"), "doc_id")
         .groupBy(F.col("lang").alias("true_lang"), "pred")
@@ -987,6 +993,172 @@ def m30_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m31_brier_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper scoring rules for the fixed m10 logistic scorer: Brier
+    score mean((p−y)²) and log-loss — the CALIBRATION-sensitive twins
+    of m11's ranking-only AUC (a model can rank perfectly and still
+    be miscalibrated; these catch it). One map-side-combined pass.
+
+    Cross-engine float story: z is 9-dp-exact (``_m10_score``),
+    clamped to ±27 so the sigmoid never rounds to 0/1, and p is
+    rounded to 12 dp — the only engine-dependent op (EXP, ≤1 ulp)
+    sits BELOW a rounding grain six orders above it, so both engines
+    agree on every p and the 6-dp means are order-proof."""
+    e = load_table(spark, sf_dir, "embeddings")
+    zc = F.least(F.greatest(_m10_score(), F.lit(-27.0)), F.lit(27.0))
+    t = e.select(
+        (F.col("label") < 5).cast("double").alias("y"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zc)), 12).alias("p"),
+    )
+    d = F.col("p") - F.col("y")
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg(d * d), 6).alias("brier"),
+        F.round(
+            -F.avg(
+                F.col("y") * F.log("p")
+                + (1 - F.col("y")) * F.log(F.lit(1.0) - F.col("p"))
+            ),
+            6,
+        ).alias("logloss"),
+    )
+
+
+def m32_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 for the m13 Naive-Bayes
+    language gate — the metric table model cards actually report,
+    built from the same ``_nb_pred`` pipeline. Two tiny groupBys over
+    the |docs|-row prediction join (state is O(classes)), full-outer
+    merged so a never-predicted class still reports recall 0. All
+    three metrics are divisions of exact integer counts."""
+    d = load_table(spark, sf_dir, "documents")
+    m = _nb_pred(d).join(d.select("doc_id", "lang"), "doc_id")
+    by_true = m.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum((F.col("pred") == F.col("lang")).cast("long")).alias("tp"),
+    )
+    by_pred = m.groupBy(F.col("pred").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    j = by_true.join(by_pred, "cls", "full_outer").na.fill(
+        0, ["n_true", "tp", "n_pred"]
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("n_true") > 0, F.col("tp") / F.col("n_true")
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        prec + rec > 0, 2 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "cls",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("n_true").cast("bigint").alias("n_true"),
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    ).orderBy("cls")
+
+
+def m33_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (``math.stats.mann_whitney_u``):
+    does the quantity distribution differ between returned ('R') and
+    delivered ('N') line items? The non-parametric two-sample
+    location test beside m18's Welch t and m23's KS — distinct-value
+    collapse first (l_quantity has ~50 distinct values, so the
+    midrank window sees 50 rows at ANY corpus size), exact
+    DECIMAL(38,0) rank/tie cross-moments, pure-IEEE z algebra."""
+    from dislib_spark.math.stats import mann_whitney_u
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return mann_whitney_u(li, "l_quantity", "l_returnflag", "R", "N")
+
+
+def m34_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of o_totalprice — the
+    classic fabricated-data / ETL-corruption screen. The digit is
+    taken from the DECIMAL(18,2) string form (never via LOG10, whose
+    1-ulp libm drift could flip a digit at exact powers of ten);
+    expected shares log10(1+1/d) and the χ² terms are scalar algebra
+    on exact counts, windows over the 9-row digit table."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy())
+    e = F.log10(1 + 1 / F.col("digit").cast("double"))
+    chi = (F.col("n") - tot * e) * (F.col("n") - tot * e) / (tot * e)
+    return counts.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / tot, 6).alias("share_obs"),
+        F.round(e, 6).alias("share_exp"),
+        F.round(chi, 6).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+def m35_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic 50/50 customer split
+    (c_custkey parity — the t10 hash-split idea): did variant B
+    convert (≥1 order placed) better than variant A? THE
+    experimentation readout kernel. One distinct-buyer collapse
+    joined back to the customer dim (both map-side combined), one
+    conditional aggregate to a single row of exact integer counts;
+    rates, lift and z are pure IEEE algebra on those ints.
+    (Conversion must be a RARE per-order property: this generator
+    gives every customer ~10 orders, so any common property
+    saturates the rate to 1.0 and degenerates z — 'placed a
+    >480k big-ticket order' sits at ~33% at every scale.)"""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    buyers = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 480000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    t = c.join(buyers, "c_custkey", "left").select(
+        (F.col("c_custkey") % 2).alias("v"),
+        F.coalesce(F.col("conv"), F.lit(0)).alias("conv"),
+    )
+    s = t.agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("v") == 0, F.col("conv")).otherwise(0)).alias(
+            "c_a"
+        ),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("v") == 1, F.col("conv")).otherwise(0)).alias(
+            "c_b"
+        ),
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("c_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("c_b").cast("double")
+    ra, rb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    z = (rb - ra) / F.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb))
+    return s.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("c_a").cast("bigint").alias("conv_a"),
+        F.round(ra, 6).alias("rate_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("c_b").cast("bigint").alias("conv_b"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(rb - ra, 6).alias("lift"),
+        F.round(z, 6).alias("z"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -1018,6 +1190,11 @@ QUERIES = {
     "m28_cohens_kappa": m28_cohens_kappa,
     "m29_kaplan_meier": m29_kaplan_meier,
     "m30_silhouette": m30_silhouette,
+    "m31_brier_logloss": m31_brier_logloss,
+    "m32_macro_f1": m32_macro_f1,
+    "m33_mann_whitney": m33_mann_whitney,
+    "m34_benford": m34_benford,
+    "m35_ab_test": m35_ab_test,
 }
 
 
@@ -1290,7 +1467,10 @@ ORACLE["m12_stump_split"] = """
     FROM a ORDER BY thr
 """
 
-ORACLE["m13_nb_confusion"] = """
+# Shared NB prediction CTE chain (ends at `pred(doc_id, pred)`),
+# replaying MultinomialNB fit + score + 6-dp argmax; m13 and m32
+# append their own final SELECTs.
+_NB_PRED_SQL = """
     WITH tok AS (
         SELECT doc_id, lang AS c, w FROM (
             SELECT doc_id, lang,
@@ -1341,6 +1521,10 @@ ORACLE["m13_nb_confusion"] = """
             FROM joint
         ) WHERE rn = 1
     )
+"""
+
+ORACLE["m13_nb_confusion"] = f"""
+    {_NB_PRED_SQL}
     SELECT d.lang AS true_lang, p.pred, COUNT(*) AS n
     FROM pred p JOIN documents d USING (doc_id)
     GROUP BY 1, 2 ORDER BY 1, 2
@@ -1843,4 +2027,176 @@ ORACLE["m30_silhouette"] = f"""
     )
     SELECT cluster, COUNT(*) AS n, ROUND(AVG(s), 6) AS mean_s
     FROM s GROUP BY cluster ORDER BY cluster
+"""
+
+# m31: z is 9-dp exact and clamped to +-27 so p never rounds to 0/1;
+# p is rounded to 12 dp so EXP's <=1-ulp libm drift sits six orders
+# below the grain — both engines see identical p, and the 6-dp means
+# absorb summation order.
+ORACLE["m31_brier_logloss"] = f"""
+    WITH s AS (
+        SELECT CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,
+               ROUND(1.0 / (1.0 + EXP(-LEAST(GREATEST(
+                   {_M10_SCORE_SQL}, -27.0), 27.0))), 12) AS p
+        FROM embeddings
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG((p - y) * (p - y)), 6) AS brier,
+           ROUND(-AVG(y * LN(p) + (1 - y) * LN(1.0 - p)), 6)
+               AS logloss
+    FROM s
+"""
+
+# m32: per-class metrics are divisions of the exact confusion-cell
+# integers produced by the shared NB replay.
+ORACLE["m32_macro_f1"] = f"""
+    {_NB_PRED_SQL},
+    conf AS (
+        SELECT d.lang AS t, p.pred AS p
+        FROM pred p JOIN documents d USING (doc_id)
+    ),
+    bt AS (
+        SELECT t AS cls, COUNT(*) AS n_true,
+               SUM(CASE WHEN p = t THEN 1 ELSE 0 END) AS tp
+        FROM conf GROUP BY t
+    ),
+    bp AS (SELECT p AS cls, COUNT(*) AS n_pred FROM conf GROUP BY p),
+    j AS (
+        SELECT COALESCE(bt.cls, bp.cls) AS cls,
+               COALESCE(tp, 0) AS tp,
+               COALESCE(n_true, 0) AS n_true,
+               COALESCE(n_pred, 0) AS n_pred
+        FROM bt FULL OUTER JOIN bp ON bt.cls = bp.cls
+    ),
+    m AS (
+        SELECT cls, tp, n_true, n_pred,
+               CASE WHEN n_pred > 0 THEN tp / CAST(n_pred AS DOUBLE)
+                    ELSE 0.0 END AS prec,
+               CASE WHEN n_true > 0 THEN tp / CAST(n_true AS DOUBLE)
+                    ELSE 0.0 END AS rec
+        FROM j
+    )
+    SELECT cls, CAST(tp AS BIGINT) AS tp,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           ROUND(prec, 6) AS precision,
+           ROUND(rec, 6) AS recall,
+           ROUND(CASE WHEN prec + rec > 0
+                      THEN 2 * prec * rec / (prec + rec)
+                      ELSE 0.0 END, 6) AS f1
+    FROM m ORDER BY cls
+"""
+
+# m33: midranks carried DOUBLED as exact DECIMAL(38,0) cross-moments;
+# u/z/rank-biserial are pure IEEE algebra on those exact integers.
+ORACLE["m33_mann_whitney"] = """
+    WITH src AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS val, l_returnflag AS g
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    per AS (
+        SELECT val,
+               SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS na_v,
+               COUNT(*) AS t
+        FROM src GROUP BY val
+    ),
+    r AS (
+        SELECT na_v, t,
+               2 * SUM(t) OVER (ORDER BY val
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - t + 1 AS rank2
+        FROM per
+    ),
+    s AS (
+        SELECT SUM(CAST(na_v AS DECIMAL(38,0)) * rank2) AS r2a,
+               CAST(SUM(na_v) AS DECIMAL(38,0)) AS na,
+               CAST(SUM(t) AS DECIMAL(38,0)) AS nn,
+               SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS ties
+        FROM r
+    ),
+    d AS (
+        SELECT CAST(na AS DOUBLE) AS nad,
+               CAST(nn - na AS DOUBLE) AS nbd,
+               CAST(nn AS DOUBLE) AS nd,
+               CAST(r2a AS DOUBLE) AS r2ad,
+               CAST(ties AS DOUBLE) AS tiesd,
+               CAST(na AS BIGINT) AS n_a,
+               CAST(nn - na AS BIGINT) AS n_b
+        FROM s
+    )
+    SELECT n_a, n_b,
+           ROUND((r2ad - nad * (nad + 1)) / 2.0, 6) AS u_a,
+           ROUND(((r2ad - nad * (nad + 1)) / 2.0 - nad * nbd / 2.0)
+                 / SQRT(nad * nbd / 12.0
+                        * ((nd + 1) - tiesd / (nd * (nd - 1)))), 6)
+               AS z,
+           ROUND(1.0 - 2.0 * ((r2ad - nad * (nad + 1)) / 2.0)
+                     / (nad * nbd), 6) AS rank_biserial
+    FROM d
+"""
+
+# m34: the first digit comes from the DECIMAL string form (LOG10
+# could flip a digit at exact powers of ten); LOG10 only feeds the
+# expected shares, where 1-ulp drift sits 10 orders under ROUND(,6).
+ORACLE["m34_benford"] = """
+    WITH d AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                   AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    w AS (
+        SELECT digit, n,
+               CAST(SUM(n) OVER () AS DOUBLE) AS tot,
+               LOG10(1 + 1 / CAST(digit AS DOUBLE)) AS e
+        FROM c
+    )
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ROUND(n / tot, 6) AS share_obs,
+           ROUND(e, 6) AS share_exp,
+           ROUND((n - tot * e) * (n - tot * e) / (tot * e), 6)
+               AS chi2_term
+    FROM w ORDER BY digit
+"""
+
+# m35: every statistic is IEEE algebra on four exact integer counts.
+ORACLE["m35_ab_test"] = """
+    WITH pu AS (
+        SELECT c.c_custkey,
+               CASE WHEN b.c_custkey IS NULL THEN 0 ELSE 1 END AS conv
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                   WHERE o_totalprice > 480000)
+            b ON b.c_custkey = c.c_custkey
+    ),
+    s AS (
+        SELECT SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END)
+                   AS n_a,
+               SUM(CASE WHEN c_custkey % 2 = 0 THEN conv ELSE 0 END)
+                   AS c_a,
+               SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END)
+                   AS n_b,
+               SUM(CASE WHEN c_custkey % 2 = 1 THEN conv ELSE 0 END)
+                   AS c_b
+        FROM pu
+    ),
+    d AS (
+        SELECT CAST(n_a AS DOUBLE) AS na, CAST(c_a AS DOUBLE) AS ca,
+               CAST(n_b AS DOUBLE) AS nb, CAST(c_b AS DOUBLE) AS cb,
+               CAST(n_a AS BIGINT) AS n_a_i,
+               CAST(c_a AS BIGINT) AS c_a_i,
+               CAST(n_b AS BIGINT) AS n_b_i,
+               CAST(c_b AS BIGINT) AS c_b_i
+        FROM s
+    )
+    SELECT n_a_i AS n_a, c_a_i AS conv_a,
+           ROUND(ca / na, 6) AS rate_a,
+           n_b_i AS n_b, c_b_i AS conv_b,
+           ROUND(cb / nb, 6) AS rate_b,
+           ROUND(cb / nb - ca / na, 6) AS lift,
+           ROUND((cb / nb - ca / na)
+                 / SQRT((ca + cb) / (na + nb)
+                        * (1 - (ca + cb) / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 6) AS z
+    FROM d
 """

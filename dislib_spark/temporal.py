@@ -385,3 +385,75 @@ def markov_transitions(
         "n",
         F.round(F.col("n") / tot, 6).alias("prob"),
     )
+
+
+def acf(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Autocorrelation function of an ALREADY-AGGREGATED series:
+    ``acf(k) = Σ_t (x_t−μ)(x_{t+k}−μ) / Σ_t (x_t−μ)²`` for
+    k = 1..``max_lag`` — the seasonality / memory diagnostic read off
+    before picking rollup grains or forecast features.
+
+    The input is the grouped rollup (one row per period), so every
+    window/join here runs over |periods| rows — bounded by the
+    calendar span, never the fact-table size; the fact scan happened
+    upstream in the caller's groupBy. Lags come from ONE explode +
+    equi-join on the shifted index (no per-k passes).
+
+    Numerics: pass ``value_col`` as an exact DECIMAL sum so
+    μ = Σx/n is one IEEE-exact division; deviations are rounded to
+    4 dp and cast ``DECIMAL(18,4)`` so every cross-product and both
+    Σ accumulate EXACTLY (order-proof across engines) — the only
+    float ops are the final num/den divisions. Deviations must fit
+    14 integer digits (1e14); pre-scale the series otherwise.
+
+    Returns (k, n_pairs, acf_k), k = 1..max_lag.
+    """
+    w = Window.orderBy(order_col)
+    x = F.col(value_col).cast("double")
+    idx = series.select(x.alias("x"), F.row_number().over(w).alias("i"))
+    st = series.agg(
+        (
+            F.sum(F.col(value_col)).cast("double") / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    dev = idx.crossJoin(F.broadcast(st)).select(
+        "i",
+        F.round(F.col("x") - F.col("mu"), 4)
+        .cast("decimal(18,4)")
+        .alias("d"),
+    )
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("dd"))
+    lagged = dev.select(
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_lag)))).alias("k0"),
+        "i",
+        "d",
+    ).select(F.col("k0").cast("bigint").alias("k"), "i", "d")
+    num = (
+        lagged.alias("a")
+        .join(
+            dev.select(F.col("i").alias("i2"), F.col("d").alias("d2")),
+            F.col("a.i") + F.col("a.k") == F.col("i2"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("a.d") * F.col("d2")).alias("num"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "k",
+            "n_pairs",
+            F.round(
+                F.col("num").cast("double") / F.col("dd").cast("double"),
+                6,
+            ).alias("acf_k"),
+        )
+        .orderBy("k")
+    )

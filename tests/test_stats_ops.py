@@ -654,3 +654,58 @@ def test_silhouette_numpy_parity(spark):
         n, mean_s = got[k]
         assert n == int((cl == k).sum())
         assert mean_s == pytest.approx(float(s[cl == k].mean()), abs=1e-6)
+
+
+def test_mann_whitney_u_python_parity(spark):
+    """mann_whitney_u vs a direct midrank implementation (ties
+    included), on a small two-group sample."""
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 12, size=80)  # heavy ties
+    b = rng.integers(2, 14, size=65)
+    rows = [(float(v), "A") for v in a] + [(float(v), "B") for v in b]
+    df = spark.createDataFrame(rows, ["val", "grp"])
+
+    from dislib_spark.math.stats import mann_whitney_u
+
+    got = mann_whitney_u(df, "val", "grp", "A", "B").collect()[0]
+
+    # reference midrank computation
+    allv = np.concatenate([a, b]).astype(float)
+    order = np.sort(np.unique(allv))
+    ranks = {}
+    cum = 0
+    for v in order:
+        t = int((allv == v).sum())
+        ranks[v] = cum + (t + 1) / 2.0
+        cum += t
+    ra = sum(ranks[float(v)] for v in a)
+    na, nb = len(a), len(b)
+    n = na + nb
+    ua = ra - na * (na + 1) / 2.0
+    mu = na * nb / 2.0
+    ties = sum(
+        int((allv == v).sum()) ** 3 - int((allv == v).sum())
+        for v in order
+    )
+    sig2 = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (ua - mu) / math.sqrt(sig2)
+    rbc = 1.0 - 2.0 * ua / (na * nb)
+
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert abs(got["u_a"] - ua) < 1e-6
+    assert abs(got["z"] - z) < 1e-6
+    assert abs(got["rank_biserial"] - rbc) < 1e-6
+
+
+def test_mann_whitney_u_identical_groups_z_zero(spark):
+    """Same distribution in both groups with one value -> all tied:
+    sigma is 0-adjacent only when EVERY row ties; use two values so
+    sigma > 0 and z is finite, u_a = its mean under H0 exactly when
+    the groups mirror each other."""
+    rows = [(1.0, "A"), (2.0, "A"), (1.0, "B"), (2.0, "B")]
+    df = spark.createDataFrame(rows, ["val", "grp"])
+    from dislib_spark.math.stats import mann_whitney_u
+
+    got = mann_whitney_u(df, "val", "grp", "A", "B").collect()[0]
+    assert got["u_a"] == 2.0  # = na*nb/2 under perfect symmetry
+    assert got["z"] == 0.0

@@ -361,3 +361,35 @@ def test_gini_closed_form(spark):
             .collect()[0]
         )
         assert abs(row["g"] - gini_np(vals)) < 1e-9
+
+
+def test_acf_numpy_parity(spark):
+    """temporal.acf vs the direct numpy definition on a seasonal
+    series (period 6), including the n_pairs bookkeeping."""
+    import numpy as np
+    from decimal import Decimal
+
+    from dislib_spark.temporal import acf
+
+    n = 48
+    x = (
+        10000
+        + 3000 * np.sin(np.arange(n) * (2 * np.pi / 6))
+        + np.linspace(0, 500, n)
+    ).round(2)
+    rows = [(i, Decimal(f"{v:.2f}")) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "i long, v decimal(18,2)")
+    got = {
+        r["k"]: (r["n_pairs"], r["acf_k"])
+        for r in acf(df, "i", "v", 8).collect()
+    }
+
+    mu = x.mean()
+    d = np.round(x - mu, 4)
+    den = (d * d).sum()
+    for k in range(1, 9):
+        exp = (d[:-k] * d[k:]).sum() / den
+        assert got[k][0] == n - k
+        assert abs(got[k][1] - exp) < 1e-6
+    # period-6 seasonality must dominate
+    assert got[6][1] > got[3][1]

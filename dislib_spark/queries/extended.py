@@ -1778,6 +1778,84 @@ def x70_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf(monthly, "m", "rev", 12)
 
 
+# --- x71: CUSUM level-shift screen ------------------------------------
+def x71_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint / level-shift screen on daily event value
+    (``temporal.cusum``): S_t = Σ_{i≤t}(x_i − μ) over the daily
+    rollup — a drifting mean makes |S_t| ramp; its argmax locates the
+    change. The fact scan collapses to |days| rows first; S_t comes
+    from an EXACT decimal prefix sum minus t·μ (one IEEE product per
+    row), so there is no float accumulation anywhere."""
+    from dislib_spark.temporal import cusum
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    return cusum(daily, "day", "v")
+
+
+# --- x72: RSI momentum telemetry --------------------------------------
+def x72_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-period RSI (Cutler SMA form) on daily event value
+    (``temporal.rsi``) — the momentum/overbought telemetry next to
+    x63's TWAP and x64's OHLC bars. Deltas and both trailing
+    gain/loss sums stay EXACT decimals over the |days|-row rollup;
+    the one float op is the final ratio, and all-gain windows pin
+    RSI to exactly 100."""
+    from dislib_spark.temporal import rsi
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    return rsi(daily, "day", "v", period=7)
+
+
+# --- x73: duplicate-billing screen ------------------------------------
+def x73_dup_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate transaction screen: same customer, totalprice in
+    the same 10k bucket, within 30 days — the classic double-billing /
+    replayed-ETL audit. ONE window pass partitioned by (customer,
+    bucket) ordered by (date, key): each row checks only its
+    predecessor, so the output is linear (never the O(k²) self-join)
+    and the partition key is too fine to skew. Exact integer
+    day-gaps; fully ordered top-50 report."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") / 10000)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    w = Window.partitionBy("o_custkey", "bucket").orderBy(
+        "d", "o_orderkey"
+    )
+    r = o.select(
+        "o_custkey",
+        "bucket",
+        F.lag("o_orderkey").over(w).alias("k1"),
+        F.col("o_orderkey").alias("k2"),
+        F.lag("d").over(w).alias("d1"),
+        F.col("d").alias("d2"),
+    ).where(F.col("k1").isNotNull())
+    return (
+        r.select(
+            "o_custkey",
+            "bucket",
+            "k1",
+            "k2",
+            F.datediff("d2", "d1").cast("bigint").alias("gap_days"),
+        )
+        .where(F.col("gap_days") <= 30)
+        .orderBy("gap_days", "o_custkey", "k1", "k2")
+        .limit(50)
+    )
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -1833,6 +1911,9 @@ QUERIES = {
     "x68_mom_growth": x68_mom_growth,
     "x69_gini": x69_gini,
     "x70_acf": x70_acf,
+    "x71_cusum": x71_cusum,
+    "x72_rsi": x72_rsi,
+    "x73_dup_billing": x73_dup_billing,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -2844,4 +2925,85 @@ ORACLE["x70_acf"] = """
     SELECT CAST(k AS BIGINT) AS k, CAST(n_pairs AS BIGINT) AS n_pairs,
            ROUND(CAST(num AS DOUBLE) / CAST(dd AS DOUBLE), 6) AS acf_k
     FROM num, den ORDER BY k
+"""
+
+# x71: S_t = exact-decimal prefix sum minus t*mu — one IEEE
+# product/subtract per row, no float accumulation.
+ORACLE["x71_cusum"] = """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               SUM(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events GROUP BY date_trunc('day', ts)
+    ),
+    st AS (
+        SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mu FROM daily
+    ),
+    r AS (
+        SELECT day AS t, CAST(v AS DOUBLE) AS x,
+               CAST(SUM(v) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE)
+               - ROW_NUMBER() OVER (ORDER BY day) * mu AS s
+        FROM daily, st
+    )
+    SELECT t, x, ROUND(s, 6) AS s_t FROM r ORDER BY t
+"""
+
+# x72: deltas and trailing sums are exact decimals; the only float op
+# is the final ratio. All-gain windows pin RSI to exactly 100.
+ORACLE["x72_rsi"] = """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               SUM(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events GROUP BY date_trunc('day', ts)
+    ),
+    d AS (
+        SELECT day AS t, CAST(v AS DOUBLE) AS x,
+               CAST(v - LAG(v) OVER w AS DECIMAL(38,6)) AS del,
+               ROW_NUMBER() OVER w AS i
+        FROM daily WINDOW w AS (ORDER BY day)
+    ),
+    gl AS (
+        SELECT t, x, i,
+               SUM(CASE WHEN del > 0 THEN del
+                        ELSE CAST(0 AS DECIMAL(38,6)) END)
+                   OVER w7 AS gs,
+               SUM(CASE WHEN del < 0 THEN -del
+                        ELSE CAST(0 AS DECIMAL(38,6)) END)
+                   OVER w7 AS ls
+        FROM d
+        WINDOW w7 AS (ORDER BY t ROWS BETWEEN 6 PRECEDING
+                      AND CURRENT ROW)
+    )
+    SELECT t, x,
+           ROUND(CASE WHEN ls = 0 THEN 100.0
+                      ELSE 100.0 - 100.0
+                           / (1.0 + CAST(gs AS DOUBLE)
+                                    / CAST(ls AS DOUBLE))
+                 END, 6) AS rsi
+    FROM gl WHERE i > 7 ORDER BY t
+"""
+
+# x73: exact integer day gaps; the (gap, cust, k1, k2) ordering is
+# total so the LIMIT is deterministic.
+ORACLE["x73_dup_billing"] = """
+    WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS bucket
+        FROM orders
+    ),
+    r AS (
+        SELECT o_custkey, bucket,
+               LAG(o_orderkey) OVER w AS k1, o_orderkey AS k2,
+               LAG(d) OVER w AS d1, d AS d2
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey, bucket
+                     ORDER BY d, o_orderkey)
+    )
+    SELECT o_custkey, bucket, k1, k2,
+           CAST(d2 - d1 AS BIGINT) AS gap_days
+    FROM r
+    WHERE k1 IS NOT NULL AND d2 - d1 <= 30
+    ORDER BY gap_days, o_custkey, k1, k2 LIMIT 50
 """

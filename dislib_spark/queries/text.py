@@ -799,6 +799,39 @@ def t46_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_burstiness(d, top_k=20)
 
 
+def t47_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc type-token ratio + hapax share
+    (``text.features.lexical_diversity``): the vocabulary-richness
+    quality signals — low TTR flags template/boilerplate pages,
+    hapax-heavy docs flag keyword stuffing. One doc_id-co-shuffled
+    explode→count→aggregate chain; 20 least-diverse docs (the
+    dedup/filter candidates) with a full deterministic ordering."""
+    from dislib_spark.text.features import lexical_diversity
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        lexical_diversity(d, min_tokens=10)
+        .orderBy("ttr", "doc_id")
+        .limit(20)
+    )
+
+
+def t48_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character entropy on the 512-char prefix
+    (``text.features.char_entropy``) — the tokenizer-free
+    gibberish/template screen. Prefix cap bounds the explode per doc;
+    report the 20 LOWEST-entropy docs (repeated-char / template junk
+    floats to the top of a cleanup queue), fully ordered."""
+    from dislib_spark.text.features import char_entropy
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        char_entropy(d, prefix_len=512)
+        .orderBy("entropy", "doc_id")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -846,6 +879,8 @@ QUERIES = {
     "t44_weighted_sample": t44_weighted_sample,
     "t45_ngram_novelty": t45_ngram_novelty,
     "t46_burstiness": t46_burstiness,
+    "t47_lexical_diversity": t47_lexical_diversity,
+    "t48_char_entropy": t48_char_entropy,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -1925,4 +1960,52 @@ ORACLE["t46_burstiness"] = """
                  / (ct::DOUBLE / n), 6) AS vmr
     FROM per CROSS JOIN nd
     ORDER BY total DESC, term LIMIT 20
+"""
+
+# t47: every ratio is a division of exact integer counts; the
+# (ttr, doc_id) ordering is fully deterministic.
+ORACLE["t47_lexical_diversity"] = """
+    WITH tok AS (
+        SELECT doc_id, w, COUNT(*) AS tf FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+        ) WHERE w <> '' GROUP BY doc_id, w
+    ),
+    per AS (
+        SELECT doc_id, SUM(tf) AS n_tokens, COUNT(*) AS n_types,
+               SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS n_hapax
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(n_hapax AS BIGINT) AS n_hapax,
+           ROUND(n_types / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+           ROUND(n_hapax / CAST(n_types AS DOUBLE), 6) AS hapax_ratio
+    FROM per WHERE n_tokens >= 10
+    ORDER BY ttr, doc_id LIMIT 20
+"""
+
+# t48: H sums <= |alphabet| IEEE-exact-ratio terms per doc, so LN's
+# 1-ulp drift sits ten orders under ROUND(,6); (entropy, doc_id)
+# ordering is deterministic.
+ORACLE["t48_char_entropy"] = """
+    WITH ch AS (
+        SELECT doc_id, c, COUNT(*) AS n FROM (
+            SELECT doc_id,
+                   UNNEST(string_split(SUBSTRING(text, 1, 512), ''))
+                       AS c
+            FROM documents
+        ) WHERE c <> '' GROUP BY doc_id, c
+    ),
+    tot AS (
+        SELECT doc_id, SUM(n) AS nt, COUNT(*) AS nd
+        FROM ch GROUP BY doc_id
+    )
+    SELECT ch.doc_id, CAST(MAX(nt) AS BIGINT) AS n_chars_used,
+           CAST(MAX(nd) AS BIGINT) AS n_distinct,
+           ROUND(-SUM((n / CAST(nt AS DOUBLE))
+                      * LN(n / CAST(nt AS DOUBLE))), 6) AS entropy
+    FROM ch JOIN tot USING (doc_id)
+    GROUP BY ch.doc_id
+    ORDER BY entropy, doc_id LIMIT 20
 """

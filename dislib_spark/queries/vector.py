@@ -266,6 +266,19 @@ def v16_centroid_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_medoids(e, k=3)
 
 
+def v17_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding feature stats (``vector.drift
+    .dimension_stats``): mean / variance / min / max per coordinate —
+    the whitening diagnostic (dead dims, scale outliers) PCA/SQ8/PQ
+    read before picking their scales. One posexplode + one map-side-
+    combined agg keyed on the dim index; 7-dp DECIMAL values make
+    Σx and Σx² order-exact, so the moments are engine-stable."""
+    from dislib_spark.vector.drift import dimension_stats
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return dimension_stats(e)
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -283,6 +296,7 @@ QUERIES = {
     "v14_sq8_error": v14_sq8_error,
     "v15_hamming_topk": v15_hamming_topk,
     "v16_centroid_medoids": v16_centroid_medoids,
+    "v17_dimension_stats": v17_dimension_stats,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -651,4 +665,31 @@ ORACLE["v16_centroid_medoids"] = """
                ) AS rank
         FROM s
     ) WHERE rank <= 3 ORDER BY label, rank
+"""
+
+# v17: 7-dp DECIMAL coordinates make both power sums exact on either
+# engine; mean/variance are IEEE algebra on those exact sums. DuckDB
+# list indexing is 1-based -> ord-1 matches posexplode.
+ORACLE["v17_dimension_stats"] = """
+    WITH v AS (
+        SELECT s.ord - 1 AS dim,
+               CAST(ROUND(CAST(embedding[s.ord] AS DOUBLE), 7)
+                    AS DECIMAL(18,7)) AS x
+        FROM embeddings,
+             (SELECT UNNEST(range(1, 65)) AS ord) s
+    ),
+    g AS (
+        SELECT dim, COUNT(*) AS n, SUM(x) AS s1,
+               SUM(CAST(x AS DECIMAL(19,7)) * x) AS s2,
+               MIN(x) AS mn, MAX(x) AS mx
+        FROM v GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+           ROUND(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+               AS variance,
+           CAST(mn AS DOUBLE) AS min_v, CAST(mx AS DOUBLE) AS max_v
+    FROM g ORDER BY dim
 """

@@ -457,3 +457,104 @@ def acf(
         )
         .orderBy("k")
     )
+
+
+def cusum(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUSUM (cumulative-sum control chart) over an ALREADY-AGGREGATED
+    series: ``S_t = Σ_{i≤t} (x_i − μ)`` — the classic level-shift /
+    changepoint screen (Page); a drifting mean makes |S_t| ramp
+    instead of hovering near 0, and the argmax of |S_t| locates the
+    most likely change point.
+
+    Same scale contract as :func:`acf`: the caller's groupBy collapsed
+    the fact table, so the one ordered prefix-sum window here runs
+    over |periods| rows. Pass ``value_col`` as an exact DECIMAL sum:
+    ``S_t = prefix(x) − t·μ`` is then computed from an EXACT decimal
+    prefix sum with one IEEE product/subtraction per row — no float
+    accumulation at all.
+
+    Returns (t, x, s_t) ordered by period, s_t rounded to 6.
+    """
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    st = series.agg(
+        (
+            F.sum(F.col(value_col)).cast("double") / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    r = series.crossJoin(F.broadcast(st)).select(
+        F.col(order_col).alias("t"),
+        F.col(value_col).cast("double").alias("x"),
+        (
+            F.sum(F.col(value_col)).over(w).cast("double")
+            - F.row_number().over(Window.orderBy(order_col))
+            * F.col("mu")
+        ).alias("s"),
+    )
+    return r.select(
+        "t", "x", F.round("s", 6).alias("s_t")
+    ).orderBy("t")
+
+
+def rsi(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+    period: int = 14,
+) -> DataFrame:
+    """Relative Strength Index (Cutler's SMA form, which is
+    window-expressible — Wilder's EWMA form is recursive) over an
+    ALREADY-AGGREGATED series: RSI = 100 − 100/(1 + avg_gain/avg_loss)
+    over the trailing ``period`` deltas. The momentum/overbought
+    telemetry next to x63's TWAP and x64's OHLC bars.
+
+    Numerics: with ``value_col`` an exact DECIMAL sum, deltas and
+    both trailing sums stay EXACT decimals (gain/loss split is
+    sign-exact); the single float op is the final ratio. All-gain
+    windows pin RSI to exactly 100.0 rather than dividing by zero.
+
+    Returns (t, x, rsi) for rows with a full ``period`` of deltas.
+    """
+    wl = Window.orderBy(order_col)
+    ws = Window.orderBy("t").rowsBetween(
+        -(int(period) - 1), Window.currentRow
+    )
+    x = F.col(value_col)
+    d = x - F.lag(x).over(wl)
+    zero = F.lit(0).cast(
+        "decimal(38,6)"
+    )
+    r = series.select(
+        F.col(order_col).alias("t"),
+        x.cast("double").alias("x"),
+        F.when(d > 0, d.cast("decimal(38,6)")).otherwise(zero).alias(
+            "g"
+        ),
+        F.when(d < 0, (-d).cast("decimal(38,6)")).otherwise(zero).alias(
+            "l"
+        ),
+        F.row_number().over(wl).alias("i"),
+    )
+    agg = r.select(
+        "t",
+        "x",
+        "i",
+        F.sum("g").over(ws).alias("gs"),
+        F.sum("l").over(ws).alias("ls"),
+    ).where(F.col("i") > int(period))
+    val = F.when(F.col("ls") == 0, F.lit(100.0)).otherwise(
+        F.lit(100.0)
+        - F.lit(100.0)
+        / (
+            F.lit(1.0)
+            + F.col("gs").cast("double") / F.col("ls").cast("double")
+        )
+    )
+    return agg.select(
+        "t", "x", F.round(val, 6).alias("rsi")
+    ).orderBy("t")

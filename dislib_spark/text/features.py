@@ -468,3 +468,96 @@ def term_burstiness(
         .orderBy(F.desc("total"), "term")
         .limit(top_k)
     )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+) -> DataFrame:
+    """Per-document lexical-diversity profile: type-token ratio and
+    hapax-legomena share — the cheap vocabulary-richness signals that
+    separate boilerplate/template pages (low TTR) and keyword-stuffed
+    spam (hapax-heavy) from prose before any model-based scoring.
+
+    One explode → per-(doc, token) count → per-doc aggregate; every
+    stage is keyed on doc_id so the whole thing is one co-shuffled
+    chain with map-side combine, linear at any corpus size. All
+    ratios are divisions of exact integer counts.
+
+    Returns (doc_id, n_tokens, n_types, n_hapax, ttr, hapax_ratio).
+    """
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per = tok.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("tf") == 1).cast("long")).alias("n_hapax"),
+    )
+    return per.where(F.col("n_tokens") >= int(min_tokens)).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.col("n_hapax").cast("bigint").alias("n_hapax"),
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(F.col("n_hapax") / F.col("n_types"), 6).alias(
+            "hapax_ratio"
+        ),
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 512,
+) -> DataFrame:
+    """Per-document character-level Shannon entropy over the first
+    ``prefix_len`` characters — the compression-ratio proxy that
+    catches gibberish (entropy too high) and repeated-character /
+    template junk (too low) without tokenizing. The per-doc sibling
+    of :func:`token_entropy`'s corpus-level statistic.
+
+    The prefix cap bounds the explode at ``prefix_len`` rows per doc
+    (deterministic, and the standard trick for cheap per-doc signals
+    at corpus scale); per-(doc, char) counts co-shuffle on doc_id.
+    H = −Σ (c/n)·ln(c/n) sums ≤ |alphabet| IEEE-exact-ratio terms, so
+    1-ulp LN drift sits ten orders under the 6-dp rounding.
+
+    Returns (doc_id, n_chars_used, n_distinct, entropy).
+    """
+    ch = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(
+                    F.substring(F.col(text_col), 1, int(prefix_len)),
+                    "",
+                )
+            ).alias("c"),
+        )
+        .where(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = ch.groupBy("doc_id").agg(
+        F.sum("n").alias("nt"), F.count(F.lit(1)).alias("nd")
+    )
+    p = F.col("n") / F.col("nt")
+    return (
+        ch.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("nt").cast("bigint").alias("n_chars_used"),
+            F.max("nd").cast("bigint").alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )

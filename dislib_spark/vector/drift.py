@@ -131,3 +131,55 @@ def centroid_medoids(
         .where(F.col("rank") <= k)
         .orderBy("label", "rank")
     )
+
+
+def dimension_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_dp: int = 7,
+) -> DataFrame:
+    """Per-dimension feature statistics of an embedding column —
+    mean / population variance / min / max for every coordinate: the
+    whitening-diagnostic (dead dims, scale outliers, variance
+    collapse after a bad encoder deploy) read before PCA/SQ8/PQ pick
+    their scales. Complements the per-GROUP centroids of
+    ``group_centroids`` with corpus-wide per-DIMENSION moments.
+
+    One posexplode + one map-side-combined aggregate keyed on the
+    dimension index — |dims| output rows at any corpus size.
+    Values are rounded to ``round_dp`` and carried as DECIMAL so
+    Σx and Σx² are ORDER-EXACT on every engine; mean and variance
+    are IEEE algebra on those exact sums (float32 inputs carry ~7
+    significant digits, so 7-dp rounding is below input noise).
+
+    Returns (dim, n, mean, variance, min_v, max_v).
+    """
+    v = (
+        df.select(
+            F.posexplode(F.col(vec_col)).alias("dim", "x0")
+        )
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round(F.col("x0").cast("double"), int(round_dp))
+            .cast("decimal(18,7)")
+            .alias("x"),
+        )
+    )
+    g = v.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mean * mean
+    return g.select(
+        "dim",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.col("mn").cast("double").alias("min_v"),
+        F.col("mx").cast("double").alias("max_v"),
+    ).orderBy("dim")

@@ -586,3 +586,65 @@ def test_centroid_medoids_numpy_parity(spark):
         order = sorted(zip(-np.round(cos, 9), ids))
         want = [int(i) for _, i in order[:3]]
         assert got[lab] == want
+
+
+def test_lexical_diversity_hand_computed(spark):
+    from dislib_spark.text.features import lexical_diversity
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b b c d e f g"),  # 10 tok, 7 types, 5 hapax
+            (2, "x " * 5),  # below min_tokens
+            (3, " ".join(str(i) for i in range(12))),  # all hapax
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in lexical_diversity(df, min_tokens=10).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1]["n_tokens"] == 10
+    assert got[1]["n_types"] == 7
+    assert got[1]["n_hapax"] == 5
+    assert abs(got[1]["ttr"] - 0.7) < 1e-9
+    assert abs(got[1]["hapax_ratio"] - 5 / 7) < 1e-6
+    assert got[3]["ttr"] == 1.0 and got[3]["hapax_ratio"] == 1.0
+
+
+def test_char_entropy_hand_computed(spark):
+    import math as m
+
+    from dislib_spark.text.features import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd" * 200)],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert got[1]["entropy"] == 0.0
+    assert abs(got[2]["entropy"] - m.log(2)) < 1e-6
+    # doc 3: 800 chars but capped at the 512-char prefix
+    assert got[3]["n_chars_used"] == 512
+    assert abs(got[3]["entropy"] - m.log(4)) < 1e-6
+
+
+def test_dimension_stats_numpy_parity(spark):
+    import numpy as np
+
+    from dislib_spark.vector.drift import dimension_stats
+
+    rng = np.random.default_rng(9)
+    mat = rng.normal(size=(300, 5)).astype(np.float32)
+    rows = [(i, [float(v) for v in mat[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["dim"]: r for r in dimension_stats(df, "embedding").collect()}
+
+    ref = np.round(mat.astype(np.float64), 7)
+    for j in range(5):
+        col = ref[:, j]
+        assert got[j]["n"] == 300
+        assert abs(got[j]["mean"] - col.mean()) < 1e-5
+        assert abs(got[j]["variance"] - col.var()) < 1e-5
+        assert abs(got[j]["min_v"] - col.min()) < 1e-7
+        assert abs(got[j]["max_v"] - col.max()) < 1e-7

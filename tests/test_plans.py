@@ -40,6 +40,7 @@ _BNLJ_OK = {
     "m13_nb_confusion",  # |classes|-row class-stats broadcast per doc
     "m32_macro_f1",  # same _nb_pred |classes|-row broadcast as m13
     "x70_acf",  # 1-row broadcast of mu, then of the Σd² denominator
+    "x71_cusum",  # 1-row broadcast of mu onto the |days| rollup
     "v12_mmr_rerank",  # v01-style broadcast query set feeding the MMR pool
     "v13_hard_negatives",  # broadcast query set vs corpus scan, like v01
     "t42_temperature_sample",  # 1-row broadcast of the (Σmass, Σn) totals

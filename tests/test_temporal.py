@@ -393,3 +393,52 @@ def test_acf_numpy_parity(spark):
         assert abs(got[k][1] - exp) < 1e-6
     # period-6 seasonality must dominate
     assert got[6][1] > got[3][1]
+
+
+def test_cusum_numpy_parity(spark):
+    """temporal.cusum vs direct numpy prefix sums on a series with a
+    deliberate level shift at t=20 (the |S_t| peak must sit there)."""
+    import numpy as np
+    from decimal import Decimal
+
+    from dislib_spark.temporal import cusum
+
+    x = np.concatenate(
+        [np.full(20, 100.0), np.full(20, 140.0)]
+    ) + np.arange(40) * 0.25
+    x = x.round(2)
+    rows = [(i, Decimal(f"{v:.2f}")) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "i long, v decimal(18,2)")
+    got = cusum(df, "i", "v").collect()
+
+    mu = x.sum() / len(x)
+    s = np.cumsum(x) - (np.arange(len(x)) + 1) * mu
+    for row in got:
+        assert abs(row["s_t"] - s[row["t"]]) < 1e-6
+    peak = max(got, key=lambda r: abs(r["s_t"]))
+    assert peak["t"] == 19  # last pre-shift index
+
+
+def test_rsi_numpy_parity(spark):
+    """temporal.rsi (Cutler SMA form) vs a direct numpy computation,
+    including the all-gain RSI=100 pin."""
+    import numpy as np
+    from decimal import Decimal
+
+    from dislib_spark.temporal import rsi
+
+    rng = np.random.default_rng(3)
+    x = (100 + np.cumsum(rng.normal(0, 2, size=60))).round(2)
+    x[5:15] = np.linspace(100, 120, 10).round(2)  # monotone stretch
+    rows = [(i, Decimal(f"{v:.2f}")) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "i long, v decimal(18,2)")
+    period = 7
+    got = {r["t"]: r["rsi"] for r in rsi(df, "i", "v", period).collect()}
+
+    d = np.diff(x)
+    for t in range(period, len(x)):
+        window = d[t - period : t]
+        g = window[window > 0].sum()
+        loss = -window[window < 0].sum()
+        exp = 100.0 if loss == 0 else 100 - 100 / (1 + g / loss)
+        assert abs(got[t] - exp) < 1e-6, t

@@ -1700,13 +1700,17 @@ def x69_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-revenue concentration per region: Gini coefficient
     via the rank formula G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over
     revenue-ranked customers — the Lorenz-curve summary behind
-    "top-1% of customers" dashboards. Ranks are per-REGION windows
-    over the customer-level pre-aggregate (at 100 TB swap the rank
-    for utils.base.with_global_index's range-partition form); the
-    rank·revenue cross-moment accumulates as exact DECIMAL(38,2)
-    (a double sum overflows 2^53), cast to double only for the final
-    scalar algebra."""
-    from pyspark.sql import Window
+    "top-1% of customers" dashboards. With only 5 regions a
+    ``Window.partitionBy(region)`` rank puts n/5 customers in each
+    window partition, so the per-region rank is instead derived from
+    ONE distributed global index over (region, rev, custkey) — ranks
+    within a region are contiguous in that order, so
+    ``i = _gidx − min(_gidx per region) + 1`` (a 5-row broadcast
+    offset join) reproduces the per-region row_number with no
+    near-global window; the rank·revenue cross-moment accumulates as
+    exact DECIMAL(38,2) (a double sum overflows 2^53), cast to double
+    only for the final scalar algebra."""
+    from dislib_spark.utils.base import with_global_index
 
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
@@ -1729,11 +1733,18 @@ def x69_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
         )
     )
-    w = Window.partitionBy("r_name").orderBy("rev", "c_custkey")
-    ranked = per_cust.select(
+    indexed = with_global_index(
+        per_cust, order_by=["r_name", "rev", "c_custkey"], idx_col="_gidx"
+    )
+    base = indexed.groupBy(F.col("r_name").alias("_rn")).agg(
+        F.min("_gidx").alias("_base")
+    )
+    ranked = indexed.join(
+        F.broadcast(base), indexed.r_name == F.col("_rn")
+    ).select(
         "r_name",
         "rev",
-        F.row_number().over(w).cast("decimal(20,0)").alias("i"),
+        (F.col("_gidx") - F.col("_base") + 1).cast("decimal(20,0)").alias("i"),
     )
     s1 = F.sum((F.col("i") * F.col("rev")).cast("decimal(38,2)"))
     return (

@@ -2,10 +2,10 @@
 oracles (exact-replayable: single-space tokenization + md5 + lambda
 list ops — no engine-specific tokenizer/regex divergence).
 
-MinHash-LSH and SimHash dedup are not ANSI-SQL replayable (xxhash64 is
-Spark-specific) → declared without oracles (driver records the weaker
-rows-only check); their *candidate verification* (exact Jaccard) IS
-oracle-checked via t04.
+MinHash-LSH (t05) and SimHash (t06) run with ``hash_fn="md5"`` so
+their signatures, band/block keys and candidate sets are integer-
+exact replays of the generated DuckDB oracles — the approximate
+pipelines are value-checked end to end, not rows-only.
 """
 
 from __future__ import annotations
@@ -69,13 +69,25 @@ def t04_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def t05_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with ``hash_fn="md5"``: the affine
+    permutation minima, band keys and bucket candidates are integer-
+    exact replays of the DuckDB oracle (same constants from
+    ``minhash_perms``), so the WHOLE approximate pipeline — not just
+    the exact-Jaccard verify — is value-checked."""
     d = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, threshold=0.3).orderBy("a_id", "b_id")
+    return minhash_lsh_pairs(d, threshold=0.3, hash_fn="md5").orderBy(
+        "a_id", "b_id"
+    )
 
 
 def t06_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the 60-bit md5 token hash: votes,
+    sign bits and the 45 pigeonhole block keys are integer arithmetic,
+    replayed bit-exactly by the DuckDB oracle."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(d, max_hamming=8).orderBy("a_id", "b_id")
+    return simhash_pairs(d, max_hamming=8, bits=60, hash_fn="md5").orderBy(
+        "a_id", "b_id"
+    )
 
 
 def t07_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,8 +712,15 @@ def t43_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus slopes ≈ −1; template spam / synthetic junk bends it) —
     ONE corpus-sized word count, then ranking + regression algebra on
     the vocab-sized table. The distribution-shape QA scalar next to
-    t36's per-doc entropy."""
-    from pyspark.sql import Window
+    t36's per-doc entropy.
+
+    The vocab rank uses ``utils.base.with_global_index`` (range
+    partition + per-partition offsets, same as x19/x48/v09) — vocab
+    is sublinear in corpus size but unbounded (web junk tokens), so a
+    global ``row_number`` Window (one-partition sort of the whole
+    vocabulary) is exactly the plan that dies at 100×; the
+    distributed rank is plan-pinned in tests/test_plans.py."""
+    from dislib_spark.utils.base import with_global_index
 
     d = load_table(spark, sf_dir, "documents")
     vocab = (
@@ -710,12 +729,10 @@ def t43_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = vocab.select(
-        F.log(
-            F.row_number()
-            .over(Window.orderBy(F.desc("freq"), "w"))
-            .cast("double")
-        ).alias("x"),
+    ranked = with_global_index(
+        vocab, order_by=[F.desc("freq"), "w"], idx_col="_r"
+    ).select(
+        F.log((F.col("_r") + 1).cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),
     )
     s = ranked.agg(
@@ -965,8 +982,9 @@ ORACLE = {
         SELECT COUNT(*) AS n_kept, ROUND(AVG({_N_TOK}), 6) AS avg_tokens
         FROM documents WHERE {_QUALITY} >= 0.7
     """,
-    # t05/t06: xxhash64-based signatures — not ANSI-SQL replayable,
-    # rows-only check by design.
+    # t05/t06 oracles are generated below (_t05_oracle/_t06_oracle):
+    # the declared queries use hash_fn="md5", whose signature and
+    # band-key arithmetic is integer-exact in ANSI SQL.
     "t08_normalize": """
         SELECT doc_id,
                md5(norm) AS norm_md5,
@@ -2009,3 +2027,137 @@ ORACLE["t48_char_entropy"] = """
     GROUP BY ch.doc_id
     ORDER BY entropy, doc_id LIMIT 20
 """
+
+
+def _t05_oracle() -> str:
+    """DuckDB replay of t05's md5-mode MinHash+LSH: identical affine
+    constants (shared ``minhash_perms``), md5-prefix shingle hashes,
+    md5 band keys — pure integer arithmetic, so the candidate set and
+    the exact-Jaccard verify are both bit-deterministic."""
+    from dislib_spark.text.dedup import _MERSENNE as M, minhash_perms
+
+    sig_items = ",\n               ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {M}))"
+        for a, b in minhash_perms(32, seed=7)
+    )
+    band_structs = ",\n                   ".join(
+        "{'bi': %d, 'bh': md5(concat_ws(',', %s))}"
+        % (
+            b,
+            ", ".join(
+                f"CAST(sig[{b * 4 + j + 1}] AS VARCHAR)" for j in range(4)
+            ),
+        )
+        for b in range(8)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                              for i in range(1, len(toks) - 1)]) AS sh
+        FROM t
+    ),
+    hashed AS (
+        SELECT doc_id, sh,
+               list_transform(sh, s ->
+                   CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % {M}) AS hs
+        FROM sh WHERE len(sh) > 0
+    ),
+    sig AS (
+        SELECT doc_id, sh,
+               [{sig_items}] AS sig
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id, u.bi AS band_idx, u.bh AS band_hash FROM (
+            SELECT doc_id,
+                   UNNEST([{band_structs}]) AS u
+            FROM sig
+        )
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT c.a_id, c.b_id,
+               ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE
+                     / (len(x.sh) + len(y.sh)
+                        - len(list_intersect(x.sh, y.sh)))::DOUBLE,
+                     6) AS jaccard
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.a_id
+        JOIN sh y ON y.doc_id = c.b_id
+    )
+    SELECT a_id, b_id, jaccard FROM scored
+    WHERE jaccard >= 0.3 ORDER BY a_id, b_id
+    """
+
+
+ORACLE["t05_dedup_minhash"] = _t05_oracle()
+
+
+def _t06_oracle() -> str:
+    """DuckDB replay of t06's md5-mode SimHash: 60-bit token hashes,
+    per-bit vote sums, sign-bit signature assembly, and the 45
+    pigeonhole 2-of-10 block keys — all integer ops, bit-exact."""
+    from itertools import combinations
+
+    bits, k, max_h = 60, 10, 8
+    width = bits // k  # 6
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    sig_sum = "\n                + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
+    mask = (1 << width) - 1
+
+    def block(i: int) -> str:
+        return f"((sig >> {i * width}) & {mask})"
+
+    combo_structs = ",\n                   ".join(
+        "{'ci': %d, 'key': (%s << %d) + %s}"
+        % (ci, block(c0), width, block(c1))
+        for ci, (c0, c1) in enumerate(combinations(range(k), 2))
+    )
+    return f"""
+    WITH tokh AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+        FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+        )
+    ),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM tokh GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST({sig_sum} AS BIGINT) AS sig
+        FROM votes
+    ),
+    keyed AS (
+        SELECT doc_id, sig, u.ci AS ci, u.key AS key FROM (
+            SELECT doc_id, sig,
+                   UNNEST([{combo_structs}]) AS u
+            FROM sig
+        )
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM keyed a JOIN keyed b
+      ON a.ci = b.ci AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_h}
+    ORDER BY a_id, b_id
+    """
+
+
+ORACLE["t06_dedup_simhash"] = _t06_oracle()

@@ -3,8 +3,11 @@ DuckDB oracles.
 
 Exact paths (brute-force cosine top-k, near-dup pairs) are oracle-
 checked via explicit unnest-join dot products in double precision.
-LSH / IVF approximate paths use Spark-side hashing / MLlib KMeans —
-not ANSI-replayable → rows-only checks.
+The declared approximate paths (v03 hyperplane LSH, v04 IVF, v06 PQ)
+use seed-deterministic planes/centers/codebooks, so their candidate
+generation AND scoring are value-replayed in DuckDB too; only the
+MLlib-KMeans-trained variants (v10 stored index, v12 greedy MMR) are
+rows-only, with pytest recall/parity gates.
 """
 
 from __future__ import annotations
@@ -48,9 +51,14 @@ def v03_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def v04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the deterministic seed quantizer (cells = the 16
+    lowest-id corpus vectors): assignment, n_probe=4 probing and the
+    probed-list cosine scoring are all value-replayed by the DuckDB
+    oracle. The KMeans-trained quantizer stays covered by v10 (stored
+    index) and the recall pytest gates."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
-    return ivf_topk(q, e, k=10).orderBy("q_id", "rank")
+    return ivf_topk(q, e, k=10, centers="seed").orderBy("q_id", "rank")
 
 
 def v05_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,15 +96,19 @@ def v05_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def v06_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (codebooks → uint8-ish codes → ADC
-    scoring → exact re-rank): the compressed-index scale path for
-    cosine search. Rows-only in the driver (KMeans codebooks aren't
-    SQL-replayable); recall gated vs exact top-k in
+    scoring → exact re-rank) with the deterministic seed codebooks
+    (16 lowest-id vectors, unit-normalized, sliced per subspace): the
+    DuckDB oracle replays encode, the per-query ADC tables, the
+    rerank-100 shortlist and the exact-cosine top-10 value-exactly.
+    KMeans-trained codebooks stay recall-gated in
     tests/test_ann_quality_skew.py."""
     from dislib_spark.vector.search import pq_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
-    return pq_topk(q, e, k=10).orderBy("q_id", "rank")
+    return pq_topk(
+        q, e, k=10, n_centroids=16, codebooks="seed"
+    ).orderBy("q_id", "rank")
 
 
 def v07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,7 +367,9 @@ ORACLE = {
             JOIN norms nb ON nb.vec_id = d.b_id
         ) WHERE sim >= 0.2 ORDER BY a_id, b_id
     """,
-    # v03/v04: approximate (hash/KMeans-seeded) — rows-only by design.
+    # v03/v04/v06 oracles are generated below: the declared queries
+    # use seed-deterministic hyperplanes / centers / codebooks, so the
+    # whole approximate pipeline is value-replayed in DuckDB.
     "v07_semantic_dedup": f"""
         WITH cells AS ({_CELLS}),
         norms AS (
@@ -692,4 +706,212 @@ ORACLE["v17_dimension_stats"] = """
                AS variance,
            CAST(mn AS DOUBLE) AS min_v, CAST(mx AS DOUBLE) AS max_v
     FROM g ORDER BY dim
+"""
+
+
+def _v03_oracle() -> str:
+    """DuckDB replay of v03's hyperplane LSH: the seed-13 plane
+    literals are embedded verbatim, each signature bit is the sign of
+    an explicit left-associated 64-term dot product (the exact IEEE
+    order of Spark's zip_with/aggregate fold), then bucket-join +
+    exact cosine + rank — the full approximate pipeline, not a
+    rows-only check."""
+    from dislib_spark.vector.search import _hyperplanes
+
+    planes = _hyperplanes(64, 8, seed=13)
+    bit_cases = ",\n                   ".join(
+        "CASE WHEN "
+        + " + ".join(f"e[{i + 1}] * {w!r}" for i, w in enumerate(row))
+        + " >= 0 THEN '1' ELSE '0' END"
+        for row in planes
+    )
+    return f"""
+    WITH ev AS (
+        SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e
+        FROM embeddings
+    ),
+    sigs AS (
+        SELECT vec_id,
+               concat({bit_cases}) AS bucket
+        FROM ev
+    ),
+    cells AS ({_CELLS}),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM cells GROUP BY vec_id
+    ),
+    cand AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id
+        FROM sigs q JOIN sigs c ON q.bucket = c.bucket
+        WHERE q.vec_id < 5
+    ),
+    dots AS (
+        SELECT cd.q_id, cd.c_id, SUM(a.v * b.v) AS dot
+        FROM cand cd
+        JOIN cells a ON a.vec_id = cd.q_id
+        JOIN cells b ON b.vec_id = cd.c_id AND a.k = b.k
+        GROUP BY cd.q_id, cd.c_id
+    ),
+    scored AS (
+        SELECT d.q_id, d.c_id,
+               ROUND(d.dot / (na.nrm * nb.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.q_id
+        JOIN norms nb ON nb.vec_id = d.c_id
+    )
+    SELECT q_id, c_id, sim, CAST(rank AS INT) AS rank FROM (
+        SELECT q_id, c_id, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY sim DESC, c_id
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= 10 ORDER BY q_id, rank
+    """
+
+
+ORACLE["v03_lsh_topk"] = _v03_oracle()
+
+
+# v04: seed-center IVF replay — centers are the 16 lowest-id vectors,
+# assignment/probing are argmin-L2 with (d2, cell) tie order, scoring
+# is exact cosine on the probed lists only (same as the Spark plan).
+ORACLE["v04_ivf_topk"] = f"""
+    WITH cells AS ({_CELLS}),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM cells GROUP BY vec_id
+    ),
+    ctr AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+               vec_id AS cvid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    d2 AS (
+        SELECT a.vec_id AS vid, ctr.cell,
+               SUM((a.v - b.v) * (a.v - b.v)) AS d2
+        FROM cells a
+        JOIN ctr ON TRUE
+        JOIN cells b ON b.vec_id = ctr.cvid AND b.k = a.k
+        GROUP BY a.vec_id, ctr.cell
+    ),
+    assigned AS (
+        SELECT vid, cell FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cell)
+                       AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vid AS q_id, cell FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cell)
+                       AS pr
+            FROM d2 WHERE vid < 5
+        ) WHERE pr <= 4
+    ),
+    cand AS (
+        SELECT p.q_id, a.vid AS c_id
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+    ),
+    dots AS (
+        SELECT cd.q_id, cd.c_id, SUM(a.v * b.v) AS dot
+        FROM cand cd
+        JOIN cells a ON a.vec_id = cd.q_id
+        JOIN cells b ON b.vec_id = cd.c_id AND a.k = b.k
+        GROUP BY cd.q_id, cd.c_id
+    ),
+    scored AS (
+        SELECT d.q_id, d.c_id,
+               ROUND(d.dot / (na.nrm * nb.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.q_id
+        JOIN norms nb ON nb.vec_id = d.c_id
+    )
+    SELECT q_id, c_id, sim, CAST(rank AS INT) AS rank FROM (
+        SELECT q_id, c_id, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY sim DESC, c_id
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+
+# v06: seed-codebook PQ replay. Codebook (m, c) = subspace slice m of
+# the unit-normalized c-th lowest-id vector; encode = per-(vec, m)
+# argmin L2 with (d2, c) tie order; ADC = sum over m of the query's
+# distance to the assigned centroid; shortlist = 100 lowest (adc,
+# c_id); final = exact cosine top-10 on the shortlist.
+ORACLE["v06_pq_topk"] = f"""
+    WITH cells AS ({_CELLS}),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM cells GROUP BY vec_id
+    ),
+    unit AS (
+        SELECT c.vec_id, c.k, c.v / n.nrm AS u
+        FROM cells c JOIN norms n USING (vec_id)
+    ),
+    ctrids AS (
+        SELECT vec_id AS cvid,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    book AS (
+        SELECT ct.c, CAST((u.k - 1) // 8 AS INT) AS m, (u.k - 1) % 8 AS j,
+               u.u AS w
+        FROM unit u JOIN ctrids ct ON u.vec_id = ct.cvid
+    ),
+    sub AS (
+        SELECT vec_id, CAST((k - 1) // 8 AS INT) AS m, (k - 1) % 8 AS j, u
+        FROM unit
+    ),
+    d2 AS (
+        SELECT s.vec_id, s.m, b.c, SUM((s.u - b.w) * (s.u - b.w)) AS d2
+        FROM sub s JOIN book b ON b.m = s.m AND b.j = s.j
+        GROUP BY s.vec_id, s.m, b.c
+    ),
+    codes AS (
+        SELECT vec_id, m, c FROM (
+            SELECT vec_id, m, c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, m ORDER BY d2, c
+                   ) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    adc AS (
+        SELECT q.vec_id AS q_id, cd.vec_id AS c_id, SUM(q.d2) AS adc
+        FROM codes cd
+        JOIN d2 q ON q.m = cd.m AND q.c = cd.c AND q.vec_id < 5
+        GROUP BY q.vec_id, cd.vec_id
+    ),
+    short AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY adc, c_id
+                   ) AS r
+            FROM adc
+        ) WHERE r <= 100
+    ),
+    dots AS (
+        SELECT sh.q_id, sh.c_id, SUM(a.v * b.v) AS dot
+        FROM short sh
+        JOIN cells a ON a.vec_id = sh.q_id
+        JOIN cells b ON b.vec_id = sh.c_id AND a.k = b.k
+        GROUP BY sh.q_id, sh.c_id
+    ),
+    scored AS (
+        SELECT d.q_id, d.c_id,
+               ROUND(d.dot / (na.nrm * nb.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.q_id
+        JOIN norms nb ON nb.vec_id = d.c_id
+    )
+    SELECT q_id, c_id, sim, CAST(rank AS INT) AS rank FROM (
+        SELECT q_id, c_id, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY sim DESC, c_id
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= 10 ORDER BY q_id, rank
 """

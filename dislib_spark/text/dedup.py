@@ -28,6 +28,35 @@ from dislib_spark.utils.base import fan_out
 _MERSENNE = (1 << 31) - 1
 
 
+def md5_hash32(col: Column) -> Column:
+    """32-bit integer hash from the md5 hex prefix. Slower than
+    xxhash64 (md5 + string slice vs one JVM long op) but replayable
+    verbatim in ANSI/DuckDB SQL as
+    ``CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)`` — the declared
+    dedup queries use it so their LSH candidate generation is
+    oracle-checked end to end, not rows-only."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def md5_hash60(col: Column) -> Column:
+    """60-bit variant (15 hex chars) for SimHash signatures: wide
+    enough for bit votes, still positive in a signed 64-bit long on
+    both engines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_perms(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """The (a, b) affine-permutation constants shared by the Spark
+    signature builder and the DuckDB oracle generator — one source of
+    truth so the replay can never drift."""
+    perms = []
+    for i in range(num_hashes):
+        a = (seed * 1_000_003 + i * 2_147_483_647) % _MERSENNE or 1
+        b = (seed * 998_244_353 + i * 1_000_000_007) % _MERSENNE
+        perms.append((a, b))
+    return perms
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the lowest id per content fingerprint.
     Returns (fingerprint, keep_id, n_copies)."""
@@ -181,12 +210,9 @@ def _minhash_signature(base_hashes: Column, num_hashes: int, seed: int = 7) -> C
             )
         )
 
-    sigs = []
-    for i in range(num_hashes):
-        a = (seed * 1_000_003 + i * 2_147_483_647) % _MERSENNE or 1
-        b = (seed * 998_244_353 + i * 1_000_000_007) % _MERSENNE
-        sigs.append(_permuted_min(a, b))
-    return F.array(*sigs)
+    return F.array(
+        *[_permuted_min(a, b) for a, b in minhash_perms(num_hashes, seed)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -198,6 +224,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = 10_000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: candidates from band-bucket
     collisions, then exact Jaccard on the candidates only.
@@ -207,10 +234,28 @@ def minhash_lsh_pairs(
 
     Band buckets aggregate ids only (see inline comment) and are
     capped at ``max_bucket_size`` ids (deterministic sorted-prefix
-    truncation; ``None`` disables). Returns (a_id, b_id, jaccard)
-    with a_id < b_id.
+    truncation; ``None`` disables).
+
+    ``hash_fn``: ``"xxhash64"`` (default, fastest JVM path) or
+    ``"md5"`` — md5-prefix shingle hashes and md5 band keys, value-
+    identical to the DuckDB replay in the t05 oracle (same affine
+    constants via :func:`minhash_perms`), making the whole candidate
+    generation oracle-checkable. Identical plan shape either way.
+
+    Returns (a_id, b_id, jaccard) with a_id < b_id.
     """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     rows_per_band = num_hashes // bands
+    shingle_hash = F.xxhash64 if hash_fn == "xxhash64" else md5_hash32
+
+    def band_key(b):
+        sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        if hash_fn == "xxhash64":
+            return F.xxhash64(sl)
+        return F.md5(
+            F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
+        )
     # two lineage breaks: (1) the shingle+hash build feeds 32
     # permutation lambdas, (2) the signature feeds `bands` band-hash
     # lambdas — without checkpoints each lambda re-evaluates its whole
@@ -223,7 +268,7 @@ def minhash_lsh_pairs(
         .withColumn(
             "_h",
             F.transform(
-                F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+                F.col("shingles"), lambda s: F.pmod(shingle_hash(s), F.lit(_MERSENNE))
             ),
         )
         .localCheckpoint(eager=True)
@@ -235,14 +280,9 @@ def minhash_lsh_pairs(
     )
     banded = sig.select(
         "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
     )
     # Bucket-based candidates over IDS ONLY: a band bucket's
     # aggregation buffer holds bare longs, never the shingle arrays —
@@ -296,10 +336,22 @@ def minhash_lsh_pairs(
     return jac.where(F.col("jaccard") >= threshold)
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
-    """SimHash signature: per-token xxhash64, each bit votes ±1,
-    sign of the vote sum sets the output bit. Pure JVM expression."""
-    tok_hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+def simhash(text: Column, bits: int = 64, hash_fn: str = "xxhash64") -> Column:
+    """SimHash signature: per-token hash, each bit votes ±1, sign of
+    the vote sum sets the output bit. Pure JVM expression.
+
+    ``hash_fn="md5"`` uses the 60-bit md5-prefix token hash (use with
+    ``bits<=60``) so the signature — votes, sign bits, everything —
+    is integer-exact replayable in DuckDB (t06's oracle)."""
+    if hash_fn == "xxhash64":
+        tok_hash = F.xxhash64
+    elif hash_fn == "md5":
+        if bits > 60:
+            raise ValueError("md5 hash_fn provides 60 bits; pass bits<=60")
+        tok_hash = md5_hash60
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    tok_hashes = F.transform(tokens(text), lambda t: tok_hash(t))
     # single traversal: accumulate a 64-wide vote vector (±1 per bit
     # per token), then assemble the signature from the vote signs.
     votes = F.aggregate(
@@ -334,6 +386,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     bits: int = 64,
     n_blocks: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs with multi-block pigeonhole blocking
     (the Manku/Google scheme — public simhash-dedup literature).
@@ -392,7 +445,8 @@ def simhash_pairs(
     # key expressions — CollapseProject would otherwise inline (and
     # re-evaluate) it once per key.
     sig = fan_out(df).select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sig")
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), bits, hash_fn).alias("sig"),
     ).localCheckpoint(eager=True)
     keyed = sig.select(
         "id",

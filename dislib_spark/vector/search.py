@@ -378,8 +378,16 @@ def ivf_index(
     seed: int = 17,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centers: str = "kmeans",
 ) -> tuple[DataFrame, DataFrame]:
     """Build the persistent IVF index: ``(centers, assignments)``.
+
+    ``centers="kmeans"`` (default) trains the coarse quantizer with
+    MLlib KMeans; ``centers="seed"`` takes the ``n_cells`` corpus
+    vectors with the smallest ids as the cells — a deterministic,
+    ANSI-replayable quantizer (the v04 oracle replays assignment,
+    probing and scoring value-exactly). Same inverted-list layout and
+    probe plan either way.
 
     ``centers`` is the tiny (cell, center) coarse-quantizer table;
     ``assignments`` is one row per corpus vector (c_id, c_vec, cell)
@@ -394,6 +402,24 @@ def ivf_index(
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    if centers not in ("kmeans", "seed"):
+        raise ValueError(f"centers must be 'kmeans' or 'seed', got {centers!r}")
+    if centers == "seed":
+        seed_rows = (
+            corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            .orderBy("_id")
+            .limit(n_cells)
+            .collect()
+        )
+        center_rows = [
+            (i, [float(x) for x in r["_v"]]) for i, r in enumerate(seed_rows)
+        ]
+        centers_df = corpus.sparkSession.createDataFrame(
+            center_rows, "cell int, center array<double>"
+        )
+        assigned = assign_to_cells(corpus, centers_df, id_col, vec_col)
+        return centers_df, assigned
 
     corpus_vec = fan_out(corpus).select(
         F.col(id_col).alias("c_id"),
@@ -469,16 +495,20 @@ def ivf_topk(
     seed: int = 17,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centers: str = "kmeans",
 ) -> DataFrame:
-    """IVF coarse-quantized ANN: KMeans centroids form the inverted
+    """IVF coarse-quantized ANN: coarse centroids form the inverted
     index; each corpus vector is assigned to its nearest cell; each
     query probes its n_probe nearest cells and scores only those
     candidate lists. Composition of ``ivf_index`` + ``ivf_query_index``
     (build the index once and persist it when the corpus outlives the
-    query batch). Returns (q_id, c_id, sim, rank)."""
-    centers, assigned = ivf_index(corpus, n_cells, seed, id_col, vec_col)
+    query batch); ``centers`` as in ``ivf_index``. Returns
+    (q_id, c_id, sim, rank)."""
+    ctrs, assigned = ivf_index(
+        corpus, n_cells, seed, id_col, vec_col, centers=centers
+    )
     return ivf_query_index(
-        queries, centers, assigned, k=k, n_probe=n_probe,
+        queries, ctrs, assigned, k=k, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col,
     )
 
@@ -523,6 +553,8 @@ def pq_codebooks(
     seed: int = 29,
     vec_col: str = "embedding",
     dim: int | None = None,
+    method: str = "kmeans",
+    id_col: str = "vec_id",
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: split vectors into
     ``n_subvectors`` contiguous slices, KMeans each slice
@@ -537,9 +569,31 @@ def pq_codebooks(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if method not in ("kmeans", "seed"):
+        raise ValueError(f"method must be 'kmeans' or 'seed', got {method!r}")
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
     sub = dim // n_subvectors
+    if method == "seed":
+        # Deterministic, ANSI-replayable codebooks: the n_centroids
+        # lowest-id corpus vectors, unit-normalized, sliced per
+        # subspace — the v06 oracle replays encode/ADC value-exactly.
+        import numpy as np
+
+        rows = (
+            corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            .orderBy("_id")
+            .limit(n_centroids)
+            .collect()
+        )
+        X = np.asarray([list(r["_v"]) for r in rows], dtype=np.float64)
+        nrm = np.sqrt((X * X).sum(axis=1, keepdims=True))
+        nrm[nrm == 0.0] = 1.0
+        X = X / nrm
+        return [
+            X[:, m * sub : (m + 1) * sub].tolist()
+            for m in range(n_subvectors)
+        ]
     # L2-normalize first: ADC approximates L2, and L2 on unit vectors
     # is monotone with cosine (the metric the re-rank and the exact
     # baseline use). Norm projected to a named column before the HOF.
@@ -657,18 +711,24 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int = 100,
+    codebooks: str = "kmeans",
 ) -> DataFrame:
     """PQ asymmetric-distance ANN: corpus stored as PQ codes; each
     query precomputes a (subspace x centroid) distance table and
     scores candidates by summing table lookups (ADC), then the top
     ``rerank`` candidates are re-scored with exact cosine.
 
+    ``codebooks``: ``"kmeans"`` (default, MLlib-trained) or ``"seed"``
+    (lowest-id vectors as centroids — deterministic, DuckDB-replayable
+    end to end; see ``pq_codebooks``).
+
     Scale: the scored join is query-broadcast x codes (codes are
     ~d/32 of the raw corpus bytes), per-candidate work is
     ``n_subvectors`` array lookups; the exact re-rank touches only
     ``rerank`` rows per query. Returns (q_id, c_id, sim, rank)."""
     books = pq_codebooks(
-        corpus, n_subvectors, n_centroids, seed, vec_col=vec_col
+        corpus, n_subvectors, n_centroids, seed, vec_col=vec_col,
+        method=codebooks, id_col=id_col,
     )
     codes = pq_encode(corpus, books, id_col, vec_col).localCheckpoint()
     sub = len(books[0][0])

@@ -148,3 +148,22 @@ def test_v09_lexical_topk_no_global_window(spark):
             assert spec.startswith("q_id"), f"global window: {line}"
     # bounded scalar aggs only (1-row corpus stats, 100-row rank agg)
     assert plan.count("SinglePartition") <= 2
+
+
+def test_t43_vocab_rank_no_global_window(spark):
+    """The Zipf vocab ranking must use the distributed global index
+    (range partition + offsets), never a row_number Window over the
+    whole vocabulary in one partition."""
+    plan = _plan(spark, "t43_zipf_fit")
+    assert "Window" not in plan
+    # only the final 1-row regression aggregate may single-partition
+    assert plan.count("SinglePartition") <= 1
+
+
+def test_x69_gini_no_near_global_window(spark):
+    """Per-region Gini ranks: 5 regions means a partitionBy(region)
+    Window holds n/5 rows per partition — the rank must come from the
+    distributed global index + 5-row broadcast offset join instead."""
+    plan = _plan(spark, "x69_gini")
+    assert "Window" not in plan
+    assert plan.count("SinglePartition") <= 1

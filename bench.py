@@ -218,6 +218,27 @@ def main() -> None:
                 timings[name] = round(iso, 3)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
+    # persist the FULL per-item map: BENCH_r*.json truncates the
+    # queries map inside its `tail` string, so round-over-round
+    # comparison needs this committed ledger (one {name: sec} JSON
+    # per scale, overwritten each full run).
+    ledger_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".benchmarks"
+    )
+    try:
+        os.makedirs(ledger_dir, exist_ok=True)
+        with open(
+            os.path.join(ledger_dir, f"last_full_sf{sf}.json"), "w"
+        ) as fh:
+            json.dump(
+                {"sf": sf, "total": total, "queries": timings},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+    except OSError as exc:  # never fail the bench over ledger I/O
+        print(f"bench: ledger write failed: {exc}", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -380,18 +380,32 @@ def qr_full(arr: DsArray, indexes: list[int] | None = None):
         # R-only callers (tsqr mode='r_complete'): skip the Q pass
         return None, R_full
 
+    r1_by_leaf = {
+        int(row["_leaf"]): blk for row, blk in zip(parts, r_blocks)
+    }
     bc = spark.sparkContext.broadcast(
-        (Qs, row_offs, id_offs, sizes, K, idx)
+        (Qs, row_offs, id_offs, sizes, K, idx, r1_by_leaf)
     )
 
     def _phase2(pdf: pd.DataFrame) -> pd.DataFrame:
-        Qs_b, row_offs_b, id_offs_b, sizes_b, K_b, idx_b = bc.value
+        Qs_b, row_offs_b, id_offs_b, sizes_b, K_b, idx_b, r1_b = bc.value
         pdf = pdf.sort_values("row_id")
         p = int(pdf["_leaf"].iloc[0])
         A = np.vstack(pdf["features"].to_numpy())
         m_p = A.shape[0]
         k_p = min(m_p, d)
-        Qp, _ = np.linalg.qr(A, mode="complete")
+        Qp, Rp2 = np.linalg.qr(A, mode="complete")
+        # pass 2 assumes this refactorization reproduces pass 1's R_p
+        # (true for deterministic LAPACK on one machine, NOT
+        # guaranteed with heterogeneous/threaded BLAS across
+        # executors) — verify the cheap k_p×d block and fail loudly
+        # instead of returning a silently wrong Q
+        if not np.allclose(Rp2[:k_p], r1_b[p], rtol=1e-10, atol=1e-12):
+            raise RuntimeError(
+                f"qr_full: pass-2 local QR of leaf {p} diverged from "
+                "pass-1's R block (non-deterministic BLAS across "
+                "executors?) — Q·R=A would silently break"
+            )
         ro, io = row_offs_b[p], id_offs_b[p]
         if idx_b is None:
             out = np.zeros((m_p, n))

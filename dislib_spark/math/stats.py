@@ -18,6 +18,31 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# n_bins="auto" policy for the ECDF-family kernels (roc_auc /
+# ks_statistic): probe the distinct-value cardinality with ONE cheap
+# approx_count_distinct aggregate; below the threshold the exact
+# per-distinct-value collapse is already scale-safe (the ordered
+# window sees |distinct| rows), above it switch to fixed-width
+# binning so the window input is bounded at AUTO_BINS rows no matter
+# the corpus — the declared queries stay oracle-exact at test scales
+# while defaulting to the plan that survives 100 TB.
+AUTO_DISTINCT_THRESHOLD = 100_000
+AUTO_BINS = 10_000
+
+
+def _resolve_auto_bins(
+    src: DataFrame,
+    value: Column,
+    n_bins,
+    auto_threshold: int,
+    auto_bins: int,
+):
+    """Resolve ``n_bins="auto"`` → None (exact) or ``auto_bins``."""
+    if n_bins != "auto":
+        return n_bins
+    est = src.agg(F.approx_count_distinct(value).alias("_d")).first()["_d"]
+    return auto_bins if est > auto_threshold else None
+
 
 def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pearson correlation of every column pair in ONE scan.
@@ -116,7 +141,9 @@ def ks_statistic(
     group_col: str,
     group_a,
     group_b,
-    n_bins: int | None = None,
+    n_bins: int | None | str = None,
+    auto_threshold: int = AUTO_DISTINCT_THRESHOLD,
+    auto_bins: int = AUTO_BINS,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov D between ``group_a`` and
     ``group_b`` rows of ``value_col``.
@@ -131,12 +158,18 @@ def ks_statistic(
     (ECDFs agree at every bin boundary), so the estimate is a lower
     bound that converges as bins shrink.
 
+    ``n_bins="auto"`` probes ``approx_count_distinct`` once and picks
+    exact below ``auto_threshold`` distinct values, ``auto_bins``
+    buckets above — the declared-query default that stays exact at
+    oracle scales and bounded at 100 TB.
+
     Returns one row (n_a, n_b, ks_stat).
     """
     from pyspark.sql import Window
 
     src = df.where(F.col(group_col).isin(group_a, group_b))
     v = F.col(value_col).cast("double")
+    n_bins = _resolve_auto_bins(src, v, n_bins, auto_threshold, auto_bins)
     if n_bins is not None:
         lohi = src.agg(
             F.min(v).alias("lo"), F.max(v).alias("hi")
@@ -181,7 +214,9 @@ def roc_auc(
     df: DataFrame,
     score_col: str,
     label_col: str,
-    n_bins: int | None = None,
+    n_bins: int | None | str = None,
+    auto_threshold: int = AUTO_DISTINCT_THRESHOLD,
+    auto_bins: int = AUTO_BINS,
 ) -> DataFrame:
     """Mann-Whitney ROC AUC with tie-averaged ranks.
 
@@ -196,7 +231,9 @@ def roc_auc(
     treats every score inside a bin as tied, which moves the AUC by
     at most the tied mass fraction; the estimate converges to exact
     as bins shrink (pinned by tests/test_stats_ops.py's
-    exact-vs-binned convergence test).
+    exact-vs-binned convergence test). ``n_bins="auto"`` probes
+    ``approx_count_distinct`` once and picks exact below
+    ``auto_threshold`` distinct scores, ``auto_bins`` buckets above.
 
     Returns one row (auc, n_pos, n_neg); auc rounded to 6 places.
     """
@@ -204,6 +241,7 @@ def roc_auc(
 
     v = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
+    n_bins = _resolve_auto_bins(df, v, n_bins, auto_threshold, auto_bins)
     src = df
     if n_bins is not None:
         lohi = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi"))

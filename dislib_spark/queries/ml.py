@@ -288,14 +288,14 @@ def m11_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FIRST (distinct-score cardinality), then one running-sum window
     # over the grouped rows for the tie-averaged rank — a global
     # row_number over raw rows would collapse the whole table into one
-    # window partition. Exact here because the oracle replays it; at
-    # 100 TB with a continuous score column swap in
-    # roc_auc(..., n_bins=10_000), which bounds the window input at
-    # n_bins rows (gated like m23's ks_statistic(n_bins=...); the
-    # exact-vs-binned convergence is pinned in tests/test_stats_ops.py).
+    # window partition. n_bins="auto" probes approx_count_distinct:
+    # exact below 100k distinct scores (true at every oracle scale, so
+    # hashes stay replayable), fixed-width 10k-bin bucketing above —
+    # the declared plan is bounded at 100 TB without a manual swap-in
+    # (branch engagement pinned in tests/test_stats_ops.py).
     from dislib_spark.math.stats import roc_auc
 
-    return roc_auc(scored, "score", "y")
+    return roc_auc(scored, "score", "y", n_bins="auto")
 
 
 _M12_THRESHOLDS = [5.0, 10.0, 15.0, 20.0, 25.0, 30.0, 35.0, 40.0, 45.0]
@@ -718,39 +718,24 @@ def m22_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def m23_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov D between returned ('R') and
-    non-returned ('N') lineitem price distributions: one grouped pass
+    non-returned ('N') lineitem price distributions, via
+    ``math.stats.ks_statistic(n_bins="auto")``: one grouped pass
     collapses rows to per-distinct-price (count_R, count_N) pairs,
     then a single ordered window walks the merged ECDFs and takes the
-    max gap. Like m11's AUC, the value-ordered window runs AFTER the
-    group-by collapse; at 100 TB the documented swap-in is a binned
-    ECDF (fixed-width value buckets), which bounds the window input
-    at |buckets| rows."""
-    from pyspark.sql import Window
+    max gap. The auto probe keeps the exact distinct-value plan below
+    100k distinct prices (true at every oracle scale — hashes stay
+    replayable) and switches to the 10k-bin bounded-window ECDF above
+    it, so the declared plan is the one that survives 100 TB."""
+    from dislib_spark.math.stats import ks_statistic
 
-    li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_returnflag").isin("R", "N")
+    li = load_table(spark, sf_dir, "lineitem")
+    ks = ks_statistic(
+        li, "l_extendedprice", "l_returnflag", "R", "N", n_bins="auto"
     )
-    v = F.col("l_extendedprice").cast("decimal(18,2)")
-    g = li.groupBy(v.alias("v")).agg(
-        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("cr"),
-        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("cn"),
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    ecdf = g.select(
-        F.sum("cr").over(w).alias("cum_r"),
-        F.sum("cn").over(w).alias("cum_n"),
-        F.sum("cr").over(wall).alias("n_r"),
-        F.sum("cn").over(wall).alias("n_n"),
-    )
-    gap = F.abs(
-        F.col("cum_r").cast("double") / F.col("n_r").cast("double")
-        - F.col("cum_n").cast("double") / F.col("n_n").cast("double")
-    )
-    return ecdf.agg(
-        F.max("n_r").cast("bigint").alias("n_r"),
-        F.max("n_n").cast("bigint").alias("n_n"),
-        F.round(F.max(gap), 6).alias("ks_stat"),
+    return ks.select(
+        F.col("n_a").alias("n_r"),
+        F.col("n_b").alias("n_n"),
+        F.round("ks_stat", 6).alias("ks_stat"),
     )
 
 
@@ -1783,22 +1768,49 @@ ORACLE["m22_spearman"] = """
     FROM s
 """
 
+# m23 replays the n_bins="auto" policy: exact per-distinct-value ECDF
+# when distinct prices <= 100k, fixed-width 10k-bin ECDF above. The
+# oracle branches on the EXACT distinct count while Spark probes an
+# HLL estimate (±2%) — they agree because no scale sits anywhere near
+# the threshold (4k / 40k / 393k distinct at the three test scales).
+# The bin key (v-lo)/width uses identical IEEE double ops on both
+# engines, so bucket ids are bit-equal.
 ORACLE["m23_ks_statistic"] = """
-    WITH g AS (
-        SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
-               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cr,
-               SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS cn
+    WITH src AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS v, l_returnflag AS g
         FROM lineitem WHERE l_returnflag IN ('R', 'N')
-        GROUP BY 1
+    ),
+    meta AS (
+        SELECT COUNT(DISTINCT v) AS nd, MIN(v) AS lo, MAX(v) AS hi
+        FROM src
+    ),
+    keyed AS (
+        SELECT CASE
+                 WHEN (SELECT nd FROM meta) <= 100000 THEN v
+                 WHEN (SELECT hi FROM meta) = (SELECT lo FROM meta)
+                   THEN 0.0
+                 ELSE LEAST(9999.0, FLOOR(
+                        (v - (SELECT lo FROM meta))
+                        / (((SELECT hi FROM meta) - (SELECT lo FROM meta))
+                           / 10000.0)))
+               END AS k,
+               g
+        FROM src
+    ),
+    grp AS (
+        SELECT k,
+               SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS cr,
+               SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS cn
+        FROM keyed GROUP BY k
     ),
     e AS (
-        SELECT SUM(cr) OVER (ORDER BY v
+        SELECT SUM(cr) OVER (ORDER BY k
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r,
-               SUM(cn) OVER (ORDER BY v
+               SUM(cn) OVER (ORDER BY k
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
                SUM(cr) OVER () AS n_r,
                SUM(cn) OVER () AS n_n
-        FROM g
+        FROM grp
     )
     SELECT MAX(n_r)::BIGINT AS n_r, MAX(n_n)::BIGINT AS n_n,
            ROUND(MAX(ABS(cum_r::DOUBLE / n_r::DOUBLE

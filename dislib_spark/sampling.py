@@ -216,10 +216,17 @@ def weighted_sample_topk(
     break on ``key_col``, so the selected set is bit-stable. Adds
     ``es_key`` (rounded) and ``rank``.
 
+    Rows with ``weight <= 0`` are DROPPED before keying (documented
+    A-ES precondition): w=0 would yield a -inf/null key and a
+    NEGATIVE weight flips ln(u)/w positive, sorting ABOVE every valid
+    row and silently corrupting the sample.
+
     Scale: one scan; the top-k is a per-group window (hash shuffle on
     ``by``) or, ungrouped, ``orderBy().limit(k)`` — TakeOrdered, no
     global window."""
     from pyspark.sql.window import Window
+
+    df = df.where(F.col(weight_col) > 0)
 
     # u in (0, 1]: 8 md5 hex chars → (v+1) / 2^32
     u = (

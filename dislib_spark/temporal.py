@@ -205,8 +205,20 @@ def sessionize(
     relational/temporal layer).
     """
     units = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
-    qty, unit = gap.split()
-    gap_seconds = int(qty) * units[unit.rstrip("s")]
+    parts = gap.split()
+    if (
+        len(parts) != 2
+        or not parts[0].isdigit()
+        or int(parts[0]) <= 0
+        or parts[1].rstrip("s") not in units
+    ):
+        raise ValueError(
+            f"unsupported gap {gap!r}: expected a single positive "
+            "'N second(s)', 'N minute(s)', 'N hour(s)' or 'N day(s)' "
+            "term (compound or abbreviated intervals like '30 min' or "
+            "'2 days 4 hours' are not parsed)"
+        )
+    gap_seconds = int(parts[0]) * units[parts[1].rstrip("s")]
     sec = _epoch_seconds(df, time_col)
     order = [time_col] + ([tiebreak] if tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
@@ -324,10 +336,21 @@ def ohlc_bars(
     observation by (whole second, ``tiebreak``): a lexicographic
     struct MIN/MAX, so the whole bar is ONE map-side-combined
     aggregation — no window, no sort, no second scan. Volume-style
-    sum is decimal-cast (order-exact)."""
+    sum accumulates as DECIMAL(28,6) (order-exact; inputs with more
+    than 6 decimal places are rounded at that grain).
+
+    ``tiebreak`` is REQUIRED: without one, ties within a second would
+    fall through to the value itself as the struct's last sort key,
+    making 'open' the MIN and 'close' the MAX of the tied burst — a
+    systematic open<=close bias, not an arbitrary-but-unbiased pick."""
+    if tiebreak is None:
+        raise ValueError(
+            "ohlc_bars needs a tiebreak column: same-second ties would "
+            "otherwise resolve open/close by VALUE (open=min, "
+            "close=max), biasing every tied burst toward open<=close"
+        )
     sec = _epoch_seconds(df, time_col)
-    order = [sec] + ([F.col(tiebreak)] if tiebreak else [])
-    tagged = F.struct(*order, F.col(value_col).alias("_v"))
+    tagged = F.struct(sec, F.col(tiebreak), F.col(value_col).alias("_v"))
     return (
         df.groupBy(
             F.col(key), F.date_trunc(bucket, F.col(time_col)).alias("bucket")
@@ -338,7 +361,7 @@ def ohlc_bars(
             F.max(value_col).alias("high"),
             F.min(value_col).alias("low"),
             F.count(F.lit(1)).alias("n_obs"),
-            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            F.sum(F.col(value_col).cast("decimal(28,6)"))
             .cast("double")
             .alias("volume"),
         )

@@ -243,20 +243,88 @@ class EncapsulatedFunctionsDistributed:
                          num_epochs, False)
 
 
+def torch_pack_params(model, params, torch_mod):
+    """Copy the trainer's numpy parameter list into a torch module's
+    parameters, in ``model.parameters()`` order (the reference ships
+    whole state_dicts; the trainer's contract is positional arrays).
+    Shapes must match 1:1."""
+    mps = list(model.parameters())
+    if len(mps) != len(params):
+        raise ValueError(
+            f"model has {len(mps)} parameter tensors, trainer holds "
+            f"{len(params)}"
+        )
+    with torch_mod.no_grad():
+        for p_t, p_np in zip(mps, params):
+            if tuple(p_t.shape) != tuple(np.asarray(p_np).shape):
+                raise ValueError(
+                    f"parameter shape mismatch: model {tuple(p_t.shape)}"
+                    f" vs trainer {np.asarray(p_np).shape}"
+                )
+            p_t.copy_(torch_mod.tensor(np.asarray(p_np, dtype=np.float64)))
+
+
+def torch_unpack_params(model) -> list:
+    """Torch module parameters → the trainer's numpy list (same
+    order/shapes as ``torch_pack_params`` wrote)."""
+    return [
+        np.asarray(p.detach().cpu().numpy(), dtype=np.float64)
+        for p in model.parameters()
+    ]
+
+
 def torch_train_fn(model_builder, loss_name: str = "mse",
-                   lr: float = 0.01, batch_size: int = 32):
+                   lr: float = 0.01, batch_size: int = 32,
+                   torch_mod=None):
     """Adapter producing a ``train_fn`` that trains a torch module on
-    each shard (reference PytorchDistributed, pytorch_distributed.py).
-    Gated: torch is not in this container, so construction raises a
-    clear ImportError; the surrounding plumbing is framework-agnostic
-    and fully tested with numpy models."""
-    try:
-        import torch  # noqa: F401
-    except ImportError as e:  # pragma: no cover - torch absent here
-        raise ImportError(
-            "torch_train_fn requires pytorch; install torch or supply "
-            "a numpy train_fn instead"
-        ) from e
-    raise NotImplementedError(  # pragma: no cover
-        "torch adapter plumbing requires torch at build time"
-    )
+    each shard (reference PytorchDistributed, pytorch_distributed.py):
+    pack the trainer's arrays into a freshly-built module, run
+    minibatch SGD over the shard, unpack back to arrays. Pure local
+    compute — the distribution (broadcast / shard / average) stays in
+    :class:`ParameterAveragingTrainer`.
+
+    ``torch_mod`` injects the torch implementation; the default
+    imports real torch (ImportError-gated in containers without it).
+    Tests drive the full pack → minibatch-SGD → unpack contract with
+    a numpy-backed fake (tests/test_training.py), so the import gate
+    is not the only coverage."""
+    t = torch_mod
+    if t is None:  # pragma: no cover - torch absent in this container
+        try:
+            import torch as t
+        except ImportError as e:
+            raise ImportError(
+                "torch_train_fn requires pytorch; install torch or "
+                "supply a numpy train_fn instead"
+            ) from e
+    loss_cls = {
+        "mse": "MSELoss",
+        "l1": "L1Loss",
+        "bce": "BCEWithLogitsLoss",
+    }
+    if loss_name not in loss_cls:
+        raise ValueError(
+            f"loss_name must be one of {sorted(loss_cls)}, got "
+            f"{loss_name!r}"
+        )
+
+    def train_fn(params, X, y, epoch):
+        model = model_builder()
+        torch_pack_params(model, params, t)
+        loss_fn = getattr(t.nn, loss_cls[loss_name])()
+        opt = t.optim.SGD(model.parameters(), lr=lr)
+        n = X.shape[0]
+        for start in range(0, n, batch_size):
+            xb = t.tensor(np.asarray(X[start:start + batch_size],
+                                     dtype=np.float64))
+            yb = t.tensor(
+                np.asarray(y[start:start + batch_size],
+                           dtype=np.float64).reshape(-1, 1)
+            )
+            opt.zero_grad()
+            loss = loss_fn(model(xb), yb)
+            loss.backward()
+            opt.step()
+        return torch_unpack_params(model)
+
+    return train_fn

@@ -648,3 +648,17 @@ def test_dimension_stats_numpy_parity(spark):
         assert abs(got[j]["variance"] - col.var()) < 1e-5
         assert abs(got[j]["min_v"] - col.min()) < 1e-7
         assert abs(got[j]["max_v"] - col.max()) < 1e-7
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    """w<=0 rows must never be selected: w=0 keys to -inf/null and a
+    negative w flips ln(u)/w positive (sorting above every valid
+    row) — both are dropped before keying."""
+    from dislib_spark.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "s"), (2, 0.0, "s"), (3, -2.0, "s"), (4, 1.0, "s")],
+        "id long, w double, src string",
+    )
+    got = weighted_sample_topk(df, "w", "id", k=4, by="src").collect()
+    assert sorted(r["id"] for r in got) == [1, 4]

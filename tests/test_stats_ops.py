@@ -709,3 +709,44 @@ def test_mann_whitney_u_identical_groups_z_zero(spark):
     got = mann_whitney_u(df, "val", "grp", "A", "B").collect()[0]
     assert got["u_a"] == 2.0  # = na*nb/2 under perfect symmetry
     assert got["z"] == 0.0
+
+
+def test_auto_bins_branch_selection(spark):
+    """n_bins="auto" (the declared m11/m23 default) picks the exact
+    path below the distinct-count threshold and the binned path above
+    it — pinned by equality with the explicitly-requested plans."""
+    import numpy as np
+
+    from dislib_spark.math.stats import ks_statistic, roc_auc
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (float(s), float(s > 0.4)) for s in rng.normal(0.3, 1.0, 3000)
+    ]
+    df = spark.createDataFrame(rows, "score double, y double")
+
+    # ~3000 distinct scores: below a high threshold → exact plan
+    lo = roc_auc(df, "score", "y", n_bins="auto",
+                 auto_threshold=1_000_000).collect()[0]
+    exact = roc_auc(df, "score", "y").collect()[0]
+    assert lo == exact
+
+    # above a tiny threshold → identical to the explicit binned plan
+    hi = roc_auc(df, "score", "y", n_bins="auto",
+                 auto_threshold=100, auto_bins=64).collect()[0]
+    binned = roc_auc(df, "score", "y", n_bins=64).collect()[0]
+    assert hi == binned
+    assert hi != exact  # 64 coarse bins must actually have engaged
+
+    kdf = df.select(
+        "score", F.when(F.col("y") > 0, "a").otherwise("b").alias("g")
+    )
+    klo = ks_statistic(kdf, "score", "g", "a", "b", n_bins="auto",
+                       auto_threshold=1_000_000).collect()[0]
+    kexact = ks_statistic(kdf, "score", "g", "a", "b").collect()[0]
+    assert klo == kexact
+    khi = ks_statistic(kdf, "score", "g", "a", "b", n_bins="auto",
+                       auto_threshold=100, auto_bins=64).collect()[0]
+    kbinned = ks_statistic(kdf, "score", "g", "a", "b",
+                           n_bins=64).collect()[0]
+    assert khi == kbinned

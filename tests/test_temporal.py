@@ -442,3 +442,49 @@ def test_rsi_numpy_parity(spark):
         loss = -window[window < 0].sum()
         exp = 100.0 if loss == 0 else 100 - 100 / (1 + g / loss)
         assert abs(got[t] - exp) < 1e-6, t
+
+
+def test_sessionize_rejects_unparseable_gap(spark):
+    """The gap parser accepts exactly 'N second|minute|hour|day(s)';
+    anything else must raise a clear ValueError, not a KeyError."""
+    import datetime as dt
+
+    import pytest
+
+    from dislib_spark.temporal import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1, 9, 0, 0))],
+        "eid long, k string, t timestamp",
+    )
+    for bad in ("30 min", "1 week", "2 days 4 hours", "hour", "-5 hours"):
+        with pytest.raises(ValueError, match="unsupported gap"):
+            sessionize(ev, "k", "t", bad, tiebreak="eid")
+    # the documented forms still parse
+    sessionize(ev, "k", "t", "30 minutes", tiebreak="eid").collect()
+    sessionize(ev, "k", "t", "1 day", tiebreak="eid").collect()
+
+
+def test_ohlc_requires_tiebreak_and_wide_volume(spark):
+    """ohlc_bars without a tiebreak would bias same-second bursts
+    toward open<=close (value becomes the struct sort key) — it must
+    refuse; volume accumulates at 6-decimal grain, not 2."""
+    import datetime as dt
+
+    import pytest
+
+    from dislib_spark.temporal import ohlc_bars
+
+    ev = spark.createDataFrame(
+        [
+            (1, "a", dt.datetime(2024, 1, 1, 9, 0, 0), 0.123456),
+            (2, "a", dt.datetime(2024, 1, 1, 9, 0, 0), 0.111111),
+        ],
+        "eid long, k string, t timestamp, v double",
+    )
+    with pytest.raises(ValueError, match="tiebreak"):
+        ohlc_bars(ev, "k", "t", "v", bucket="hour")
+    row = ohlc_bars(ev, "k", "t", "v", bucket="hour", tiebreak="eid").collect()[0]
+    # 2dp accumulation would give 0.23; 6dp keeps the true cents
+    assert row["volume"] == pytest.approx(0.234567, abs=1e-9)
+    assert (row["open"], row["close"]) == (0.123456, 0.111111)

@@ -113,3 +113,138 @@ def test_torch_adapter_gated():
 
     with pytest.raises((ImportError, NotImplementedError)):
         torch_train_fn(lambda: None)
+
+
+# --- fake-torch adapter coverage -------------------------------------
+# A numpy-backed stand-in implementing exactly the torch surface
+# torch_train_fn touches (tensor/no_grad/nn.MSELoss/optim.SGD plus a
+# Linear model with analytic MSE gradients), so the pack → minibatch
+# SGD → unpack contract runs in CI without torch in the container.
+
+
+class _FT:
+    def __init__(self, arr):
+        self.data = np.array(arr, dtype=np.float64)
+        self.grad = None
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    def copy_(self, other):
+        self.data[...] = other.data
+
+    def detach(self):
+        return self
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self.data.copy()
+
+
+class _FakeLinear:
+    """y = X @ W + b with hand-derived MSE gradients."""
+
+    def __init__(self, d):
+        self.W = _FT(np.zeros((d, 1)))
+        self.b = _FT(np.zeros(1))
+
+    def parameters(self):
+        return [self.W, self.b]
+
+    def __call__(self, xb):
+        return (self, xb)
+
+
+class _FakeMSE:
+    def __call__(self, out, yb):
+        model, xb = out
+
+        class _Loss:
+            def backward(_self):
+                X, y = xb.data, yb.data
+                err = X @ model.W.data + model.b.data - y
+                n = X.shape[0]
+                model.W.grad = 2.0 / n * (X.T @ err)
+                model.b.grad = 2.0 / n * err.sum(axis=0)
+
+        return _Loss()
+
+
+class _FakeSGD:
+    def __init__(self, params, lr):
+        self.ps = list(params)
+        self.lr = lr
+
+    def zero_grad(self):
+        for p in self.ps:
+            p.grad = None
+
+    def step(self):
+        for p in self.ps:
+            if p.grad is not None:
+                p.data -= self.lr * p.grad
+
+
+def _fake_torch():
+    import contextlib
+    from types import SimpleNamespace
+
+    return SimpleNamespace(
+        tensor=lambda arr, dtype=None: _FT(arr),
+        no_grad=contextlib.nullcontext,
+        nn=SimpleNamespace(MSELoss=_FakeMSE),
+        optim=SimpleNamespace(SGD=_FakeSGD),
+    )
+
+
+def test_torch_pack_unpack_roundtrip_and_shape_guard():
+    from dislib_spark.training.distributed import (
+        torch_pack_params,
+        torch_unpack_params,
+    )
+
+    ft = _fake_torch()
+    m = _FakeLinear(3)
+    params = [np.arange(3.0).reshape(3, 1), np.asarray([7.0])]
+    torch_pack_params(m, params, ft)
+    got = torch_unpack_params(m)
+    assert all(np.array_equal(a, b) for a, b in zip(got, params))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        torch_pack_params(m, [np.zeros((2, 1)), np.zeros(1)], ft)
+    with pytest.raises(ValueError, match="parameter tensors"):
+        torch_pack_params(m, [np.zeros((3, 1))], ft)
+
+
+def test_torch_train_fn_minibatch_sgd_converges():
+    """The adapter's full contract — pack trainer arrays, run
+    minibatch SGD epochs, unpack — drives a fake-torch linear model
+    to the known OLS solution."""
+    from dislib_spark.training.distributed import torch_train_fn
+
+    rng = np.random.RandomState(5)
+    X = rng.rand(200, 2)
+    w_true = np.array([[1.5], [-2.0]])
+    y = (X @ w_true + 0.25).ravel()
+
+    fn = torch_train_fn(
+        lambda: _FakeLinear(2), loss_name="mse", lr=0.2,
+        batch_size=32, torch_mod=_fake_torch(),
+    )
+    params = [np.zeros((2, 1)), np.zeros(1)]
+    for epoch in range(300):
+        params = fn(params, X, y, epoch)
+    assert np.allclose(params[0], w_true, atol=0.05)
+    assert abs(float(params[1][0]) - 0.25) < 0.05
+
+
+def test_torch_train_fn_rejects_unknown_loss():
+    from dislib_spark.training.distributed import torch_train_fn
+
+    with pytest.raises(ValueError, match="loss_name"):
+        torch_train_fn(
+            lambda: _FakeLinear(1), loss_name="hinge",
+            torch_mod=_fake_torch(),
+        )

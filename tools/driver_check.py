@@ -11,6 +11,13 @@ dev-loop check):
   fail, not a pass.
 
 Usage: python tools/driver_check.py [sf_dir] [query ...]
+       python tools/driver_check.py [sf_dir] --since <git-ref>
+
+``--since`` reruns only the queries whose DEFINING module changed
+since the ref (fast dev loop as the registry grows); engine-module
+changes outside dislib_spark/queries/ print a warning because they
+can affect queries in unchanged modules — the full sweep stays the
+round-close gate.
 """
 
 from __future__ import annotations
@@ -18,13 +25,66 @@ from __future__ import annotations
 import datetime
 import decimal
 import json
+import subprocess
 import sys
 
 import duckdb
 from pyspark.sql import SparkSession
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_rest = sys.argv[2:]
+SINCE = None
+if "--since" in _rest:
+    i = _rest.index("--since")
+    SINCE = _rest[i + 1]
+    _rest = _rest[:i] + _rest[i + 2 :]
+ONLY = set(_rest)
+
+
+def _changed_query_filter() -> set[str] | None:
+    """Names of declared queries whose defining module changed since
+    SINCE (None = no --since given → run everything requested)."""
+    if SINCE is None:
+        return None
+    out = subprocess.run(
+        ["git", "diff", "--name-only", SINCE, "--", "."],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    changed = set(out)
+    non_query_engine = [
+        f
+        for f in changed
+        if f.startswith("dislib_spark/")
+        and not f.startswith("dislib_spark/queries/")
+    ]
+    if non_query_engine:
+        print(
+            f"warning: {len(non_query_engine)} engine files outside "
+            f"dislib_spark/queries/ changed ({non_query_engine[:5]}...)"
+            " — --since only maps query-module edits; run the full"
+            " sweep before close",
+            file=sys.stderr,
+        )
+    import importlib
+    import inspect
+    import os
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    keep = set()
+    for name, fn in entry.queries().items():
+        try:
+            src = inspect.getsourcefile(inspect.unwrap(fn))
+            rel = os.path.relpath(src, "/root/repo")
+        except TypeError:
+            rel = None
+        if rel in changed:
+            keep.add(name)
+    return keep
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -69,9 +129,18 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    since_keep = _changed_query_filter()
+    if since_keep is not None:
+        print(
+            f"--since {SINCE}: {len(since_keep)} queries from changed "
+            "modules",
+            file=sys.stderr,
+        )
     results = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
+            continue
+        if since_keep is not None and name not in since_keep:
             continue
         rec = {}
         try:

@@ -1824,6 +1824,62 @@ def x72_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- x73: duplicate-billing screen ------------------------------------
+def x74_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram sketch -> quantile estimates
+    (p50/p90/p99 of l_extendedprice per returnflag) via
+    ``sketches.histogram_sketch`` + ``quantiles_from_histogram``:
+    fixed global (lo, hi) bounds make per-corpus partial histograms
+    directly addable (union + re-sum — the storable/streamable
+    summary; mergeability pinned in tests/test_sketches.py), and the
+    within-bin linear interpolation is integer-count arithmetic, so
+    unlike rank-error sketches the estimate is bit-deterministic and
+    fully DuckDB-replayed. Window input is <= 128 rows per group by
+    construction at ANY corpus size."""
+    from dislib_spark.sketches import (
+        histogram_sketch,
+        quantiles_from_histogram,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("double")
+    row = li.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+    lo, hi = float(row["lo"]), float(row["hi"])
+    hist = histogram_sketch(
+        li, "l_extendedprice", n_bins=128, by="l_returnflag", lo=lo, hi=hi
+    )
+    return quantiles_from_histogram(
+        hist, lo, hi, 128, (0.5, 0.9, 0.99), by="l_returnflag"
+    ).orderBy("l_returnflag", "q")
+
+
+def x75_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed last-touch attribution (``temporal
+    .funnel_attribution``): each purchase credits the latest click by
+    the same user within the preceding hour; daily rollup of
+    (purchases, attributed, mean lag). Candidates come from the
+    (user, hour-bucket) equi-join with the click side exploded to
+    {b, b+1} — the adjacent-bucket pattern, never a per-user cross
+    product — and the per-purchase argmax is one map-side MAX."""
+    from dislib_spark.temporal import funnel_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    per = funnel_attribution(
+        ev, "user_id", "ts", "event_type", "click", "purchase",
+        window_s=3600,
+    )
+    return (
+        per.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("from_sec").isNotNull().cast("long")).alias(
+                "n_attributed"
+            ),
+            F.round(F.avg("lag_s"), 6).alias("avg_lag_s"),
+        )
+        .orderBy("day")
+    )
+
+
 def x73_dup_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate transaction screen: same customer, totalprice in
     the same 10k bucket, within 30 days — the classic double-billing /
@@ -1925,6 +1981,8 @@ QUERIES = {
     "x71_cusum": x71_cusum,
     "x72_rsi": x72_rsi,
     "x73_dup_billing": x73_dup_billing,
+    "x74_histogram_quantiles": x74_histogram_quantiles,
+    "x75_funnel_attribution": x75_funnel_attribution,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -3017,4 +3075,86 @@ ORACLE["x73_dup_billing"] = """
     FROM r
     WHERE k1 IS NOT NULL AND d2 - d1 <= 30
     ORDER BY gap_days, o_custkey, k1, k2 LIMIT 50
+"""
+
+
+# x74: the histogram bin key (v-lo)/width uses identical IEEE double
+# ops on both engines (bit-equal bucket ids); ranks/counts are exact
+# integers and the interpolation is written in the same operation
+# order as the Spark expression.
+ORACLE["x74_histogram_quantiles"] = """
+    WITH b AS (
+        SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+               MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+        FROM lineitem
+    ),
+    h AS (
+        SELECT l_returnflag,
+               CAST(CASE WHEN (SELECT hi FROM b) = (SELECT lo FROM b)
+                         THEN 0
+                         ELSE LEAST(127, FLOOR(
+                             (CAST(l_extendedprice AS DOUBLE)
+                              - (SELECT lo FROM b))
+                             / (((SELECT hi FROM b) - (SELECT lo FROM b))
+                                / 128.0)))
+                    END AS INT) AS bin,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, bin, CAST(cnt AS BIGINT) AS cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - cnt AS BIGINT) AS cum_prev,
+               CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                   AS n
+        FROM h
+    ),
+    qt AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q),
+    hit AS (
+        SELECT l_returnflag, q, bin, cnt, cum_prev,
+               CAST(CEIL(CAST(q AS DOUBLE) * n) AS BIGINT) AS r
+        FROM c CROSS JOIN qt
+        WHERE cum >= CEIL(CAST(q AS DOUBLE) * n)
+          AND cum_prev < CEIL(CAST(q AS DOUBLE) * n)
+    )
+    SELECT l_returnflag, CAST(q AS DOUBLE) AS q,
+           ROUND((SELECT lo FROM b)
+                 + (bin + (r - cum_prev)::DOUBLE / cnt::DOUBLE)
+                   * (((SELECT hi FROM b) - (SELECT lo FROM b)) / 128.0),
+                 6) AS est
+    FROM hit ORDER BY l_returnflag, q
+"""
+
+# x75: whole-second lag arithmetic on tz-free epochs; the per-purchase
+# MAX and the day rollup are exact-integer aggregations.
+ORACLE["x75_funnel_attribution"] = """
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               CAST(EPOCH(date_trunc('second', ts)) AS BIGINT) AS sec,
+               CAST(ts AS DATE) AS day
+        FROM events
+    ),
+    p AS (
+        SELECT event_id, user_id, sec, day FROM e
+        WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, sec AS csec FROM e WHERE event_type = 'click'
+    ),
+    per AS (
+        SELECT p.event_id, p.day, ANY_VALUE(p.sec) AS to_sec,
+               MAX(CASE WHEN c.csec < p.sec AND p.sec - c.csec <= 3600
+                        THEN c.csec END) AS from_sec
+        FROM p LEFT JOIN c ON c.user_id = p.user_id
+        GROUP BY p.event_id, p.day
+    )
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN from_sec IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_attributed,
+           ROUND(AVG(to_sec - from_sec), 6) AS avg_lag_s
+    FROM per GROUP BY day ORDER BY day
 """

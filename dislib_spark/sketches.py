@@ -260,3 +260,93 @@ def bloom_semi_join(
         probe_key,
         "left_semi",
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 128,
+    by: str | None = None,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Mergeable equi-width histogram sketch: (bin, cnt) rows
+    (plus the ``by`` key). With FIXED ``(lo, hi)`` bounds, sketches
+    built on disjoint corpora are merged by simply adding counts per
+    bin — union the sketch frames and re-aggregate (pinned by
+    tests/test_sketches.py) — the storable/streamable summary behind
+    :func:`quantiles_from_histogram`. When bounds are omitted they
+    are probed with one min/max aggregate over THIS frame (such a
+    sketch only merges with others probed on the same bounds).
+
+    Scale: one scan, one map-side-combined groupBy on (by, bin) —
+    reduce state is |groups|·n_bins longs regardless of row count.
+    """
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+        lo = float(row["lo"])
+        hi = float(row["hi"])
+    width = (hi - lo) / float(n_bins)
+    bin_col = (
+        F.lit(0)
+        if hi == lo
+        else F.least(
+            F.lit(n_bins - 1), F.floor((v - F.lit(lo)) / F.lit(width))
+        )
+    ).cast("int")
+    keys = ([F.col(by)] if by else []) + [bin_col.alias("bin")]
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    qs: tuple = (0.5, 0.9, 0.99),
+    by: str | None = None,
+) -> DataFrame:
+    """Quantile estimates from an equi-width histogram sketch via
+    within-bin linear interpolation: for target rank r = ceil(q·n),
+    the estimate is ``lo + (bin + (r - cum_prev)/cnt) · width``. The
+    deterministic, ANSI-replayable sketch-quantile path (vs the
+    rank-error-bounded ``approx_quantiles``): error ≤ one bin width,
+    counts are exact integers, so the estimate is bit-stable on any
+    engine/partitioning. The cumulative window is ordered per group
+    over ≤ ``n_bins`` rows by construction — never data-sized.
+
+    Returns (by?, q, est) with q as a double and est rounded 6dp.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / float(n_bins)
+    part = [by] if by else []
+    w = Window.partitionBy(*part).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy(*part)
+    c = hist.select(
+        *part,
+        "bin",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_prev"),
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    out = None
+    for q in qs:
+        r = F.ceil(F.lit(float(q)) * F.col("n"))
+        hit = c.where((F.col("cum") >= r) & (F.col("cum_prev") < r))
+        est = F.lit(lo) + (
+            F.col("bin")
+            + (r - F.col("cum_prev")).cast("double")
+            / F.col("cnt").cast("double")
+        ) * F.lit(width)
+        sel = hit.select(
+            *part,
+            F.lit(float(q)).alias("q"),
+            F.round(est, 6).alias("est"),
+        )
+        out = sel if out is None else out.unionAll(sel)
+    return out

@@ -581,3 +581,65 @@ def rsi(
     return agg.select(
         "t", "x", F.round(val, 6).alias("rsi")
     ).orderBy("t")
+
+
+def funnel_attribution(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+    window_s: int = 3600,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Windowed last-touch attribution: for every ``to_type`` event,
+    find the latest ``from_type`` event by the same user that is
+    strictly earlier and at most ``window_s`` seconds before it — the
+    "which click gets credit for this purchase" kernel behind
+    conversion reporting (the windowed complement of x15's
+    whole-history staged funnel).
+
+    Scale shape: candidates come from an equi-join on
+    ``(user, floor(sec/window_s))`` hour-style buckets with the
+    from-side exploded to {b, b+1} (a qualifying pair always shares
+    one bucket key — the x07/snm adjacent-block pattern), so the join
+    never degenerates to per-user cross products on heavy users; the
+    per-target argmax is one map-side-combined MAX.
+
+    Returns one row per ``to_type`` event:
+    (to_id, u, to_sec, day, from_sec nullable, lag_s nullable).
+    """
+    sec = _epoch_seconds(df, time_col)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("_t"),
+        sec.alias("_sec"),
+        F.to_date(time_col).alias("day"),
+    )
+    b = F.floor(F.col("_sec") / F.lit(window_s))
+    tgt = base.where(F.col("_t") == to_type).select(
+        F.col("_id").alias("to_id"),
+        "u",
+        F.col("_sec").alias("to_sec"),
+        "day",
+        b.alias("_b"),
+    )
+    src = base.where(F.col("_t") == from_type).select(
+        "u",
+        F.col("_sec").alias("_fsec"),
+        F.explode(F.array(b, b + 1)).alias("_b"),
+    )
+    qual = F.when(
+        (F.col("_fsec") < F.col("to_sec"))
+        & (F.col("to_sec") - F.col("_fsec") <= window_s),
+        F.col("_fsec"),
+    )
+    per = (
+        tgt.join(src, ["u", "_b"], "left")
+        .select("to_id", "u", "to_sec", "day", qual.alias("_q"))
+        .groupBy("to_id", "u", "to_sec", "day")
+        .agg(F.max("_q").alias("from_sec"))
+    )
+    return per.withColumn("lag_s", F.col("to_sec") - F.col("from_sec"))

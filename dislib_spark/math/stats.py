@@ -37,10 +37,20 @@ def _resolve_auto_bins(
     auto_threshold: int,
     auto_bins: int,
 ):
-    """Resolve ``n_bins="auto"`` → None (exact) or ``auto_bins``."""
+    """Resolve ``n_bins="auto"`` → None (exact) or ``auto_bins``.
+
+    The cheap HLL probe carries ~±2% error, but the DuckDB oracles
+    replay this branch on the EXACT distinct count — so when the
+    estimate lands inside a ±5% band around the threshold, one exact
+    ``count_distinct`` re-probe decides (rare: only corpora sitting
+    right at the boundary pay it). The branch choice is therefore
+    deterministic and engine-replayable at every scale, not just when
+    the corpus is far from the threshold."""
     if n_bins != "auto":
         return n_bins
     est = src.agg(F.approx_count_distinct(value).alias("_d")).first()["_d"]
+    if 0.95 * auto_threshold <= est <= 1.05 * auto_threshold:
+        est = src.agg(F.count_distinct(value).alias("_d")).first()["_d"]
     return auto_bins if est > auto_threshold else None
 
 
@@ -334,7 +344,9 @@ def average_precision(
     df: DataFrame,
     score_col: str,
     label_col: str,
-    n_bins: int | None = None,
+    n_bins: int | None | str = None,
+    auto_threshold: int = AUTO_DISTINCT_THRESHOLD,
+    auto_bins: int = AUTO_BINS,
 ) -> DataFrame:
     """Average precision (step-interpolated PR-AUC): with rows ranked
     by score descending, ``AP = Σ_t (pos_t / P) · precision@t`` over
@@ -347,9 +359,12 @@ def average_precision(
     running-sum window walks the grouped rows — window input is the
     distinct-score cardinality, never the corpus. ``n_bins`` bounds
     that cardinality for continuous scores (the 100 TB path,
-    convergence pinned in tests/test_stats_ops.py). Ties share one
-    threshold (the whole tied block enters precision at once), which
-    is the standard tie treatment.
+    convergence pinned in tests/test_stats_ops.py); ``n_bins="auto"``
+    probes ``approx_count_distinct`` once and picks exact below
+    ``auto_threshold`` distinct scores, ``auto_bins`` buckets above —
+    same policy as :func:`roc_auc` / :func:`ks_statistic`. Ties share
+    one threshold (the whole tied block enters precision at once),
+    which is the standard tie treatment.
 
     Returns one row (ap, n_pos, n_neg); ap rounded to 6 places.
     """
@@ -357,6 +372,7 @@ def average_precision(
 
     v = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
+    n_bins = _resolve_auto_bins(df, v, n_bins, auto_threshold, auto_bins)
     src = df
     if n_bins is not None:
         lohi = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi"))

@@ -387,8 +387,9 @@ def x15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged min-timestamp funnel: users whose first view precedes a
     click precedes a purchase. Each stage is one keyed aggregation —
     the event table is scanned per stage but never self-joined
-    row×row; stage outputs are user-cardinality (≪ events) and
-    broadcast-join back."""
+    row×row; stage outputs are user-cardinality (≪ events, but still
+    SF-proportional, so they shuffle-join back — AQE may broadcast
+    them when small, we never force it)."""
     ev = load_table(spark, sf_dir, "events")
     v = (
         ev.where(F.col("event_type") == "view")
@@ -397,14 +398,14 @@ def x15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         ev.where(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .where(F.col("ts") > F.col("v_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .where(F.col("ts") > F.col("c_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"))
@@ -424,7 +425,8 @@ def x15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x16_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup-cohort retention: users grouped by the week of their
     first event; one row per (cohort week, week offset) with active
-    user counts. First-event table is user-cardinality → broadcast."""
+    user counts. First-event table is user-cardinality (SF-growing) →
+    plain shuffle join; AQE broadcasts it only when actually small."""
     ev = load_table(spark, sf_dir, "events")
     first = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_w")
@@ -433,7 +435,7 @@ def x16_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
     ).distinct()
     return (
-        active.join(F.broadcast(first), "user_id")
+        active.join(first, "user_id")
         .groupBy(
             "cohort_w",
             (F.datediff(F.col("aw"), F.col("cohort_w")) / 7)
@@ -1159,7 +1161,9 @@ def x55_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_totalprice"
     )
     per_nation = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is SF-proportional — no broadcast hint (AQE decides);
+        # nation/region are genuinely fixed-size dims.
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -1418,8 +1422,10 @@ def x60_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("n_bad_price"),
         F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_null_cust"),
     )
+    # customer is SF-proportional — plain shuffle anti-join (AQE will
+    # still broadcast it when the scan is actually small).
     orphans = o.join(
-        F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti"
+        c, o["o_custkey"] == c["c_custkey"], "left_anti"
     ).agg(F.count(F.lit(1)).alias("n_orphans"))
     w = base.crossJoin(F.broadcast(orphans))
     checks = [
@@ -1669,7 +1675,9 @@ def x68_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_totalprice", "o_orderdate"
     )
     monthly = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is SF-proportional — no broadcast hint (AQE decides);
+        # nation/region are genuinely fixed-size dims.
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(
@@ -1725,7 +1733,9 @@ def x69_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_totalprice"
     )
     per_cust = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is SF-proportional — no broadcast hint (AQE decides);
+        # nation/region are genuinely fixed-size dims.
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "c_custkey")
@@ -1834,21 +1844,15 @@ def x74_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-bin linear interpolation is integer-count arithmetic, so
     unlike rank-error sketches the estimate is bit-deterministic and
     fully DuckDB-replayed. Window input is <= 128 rows per group by
-    construction at ANY corpus size."""
-    from dislib_spark.sketches import (
-        histogram_sketch,
-        quantiles_from_histogram,
-    )
+    construction at ANY corpus size. The (lo, hi) bounds are a
+    broadcast 1-row frame, so the query is ONE lazy composable job —
+    no driver action inside the function."""
+    from dislib_spark.sketches import histogram_quantiles
 
     li = load_table(spark, sf_dir, "lineitem")
-    v = F.col("l_extendedprice").cast("double")
-    row = li.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
-    lo, hi = float(row["lo"]), float(row["hi"])
-    hist = histogram_sketch(
-        li, "l_extendedprice", n_bins=128, by="l_returnflag", lo=lo, hi=hi
-    )
-    return quantiles_from_histogram(
-        hist, lo, hi, 128, (0.5, 0.9, 0.99), by="l_returnflag"
+    return histogram_quantiles(
+        li, "l_extendedprice", n_bins=128, qs=(0.5, 0.9, 0.99),
+        by="l_returnflag",
     ).orderBy("l_returnflag", "q")
 
 
@@ -2803,11 +2807,14 @@ ORACLE["x64_ohlc"] = """
            MAX(value) AS high,
            MIN(value) AS low,
            COUNT(*) AS n_obs,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS volume
     FROM w
     GROUP BY event_type, bucket
     ORDER BY event_type, bucket
 """
+# (x64 oracle accumulates volume at DECIMAL(28,6), matching the
+# engine's ohlc_bars grain — parity survives a generator emitting
+# finer-than-2dp values.)
 
 # x65: interval bounds are exact integer seconds; version numbering
 # rides the same (sec, event_id) total order on both engines; the

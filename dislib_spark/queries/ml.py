@@ -867,9 +867,11 @@ def m27_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     mining actually optimize (ROC-AUC ignores the head of the
     ranking; AP weights it). ``math.stats.average_precision``:
     distinct-score collapse + ONE descending running-sum window, same
-    scale shape as m11's rank-sum AUC; ``n_bins=`` is the bounded-
-    window 100 TB swap-in (convergence pinned in
-    tests/test_stats_ops.py)."""
+    scale shape as m11's rank-sum AUC; ``n_bins="auto"`` probes the
+    distinct-score cardinality once and swaps in the bounded 10k-bin
+    window above 100k distinct scores — the m11/m23 policy, so the
+    declared plan is the one that survives 100 TB (convergence pinned
+    in tests/test_stats_ops.py)."""
     from dislib_spark.math.stats import average_precision
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -877,7 +879,7 @@ def m27_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("label") < 5, F.lit(1.0)).otherwise(0.0).alias("y"),
         _m10_score().alias("score"),
     )
-    return average_precision(scored, "score", "y")
+    return average_precision(scored, "score", "y", n_bins="auto")
 
 
 def m28_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1921,16 +1923,38 @@ _M10_SCORE_SQL = """ROUND(list_inner_product(
 
 # m27: exact integer counts per distinct 9-dp score; each AP term is
 # one IEEE-exact division, the final sum is rounded 6 orders above
-# accumulated ulp drift.
+# accumulated ulp drift. Replays the n_bins="auto" policy like m23:
+# exact per-distinct-score collapse when distinct scores <= 100k,
+# fixed-width 10k-bin keys above (identical IEEE double bin math on
+# both engines); the oracle branches on the EXACT distinct count
+# while Spark probes HLL (±2%) — they agree because no test scale
+# sits near the threshold.
 ORACLE["m27_average_precision"] = f"""
     WITH s AS (
         SELECT CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,
-               {_M10_SCORE_SQL} AS score
+               {_M10_SCORE_SQL} AS v
         FROM embeddings
+    ),
+    meta AS (
+        SELECT COUNT(DISTINCT v) AS nd, MIN(v) AS lo, MAX(v) AS hi
+        FROM s
+    ),
+    keyed AS (
+        SELECT CASE
+                 WHEN (SELECT nd FROM meta) <= 100000 THEN v
+                 WHEN (SELECT hi FROM meta) = (SELECT lo FROM meta)
+                   THEN 0.0
+                 ELSE LEAST(9999.0, FLOOR(
+                        (v - (SELECT lo FROM meta))
+                        / (((SELECT hi FROM meta) - (SELECT lo FROM meta))
+                           / 10000.0)))
+               END AS score,
+               y
+        FROM s
     ),
     g AS (
         SELECT score, COUNT(*) AS n, SUM(y) AS pos
-        FROM s GROUP BY score
+        FROM keyed GROUP BY score
     ),
     r AS (
         SELECT n, pos,

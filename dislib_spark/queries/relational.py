@@ -95,12 +95,15 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Q6: equi join + agg (broadcast the small dim) -------------------
+# --- Q6: equi join + agg ----------------------------------------------
 def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No broadcast hint: customer grows with SF (billions of rows at
+    # 100 TB). AQE promotes the build side to broadcast when it is
+    # actually small; a forced hint would be a hard scale ceiling.
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.countDistinct("o_orderkey").alias("orders"),

@@ -849,6 +849,58 @@ def t48_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t49_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host dedup keys (``text.urls``): the
+    crawl-curation staple — the same page arrives under scheme-case /
+    ``www.`` / default-port / param-order / tracking-param / trailing-
+    slash variants, and the dedup key is the CANONICAL form. URLs are
+    built deterministically from real table columns so every
+    normalization branch is exercised (mixed-case scheme+host, ``www.``
+    prefix, default :443 vs explicit :8080 port, ``//`` path runs,
+    trailing slash, utm/ref tracking params, unsorted params, fragment).
+    Per host: fetch count, distinct canonical pages, and an md5-prefix
+    sum over the canonical strings — a byte-exact witness of the whole
+    string pipeline. Pure JVM projection + one grouped aggregate."""
+    from dislib_spark.text.urls import canonicalize_url, url_host
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("HTTPS://WWW."))
+        .when(did % 3 == 1, F.lit("https://"))
+        .otherwise(F.lit("HTTP://")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(did % 4 == 0, F.lit(":443"))
+        .when(did % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Docs//"),
+        (did % 97).cast("string"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&ref=rss&b="),
+        (did % 5).cast("string"),
+        F.lit("&a="),
+        (did % 7).cast("string"),
+        F.when(did % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    c = d.select(
+        url_host(url).alias("host"),
+        canonicalize_url(url).alias("canon"),
+    )
+    sig = F.conv(F.substring(F.md5(F.col("canon")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        c.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("canon").alias("n_canon"),
+            F.sum(sig).alias("canon_sig"),
+        )
+        .orderBy("host")
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -898,6 +950,7 @@ QUERIES = {
     "t46_burstiness": t46_burstiness,
     "t47_lexical_diversity": t47_lexical_diversity,
     "t48_char_entropy": t48_char_entropy,
+    "t49_url_canonicalize": t49_url_canonicalize,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -2161,3 +2214,76 @@ def _t06_oracle() -> str:
 
 
 ORACLE["t06_dedup_simhash"] = _t06_oracle()
+
+
+# t49: full byte-level replay of the URL canonicalizer. DuckDB
+# regexp_replace needs the explicit 'g' flag where Spark's is always
+# global (the '/'-run collapse); every other rewrite matches at most
+# once. md5-prefix conv replay gives the byte-exact witness.
+ORACLE["t49_url_canonicalize"] = r"""
+    WITH b AS (
+        SELECT
+            CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.'
+                 WHEN doc_id % 3 = 1 THEN 'https://'
+                 ELSE 'HTTP://' END
+            || source || '.Example.COM'
+            || CASE WHEN doc_id % 4 = 0 THEN ':443'
+                    WHEN doc_id % 4 = 1 THEN ':8080'
+                    ELSE '' END
+            || '/Docs//' || CAST(doc_id % 97 AS VARCHAR)
+            || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+            || '?utm_source=feed&ref=rss&b=' || CAST(doc_id % 5 AS VARCHAR)
+            || '&a=' || CAST(doc_id % 7 AS VARCHAR)
+            || CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
+        FROM documents
+    ),
+    p AS (
+        SELECT regexp_replace(trim(url), '#.*$', '') AS u FROM b
+    ),
+    parts AS (
+        SELECT u,
+            lower(regexp_extract(u,
+                '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+            regexp_extract(u,
+                '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]*)', 1) AS auth,
+            regexp_extract(u,
+                '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*([^?]*)', 1) AS path0,
+            regexp_extract(u, '\?(.*)$', 1) AS query0
+        FROM p
+    ),
+    norm AS (
+        SELECT
+            regexp_replace(regexp_replace(
+                lower(regexp_extract(auth, '^([^:]*)', 1)),
+                '^www\.', ''), '\.$', '') AS host,
+            scheme,
+            regexp_extract(auth, ':([0-9]*)$', 1) AS port,
+            regexp_replace(regexp_replace(path0, '/{2,}', '/', 'g'),
+                           '/$', '') AS path,
+            array_to_string(list_sort(list_filter(
+                str_split(query0, '&'),
+                q -> q <> '' AND NOT regexp_matches(q,
+                    '^(utm_[^=]*|fbclid|gclid|msclkid|igshid|ref)(=|$)')
+            )), '&') AS qs
+        FROM parts
+    ),
+    canon AS (
+        SELECT host,
+            scheme || '://' || host
+            || CASE WHEN port = ''
+                      OR (scheme = 'http' AND port = '80')
+                      OR (scheme = 'https' AND port = '443')
+                    THEN '' ELSE ':' || port END
+            || path
+            || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon
+        FROM norm
+    )
+    SELECT host,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT canon) AS n_canon,
+           CAST(SUM(CAST(('0x' || substr(md5(canon), 1, 8)) AS BIGINT))
+                AS BIGINT) AS canon_sig
+    FROM canon
+    GROUP BY host
+    ORDER BY host
+"""

@@ -847,7 +847,9 @@ ORACLE["v06_pq_topk"] = f"""
         SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM cells GROUP BY vec_id
     ),
     unit AS (
-        SELECT c.vec_id, c.k, c.v / n.nrm AS u
+        -- zero-norm guard mirrors pq_codebooks' seed path (nrm==0 → 1.0)
+        SELECT c.vec_id, c.k,
+               c.v / CASE WHEN n.nrm = 0 THEN 1 ELSE n.nrm END AS u
         FROM cells c JOIN norms n USING (vec_id)
     ),
     ctrids AS (

@@ -350,3 +350,87 @@ def quantiles_from_histogram(
         )
         out = sel if out is None else out.unionAll(sel)
     return out
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 128,
+    qs: tuple = (0.5, 0.9, 0.99),
+    by: str | None = None,
+) -> DataFrame:
+    """One LAZY job composing :func:`histogram_sketch` +
+    :func:`quantiles_from_histogram`: the global (lo, hi) bounds stay
+    a broadcast 1-row frame instead of a driver ``.first()`` probe,
+    so the whole estimate is a single composable plan (no synchronous
+    driver action inside the query function). All q targets are
+    resolved in ONE pass by exploding the q literals over the ≤
+    ``n_bins``-row cumulative table — no per-q union re-walk.
+
+    Bin and interpolation math is the same IEEE double arithmetic as
+    the eager pair, so estimates are bit-identical to them (and to
+    the DuckDB replay).
+
+    Returns (by?, q, est) with q double and est rounded 6dp.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    lohi = df.agg(F.min(v).alias("_lo"), F.max(v).alias("_hi"))
+    src = df.crossJoin(F.broadcast(lohi))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    bin_col = (
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((v - F.col("_lo")) / width),
+            )
+        )
+        .cast("int")
+    )
+    part = [by] if by else []
+    keys = [F.col(c) for c in part] + [
+        bin_col.alias("bin"),
+        F.col("_lo"),
+        F.col("_hi"),
+    ]
+    hist = src.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+    w = Window.partitionBy(*part).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy(*part)
+    c = hist.select(
+        *part,
+        "bin",
+        "cnt",
+        "_lo",
+        "_hi",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_prev"),
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    r = F.ceil(F.col("q") * F.col("n"))
+    est = F.col("_lo") + (
+        F.col("bin")
+        + (r - F.col("cum_prev")).cast("double")
+        / F.col("cnt").cast("double")
+    ) * ((F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins)))
+    return (
+        c.select(
+            *part,
+            "bin",
+            "cnt",
+            "_lo",
+            "_hi",
+            "cum_prev",
+            "cum",
+            "n",
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in qs])
+            ).alias("q"),
+        )
+        .where((F.col("cum") >= r) & (F.col("cum_prev") < r))
+        .select(*part, "q", F.round(est, 6).alias("est"))
+    )

@@ -50,7 +50,14 @@ def tfidf_topk(
     """Top-k characteristic terms per document by smoothed TF-IDF
     ``tf * (ln((N+1)/(df+1)) + 1)``. Scores are rounded to 6 decimals
     BEFORE ranking with a term tiebreak, so the ranking is identical
-    across engines (raw doubles can differ by 1 ulp in ``ln``)."""
+    across engines (raw doubles can differ by 1 ulp in ``ln``).
+
+    Scale note: ``dfreq`` is vocab-sized — sublinear in the corpus
+    (Heaps' law) but unbounded; the broadcast is sized by the
+    tokenizer's vocabulary, and pipelines feeding web-scale corpora
+    should apply a ``min_df`` prune (drop df==1 hapaxes, typically
+    40-60% of the vocab) or swap the hint for a plain shuffle join —
+    the query is hash-identical either way."""
     from pyspark.sql import Window
 
     tf = term_frequencies(df, text_col, id_col)
@@ -95,7 +102,10 @@ def bm25_scores(
     """BM25 score of every document against a bag of query terms.
     Returns (id, bm25) for documents matching ≥1 term. The query set
     is a tiny literal filter pushed into the tf table before any
-    join — corpus-side work is proportional to MATCHING doc-terms."""
+    join — corpus-side work is proportional to MATCHING doc-terms.
+    Here ``dfreq`` is bounded by |query_terms| (built from the
+    already-filtered tf), so its broadcast is O(query size), not
+    vocab-sized."""
     tf = term_frequencies(df, text_col, id_col).where(
         F.col("term").isin(*query_terms)
     )

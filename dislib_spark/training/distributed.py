@@ -313,13 +313,22 @@ def torch_train_fn(model_builder, loss_name: str = "mse",
         torch_pack_params(model, params, t)
         loss_fn = getattr(t.nn, loss_cls[loss_name])()
         opt = t.optim.SGD(model.parameters(), lr=lr)
+        # Precision contract: batches are cast to the MODULE's own
+        # parameter dtype — a standard float32 module must see
+        # float32 batches (real torch raises a mat-mul dtype
+        # mismatch on float64 inputs). The trainer's arrays stay
+        # float64 outside the module; per-shard precision is bounded
+        # by the module dtype, not the adapter.
+        p0 = next(iter(model.parameters()), None)
+        dt = getattr(p0, "dtype", None)
         n = X.shape[0]
         for start in range(0, n, batch_size):
             xb = t.tensor(np.asarray(X[start:start + batch_size],
-                                     dtype=np.float64))
+                                     dtype=np.float64), dtype=dt)
             yb = t.tensor(
                 np.asarray(y[start:start + batch_size],
-                           dtype=np.float64).reshape(-1, 1)
+                           dtype=np.float64).reshape(-1, 1),
+                dtype=dt,
             )
             opt.zero_grad()
             loss = loss_fn(model(xb), yb)

@@ -93,7 +93,14 @@ def centroid_medoids(
     so scoring is a map-side join + one grouped dot product — the
     corpus is read once and never self-joined. Ranking is a
     partitionBy(label) window on the 9-dp-rounded cosine (six orders
-    above centroid summation-order drift) with an id tiebreak.
+    above centroid summation-order drift) with an id tiebreak — and
+    because the rank filter is ``row_number() <= k``, Catalyst's
+    WindowGroupLimit rewrites it into the two-phase top-k: a PARTIAL
+    per-map-task top-k runs BEFORE the label exchange (each task
+    ships at most k rows per label) and the final Window sees at most
+    k·num_partitions rows per label, never the corpus — low label
+    cardinality therefore does NOT funnel the data through ~|labels|
+    reducers (plan-pinned in tests/test_plans.py).
     """
     from pyspark.sql import Window
 

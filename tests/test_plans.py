@@ -54,6 +54,7 @@ _BNLJ_OK = {
     "x65_scd2",  # 3-row probe list broadcast against the interval table
     "m26_woe_iv",  # 1-row broadcast of the class totals
     "t46_burstiness",  # 1-row broadcast of the corpus doc-count scalar
+    "x74_histogram_quantiles",  # 1-row broadcast of the (lo, hi) bounds
 }
 
 
@@ -167,3 +168,103 @@ def test_x69_gini_no_near_global_window(spark):
     plan = _plan(spark, "x69_gini")
     assert "Window" not in plan
     assert plan.count("SinglePartition") <= 1
+
+
+@contextlib.contextmanager
+def _conf(spark, **kv):
+    old = {k: spark.conf.get(k, None) for k in kv}
+    for k, v in kv.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_no_forced_broadcast_of_sf_growing_relations(spark):
+    """customer / per-user aggregates grow linearly with SF (billions
+    of rows at 100 TB) — they must never carry a forced F.broadcast
+    hint.  Detection: with autoBroadcastJoinThreshold=-1 and AQE off,
+    the ONLY broadcast joins left in a plan are explicit hints, so
+    the SF-growing join must surface as a shuffle join
+    (SortMergeJoin) while genuinely fixed-size hints (nation, region,
+    1-row stats frames) may remain broadcast."""
+    targets = [
+        "q06_join_agg",        # orders ⋈ customer
+        "x15_funnel",          # events ⋈ per-user stage aggregates
+        "x16_cohort",          # events ⋈ per-user first-event frame
+        "x55_share_report",    # orders ⋈ customer (⋈ nation ⋈ region)
+        "x60_quality_checks",  # orders anti-⋈ customer
+        "x68_mom_growth",      # orders ⋈ customer (⋈ nation ⋈ region)
+        # x69_gini is covered by the source guard below: its
+        # with_global_index localCheckpoint hides the join subplan.
+    ]
+    with _conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    ):
+        for name in targets:
+            plan = _plan(spark, name)
+            assert "SortMergeJoin" in plan, (
+                f"{name}: SF-growing relation still hint-broadcast "
+                "(no shuffle join appears with broadcast disabled)"
+            )
+    # the fixed-size dims keep their hints: with the same conf the
+    # nation/region joins of x55 must still broadcast
+    with _conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    ):
+        plan = _plan(spark, "x55_share_report")
+        assert "BroadcastHashJoin" in plan  # nation/region hints intact
+
+
+def test_no_broadcast_hint_on_sf_growing_source():
+    """Source guard (mirrors the crossJoin allowlist): query modules
+    must never wrap a bare SF-growing frame — customer/orders/
+    lineitem/events loads or per-user aggregates — in F.broadcast.
+    Bounded frames (1-row .agg(...) stats, nation/region dims,
+    codebooks) don't match the bare-identifier pattern."""
+    import pathlib
+    import re
+
+    qdir = pathlib.Path(__file__).resolve().parents[1] / (
+        "dislib_spark/queries"
+    )
+    # bare single-letter / table-name identifiers used for SF tables
+    forbidden = re.compile(
+        r"F\.broadcast\((?:c|o|l|v|p|ev|first|active|customer|orders"
+        r"|lineitem|events|docs|emb)\)"
+    )
+    hits = []
+    for py in sorted(qdir.glob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if forbidden.search(line):
+                hits.append(f"{py.name}:{i}: {line.strip()}")
+    assert not hits, "forced broadcast of SF-growing frame:\n" + "\n".join(hits)
+
+
+def test_v16_medoids_two_phase_topk(spark):
+    """v16 ranks per label (~10 groups): the plan must be the
+    two-phase top-k — a PARTIAL WindowGroupLimit before the label
+    exchange (each map task ships ≤ k rows per label) and a FINAL one
+    after it, so the Window input is k·partitions rows, never n/|labels|
+    rows per reducer."""
+    plan = _plan(spark, "v16_centroid_medoids")
+    assert "row_number(), 3, Partial" in plan
+    assert "row_number(), 3, Final" in plan
+    # partial limit must precede the label exchange in operator order
+    p = plan.index("Partial")
+    x = plan.index("hashpartitioning(label", p)
+    f = plan.index("row_number(), 3, Final")
+    assert p < f

@@ -750,3 +750,55 @@ def test_auto_bins_branch_selection(spark):
     kbinned = ks_statistic(kdf, "score", "g", "a", "b",
                            n_bins=64).collect()[0]
     assert khi == kbinned
+
+
+def test_average_precision_auto_bins_branch(spark):
+    """m27's declared default: n_bins="auto" picks the exact plan
+    below the distinct-score threshold and the binned plan above it —
+    pinned by equality with the explicitly-requested plans (the m23
+    convergence pattern)."""
+    import numpy as np
+
+    from dislib_spark.math.stats import average_precision
+
+    rng = np.random.default_rng(27)
+    rows = [
+        (float(s), float(s > 0.4)) for s in rng.normal(0.3, 1.0, 3000)
+    ]
+    df = spark.createDataFrame(rows, "score double, y double")
+
+    lo = average_precision(df, "score", "y", n_bins="auto",
+                           auto_threshold=1_000_000).collect()[0]
+    exact = average_precision(df, "score", "y").collect()[0]
+    assert lo == exact
+
+    hi = average_precision(df, "score", "y", n_bins="auto",
+                           auto_threshold=100, auto_bins=64).collect()[0]
+    binned = average_precision(df, "score", "y", n_bins=64).collect()[0]
+    assert hi == binned
+    assert hi != exact  # the 64 coarse bins must actually engage
+
+
+def test_auto_bins_exact_reprobe_near_threshold(spark):
+    """The auto policy must be deterministic AT the threshold: the
+    HLL estimate (±2%) lands inside the ±5% guard band, triggering an
+    exact count_distinct re-probe, so the branch matches the oracle's
+    exact-count branch on both sides of the boundary."""
+    from dislib_spark.math.stats import roc_auc
+
+    rows = [(float(i), float(i % 2)) for i in range(103)]
+    df = spark.createDataFrame(rows, "score double, y double")
+    # 103 distinct, threshold 100 → exact re-probe says 103 > 100 →
+    # binned plan, equal to the explicit one
+    over = roc_auc(df, "score", "y", n_bins="auto",
+                   auto_threshold=100, auto_bins=16).collect()[0]
+    binned = roc_auc(df, "score", "y", n_bins=16).collect()[0]
+    assert over == binned
+
+    df97 = spark.createDataFrame(rows[:97], "score double, y double")
+    # 97 distinct, threshold 100 → exact re-probe says 97 <= 100 →
+    # exact plan, regardless of HLL noise
+    under = roc_auc(df97, "score", "y", n_bins="auto",
+                    auto_threshold=100, auto_bins=16).collect()[0]
+    exact = roc_auc(df97, "score", "y").collect()[0]
+    assert under == exact

@@ -61,13 +61,17 @@ def _changed_query_filter() -> set[str] | None:
         and not f.startswith("dislib_spark/queries/")
     ]
     if non_query_engine:
+        # Engine modules feed query results through imports the
+        # file→query map can't see — a warn-and-skip here would let
+        # an affected query read as green without running. Fall back
+        # to the full sweep instead (ADVICE r4).
         print(
-            f"warning: {len(non_query_engine)} engine files outside "
-            f"dislib_spark/queries/ changed ({non_query_engine[:5]}...)"
-            " — --since only maps query-module edits; run the full"
-            " sweep before close",
+            f"--since: {len(non_query_engine)} engine files outside "
+            f"dislib_spark/queries/ changed ({non_query_engine[:5]}) "
+            "— falling back to the FULL sweep",
             file=sys.stderr,
         )
+        return None
     import importlib
     import inspect
     import os

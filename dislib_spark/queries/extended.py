@@ -1927,6 +1927,43 @@ def x73_dup_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x77_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness / staleness audit per event stream: last event
+    time, staleness against the corpus watermark, and a
+    trailing-7-days vs prior-7-days volume comparison — the check a
+    scheduled pipeline runs before trusting (or alerting on) a feed.
+    ONE conditional-aggregate pass over the events scan; the corpus
+    watermark arrives as a 1-row broadcast (no driver action). All
+    outputs are exact integers (epoch seconds / counts), so the audit
+    is bit-replayable."""
+    from dislib_spark.temporal import _epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = _epoch_seconds(ev, "ts")
+    e = ev.select("event_type", sec.alias("sec"))
+    wm = F.broadcast(e.agg(F.max("sec").alias("_wm")))
+    week = 7 * 86400
+    return (
+        e.crossJoin(wm)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("sec").alias("last_sec"),
+            (F.first("_wm") - F.max("sec")).alias("staleness_s"),
+            F.sum(
+                (F.col("sec") > F.col("_wm") - week).cast("long")
+            ).alias("n_last7d"),
+            F.sum(
+                (
+                    (F.col("sec") <= F.col("_wm") - week)
+                    & (F.col("sec") > F.col("_wm") - 2 * week)
+                ).cast("long")
+            ).alias("n_prior7d"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -1987,6 +2024,7 @@ QUERIES = {
     "x73_dup_billing": x73_dup_billing,
     "x74_histogram_quantiles": x74_histogram_quantiles,
     "x75_funnel_attribution": x75_funnel_attribution,
+    "x77_freshness_audit": x77_freshness_audit,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -3164,4 +3202,29 @@ ORACLE["x75_funnel_attribution"] = """
                 AS BIGINT) AS n_attributed,
            ROUND(AVG(to_sec - from_sec), 6) AS avg_lag_s
     FROM per GROUP BY day ORDER BY day
+"""
+
+
+# x77: all exact-integer outputs; the epoch math replays the NTZ
+# recipe (EPOCH of second-truncated ts) used across the temporal
+# oracles.
+ORACLE["x77_freshness_audit"] = """
+    WITH e AS (
+        SELECT event_type,
+               CAST(EPOCH(date_trunc('second', ts)) AS BIGINT) AS sec
+        FROM events
+    ),
+    wm AS (SELECT MAX(sec) AS w FROM e)
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           MAX(sec) AS last_sec,
+           (SELECT w FROM wm) - MAX(sec) AS staleness_s,
+           CAST(SUM(CASE WHEN sec > (SELECT w FROM wm) - 604800
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_last7d,
+           CAST(SUM(CASE WHEN sec <= (SELECT w FROM wm) - 604800
+                     AND sec > (SELECT w FROM wm) - 1209600
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_prior7d
+    FROM e
+    GROUP BY event_type
+    ORDER BY event_type
 """

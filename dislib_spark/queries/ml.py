@@ -1146,6 +1146,120 @@ def m35_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m36_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / decile lift of the fixed m10 scorer — the
+    campaign-targeting twin of m14's reliability bins: rank the corpus
+    by score descending, split into 10 equal deciles, and report per
+    decile the positive count, cumulative gain (share of ALL positives
+    captured so far) and lift (decile positive rate over the base
+    rate).
+
+    Scale shape: the global rank comes from ``with_global_index``
+    (range-partitioned sort + offsets — TeraSort-shaped, no global
+    Window over the corpus); the decile is x19's exact NTILE integer
+    arithmetic on (rank, 1-row broadcast n). The only Windows run over
+    the 10-row decile table. Counts are exact ints, every ratio an
+    IEEE division of exact ints — bit-replayable."""
+    from pyspark.sql import Window
+
+    from dislib_spark.utils.base import with_global_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    t = e.select(
+        F.col("vec_id"),
+        _m10_score().alias("score"),
+        (F.col("label") < 5).cast("long").alias("y"),
+    )
+    ranked = with_global_index(
+        t, order_by=[F.desc("score"), "vec_id"], idx_col="_r"
+    )
+    tot = F.broadcast(t.agg(F.count(F.lit(1)).alias("_n")))
+    dec = F.expr(
+        "CAST(CASE WHEN _r < (_n % 10) * (_n DIV 10 + 1) "
+        "THEN _r DIV (_n DIV 10 + 1) + 1 "
+        "ELSE (_n % 10) + (_r - (_n % 10) * (_n DIV 10 + 1)) "
+        "DIV (_n DIV 10) + 1 END AS INT)"
+    ).alias("decile")
+    g = (
+        ranked.crossJoin(tot)
+        .select(dec, "y")
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base_rate = F.sum("pos").over(wall) / F.sum("n").over(wall)
+    return g.select(
+        "decile",
+        "n",
+        "pos",
+        F.round(F.col("pos") / F.col("n"), 6).alias("pos_rate"),
+        F.round(
+            F.sum("pos").over(wcum) / F.sum("pos").over(wall), 6
+        ).alias("cum_gain"),
+        F.round((F.col("pos") / F.col("n")) / base_rate, 6).alias(
+            "lift"
+        ),
+    ).orderBy("decile")
+
+
+def m37_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the m10 score distributions
+    of the two label populations (label<5 vs rest) over 10 fixed-width
+    bins — the model-monitoring staple for "did the scored population
+    shift?" (PSI < 0.1 stable, > 0.25 shifted). One conditional-
+    aggregate pass keyed on the bin; the global (lo, hi) bounds are a
+    1-row broadcast (x74's lazy shape); Laplace-smoothed shares
+    ((n+0.5)/(N+5)) keep empty bins finite. Counts exact ints, shares
+    IEEE divisions, one LN per bin (1-ulp, absorbed by 6-dp
+    rounding)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    t = e.select(
+        _m10_score().alias("z"),
+        (F.col("label") < 5).cast("long").alias("is_a"),
+    )
+    lohi = F.broadcast(
+        t.agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(10.0)
+    b = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0.0))
+        .otherwise(
+            F.least(
+                F.lit(9.0),
+                F.floor((F.col("z") - F.col("lo")) / width).cast(
+                    "double"
+                ),
+            )
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    g = (
+        t.crossJoin(lohi)
+        .groupBy(b)
+        .agg(
+            F.sum("is_a").alias("n_a"),
+            F.sum(1 - F.col("is_a")).alias("n_b"),
+        )
+    )
+    wall = Window.partitionBy()
+    sa = (F.col("n_a") + 0.5) / (F.sum("n_a").over(wall) + 5.0)
+    sb = (F.col("n_b") + 0.5) / (F.sum("n_b").over(wall) + 5.0)
+    return g.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(sa, 6).alias("share_a"),
+        F.round(sb, 6).alias("share_b"),
+        F.round((sa - sb) * F.log(sa / sb), 6).alias("psi_term"),
+    ).orderBy("bin")
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -1182,6 +1296,8 @@ QUERIES = {
     "m33_mann_whitney": m33_mann_whitney,
     "m34_benford": m34_benford,
     "m35_ab_test": m35_ab_test,
+    "m36_decile_lift": m36_decile_lift,
+    "m37_psi": m37_psi,
 }
 
 
@@ -2235,4 +2351,73 @@ ORACLE["m35_ab_test"] = """
                         * (1 - (ca + cb) / (na + nb))
                         * (1.0 / na + 1.0 / nb)), 6) AS z
     FROM d
+"""
+
+
+# m36: NTILE(10) replays the exact integer decile arithmetic (x19's
+# equivalence); counts are exact ints, ratios IEEE divisions.
+ORACLE["m36_decile_lift"] = f"""
+    WITH s AS (
+        SELECT vec_id, {_M10_SCORE_SQL} AS score,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        FROM embeddings
+    ),
+    d AS (
+        SELECT y, CAST(NTILE(10) OVER (ORDER BY score DESC, vec_id)
+                       AS INTEGER) AS decile
+        FROM s
+    ),
+    g AS (
+        SELECT decile, COUNT(*) AS n, SUM(y) AS pos
+        FROM d GROUP BY decile
+    )
+    SELECT decile, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+           ROUND(pos::DOUBLE / n::DOUBLE, 6) AS pos_rate,
+           ROUND((SUM(pos) OVER (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  )::DOUBLE
+                 / (SUM(pos) OVER ())::DOUBLE, 6) AS cum_gain,
+           ROUND((pos::DOUBLE / n::DOUBLE)
+                 / ((SUM(pos) OVER ())::DOUBLE
+                    / (SUM(n) OVER ())::DOUBLE), 6) AS lift
+    FROM g
+    ORDER BY decile
+"""
+
+# m37: bin keys are the identical IEEE floor((z-lo)/width) on both
+# engines; Laplace-smoothed shares are divisions of exact ints plus
+# literal constants; one LN per bin absorbed by 6-dp rounding.
+ORACLE["m37_psi"] = f"""
+    WITH s AS (
+        SELECT {_M10_SCORE_SQL} AS z,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS is_a
+        FROM embeddings
+    ),
+    meta AS (SELECT MIN(z) AS lo, MAX(z) AS hi FROM s),
+    keyed AS (
+        SELECT CAST(CASE
+                 WHEN (SELECT hi FROM meta) = (SELECT lo FROM meta)
+                   THEN 0.0
+                 ELSE LEAST(9.0, FLOOR(
+                        (z - (SELECT lo FROM meta))
+                        / (((SELECT hi FROM meta) - (SELECT lo FROM meta))
+                           / 10.0)))
+               END AS INTEGER) AS bin,
+               is_a
+        FROM s
+    ),
+    g AS (
+        SELECT bin, SUM(is_a) AS n_a, SUM(1 - is_a) AS n_b
+        FROM keyed GROUP BY bin
+    )
+    SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND((n_a + 0.5) / ((SUM(n_a) OVER ()) + 5.0), 6) AS share_a,
+           ROUND((n_b + 0.5) / ((SUM(n_b) OVER ()) + 5.0), 6) AS share_b,
+           ROUND(((n_a + 0.5) / ((SUM(n_a) OVER ()) + 5.0)
+                  - (n_b + 0.5) / ((SUM(n_b) OVER ()) + 5.0))
+                 * LN(((n_a + 0.5) / ((SUM(n_a) OVER ()) + 5.0))
+                      / ((n_b + 0.5) / ((SUM(n_b) OVER ()) + 5.0))),
+                 6) AS psi_term
+    FROM g
+    ORDER BY bin
 """

@@ -291,6 +291,50 @@ def v17_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dimension_stats(e)
 
 
+def v18_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index quality gate: recall@10 of the LSH (v03) and seed-IVF
+    (v04) approximate indexes against the brute-force exact cosine
+    top-10 (v01), per query — the eval every embedding pipeline runs
+    before trusting an approximate index in production. Composes the
+    three engine kernels; the eval joins are query-set-sized (k·|Q|
+    rows), so the added cost over the underlying searches is nil.
+    recall = |approx ∩ exact| / k with exact-integer counts, so the
+    ratios are bit-replayable."""
+    from dislib_spark.vector.search import cosine_topk, ivf_topk, lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    exact = cosine_topk(q, e, k=10).select("q_id", "c_id")
+    lsh = lsh_topk(q, e, k=10).select("q_id", "c_id")
+    ivf = ivf_topk(q, e, k=10, centers="seed").select("q_id", "c_id")
+
+    base = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    nl = lsh.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_lsh"))
+    hl = (
+        exact.join(lsh, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("hits_lsh"))
+    )
+    hi = (
+        exact.join(ivf, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("hits_ivf"))
+    )
+    return (
+        base.join(nl, "q_id", "left")
+        .join(hl, "q_id", "left")
+        .join(hi, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_lsh", F.lit(0)).alias("n_lsh"),
+            (F.coalesce("hits_lsh", F.lit(0)) / 10.0).alias("recall_lsh"),
+            (F.coalesce("hits_ivf", F.lit(0)) / 10.0).alias("recall_ivf"),
+        )
+        .orderBy("q_id")
+    )
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -309,6 +353,7 @@ QUERIES = {
     "v15_hamming_topk": v15_hamming_topk,
     "v16_centroid_medoids": v16_centroid_medoids,
     "v17_dimension_stats": v17_dimension_stats,
+    "v18_ann_recall": v18_ann_recall,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -916,4 +961,35 @@ ORACLE["v06_pq_topk"] = f"""
                ) AS rank
         FROM scored
     ) WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+
+# v18 composes the already-value-replayed v01/v03/v04 oracles as CTEs
+# (nested WITH in parenthesized subqueries is ANSI); the recall math
+# is exact-integer counts over a /10.0 division — bit-stable.
+ORACLE["v18_ann_recall"] = f"""
+    WITH exact AS ({ORACLE["v01_cosine_topk"]}),
+    lsh AS ({ORACLE["v03_lsh_topk"]}),
+    ivf AS ({ORACLE["v04_ivf_topk"]}),
+    base AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY q_id),
+    nl AS (SELECT q_id, COUNT(*) AS n_lsh FROM lsh GROUP BY q_id),
+    hl AS (
+        SELECT e.q_id, COUNT(*) AS hits_lsh
+        FROM exact e JOIN lsh l ON e.q_id = l.q_id AND e.c_id = l.c_id
+        GROUP BY e.q_id
+    ),
+    hi AS (
+        SELECT e.q_id, COUNT(*) AS hits_ivf
+        FROM exact e JOIN ivf i ON e.q_id = i.q_id AND e.c_id = i.c_id
+        GROUP BY e.q_id
+    )
+    SELECT b.q_id, b.n_exact,
+           COALESCE(nl.n_lsh, 0) AS n_lsh,
+           COALESCE(hl.hits_lsh, 0) / 10.0 AS recall_lsh,
+           COALESCE(hi.hits_ivf, 0) / 10.0 AS recall_ivf
+    FROM base b
+    LEFT JOIN nl ON b.q_id = nl.q_id
+    LEFT JOIN hl ON b.q_id = hl.q_id
+    LEFT JOIN hi ON b.q_id = hi.q_id
+    ORDER BY b.q_id
 """

@@ -1964,6 +1964,25 @@ def x77_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x76_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a deterministic hash-Bernoulli sample
+    (``sketches.sampled_quantiles``): the 5% md5-keyed sample is the
+    mergeable sketch — per-row keep decisions make sample(A ∪ B) =
+    sample(A) ∪ sample(B) exactly, so shards sample independently and
+    union (mergeability pinned in tests/test_sketches.py). The
+    rank-error companion of x74's deterministic histogram quantiles:
+    error shrinks as 1/√(rate·n) instead of one bin width. Filter is
+    scan-pushdown-friendly; the percentile buffers only the sample."""
+    from dislib_spark.sketches import sampled_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    return sampled_quantiles(
+        li, "l_extendedprice", key, rate=0.05,
+        qs=(0.5, 0.9, 0.99), by="l_returnflag",
+    ).orderBy("l_returnflag")
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -2024,6 +2043,7 @@ QUERIES = {
     "x73_dup_billing": x73_dup_billing,
     "x74_histogram_quantiles": x74_histogram_quantiles,
     "x75_funnel_attribution": x75_funnel_attribution,
+    "x76_sampled_quantiles": x76_sampled_quantiles,
     "x77_freshness_audit": x77_freshness_audit,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
@@ -3227,4 +3247,26 @@ ORACLE["x77_freshness_audit"] = """
     FROM e
     GROUP BY event_type
     ORDER BY event_type
+"""
+
+
+# x76: the md5 keep-decision replays via the '0x'||substr conv recipe;
+# QUANTILE_CONT == Spark percentile (linear interpolation, x05
+# precedent); n_sample witnesses exact sample membership.
+ORACLE["x76_sampled_quantiles"] = """
+    WITH s AS (
+        SELECT l_returnflag, l_extendedprice
+        FROM lineitem
+        WHERE CAST(('0x' || substr(md5(
+                  concat_ws('|', l_orderkey, l_linenumber)), 1, 4))
+              AS INTEGER) % 10000 < 500
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_sample,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 6) AS p90,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 6) AS p99
+    FROM s
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
 """

@@ -901,6 +901,116 @@ def t49_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t50_jaro_winkler_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Jaro-Winkler similarity join (``text.similarity``):
+    fuzzy prefix matching for near-identical document heads — the
+    transposition-tolerant cousin of t26's edit-distance dedup.
+    Candidates come from (lang, source) blocking with the
+    deterministic ``max_block=40`` whale cap (pair count bounded at
+    any corpus size); the JW score is a vectorized Arrow UDF applied
+    ONLY to blocked candidates. Keys are ASCII-stripped 32-char
+    prefixes (DuckDB's jaro_winkler walks bytes, ours walks
+    codepoints — identical on ASCII, pinned in tests). Top-100 pairs
+    at 6-dp-rounded sim ≥ 0.78 (no fixture pair sits within 2e-3 of
+    the threshold), fully ordered."""
+    from dislib_spark.text.similarity import jaro_winkler_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    key = F.regexp_replace(
+        F.substring(F.col("text"), 1, 32), r"[^\x20-\x7E]", ""
+    )
+    pairs = jaro_winkler_pairs(
+        d.select("doc_id", "lang", "source", key.alias("k")),
+        "k",
+        "doc_id",
+        ["lang", "source"],
+        threshold=0.78,
+        max_block=40,
+    )
+    return pairs.orderBy(F.desc("sim"), "a_id", "b_id").limit(100)
+
+
+def t51_idf_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted SimHash near-dup pairs
+    (``text.dedup.idf_simhash_signatures`` +
+    ``simhash_pairs_from_sigs``): rare content terms dominate the
+    signature, so boilerplate/stopword churn stops flipping bits —
+    the production refinement of t06's uniform-vote SimHash. Vote
+    sums are DECIMAL (order-exact) over 9-dp-rounded IDF weights, so
+    signatures — and therefore every candidate key and Hamming
+    distance — are value-replayed in DuckDB. Same Manku 2-of-10
+    pigeonhole blocking as t06 (completeness for hamming ≤ 8)."""
+    from dislib_spark.text.dedup import (
+        idf_simhash_signatures,
+        simhash_pairs_from_sigs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = idf_simhash_signatures(d, "text", "doc_id", bits=60)
+    return simhash_pairs_from_sigs(
+        sigs, max_hamming=8, bits=60
+    ).orderBy("a_id", "b_id")
+
+
+def t52_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END dedup pipeline as ONE declared query: MinHash+
+    LSH candidate pairs (t05's md5-replayable kernel) → connected
+    components (min-label propagation) → canonical keep (smallest id
+    per cluster survives) → per-source keep/drop report. This is the
+    exact chain a production crawl-dedup job runs; t05/t14/t15 test
+    the stages, this query pins their COMPOSITION under one oracle.
+    Scale: pair volume is LSH-bucket-bounded, CC iterates over the
+    duplicate-proportional edge set only, the drop set anti-joins
+    back (duplicate-proportional, never corpus-sized)."""
+    from dislib_spark.graph import dedup_canonical
+    from dislib_spark.text.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.3, hash_fn="md5")
+    kept = dedup_canonical(d, pairs)
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    k = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        tot.join(k, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_docs") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_dropped"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def t53_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage (boilerplate) detection: split
+    every doc into non-overlapping 20-token chunks
+    (``text.chunking.chunk_documents``), fingerprint each chunk
+    (md5), and rank fingerprints by how many DISTINCT docs repeat
+    them — headers/footers/templates float to the top; the intra-
+    corpus passage-level companion of t09's cross-corpus
+    contamination check (public crawl-curation practice: C4/Gopher
+    strip repeated boilerplate passages before training). One explode
+    + one map-side-combined (fp) aggregate — reduce state is
+    |distinct chunks|, never pairs. Top-20, fully ordered."""
+    from dislib_spark.text.chunking import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(d, chunk_tokens=20, overlap=0)
+    return (
+        ch.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), "fp")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -951,6 +1061,10 @@ QUERIES = {
     "t47_lexical_diversity": t47_lexical_diversity,
     "t48_char_entropy": t48_char_entropy,
     "t49_url_canonicalize": t49_url_canonicalize,
+    "t50_jaro_winkler_join": t50_jaro_winkler_join,
+    "t51_idf_simhash": t51_idf_simhash,
+    "t52_dedup_pipeline": t52_dedup_pipeline,
+    "t53_boilerplate_chunks": t53_boilerplate_chunks,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -2286,4 +2400,163 @@ ORACLE["t49_url_canonicalize"] = r"""
     FROM canon
     GROUP BY host
     ORDER BY host
+"""
+
+
+# t50: DuckDB's built-in jaro_winkler_similarity matches the engine's
+# codepoint implementation bit-for-bit on ASCII (byte==codepoint;
+# verified <1e-9 on fixtures, threshold sits >2e-3 from any pair).
+ORACLE["t50_jaro_winkler_join"] = r"""
+    WITH side AS (
+        SELECT doc_id, lang, source,
+               regexp_replace(substr(text, 1, 32),
+                              '[^\x20-\x7E]', '', 'g') AS k,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                                  ORDER BY doc_id) AS bn
+        FROM documents
+    ),
+    c AS (SELECT * FROM side WHERE bn <= 40),
+    p AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               ROUND(jaro_winkler_similarity(a.k, b.k), 6) AS sim
+        FROM c a JOIN c b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, sim FROM p WHERE sim >= 0.78
+    ORDER BY sim DESC, a_id, b_id LIMIT 100
+"""
+
+
+def _t51_oracle() -> str:
+    """DuckDB replay of the IDF-weighted SimHash: per-(doc, term)
+    counts, DECIMAL(18,9) idf weights (LN rounded 9 dp — absorbs the
+    libm 1-ulp), order-exact DECIMAL vote sums, sign-bit assembly,
+    and the same 45 pigeonhole 2-of-10 block keys as t06."""
+    from itertools import combinations
+
+    bits, k, max_h = 60, 10, 8
+    width = bits // k
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN wt ELSE -wt END) AS v{j}"
+        for j in range(bits)
+    )
+    sig_sum = "\n                + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
+    mask = (1 << width) - 1
+
+    def block(i: int) -> str:
+        return f"((sig >> {i * width}) & {mask})"
+
+    combo_structs = ",\n                   ".join(
+        "{'ci': %d, 'key': (%s << %d) + %s}"
+        % (ci, block(c0), width, block(c1))
+        for ci, (c0, c1) in enumerate(combinations(range(k), 2))
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, w, COUNT(*) AS cnt FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+        ) GROUP BY doc_id, w
+    ),
+    meta AS (SELECT COUNT(*) AS nd FROM documents),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
+    wtd AS (
+        SELECT t.doc_id,
+               CAST(('0x' || substr(md5(t.w), 1, 15)) AS BIGINT) AS h,
+               CAST(CAST(ROUND(LN((SELECT nd FROM meta)::DOUBLE
+                                  / f.df::DOUBLE), 9)
+                         AS DECIMAL(18,9)) * t.cnt
+                    AS DECIMAL(18,9)) AS wt
+        FROM tok t JOIN dfreq f ON t.w = f.w
+    ),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM wtd GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST({sig_sum} AS BIGINT) AS sig
+        FROM votes
+    ),
+    keyed AS (
+        SELECT doc_id, sig, u.ci AS ci, u.key AS key FROM (
+            SELECT doc_id, sig,
+                   UNNEST([{combo_structs}]) AS u
+            FROM sig
+        )
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM keyed a JOIN keyed b
+      ON a.ci = b.ci AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_h}
+    ORDER BY a_id, b_id
+    """
+
+
+ORACLE["t51_idf_simhash"] = _t51_oracle()
+
+
+# t52: t05's fully-replayed pair kernel feeding the recursive-CTE
+# transitive closure (t14's comp pattern) and the canonical anti-join
+# — the whole pipeline value-checked end to end.
+ORACLE["t52_dedup_pipeline"] = f"""
+    WITH RECURSIVE p AS ({_t05_oracle()}),
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM p
+        UNION
+        SELECT b_id, a_id FROM p
+    ),
+    reach(n, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT reach.n, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    comp AS (SELECT n, MIN(r) AS comp FROM reach GROUP BY n),
+    dropids AS (SELECT n AS doc_id FROM comp WHERE n <> comp),
+    tot AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    kept AS (
+        SELECT d.source, COUNT(*) AS n_kept
+        FROM documents d LEFT JOIN dropids x ON d.doc_id = x.doc_id
+        WHERE x.doc_id IS NULL GROUP BY d.source
+    )
+    SELECT t.source, t.n_docs,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           t.n_docs - COALESCE(k.n_kept, 0) AS n_dropped
+    FROM tot t LEFT JOIN kept k ON t.source = k.source
+    ORDER BY t.source
+"""
+
+
+# t53: t25's chunk replay (20-token, no overlap) + one fp rollup;
+# md5 fingerprints make the chunk identity byte-exact.
+ORACLE["t53_boilerplate_chunks"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               [x for x in range(1, greatest(len(toks), 1) + 1, 20)]
+                   AS starts
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(toks, UNNEST(starts), UNNEST(starts) + 19),
+                   ' ')) AS fp
+        FROM s
+    )
+    SELECT fp, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+    FROM c
+    GROUP BY fp
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occ DESC, fp
+    LIMIT 20
 """

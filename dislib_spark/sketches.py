@@ -434,3 +434,48 @@ def histogram_quantiles(
         .where((F.col("cum") >= r) & (F.col("cum_prev") < r))
         .select(*part, "q", F.round(est, 6).alias("est"))
     )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key: Column,
+    rate: float = 0.05,
+    qs: tuple = (0.5, 0.9, 0.99),
+    by: str | None = None,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Quantile estimates from a DETERMINISTIC hash-Bernoulli sample:
+    a row survives iff ``hash_bucket(key) < rate·buckets`` (md5 —
+    engine-replayable, seedless), then exact interpolated percentiles
+    run on the survivors. The sample IS the mergeable sketch: the
+    keep-decision is per-row, so sample(A ∪ B) = sample(A) ∪
+    sample(B) exactly (pinned in tests/test_sketches.py) — shards can
+    be sampled independently and their samples unioned, unlike
+    rank-error sketches there is no merge algebra to get wrong.
+    Standard error ~ O(1/√(rate·n)) on quantile ranks.
+
+    Scale: the filter is pushdown-friendly (one scan, no shuffle);
+    the percentile aggregate buffers only the ~rate-fraction sample
+    per group. Returns (by?, n_sample, one column per q)."""
+    from dislib_spark.sampling import hash_bucket
+
+    kept = df.where(
+        hash_bucket(key, buckets) < int(round(rate * buckets))
+    )
+    part = [by] if by else []
+    arr = F.expr(
+        f"percentile({value_col}, array("
+        + ", ".join(repr(float(q)) for q in qs)
+        + "))"
+    )
+    g = kept.groupBy(*part).agg(
+        F.count(F.lit(1)).alias("n_sample"), arr.alias("_p")
+    )
+    cols = [
+        F.round(F.element_at("_p", i + 1), 6).alias(
+            f"p{int(round(q * 100))}"
+        )
+        for i, q in enumerate(qs)
+    ]
+    return g.select(*part, "n_sample", *cols)

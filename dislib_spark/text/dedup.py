@@ -412,14 +412,133 @@ def simhash_pairs(
 
     Returns (a_id, b_id, hamming) with a_id < b_id.
     """
-    from itertools import combinations
-
     k = n_blocks or min(max_hamming + 2, bits)
     if k <= max_hamming:
         raise ValueError(
             f"n_blocks={k} must exceed max_hamming={max_hamming} for the "
             "pigeonhole completeness guarantee"
         )
+    # localCheckpoint: the simhash fold is expensive and feeds C(k,t)
+    # key expressions — CollapseProject would otherwise inline (and
+    # re-evaluate) it once per key.
+    sig = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), bits, hash_fn).alias("sig"),
+    ).localCheckpoint(eager=True)
+    return _pigeonhole_pairs(sig, max_hamming, bits, k)
+
+
+def idf_simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+) -> DataFrame:
+    """IDF-weighted SimHash signatures (md5-mode, DuckDB-replayable):
+    each distinct token votes ``±(count_in_doc · idf)`` per bit
+    instead of ±1, so rare (content-bearing) terms dominate the
+    signature and boilerplate/stopword churn stops flipping bits —
+    the standard refinement of Charikar SimHash used for web near-dup
+    (IDF weighting per the original Manku et al. deployment notes).
+
+    Determinism: ``idf = round(ln(N/df), 9)`` is carried as
+    DECIMAL(18,9) and the per-bit vote sums accumulate in DECIMAL —
+    ORDER-EXACT on any partitioning/engine (libm's 1-ulp ``ln``
+    divergence is absorbed by the 9-dp rounding). Votes of exactly 0
+    set the bit to 0 on both engines.
+
+    Scale: one explode → (doc, term) count → vocab-sized df join
+    (plain shuffle; sublinear vocab) → per-doc fold over the distinct-
+    token struct list (bounded by doc length, the same bound as the
+    text itself). Returns (id, sig).
+    """
+    tok = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    )
+    tf = tok.groupBy("id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    wtd = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id",
+            md5_hash60(F.col("w")).alias("h"),
+            (
+                F.round(
+                    F.log(F.col("n_docs") / F.col("df")), 9
+                ).cast("decimal(18,9)")
+                * F.col("cnt")
+            )
+            .cast("decimal(18,9)")
+            .alias("wt"),
+        )
+    )
+    per_doc = wtd.groupBy("id").agg(
+        F.collect_list(F.struct("h", "wt")).alias("toks")
+    )
+    votes = F.aggregate(
+        F.col("toks"),
+        F.array_repeat(F.lit(0).cast("decimal(28,9)"), bits),
+        lambda acc, tk: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda a, j: (
+                a
+                + F.when(F.bit_get(tk["h"], j) == 1, tk["wt"]).otherwise(
+                    -tk["wt"]
+                )
+            ).cast("decimal(28,9)"),
+        ),
+    )
+    powers = F.array(
+        *[F.lit(1 << j).cast("long") for j in range(bits)]
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return per_doc.select("id", sig.alias("sig"))
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame,
+    max_hamming: int = 8,
+    bits: int = 60,
+    n_blocks: int | None = None,
+    id_col: str = "id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """The Manku pigeonhole pair join of :func:`simhash_pairs` over
+    PRE-COMPUTED signatures — for weighted/alternative signature
+    schemes (e.g. :func:`idf_simhash_signatures`). Same completeness
+    guarantee and scale knobs."""
+    k = n_blocks or min(max_hamming + 2, bits)
+    if k <= max_hamming:
+        raise ValueError(
+            f"n_blocks={k} must exceed max_hamming={max_hamming} for the "
+            "pigeonhole completeness guarantee"
+        )
+    sig = sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("sig")
+    )
+    return _pigeonhole_pairs(sig, max_hamming, bits, k)
+
+
+def _pigeonhole_pairs(
+    sig: DataFrame, max_hamming: int, bits: int, k: int
+) -> DataFrame:
+    """Shared Manku blocking: explode each (id, sig) row into its
+    C(k, k-max_hamming) combo keys, equi-join on (combo, key), filter
+    popcount ≤ max_hamming BEFORE the pair dedup."""
+    from itertools import combinations
+
     t = k - max_hamming
     base, rem = divmod(bits, k)
     if base == 0:
@@ -432,8 +551,6 @@ def simhash_pairs(
             F.lit((1 << widths[i]) - 1)
         )
 
-    # key for a block combo: the t block values packed into one long
-    # (total width t·ceil(bits/k) ≤ 64 for any k > max_hamming ≥ 0).
     def combo_key(combo: tuple[int, ...]) -> Column:
         key = block_val(combo[0])
         for i in combo[1:]:
@@ -441,13 +558,6 @@ def simhash_pairs(
         return key
 
     combos = list(combinations(range(k), t))
-    # localCheckpoint: the simhash fold is expensive and feeds C(k,t)
-    # key expressions — CollapseProject would otherwise inline (and
-    # re-evaluate) it once per key.
-    sig = fan_out(df).select(
-        F.col(id_col).alias("id"),
-        simhash(F.col(text_col), bits, hash_fn).alias("sig"),
-    ).localCheckpoint(eager=True)
     keyed = sig.select(
         "id",
         "sig",

@@ -59,6 +59,7 @@ _BNLJ_OK = {
     "x77_freshness_audit",  # 1-row broadcast of the corpus watermark
     "m36_decile_lift",  # 1-row broadcast of the total row count (x19 shape)
     "m37_psi",  # 1-row broadcast of the (lo, hi) bin bounds
+    "t51_idf_simhash",  # 1-row broadcast of the corpus doc count (idf)
 }
 
 

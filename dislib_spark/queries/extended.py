@@ -1983,6 +1983,35 @@ def x76_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def s10_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (``streaming.windows
+    .stream_stream_join``): clicks joined to same-user purchases
+    within the following hour — Spark's native two-stream join whose
+    state is watermark-bounded when run as a stream (parity with this
+    batch form pinned in tests/test_io_streaming_multimodal.py).
+    Hourly rollup: pair count, distinct converting users, mean
+    click→purchase lag. Whole-second event times make the window
+    boundary and the lag exact integers on any engine."""
+    from dislib_spark.streaming.windows import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events")
+    j = stream_stream_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        on="user_id",
+        window="1 hour",
+    )
+    return (
+        j.groupBy(F.date_trunc("hour", "p_ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("lag_s"), 6).alias("avg_lag_s"),
+        )
+        .orderBy("hour")
+    )
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -2054,6 +2083,7 @@ QUERIES = {
     "s07_rollup": s07_rollup,
     "s08_decayed_hitters": s08_decayed_hitters,
     "s09_stateful_running": s09_stateful_running,
+    "s10_stream_join": s10_stream_join,
 }
 
 ORACLE = {
@@ -3269,4 +3299,32 @@ ORACLE["x76_sampled_quantiles"] = """
     FROM s
     GROUP BY l_returnflag
     ORDER BY l_returnflag
+"""
+
+
+# s10: whole-second truncation makes the 1-hour boundary and lag
+# exact integers; hour bucket replays the x64 NTZ recipe.
+ORACLE["s10_stream_join"] = """
+    WITH e AS (
+        SELECT user_id, event_type, date_trunc('second', ts) AS s
+        FROM events
+    ),
+    c AS (SELECT user_id, s AS c_ts FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, s AS p_ts FROM e WHERE event_type = 'purchase'),
+    j AS (
+        SELECT c.user_id, c_ts, p_ts,
+               CAST(EPOCH(p_ts) AS BIGINT)
+               - CAST(EPOCH(c_ts) AS BIGINT) AS lag_s
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND p_ts > c_ts
+         AND p_ts <= c_ts + INTERVAL 1 HOUR
+    )
+    SELECT CAST(date_trunc('hour', p_ts) AS TIMESTAMP) AS hour,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(AVG(lag_s), 6) AS avg_lag_s
+    FROM j
+    GROUP BY date_trunc('hour', p_ts)
+    ORDER BY hour
 """

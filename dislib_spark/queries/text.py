@@ -936,7 +936,7 @@ def t51_idf_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``simhash_pairs_from_sigs``): rare content terms dominate the
     signature, so boilerplate/stopword churn stops flipping bits —
     the production refinement of t06's uniform-vote SimHash. Vote
-    sums are DECIMAL (order-exact) over 9-dp-rounded IDF weights, so
+    sums are integer (order-exact, round(idf·1e9) quantized), so
     signatures — and therefore every candidate key and Hamming
     distance — are value-replayed in DuckDB. Same Manku 2-of-10
     pigeonhole blocking as t06 (completeness for hamming ≤ 8)."""
@@ -2430,8 +2430,8 @@ ORACLE["t50_jaro_winkler_join"] = r"""
 
 def _t51_oracle() -> str:
     """DuckDB replay of the IDF-weighted SimHash: per-(doc, term)
-    counts, DECIMAL(18,9) idf weights (LN rounded 9 dp — absorbs the
-    libm 1-ulp), order-exact DECIMAL vote sums, sign-bit assembly,
+    counts, integer idf weights (round(LN·1e9) — absorbs the libm
+    1-ulp), order-exact integer vote sums, sign-bit assembly,
     and the same 45 pigeonhole 2-of-10 block keys as t06."""
     from itertools import combinations
 
@@ -2466,10 +2466,9 @@ def _t51_oracle() -> str:
     wtd AS (
         SELECT t.doc_id,
                CAST(('0x' || substr(md5(t.w), 1, 15)) AS BIGINT) AS h,
-               CAST(CAST(ROUND(LN((SELECT nd FROM meta)::DOUBLE
-                                  / f.df::DOUBLE), 9)
-                         AS DECIMAL(18,9)) * t.cnt
-                    AS DECIMAL(18,9)) AS wt
+               CAST(ROUND(LN((SELECT nd FROM meta)::DOUBLE
+                             / f.df::DOUBLE) * 1e9)
+                    AS BIGINT) * t.cnt AS wt
         FROM tok t JOIN dfreq f ON t.w = f.w
     ),
     votes AS (

@@ -269,3 +269,52 @@ def read_rollup(spark, path: str, key_cols: tuple[str, ...] = ("event_type",)) -
         F.sum("n").cast("long").alias("n"),
         F.sum("sv").cast("double").alias("sum_value"),
     )
+
+
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join (Spark's native
+    two-stream state-bounded join): each right-side event matches
+    left-side events of the same key whose time precedes it by at
+    most ``window``. On streaming inputs both sides get watermarks —
+    the range condition plus watermarks lets Spark evict join state
+    older than window+watermark, so state is bounded by the traffic
+    inside that horizon, never the stream history. On batch inputs
+    the IDENTICAL join runs without watermarks (parity pinned in
+    tests/test_io_streaming_multimodal.py).
+
+    Event times are truncated to whole seconds BEFORE the join: the
+    fixture parquet carries nanosecond timestamps whose sub-second
+    tail differs across engine decoders, so a raw-timestamp window
+    boundary would be engine-dependent; whole seconds are exact
+    integers everywhere. Returns (on, c_ts, p_ts, lag_s).
+    """
+    c = clicks.select(
+        F.col(on), F.date_trunc("second", F.col(ts_col)).alias("c_ts")
+    )
+    p = purchases.select(
+        F.col(on), F.date_trunc("second", F.col(ts_col)).alias("p_ts")
+    )
+    if clicks.isStreaming:
+        c = _watermarked(c, "c_ts", watermark)
+    if purchases.isStreaming:
+        p = _watermarked(p, "p_ts", watermark)
+    return (
+        c.join(p, on)
+        .where(
+            (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {window}"))
+        )
+        .select(
+            on,
+            "c_ts",
+            "p_ts",
+            (F.col("p_ts") - F.col("c_ts")).cast("long").alias("lag_s"),
+        )
+    )

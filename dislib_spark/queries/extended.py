@@ -2012,6 +2012,39 @@ def s10_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x78_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality profile: events bucketed by (day-of-week,
+    hour-of-day) with per-cell counts, value sums and each cell's
+    share of its weekday — the capacity-planning / anomaly-baseline
+    matrix every ops dashboard draws. ONE map-side-combined aggregate
+    over the events scan (168 output cells at any corpus size);
+    money sums DECIMAL(18,2) order-exact, shares exact-int-over-
+    decimal divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hod"),
+            F.col("value"),
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_v"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("dow")
+    return g.select(
+        "dow",
+        "hod",
+        "n",
+        F.col("_v").cast("double").alias("sum_value"),
+        F.round(F.col("n") / F.sum("n").over(wd), 6).alias("dow_share"),
+    ).orderBy("dow", "hod")
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -2074,6 +2107,7 @@ QUERIES = {
     "x75_funnel_attribution": x75_funnel_attribution,
     "x76_sampled_quantiles": x76_sampled_quantiles,
     "x77_freshness_audit": x77_freshness_audit,
+    "x78_weekday_seasonality": x78_weekday_seasonality,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -3327,4 +3361,24 @@ ORACLE["s10_stream_join"] = """
     FROM j
     GROUP BY date_trunc('hour', p_ts)
     ORDER BY hour
+"""
+
+
+# x78: DuckDB dayofweek(=0-6 Sunday=0? use DAYOFWEEK) differs from
+# Spark's 1-7 (Sunday=1); replay Spark's convention explicitly.
+ORACLE["x78_weekday_seasonality"] = """
+    WITH g AS (
+        SELECT CAST(dayofweek(ts) AS INTEGER) + 1 AS dow,
+               CAST(hour(ts) AS INTEGER) AS hod,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT dow, hod, n,
+           CAST(v AS DOUBLE) AS sum_value,
+           ROUND(n::DOUBLE / (SUM(n) OVER (PARTITION BY dow))::DOUBLE, 6)
+               AS dow_share
+    FROM g
+    ORDER BY dow, hod
 """

@@ -1260,6 +1260,84 @@ def m37_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+# Poisson(1) inverse-CDF thresholds on the 32-bit md5 prefix:
+# floor(CDF(k) * 2^32) for k = 0..5 (weights cap at 6; P(X>6) < 1e-4).
+# The SAME integer literals are embedded in the DuckDB oracle, so the
+# resample weights are pure integer compares on both engines.
+_POIS1_TH = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+)
+
+
+def m38_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass Poisson bootstrap of the mean order price — the
+    scale-out bootstrap (each row independently draws a Poisson(1)
+    replication count per replica, so resampling needs NO data
+    duplication or global coordination; public large-scale-bootstrap
+    practice). 32 replicas in one scan: explode a 32-long replica
+    index, draw the weight from the md5 of (orderkey, replica) via
+    integer inverse-CDF thresholds, and reduce to 32 (Σw, Σw·price)
+    pairs — reduce state is O(replicas), the shuffle moves 32 rows.
+    DECIMAL money sums keep every replica mean order-exact; the
+    replica table IS the CI (consumer takes percentiles of 32 rows).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    reps = o.select(
+        "*",
+        F.posexplode(F.sequence(F.lit(0), F.lit(31))).alias(
+            "_i", "replica"
+        ),
+    ).drop("_i")
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("#", F.col("o_orderkey"), F.col("replica"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        F.when(u < _POIS1_TH[0], 0)
+        .when(u < _POIS1_TH[1], 1)
+        .when(u < _POIS1_TH[2], 2)
+        .when(u < _POIS1_TH[3], 3)
+        .when(u < _POIS1_TH[4], 4)
+        .when(u < _POIS1_TH[5], 5)
+        .otherwise(6)
+    )
+    g = (
+        reps.select(
+            "replica",
+            w.alias("w"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        )
+        .groupBy("replica")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_b"),
+            F.sum(
+                (F.col("w") * F.col("x")).cast("decimal(28,2)")
+            ).alias("s"),
+        )
+    )
+    return g.select(
+        "replica",
+        "n_b",
+        F.round(
+            F.col("s").cast("double") / F.col("n_b"), 6
+        ).alias("boot_mean"),
+    ).orderBy("replica")
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -1298,6 +1376,7 @@ QUERIES = {
     "m35_ab_test": m35_ab_test,
     "m36_decile_lift": m36_decile_lift,
     "m37_psi": m37_psi,
+    "m38_poisson_bootstrap": m38_poisson_bootstrap,
 }
 
 
@@ -2420,4 +2499,40 @@ ORACLE["m37_psi"] = f"""
                  6) AS psi_term
     FROM g
     ORDER BY bin
+"""
+
+
+# m38: identical Poisson(1) integer thresholds; decimal money sums
+# make each replica mean order-exact; division operands are an exact
+# double and an exact integer on both engines.
+ORACLE["m38_poisson_bootstrap"] = """
+    WITH reps AS (
+        SELECT o_orderkey, o_totalprice, UNNEST(range(0, 32)) AS replica
+        FROM orders
+    ),
+    u AS (
+        SELECT replica, o_totalprice,
+               CAST(('0x' || substr(md5(
+                   o_orderkey || '#' || replica), 1, 8)) AS BIGINT) AS u
+        FROM reps
+    ),
+    w AS (
+        SELECT replica, o_totalprice,
+               CASE WHEN u < 1580030168 THEN 0
+                    WHEN u < 3160060337 THEN 1
+                    WHEN u < 3950075421 THEN 2
+                    WHEN u < 4213413783 THEN 3
+                    WHEN u < 4279248373 THEN 4
+                    WHEN u < 4292415291 THEN 5
+                    ELSE 6 END AS w
+        FROM u
+    )
+    SELECT replica,
+           CAST(SUM(w) AS BIGINT) AS n_b,
+           ROUND(CAST(SUM(CAST(w * CAST(o_totalprice AS DECIMAL(18,2))
+                               AS DECIMAL(28,2))) AS DOUBLE)
+                 / CAST(SUM(w) AS BIGINT), 6) AS boot_mean
+    FROM w
+    GROUP BY replica
+    ORDER BY replica
 """

@@ -1011,6 +1011,61 @@ def t53_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t54_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language duplicate contamination: documents sharing the
+    same 10-token-prefix fingerprint but carrying DIFFERENT ``lang``
+    metadata — the mislabeled-scrape audit (same content crawled
+    twice, tagged twice; per-language quotas and lang-ID training
+    both silently skew if these survive). Fingerprint equi-join with
+    a whale-prefix guard: fingerprints shared by > 64 docs are
+    template prefixes, not contamination, and are dropped BEFORE the
+    pair join so pair volume is bounded at 64²·|fps| regardless of
+    corpus size. Counts are exact; md5 keys byte-replayable."""
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), " "), 1, 10)
+            )
+        ).alias("fp"),
+    )
+    from pyspark.sql import Window
+
+    ok = (
+        f.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .where(F.col("_n") <= 64)
+        .drop("_n")
+    )
+    a = ok.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lang").alias("lang_a"),
+        "fp",
+    )
+    b = ok.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("lang_b"),
+        "fp",
+    )
+    return (
+        a.join(b, "fp")
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("lang_a") != F.col("lang_b"))
+        )
+        .select(
+            F.least("lang_a", "lang_b").alias("lang_lo"),
+            F.greatest("lang_a", "lang_b").alias("lang_hi"),
+        )
+        .groupBy("lang_lo", "lang_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("lang_lo", "lang_hi")
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -1065,6 +1120,7 @@ QUERIES = {
     "t51_idf_simhash": t51_idf_simhash,
     "t52_dedup_pipeline": t52_dedup_pipeline,
     "t53_boilerplate_chunks": t53_boilerplate_chunks,
+    "t54_crosslang_dups": t54_crosslang_dups,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -2558,4 +2614,32 @@ ORACLE["t53_boilerplate_chunks"] = """
     HAVING COUNT(DISTINCT doc_id) >= 2
     ORDER BY n_docs DESC, n_occ DESC, fp
     LIMIT 20
+"""
+
+
+# t54: DuckDB 1-based list slicing [1:10] == Spark slice(.,1,10);
+# the >64-doc whale-prefix drop replays as a windowed count filter.
+ORACLE["t54_crosslang_dups"] = """
+    WITH f AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(string_split(text, ' ')[1:10], ' '))
+                   AS fp
+        FROM documents
+    ),
+    ok AS (
+        SELECT doc_id, lang, fp FROM (
+            SELECT doc_id, lang, fp,
+                   COUNT(*) OVER (PARTITION BY fp) AS n
+            FROM f
+        ) WHERE n <= 64
+    ),
+    p AS (
+        SELECT LEAST(a.lang, b.lang) AS lang_lo,
+               GREATEST(a.lang, b.lang) AS lang_hi
+        FROM ok a JOIN ok b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id AND a.lang <> b.lang
+    )
+    SELECT lang_lo, lang_hi, COUNT(*) AS n_pairs
+    FROM p GROUP BY lang_lo, lang_hi
+    ORDER BY lang_lo, lang_hi
 """

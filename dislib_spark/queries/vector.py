@@ -335,6 +335,50 @@ def v18_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v19_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-search quality gate, the compression twin of v18:
+    recall@10 of PQ ADC search (v06's seed codebooks) and 60-bit
+    sign-Hamming search (v15) against the exact cosine top-10 — the
+    number that decides whether a memory-compressed index is usable.
+    Eval joins are query-set-sized; recalls are exact-int/10
+    divisions, bit-replayable."""
+    from dislib_spark.vector.quantize import hamming_topk
+    from dislib_spark.vector.search import cosine_topk, pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    exact = cosine_topk(q, e, k=10).select("q_id", "c_id")
+    pq = pq_topk(q, e, k=10, n_centroids=16, codebooks="seed").select(
+        "q_id", "c_id"
+    )
+    hm = hamming_topk(q, e, dim=64, k=10).select("q_id", "c_id")
+    base = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hp = (
+        exact.join(pq, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("hits_pq"))
+    )
+    hh = (
+        exact.join(hm, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("hits_ham"))
+    )
+    return (
+        base.join(hp, "q_id", "left")
+        .join(hh, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            (F.coalesce("hits_pq", F.lit(0)) / 10.0).alias("recall_pq"),
+            (F.coalesce("hits_ham", F.lit(0)) / 10.0).alias(
+                "recall_ham"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -354,6 +398,7 @@ QUERIES = {
     "v16_centroid_medoids": v16_centroid_medoids,
     "v17_dimension_stats": v17_dimension_stats,
     "v18_ann_recall": v18_ann_recall,
+    "v19_quant_recall": v19_quant_recall,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -991,5 +1036,32 @@ ORACLE["v18_ann_recall"] = f"""
     LEFT JOIN nl ON b.q_id = nl.q_id
     LEFT JOIN hl ON b.q_id = hl.q_id
     LEFT JOIN hi ON b.q_id = hi.q_id
+    ORDER BY b.q_id
+"""
+
+
+# v19 composes the value-replayed v01/v06/v15 oracles; recall math is
+# exact-int/10 divisions.
+ORACLE["v19_quant_recall"] = f"""
+    WITH exact AS ({ORACLE["v01_cosine_topk"]}),
+    pq AS ({ORACLE["v06_pq_topk"]}),
+    hm AS ({ORACLE["v15_hamming_topk"]}),
+    base AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY q_id),
+    hp AS (
+        SELECT e.q_id, COUNT(*) AS hits_pq
+        FROM exact e JOIN pq p ON e.q_id = p.q_id AND e.c_id = p.c_id
+        GROUP BY e.q_id
+    ),
+    hh AS (
+        SELECT e.q_id, COUNT(*) AS hits_ham
+        FROM exact e JOIN hm h ON e.q_id = h.q_id AND e.c_id = h.c_id
+        GROUP BY e.q_id
+    )
+    SELECT b.q_id, b.n_exact,
+           COALESCE(hp.hits_pq, 0) / 10.0 AS recall_pq,
+           COALESCE(hh.hits_ham, 0) / 10.0 AS recall_ham
+    FROM base b
+    LEFT JOIN hp ON b.q_id = hp.q_id
+    LEFT JOIN hh ON b.q_id = hh.q_id
     ORDER BY b.q_id
 """

@@ -56,6 +56,7 @@ _BNLJ_OK = {
     "t46_burstiness",  # 1-row broadcast of the corpus doc-count scalar
     "x74_histogram_quantiles",  # 1-row broadcast of the (lo, hi) bounds
     "v18_ann_recall",  # v01/v03/v04 broadcast query sets, like v01
+    "v19_quant_recall",  # v01/v06/v15 broadcast query sets, like v01
     "x77_freshness_audit",  # 1-row broadcast of the corpus watermark
     "m36_decile_lift",  # 1-row broadcast of the total row count (x19 shape)
     "m37_psi",  # 1-row broadcast of the (lo, hi) bin bounds

@@ -551,3 +551,88 @@ def mann_whitney_u(
         F.round((ua - mu) / F.sqrt(sig2), 6).alias("z"),
         F.round(1.0 - 2.0 * ua / (na * nb), 6).alias("rank_biserial"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H — the k-group extension of the Mann-Whitney
+    rank test (one-way ANOVA on ranks, no normality assumption):
+    ``H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)`` with midrank ties and
+    the standard tie correction ``C = 1 − Σ(t³−t)/(N³−N)``.
+
+    Scale shape = the m11 rank kernel: rows collapse to per-distinct-
+    value (total, per-group) counts FIRST; ONE ordered running-sum
+    window walks the distinct-value table (|distinct| rows, never the
+    corpus). Exactness: midranks are carried DOUBLED (integers), the
+    per-group rank sums accumulate as DECIMAL(38,0) (their squares
+    overflow 2^53 — the documented cross-moment rule), and every
+    division is IEEE on exact operands, so H replays to the rounding
+    grain.
+
+    Returns one row (n, k, h, h_tie_corrected), 6-dp rounded.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    per = df.groupBy(
+        v.alias("val"), F.col(group_col).alias("g")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    pv = per.groupBy("val").agg(F.sum("c").alias("t"))
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pv2 = pv.select(
+        "val",
+        "t",
+        (F.sum("t").over(w) - F.col("t")).alias("cumprev"),
+    )
+    r2 = 2 * F.col("cumprev") + F.col("t") + 1  # doubled midrank
+    grp = (
+        per.join(pv2, "val")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum((F.col("c") * r2).cast("decimal(38,0)")).alias(
+                "r2g"
+            ),
+        )
+    )
+    nt = F.broadcast(grp.agg(F.sum("n_g").alias("n")))
+    ties = F.broadcast(
+        pv.agg(
+            F.sum(
+                (
+                    F.col("t").cast("decimal(38,0)")
+                    * F.col("t")
+                    * F.col("t")
+                    - F.col("t")
+                )
+            ).alias("tie")
+        )
+    )
+    term = (
+        F.col("r2g").cast("double") * F.col("r2g").cast("double")
+    ) / F.col("n_g")
+    out = (
+        grp.crossJoin(nt)
+        .crossJoin(ties)
+        .groupBy()
+        .agg(
+            F.sum(term).alias("s"),
+            F.count(F.lit(1)).alias("k"),
+            F.first("n").alias("n"),
+            F.first("tie").alias("tie"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    h = 3.0 / (nd * (nd + 1.0)) * F.col("s") - 3.0 * (nd + 1.0)
+    c = 1.0 - F.col("tie").cast("double") / (nd * nd * nd - nd)
+    return out.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("int").alias("k"),
+        F.round(h, 6).alias("h"),
+        F.round(h / c, 6).alias("h_tie_corrected"),
+    )

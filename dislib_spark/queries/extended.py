@@ -2045,6 +2045,51 @@ def x78_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dow", "hod")
 
 
+def x79_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: rank parts by
+    revenue descending, classify by cumulative revenue share (A ≤ 70%,
+    B ≤ 90%, C rest) — the inventory-prioritization classic. The
+    corpus-wide running total comes from ``utils.base
+    .with_running_total`` (range-partitioned sort + per-partition
+    offsets — the TeraSort shape, NO global Window); DECIMAL revenue
+    keeps every cumulative value order-exact, and the class boundary
+    compares ``cum·10 ≤ tot·7`` in exact decimal so no float boundary
+    can flip a part's class between engines."""
+    from dislib_spark.utils.base import with_running_total
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+        ).alias("rev")
+    )
+    run = with_running_total(
+        rev, "rev", [F.desc("rev"), "l_partkey"], "cum"
+    )
+    tot = F.broadcast(rev.agg(F.sum("rev").alias("_tot")))
+    cls = (
+        F.when(F.col("cum") * 10 <= F.col("_tot") * 7, "A")
+        .when(F.col("cum") * 10 <= F.col("_tot") * 9, "B")
+        .otherwise("C")
+    )
+    return (
+        run.crossJoin(tot)
+        .select(cls.alias("abc_class"), "rev", "_tot")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").cast("double").alias("revenue"),
+            F.round(
+                F.sum("rev").cast("double")
+                / F.first("_tot").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -2108,6 +2153,7 @@ QUERIES = {
     "x76_sampled_quantiles": x76_sampled_quantiles,
     "x77_freshness_audit": x77_freshness_audit,
     "x78_weekday_seasonality": x78_weekday_seasonality,
+    "x79_abc_pareto": x79_abc_pareto,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -3381,4 +3427,34 @@ ORACLE["x78_weekday_seasonality"] = """
                AS dow_share
     FROM g
     ORDER BY dow, hod
+"""
+
+
+# x79: DECIMAL cumulative sums are order-exact, the ABC boundary is an
+# exact decimal compare (cum*10 <= tot*7), shares divide doubles cast
+# from exact decimals.
+ORACLE["x79_abc_pareto"] = """
+    WITH rev AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    r AS (
+        SELECT rev,
+               SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum,
+               SUM(rev) OVER () AS tot
+        FROM rev
+    )
+    SELECT CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+                WHEN cum * 10 <= tot * 9 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6)
+               AS share
+    FROM r
+    GROUP BY 1
+    ORDER BY abc_class
 """

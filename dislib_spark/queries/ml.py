@@ -1338,6 +1338,22 @@ def m38_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("replica")
 
 
+def m39_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the three return-flag populations of
+    lineitem quantity (``math.stats.kruskal_wallis``) — the k-group
+    rank ANOVA completing the nonparametric family next to m33's
+    two-group Mann-Whitney. Distinct-value collapse first (the m11
+    kernel: the ordered window sees |distinct| rows, never the
+    corpus); doubled midranks stay integers, per-group rank sums are
+    DECIMAL(38,0) cross-moments, and the tie correction is exact
+    integer algebra — H replays to the 6-dp grain."""
+    from dislib_spark.math.stats import kruskal_wallis
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kruskal_wallis(li, "l_quantity", "l_returnflag")
+
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -1377,6 +1393,7 @@ QUERIES = {
     "m36_decile_lift": m36_decile_lift,
     "m37_psi": m37_psi,
     "m38_poisson_bootstrap": m38_poisson_bootstrap,
+    "m39_kruskal_wallis": m39_kruskal_wallis,
 }
 
 
@@ -2535,4 +2552,52 @@ ORACLE["m38_poisson_bootstrap"] = """
     FROM w
     GROUP BY replica
     ORDER BY replica
+"""
+
+
+# m39: doubled midranks are exact integers; group rank sums are
+# DECIMAL(38,0) (their squares pass 2^53) cast to double identically
+# on both engines; ties and N are exact ints feeding IEEE divisions.
+ORACLE["m39_kruskal_wallis"] = """
+    WITH per AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS val, l_returnflag AS g,
+               COUNT(*) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pv AS (SELECT val, SUM(c) AS t FROM per GROUP BY val),
+    pv2 AS (
+        SELECT val, t,
+               SUM(t) OVER (ORDER BY val
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - t AS cumprev
+        FROM pv
+    ),
+    grp AS (
+        SELECT g, SUM(c) AS n_g,
+               SUM(CAST(c * (2 * cumprev + t + 1)
+                        AS DECIMAL(38,0))) AS r2g
+        FROM per JOIN pv2 USING (val) GROUP BY g
+    ),
+    agg AS (
+        SELECT SUM(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                   / CAST(n_g AS DOUBLE)) AS s,
+               COUNT(*) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n
+        FROM grp
+    ),
+    ties AS (
+        SELECT CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t)
+                    AS DOUBLE) AS tie
+        FROM pv
+    )
+    SELECT n, CAST(k AS INTEGER) AS k,
+           ROUND(3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                 * s - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
+           ROUND((3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                  * s - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                 / (1.0 - tie
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))),
+                 6) AS h_tie_corrected
+    FROM agg CROSS JOIN ties
 """

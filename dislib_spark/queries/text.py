@@ -1031,15 +1031,16 @@ def t54_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp"),
     )
-    from pyspark.sql import Window
-
-    ok = (
-        f.withColumn(
-            "_n", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-        )
+    # groupBy+join, NOT a per-fp window: a windowed count would
+    # buffer a whale prefix's whole group in one task; the aggregate
+    # streams and the join back is a plain shuffle equi-join.
+    small = (
+        f.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") <= 64)
-        .drop("_n")
+        .select("fp")
     )
+    ok = f.join(small, "fp")
     a = ok.select(
         F.col("doc_id").alias("a_id"),
         F.col("lang").alias("lang_a"),

@@ -74,6 +74,67 @@ def with_global_index(
     )
 
 
+def with_running_total(
+    df: DataFrame,
+    value_col: str,
+    order_by: list,
+    out_col: str = "_cum",
+) -> DataFrame:
+    """Distributed prefix sum of ``value_col`` in ``order_by`` order
+    (inclusive running total) — the TeraSort-shaped generalization of
+    :func:`with_global_index` from counts to sums: range-sort, pin
+    partition/sequence ids via ``monotonically_increasing_id`` +
+    localCheckpoint, collect the P per-partition value totals,
+    broadcast cumulative offsets back, and add a WITHIN-PARTITION
+    running-sum window (partition key = physical partition id, so the
+    window input is ~n/P rows — never a global Window). Pass a
+    DECIMAL value column for an order-exact, engine-replayable total;
+    ties in ``order_by`` must be broken (total order) for a
+    well-defined prefix.
+    """
+    s = df.orderBy(*order_by).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+    pid = F.shiftrightunsigned(F.col("_mid"), 33).cast("int")
+    totals = (
+        s.groupBy(pid.alias("_pid"))
+        .agg(F.sum(value_col).alias("_t"))
+        .collect()
+    )
+    offsets, acc = [], None
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        acc = r["_t"] if acc is None else acc + r["_t"]
+    spark = df.sparkSession
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    val_type = dict(zip(s.schema.names, s.schema.fields))[
+        value_col
+    ].dataType
+    off_schema = StructType(
+        [
+            StructField("_pid", IntegerType(), False),
+            StructField("_off", val_type, True),
+        ]
+    )
+    off = F.broadcast(
+        spark.createDataFrame(offsets or [(0, None)], off_schema)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy("_mid")
+    return (
+        s.withColumn("_pid", pid)
+        .join(off, "_pid")
+        .withColumn(
+            out_col,
+            F.coalesce(F.col("_off"), F.lit(0).cast(val_type))
+            + F.sum(value_col).over(w),
+        )
+        .drop("_pid", "_off", "_mid")
+    )
+
+
 def to_ml_df(x: DsArray, y: DsArray | None = None) -> DataFrame:
     """DsArray (+ optional (n,1) label DsArray) → DataFrame with an
     MLlib Vector ``_v`` column (and ``label``). The row_id join

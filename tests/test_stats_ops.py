@@ -802,3 +802,67 @@ def test_auto_bins_exact_reprobe_near_threshold(spark):
                     auto_threshold=100, auto_bins=16).collect()[0]
     exact = roc_auc(df97, "score", "y").collect()[0]
     assert under == exact
+
+
+def test_kruskal_wallis_matches_scipy_formula(spark):
+    """KW H with midrank ties vs a hand/naive computation on a small
+    fixture (scipy's definition)."""
+    import numpy as np
+
+    from dislib_spark.math.stats import kruskal_wallis
+
+    rng = np.random.default_rng(39)
+    rows = []
+    for g, (mu, n) in enumerate([(0.0, 40), (0.5, 35), (0.2, 45)]):
+        for x in rng.normal(mu, 1.0, n):
+            rows.append((round(float(x), 1), f"g{g}"))  # forces ties
+    df = spark.createDataFrame(rows, "v double, g string")
+    got = kruskal_wallis(df, "v", "g").collect()[0]
+
+    # naive midrank computation
+    vals = sorted(r[0] for r in rows)
+    n = len(vals)
+    import collections
+
+    cnt = collections.Counter(vals)
+    start, rank_of = 1, {}
+    for v in sorted(cnt):
+        t = cnt[v]
+        rank_of[v] = start + (t - 1) / 2.0
+        start += t
+    groups = collections.defaultdict(list)
+    for v, g in rows:
+        groups[g].append(rank_of[v])
+    s = sum(sum(rs) ** 2 / len(rs) for rs in groups.values())
+    h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    tie = sum(t**3 - t for t in cnt.values())
+    hc = h / (1 - tie / (n**3 - n))
+    assert abs(got["h"] - h) < 1e-6
+    assert abs(got["h_tie_corrected"] - hc) < 1e-6
+    assert got["n"] == n and got["k"] == 3
+
+
+def test_running_total_exact(spark):
+    """with_running_total: inclusive decimal prefix sum in total
+    order, independent of partitioning."""
+    from pyspark.sql import functions as F
+
+    from dislib_spark.utils.base import with_running_total
+
+    rows = [(i, float((i * 13) % 37)) for i in range(500)]
+    df = (
+        spark.createDataFrame(rows, "id long, v double")
+        .repartition(11)
+        .select("id", F.col("v").cast("decimal(18,2)").alias("v"))
+    )
+    got = {
+        r["id"]: float(r["cum"])
+        for r in with_running_total(
+            df, "v", [F.desc("v"), "id"], "cum"
+        ).collect()
+    }
+    acc, want = 0.0, {}
+    for i, v in sorted(rows, key=lambda r: (-r[1], r[0])):
+        acc += v
+        want[i] = acc
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in want)

@@ -2090,6 +2090,54 @@ def x79_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def x80_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (new / retained / resurrected /
+    churned users) — the standard product-analytics ledger: a user's
+    week is NEW if it's their first-seen week, RETAINED if they were
+    also active the prior week, RESURRECTED otherwise; CHURNED counts
+    prior-week users absent this week. One distinct (user, week)
+    collapse, a per-user lag window (user-grained partitions — never
+    low-cardinality), and a first-week join. Exact integer counts."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    from pyspark.sql import Window
+
+    lag = Window.partitionBy("user_id").orderBy("w")
+    first = Window.partitionBy("user_id")
+    cls = (
+        uw.withColumn("prev_w", F.lag("w").over(lag))
+        .withColumn("first_w", F.min("w").over(first))
+        .select(
+            "w",
+            F.when(F.col("w") == F.col("first_w"), "new")
+            .when(
+                F.col("prev_w") == F.col("w") - F.expr("INTERVAL 7 DAYS"),
+                "retained",
+            )
+            .otherwise("resurrected")
+            .alias("status"),
+        )
+        .groupBy("w", "status")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    # churned: prior-week actives missing this week = prev actives -
+    # retained; derive from the same uw frame with a shifted join
+    nxt = uw.select(
+        "user_id",
+        (F.col("w") + F.expr("INTERVAL 7 DAYS")).alias("w"),
+    )
+    churn = (
+        nxt.join(uw, ["user_id", "w"], "left_anti")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select("w", F.lit("churned").alias("status"), "n_users")
+    )
+    return cls.unionByName(churn).orderBy("w", "status")
+
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -2154,6 +2202,7 @@ QUERIES = {
     "x77_freshness_audit": x77_freshness_audit,
     "x78_weekday_seasonality": x78_weekday_seasonality,
     "x79_abc_pareto": x79_abc_pareto,
+    "x80_growth_accounting": x80_growth_accounting,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -3457,4 +3506,40 @@ ORACLE["x79_abc_pareto"] = """
     FROM r
     GROUP BY 1
     ORDER BY abc_class
+"""
+
+
+# x80: week buckets replay via DATE_TRUNC (cast AS TIMESTAMP — x16's
+# recipe); status classes and churn anti-join are exact set logic.
+ORACLE["x80_growth_accounting"] = """
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS w
+        FROM events
+    ),
+    c AS (
+        SELECT w,
+               CASE
+                 WHEN w = MIN(w) OVER (PARTITION BY user_id) THEN 'new'
+                 WHEN LAG(w) OVER (PARTITION BY user_id ORDER BY w)
+                      = w - INTERVAL 7 DAY THEN 'retained'
+                 ELSE 'resurrected'
+               END AS status
+        FROM uw
+    ),
+    base AS (
+        SELECT w, status, COUNT(*) AS n_users
+        FROM c GROUP BY w, status
+    ),
+    churn AS (
+        SELECT n.w, 'churned' AS status, COUNT(*) AS n_users
+        FROM (SELECT user_id, w + INTERVAL 7 DAY AS w FROM uw) n
+        LEFT JOIN uw x ON n.user_id = x.user_id AND n.w = x.w
+        WHERE x.user_id IS NULL
+        GROUP BY n.w
+    )
+    SELECT w, status, n_users FROM base
+    UNION ALL
+    SELECT w, status, n_users FROM churn
+    ORDER BY w, status
 """

@@ -379,6 +379,36 @@ def v19_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def v20_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning curve: pair counts at a ladder of
+    cosine thresholds from ONE pair-generation pass (the number every
+    dedup rollout is tuned on — how aggressive can the threshold get
+    before the dup rate explodes). Reuses v02's exact block-pair
+    kernel at the lowest rung, then one conditional rollup over the
+    already-bounded pair set; 6-dp-rounded sims make every rung an
+    exact boundary on both engines."""
+    from dislib_spark.vector.search import neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 300
+    )
+    pairs = neardup_pairs(e, threshold=0.1)
+    ths = [0.1, 0.15, 0.2, 0.25, 0.3]
+    return (
+        pairs.select(
+            F.explode(
+                F.array(*[F.lit(float(t)) for t in ths])
+            ).alias("threshold"),
+            "sim",
+        )
+        .where(F.col("sim") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("threshold")
+    )
+
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -399,6 +429,7 @@ QUERIES = {
     "v17_dimension_stats": v17_dimension_stats,
     "v18_ann_recall": v18_ann_recall,
     "v19_quant_recall": v19_quant_recall,
+    "v20_threshold_sweep": v20_threshold_sweep,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -1064,4 +1095,34 @@ ORACLE["v19_quant_recall"] = f"""
     LEFT JOIN hp ON b.q_id = hp.q_id
     LEFT JOIN hh ON b.q_id = hh.q_id
     ORDER BY b.q_id
+"""
+
+
+# v20: v02's exact pair replay at the 0.1 rung + one rollup; rungs
+# compare against the 6-dp-rounded sim on both engines.
+ORACLE["v20_threshold_sweep"] = """
+    WITH cells AS (
+        SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS k,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings WHERE vec_id < 300
+    ),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM cells GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.v * b.v) AS dot
+        FROM cells a JOIN cells b ON a.k = b.k AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    p AS (
+        SELECT ROUND(d.dot / (na.nrm * nb.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.a_id
+        JOIN norms nb ON nb.vec_id = d.b_id
+    )
+    SELECT CAST(threshold AS DOUBLE) AS threshold, COUNT(*) AS n_pairs
+    FROM p, UNNEST([0.1, 0.15, 0.2, 0.25, 0.3]) AS t(threshold)
+    WHERE sim >= CAST(threshold AS DOUBLE)
+    GROUP BY threshold
+    ORDER BY threshold
 """

@@ -57,6 +57,8 @@ _BNLJ_OK = {
     "x74_histogram_quantiles",  # 1-row broadcast of the (lo, hi) bounds
     "v18_ann_recall",  # v01/v03/v04 broadcast query sets, like v01
     "v19_quant_recall",  # v01/v06/v15 broadcast query sets, like v01
+    "m39_kruskal_wallis",  # 1-row broadcasts of the N total and tie sum
+    "x79_abc_pareto",  # 1-row broadcast of the total-revenue scalar
     "x77_freshness_audit",  # 1-row broadcast of the corpus watermark
     "m36_decile_lift",  # 1-row broadcast of the total row count (x19 shape)
     "m37_psi",  # 1-row broadcast of the (lo, hi) bin bounds

@@ -1286,10 +1286,14 @@ def m38_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL money sums keep every replica mean order-exact; the
     replica table IS the CI (consumer takes percentiles of 32 rows).
     """
+    from dislib_spark.utils.base import fan_out
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    reps = o.select(
+    # fan_out: the single-row-group fixture scan is one task; the
+    # 32x explode + md5 draw must not inherit that parallelism.
+    reps = fan_out(o).select(
         "*",
         F.posexplode(F.sequence(F.lit(0), F.lit(31))).alias(
             "_i", "replica"

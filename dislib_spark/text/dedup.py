@@ -476,34 +476,25 @@ def idf_simhash_signatures(
             ).alias("wt"),
         )
     )
-    per_doc = wtd.groupBy("id").agg(
-        F.collect_list(F.struct("h", "wt")).alias("toks")
-    )
-    votes = F.aggregate(
-        F.col("toks"),
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, tk: F.zip_with(
-            acc,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda a, j: a
-            + F.when(F.bit_get(tk["h"], j) == 1, tk["wt"]).otherwise(
-                -tk["wt"]
-            ),
-        ),
-    )
-    powers = F.array(
-        *[F.lit(1 << j).cast("long") for j in range(bits)]
-    )
-    sig = F.aggregate(
-        F.zip_with(
-            votes,
-            powers,
-            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return per_doc.select("id", sig.alias("sig"))
+    # 60 SUM(CASE) accumulators in ONE map-side-combined hash
+    # aggregate (the oracle's exact shape) — no collect_list
+    # materialization, no higher-order fold; whole-stage codegen
+    # keeps the per-row work at 60 branch+add longs.
+    aggs = [
+        F.sum(
+            F.when(F.bit_get(F.col("h"), F.lit(j)) == 1, F.col("wt")).otherwise(
+                -F.col("wt")
+            )
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    votes = wtd.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(
+            F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", sig.alias("sig"))
 
 
 def simhash_pairs_from_sigs(

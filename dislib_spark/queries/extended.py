@@ -1971,8 +1971,9 @@ def x76_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample(A) ∪ sample(B) exactly, so shards sample independently and
     union (mergeability pinned in tests/test_sketches.py). The
     rank-error companion of x74's deterministic histogram quantiles:
-    error shrinks as 1/√(rate·n) instead of one bin width. Filter is
-    scan-pushdown-friendly; the percentile buffers only the sample."""
+    error shrinks as 1/√(rate·n) instead of one bin width. The keep-
+    filter runs scan-side (no shuffle; the scan itself still reads
+    each row once); all downstream state holds only the sample."""
     from dislib_spark.sketches import sampled_quantiles
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -455,9 +455,12 @@ def sampled_quantiles(
     rank-error sketches there is no merge algebra to get wrong.
     Standard error ~ O(1/√(rate·n)) on quantile ranks.
 
-    Scale: the filter is pushdown-friendly (one scan, no shuffle);
-    the percentile aggregate buffers only the ~rate-fraction sample
-    per group. Returns (by?, n_sample, one column per q)."""
+    Scale: the keep-filter is a computed expression, so it runs
+    scan-side (one pass, no shuffle) but does NOT prune parquet I/O —
+    the scan still reads the key+value columns of every row; the win
+    is that everything downstream (sort buffers, percentile state)
+    holds only the ~rate fraction. Returns (by?, n_sample, one column
+    per q)."""
     from dislib_spark.sampling import hash_bucket
 
     kept = df.where(

@@ -251,6 +251,28 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): per market segment, the
+    5 alphabetically-first customer names concatenated — the report-
+    formatting staple SQL surface. collect_list is UNordered in a
+    distributed engine, so determinism comes from sort_array BEFORE
+    the slice; buffer bound = the grouped name set (document the
+    slice-early caveat for wide groups at scale: a bounded top-k
+    collect via orderBy-limit per group is the 100 TB swap-in)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.concat_ws(
+                ",",
+                F.slice(F.sort_array(F.collect_list("c_name")), 1, 5),
+            ).alias("first5"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "q01_filter_project": q1,
     "q02_global_agg": q2,
@@ -269,6 +291,7 @@ QUERIES = {
     "q15_tumbling_window": q15,
     "q16_count_distinct": q16,
     "q17_regression_agg": q17,
+    "q18_string_agg": q18,
 }
 
 ORACLE = {
@@ -384,3 +407,12 @@ ORACLE = {
         FROM lineitem
     """,
 }
+
+ORACLE["q18_string_agg"] = """
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           array_to_string(list_sort(list(c_name))[1:5], ',') AS first5
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""

@@ -1067,6 +1067,33 @@ def t54_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t55_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth per source: V = K·N^β fitted as
+    β = ln V / ln N from the exact token and distinct-term totals —
+    the corpus-planning number (how fast does the vocab grow as a
+    source scales?) complementing t43's Zipf rank-frequency fit. One
+    explode → two grouped counts per source; β is one IEEE division
+    of two LNs on exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    g = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_vocab"),
+    )
+    return g.select(
+        "source",
+        "n_tokens",
+        "n_vocab",
+        F.round(
+            F.log(F.col("n_vocab").cast("double"))
+            / F.log(F.col("n_tokens").cast("double")),
+            6,
+        ).alias("heaps_beta"),
+    ).orderBy("source")
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -1122,6 +1149,7 @@ QUERIES = {
     "t52_dedup_pipeline": t52_dedup_pipeline,
     "t53_boilerplate_chunks": t53_boilerplate_chunks,
     "t54_crosslang_dups": t54_crosslang_dups,
+    "t55_heaps_law": t55_heaps_law,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -2643,4 +2671,23 @@ ORACLE["t54_crosslang_dups"] = """
     SELECT lang_lo, lang_hi, COUNT(*) AS n_pairs
     FROM p GROUP BY lang_lo, lang_hi
     ORDER BY lang_lo, lang_hi
+"""
+
+
+# t55: exact integer token/vocab counts; beta is one LN/LN division
+# (libm 1-ulp absorbed by 6-dp rounding on an O(0.x) value).
+ORACLE["t55_heaps_law"] = """
+    WITH tok AS (
+        SELECT source, UNNEST(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT source, COUNT(*) AS n_tokens,
+               COUNT(DISTINCT w) AS n_vocab
+        FROM tok GROUP BY source
+    )
+    SELECT source, n_tokens, n_vocab,
+           ROUND(LN(CAST(n_vocab AS DOUBLE))
+                 / LN(CAST(n_tokens AS DOUBLE)), 6) AS heaps_beta
+    FROM g ORDER BY source
 """

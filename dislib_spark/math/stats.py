@@ -54,6 +54,27 @@ def _resolve_auto_bins(
     return auto_bins if est > auto_threshold else None
 
 
+def _with_bin_key(src: DataFrame, v: Column, n_bins: int):
+    """Fixed-width bucket ``v`` into ``[0, n_bins)``: broadcast the
+    1-row (lo, hi) frame and substitute the (double-typed) bin index
+    for the value — the shared binning step of the ECDF/rank-family
+    kernels (ks_statistic / roc_auc / mann_whitney_u /
+    kruskal_wallis). Bounds every downstream per-distinct-value
+    window at ``n_bins`` rows regardless of corpus size."""
+    lohi = src.agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    key = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0.0))
+        .otherwise(
+            F.least(
+                F.lit(float(n_bins - 1)),
+                F.floor((v - F.col("lo")) / width).cast("double"),
+            )
+        )
+    )
+    return src.crossJoin(F.broadcast(lohi)), key
+
+
 def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pearson correlation of every column pair in ONE scan.
 
@@ -483,6 +504,9 @@ def mann_whitney_u(
     group_col: str,
     group_a,
     group_b,
+    n_bins: int | None | str = None,
+    auto_threshold: int = AUTO_DISTINCT_THRESHOLD,
+    auto_bins: int = AUTO_BINS,
 ) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) test with tie correction:
     the rank-based two-sample location test that needs no normality
@@ -493,9 +517,13 @@ def mann_whitney_u(
     per-distinct-value (count-in-A, total) pairs in one map-side-
     combined aggregate, then ONE ordered running-sum window over the
     distinct-value table assigns midranks (tied blocks share the
-    average rank). For continuous values pre-round/bin the column
-    (the ``ks_statistic(n_bins=…)`` pattern) so the window input
-    stays bounded.
+    average rank). ``n_bins`` bounds that window input for continuous
+    columns: values are fixed-width-bucketed first, so every value in
+    a bin ties at the bin's midrank — U converges to the exact
+    statistic as bins shrink (same contract as ``ks_statistic``).
+    ``n_bins="auto"`` probes ``approx_count_distinct`` once and picks
+    exact below ``auto_threshold`` distinct values, ``auto_bins``
+    buckets above — exact at oracle scales, bounded at 100 TB.
 
     Numerics: midranks are half-integers, so the rank sum is carried
     DOUBLED as an exact ``DECIMAL(38,0)`` cross-moment (a double sum
@@ -511,6 +539,9 @@ def mann_whitney_u(
     g = F.col(group_col)
     v = F.col(value_col).cast("double")
     src = df.where(g.isin([group_a, group_b]))
+    n_bins = _resolve_auto_bins(src, v, n_bins, auto_threshold, auto_bins)
+    if n_bins is not None:
+        src, v = _with_bin_key(src, v, n_bins)
     per = src.groupBy(v.alias("val")).agg(
         F.sum(F.when(g == group_a, 1).otherwise(0)).alias("na_v"),
         F.count(F.lit(1)).alias("t"),
@@ -557,6 +588,9 @@ def kruskal_wallis(
     df: DataFrame,
     value_col: str,
     group_col: str,
+    n_bins: int | None | str = None,
+    auto_threshold: int = AUTO_DISTINCT_THRESHOLD,
+    auto_bins: int = AUTO_BINS,
 ) -> DataFrame:
     """Kruskal-Wallis H — the k-group extension of the Mann-Whitney
     rank test (one-way ANOVA on ranks, no normality assumption):
@@ -566,7 +600,15 @@ def kruskal_wallis(
     Scale shape = the m11 rank kernel: rows collapse to per-distinct-
     value (total, per-group) counts FIRST; ONE ordered running-sum
     window walks the distinct-value table (|distinct| rows, never the
-    corpus). Exactness: midranks are carried DOUBLED (integers), the
+    corpus). ``n_bins`` fixed-width-buckets continuous columns first
+    so that table is bounded at ``n_bins`` rows (every value in a bin
+    ties at the bin midrank; H converges as bins shrink);
+    ``n_bins="auto"`` picks exact below ``auto_threshold`` distinct
+    values, ``auto_bins`` buckets above — the 100 TB default.
+    Degenerate inputs: with one distinct value (or N ≤ 1) the tie
+    correction C = 1 − Σ(t³−t)/(N³−N) is 0 (or 0/0), so
+    ``h_tie_corrected`` is returned as NULL rather than a NaN/∞.
+    Exactness: midranks are carried DOUBLED (integers), the
     per-group rank sums accumulate as DECIMAL(38,0) (their squares
     overflow 2^53 — the documented cross-moment rule), and every
     division is IEEE on exact operands, so H replays to the rounding
@@ -577,7 +619,11 @@ def kruskal_wallis(
     from pyspark.sql import Window
 
     v = F.col(value_col).cast("double")
-    per = df.groupBy(
+    src = df
+    n_bins = _resolve_auto_bins(src, v, n_bins, auto_threshold, auto_bins)
+    if n_bins is not None:
+        src, v = _with_bin_key(src, v, n_bins)
+    per = src.groupBy(
         v.alias("val"), F.col(group_col).alias("g")
     ).agg(F.count(F.lit(1)).alias("c"))
     pv = per.groupBy("val").agg(F.sum("c").alias("t"))
@@ -629,10 +675,17 @@ def kruskal_wallis(
     )
     nd = F.col("n").cast("double")
     h = 3.0 / (nd * (nd + 1.0)) * F.col("s") - 3.0 * (nd + 1.0)
-    c = 1.0 - F.col("tie").cast("double") / (nd * nd * nd - nd)
+    tie_den = nd * nd * nd - nd
+    c = 1.0 - F.col("tie").cast("double") / tie_den
+    # C = 0 when every value is identical (Σ(t³−t) = N³−N) and the
+    # denominator itself is 0 at N ≤ 1 — both make H/C meaningless,
+    # so emit NULL instead of NaN/∞ (ADVICE r5).
+    h_tc = F.when(
+        (tie_den == 0) | (c == 0), F.lit(None).cast("double")
+    ).otherwise(F.round(h / c, 6))
     return out.select(
         F.col("n").cast("bigint").alias("n"),
         F.col("k").cast("int").alias("k"),
         F.round(h, 6).alias("h"),
-        F.round(h / c, 6).alias("h_tie_corrected"),
+        h_tc.alias("h_tie_corrected"),
     )

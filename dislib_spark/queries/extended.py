@@ -2124,13 +2124,19 @@ def x80_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
     # churned: prior-week actives missing this week = prev actives -
-    # retained; derive from the same uw frame with a shifted join
+    # retained; derive from the same uw frame with a shifted join.
+    # Clamp to weeks <= the max observed week: the +7d shift would
+    # otherwise mint a phantom week after the corpus ends in which
+    # every final-week user 'churns' (ADVICE r5).
     nxt = uw.select(
         "user_id",
         (F.col("w") + F.expr("INTERVAL 7 DAYS")).alias("w"),
     )
+    mx = F.broadcast(uw.agg(F.max("w").alias("_mx")))
     churn = (
         nxt.join(uw, ["user_id", "w"], "left_anti")
+        .crossJoin(mx)
+        .where(F.col("w") <= F.col("_mx"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .select("w", F.lit("churned").alias("status"), "n_users")
@@ -3537,6 +3543,7 @@ ORACLE["x80_growth_accounting"] = """
         FROM (SELECT user_id, w + INTERVAL 7 DAY AS w FROM uw) n
         LEFT JOIN uw x ON n.user_id = x.user_id AND n.w = x.w
         WHERE x.user_id IS NULL
+          AND n.w <= (SELECT MAX(w) FROM uw)
         GROUP BY n.w
     )
     SELECT w, status, n_users FROM base

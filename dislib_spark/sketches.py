@@ -467,10 +467,12 @@ def sampled_quantiles(
         hash_bucket(key, buckets) < int(round(rate * buckets))
     )
     part = [by] if by else []
-    arr = F.expr(
-        f"percentile({value_col}, array("
-        + ", ".join(repr(float(q)) for q in qs)
-        + "))"
+    # Column-arg builtin (not an F.expr SQL string): keeps arbitrary
+    # column names (backtick-worthy ones included) out of a parsed
+    # SQL fragment (ADVICE r5).
+    arr = F.percentile(
+        F.col(value_col),
+        F.array(*[F.lit(float(q)) for q in qs]),
     )
     g = kept.groupBy(*part).agg(
         F.count(F.lit(1)).alias("n_sample"), arr.alias("_p")

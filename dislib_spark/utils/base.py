@@ -101,24 +101,50 @@ def with_running_total(
         .agg(F.sum(value_col).alias("_t"))
         .collect()
     )
-    offsets, acc = [], None
-    for r in sorted(totals, key=lambda r: r["_pid"]):
-        offsets.append((r["_pid"], acc))
-        acc = r["_t"] if acc is None else acc + r["_t"]
     spark = df.sparkSession
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
 
     val_type = dict(zip(s.schema.names, s.schema.fields))[
         value_col
     ].dataType
+    # Offsets are CROSS-partition cumulative sums, so they outgrow the
+    # input column's type (a decimal(18,2) column's offsets can need
+    # far more than 18 digits at the scales this helper targets) —
+    # type _off as the widened sum type, and seed the accumulator at 0
+    # so the first partition's offset is a real 0, never a null that a
+    # silent overflow-null could impersonate.
+    import decimal
+
+    if isinstance(val_type, DecimalType):
+        off_type = DecimalType(38, val_type.scale)
+        zero = decimal.Decimal(0)
+    elif isinstance(val_type, (ByteType, ShortType, IntegerType)):
+        off_type = LongType()
+        zero = 0
+    else:  # long / float / double: already the widest of their kind
+        off_type = val_type
+        zero = 0 if isinstance(val_type, LongType) else 0.0
+    offsets, acc = [], zero
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        if r["_t"] is not None:
+            acc = acc + r["_t"]
     off_schema = StructType(
         [
             StructField("_pid", IntegerType(), False),
-            StructField("_off", val_type, True),
+            StructField("_off", off_type, False),
         ]
     )
     off = F.broadcast(
-        spark.createDataFrame(offsets or [(0, None)], off_schema)
+        spark.createDataFrame(offsets or [(0, zero)], off_schema)
     )
     from pyspark.sql import Window
 
@@ -128,8 +154,7 @@ def with_running_total(
         .join(off, "_pid")
         .withColumn(
             out_col,
-            F.coalesce(F.col("_off"), F.lit(0).cast(val_type))
-            + F.sum(value_col).over(w),
+            F.col("_off") + F.sum(value_col).over(w),
         )
         .drop("_pid", "_off", "_mid")
     )

@@ -63,6 +63,7 @@ _BNLJ_OK = {
     "m36_decile_lift",  # 1-row broadcast of the total row count (x19 shape)
     "m37_psi",  # 1-row broadcast of the (lo, hi) bin bounds
     "t51_idf_simhash",  # 1-row broadcast of the corpus doc count (idf)
+    "x80_growth_accounting",  # 1-row broadcast of the max observed week
 }
 
 

@@ -866,3 +866,96 @@ def test_running_total_exact(spark):
         acc += v
         want[i] = acc
     assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
+
+
+def test_rank_tests_auto_bins_branch(spark):
+    """m33/m39: n_bins="auto" picks the exact plan below the
+    distinct-count threshold and the binned (bounded-window) plan
+    above it — the last two ECDF-family kernels get the same
+    m11/m23/m27 contract, pinned by equality with the explicitly
+    requested plans on a ~3000-distinct-value column."""
+    import numpy as np
+
+    from dislib_spark.math.stats import kruskal_wallis, mann_whitney_u
+
+    rng = np.random.default_rng(33)
+    rows = [
+        (float(s) + 0.15 * (i % 3), f"g{i % 3}")
+        for i, s in enumerate(rng.normal(0.0, 1.0, 3000))
+    ]
+    df = spark.createDataFrame(rows, "val double, grp string")
+
+    lo = mann_whitney_u(df, "val", "grp", "g0", "g1", n_bins="auto",
+                        auto_threshold=1_000_000).collect()[0]
+    exact = mann_whitney_u(df, "val", "grp", "g0", "g1").collect()[0]
+    assert lo == exact
+    hi = mann_whitney_u(df, "val", "grp", "g0", "g1", n_bins="auto",
+                        auto_threshold=100, auto_bins=64).collect()[0]
+    binned = mann_whitney_u(
+        df, "val", "grp", "g0", "g1", n_bins=64
+    ).collect()[0]
+    assert hi == binned
+    assert hi != exact  # the 64 coarse bins must actually engage
+    # binning converges: finer bins land closer to the exact z
+    fine = mann_whitney_u(
+        df, "val", "grp", "g0", "g1", n_bins=1024
+    ).collect()[0]
+    assert abs(fine["z"] - exact["z"]) <= abs(hi["z"] - exact["z"]) + 1e-9
+    assert abs(fine["z"] - exact["z"]) < 0.05
+
+    klo = kruskal_wallis(df, "val", "grp", n_bins="auto",
+                         auto_threshold=1_000_000).collect()[0]
+    kexact = kruskal_wallis(df, "val", "grp").collect()[0]
+    assert klo == kexact
+    khi = kruskal_wallis(df, "val", "grp", n_bins="auto",
+                         auto_threshold=100, auto_bins=64).collect()[0]
+    kbinned = kruskal_wallis(df, "val", "grp", n_bins=64).collect()[0]
+    assert khi == kbinned
+    assert khi != kexact
+    kfine = kruskal_wallis(df, "val", "grp", n_bins=1024).collect()[0]
+    assert (
+        abs(kfine["h"] - kexact["h"])
+        <= abs(khi["h"] - kexact["h"]) + 1e-9
+    )
+    assert abs(kfine["h"] - kexact["h"]) < 0.5
+
+
+def test_kruskal_degenerate_tie_correction_null(spark):
+    """One distinct value: C = 1 - (N^3-N)/(N^3-N) = 0, so the
+    tie-corrected H must surface as NULL, never NaN/Inf (ADVICE r5);
+    the uncorrected H is exactly 0 (every midrank is (N+1)/2)."""
+    from dislib_spark.math.stats import kruskal_wallis
+
+    rows = [(1.0, "a"), (1.0, "a"), (1.0, "b"), (1.0, "b")]
+    df = spark.createDataFrame(rows, "val double, grp string")
+    got = kruskal_wallis(df, "val", "grp").collect()[0]
+    assert got["h"] == 0.0
+    assert got["h_tie_corrected"] is None
+    assert got["n"] == 4 and got["k"] == 2
+
+
+def test_running_total_offset_widening(spark):
+    """Cross-partition offsets outgrow the input column's decimal
+    precision: with decimal(18,2) values near its 16-integer-digit
+    cap, cumulative offsets exceed the input type — they must be
+    carried as decimal(38,2) and stay EXACT (never silently nulled
+    and coalesced to 0, the ADVICE r5 failure mode)."""
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    from dislib_spark.utils.base import with_running_total
+
+    big = decimal.Decimal("9000000000000000.25")  # 9e15: > 1e16 after 2 rows
+    rows = [(i, big) for i in range(40)]
+    df = (
+        spark.createDataFrame(rows, "id long, v decimal(18,2)")
+        .repartition(7)
+    )
+    got = {
+        r["id"]: r["cum"]
+        for r in with_running_total(df, "v", ["id"], "cum").collect()
+    }
+    assert got[0] == big
+    for i in range(40):
+        assert got[i] == big * (i + 1), (i, got[i])

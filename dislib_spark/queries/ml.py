@@ -1357,6 +1357,163 @@ def m39_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kruskal_wallis(li, "l_quantity", "l_returnflag")
 
 
+def m40_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the fixed m10 logistic scorer,
+    replayed EXACTLY through the minimax identity: the isotonic fit
+    at bin i equals ``max_{j<=i} min_{k>=i} avg(y over bins j..k)``,
+    so no sequential pooling loop is needed. m14's reliability bins
+    DIAGNOSE miscalibration; this query FIXES it (the declared-query
+    face of ``regression.isotonic.IsotonicCalibrator``).
+
+    Scale shape: the corpus collapses to B=16 score bins in ONE
+    map-side-combined aggregate (the 100 TB contract — PAV input is
+    bounded at B rows no matter the corpus); the minimax then runs as
+    tiny B×B / B³ nested-loop joins on that aggregated frame (≤ 4096
+    rows — broadcast-trivial). Determinism: pooled averages are
+    IEEE divisions of exact integer (Σy, n) range sums, and min/max
+    over deterministic doubles is deterministic — the fit replays
+    bit-for-bit, no PAV pooling-order ambiguity.
+
+    Returns (bin, n, avg_pred, frac_pos, calibrated) — calibrated is
+    monotone non-decreasing in bin by construction.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    w = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: ((j % 7) - 3) / F.lit(10.0),
+    )
+    z = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), w, lambda a, b: a.cast("double") * b
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    staged = (
+        e.select("label", "embedding")
+        .withColumn("z", z)
+        .withColumn("p", 1.0 / (1.0 + F.exp(-F.col("z"))))
+        .withColumn(
+            "y", F.when(F.col("label") < 5, F.lit(1)).otherwise(0)
+        )
+    )
+    b = F.least(F.floor(F.col("p") * 16), F.lit(15)).cast("long")
+    g = staged.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+        F.sum("p").alias("sump"),
+    )
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pr = g.select(
+        "bin",
+        "cnt",
+        "pos",
+        F.sum("pos").over(wcum).alias("cp"),
+        F.sum("cnt").over(wcum).alias("cc"),
+    )
+    lo = pr.select(
+        F.col("bin").alias("j"),
+        (F.col("cp") - F.col("pos")).alias("pp"),
+        (F.col("cc") - F.col("cnt")).alias("pc"),
+    )
+    hi = pr.select(
+        F.col("bin").alias("k"), F.col("cp"), F.col("cc")
+    )
+    pairs = lo.join(hi, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("cp") - F.col("pp"))
+            / (F.col("cc") - F.col("pc"))
+        ).alias("avg_jk"),
+    )
+    tri = g.select("bin").join(
+        pairs, (F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin"))
+    )
+    fit = (
+        tri.groupBy("bin", "j")
+        .agg(F.min("avg_jk").alias("mn"))
+        .groupBy("bin")
+        .agg(F.max("mn").alias("cal"))
+    )
+    return (
+        g.join(fit, "bin")
+        .select(
+            "bin",
+            F.col("cnt").alias("n"),
+            F.round(F.col("sump") / F.col("cnt"), 6).alias("avg_pred"),
+            F.round(F.col("pos") / F.col("cnt"), 6).alias("frac_pos"),
+            F.round("cal", 6).alias("calibrated"),
+        )
+        .orderBy("bin")
+    )
+
+
+def m41_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between two fixed linear classifiers on
+    the SAME rows — the correct significance test for "is model A
+    better than model B" when both score one test set (marginal
+    accuracies alone ignore the pairing). Discordant counts b (A
+    right, B wrong) and c (A wrong, B right) feed the continuity-
+    corrected statistic ``(|b−c|−1)²/(b+c)``.
+
+    Classifier A = m10's weights ((j%7)−3)/10, B = ((j%5)−2)/10; a
+    prediction is ``z > 0`` (≡ p > ½ — the sigmoid never needs
+    evaluating, so no libm in the hot path). ONE map-side-combined
+    conditional aggregate over the embedding scan; counts are exact
+    integers, χ² is IEEE algebra on them. b+c = 0 yields NULL (the
+    test is undefined with no discordant pairs)."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def scorer(mod: int, shift: int):
+        w = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: ((j % mod) - shift) / F.lit(10.0),
+        )
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"), w, lambda a, b: a.cast("double") * b
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    staged = e.select(
+        (F.col("label") < 5).alias("y"),
+        (scorer(7, 3) > 0).alias("pa"),
+        (scorer(5, 2) > 0).alias("pb"),
+    ).select(
+        (F.col("pa") == F.col("y")).cast("long").alias("a_ok"),
+        (F.col("pb") == F.col("y")).cast("long").alias("b_ok"),
+    )
+    s = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a_ok").alias("na"),
+        F.sum("b_ok").alias("nb"),
+        F.sum(
+            F.col("a_ok") * (1 - F.col("b_ok"))
+        ).alias("b_disc"),
+        F.sum(
+            (1 - F.col("a_ok")) * F.col("b_ok")
+        ).alias("c_disc"),
+    )
+    d = (F.col("b_disc") + F.col("c_disc")).cast("double")
+    num = F.abs(F.col("b_disc") - F.col("c_disc")).cast("double") - 1.0
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("b_disc").cast("bigint").alias("b_disc"),
+        F.col("c_disc").cast("bigint").alias("c_disc"),
+        F.when(d == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num * num / d, 6))
+        .alias("chi2"),
+        F.round(F.col("na") / F.col("n"), 6).alias("acc_a"),
+        F.round(F.col("nb") / F.col("n"), 6).alias("acc_b"),
+    )
+
 
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
@@ -1398,6 +1555,8 @@ QUERIES = {
     "m37_psi": m37_psi,
     "m38_poisson_bootstrap": m38_poisson_bootstrap,
     "m39_kruskal_wallis": m39_kruskal_wallis,
+    "m40_isotonic_calibration": m40_isotonic_calibration,
+    "m41_mcnemar": m41_mcnemar,
 }
 
 
@@ -2604,4 +2763,91 @@ ORACLE["m39_kruskal_wallis"] = """
                        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))),
                  6) AS h_tie_corrected
     FROM agg CROSS JOIN ties
+"""
+
+ORACLE["m40_isotonic_calibration"] = """
+    WITH staged AS (
+        SELECT 1.0 / (1.0 + exp(-list_inner_product(
+                   list_transform(embedding, v -> v::DOUBLE),
+                   list_transform(range(0, 64),
+                                  j -> ((j % 7) - 3) / 10.0)
+               ))) AS p,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        FROM embeddings
+    ),
+    g AS (
+        SELECT CAST(LEAST(FLOOR(p * 16), 15) AS BIGINT) AS bin,
+               COUNT(*) AS cnt,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               SUM(p) AS sump
+        FROM staged GROUP BY 1
+    ),
+    pr AS (
+        SELECT bin, cnt, pos,
+               CAST(SUM(pos) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cp,
+               CAST(SUM(cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cc
+        FROM g
+    ),
+    pairs AS (
+        SELECT lo.bin AS j, hi.bin AS k,
+               (hi.cp - (lo.cp - lo.pos))
+               / (hi.cc - (lo.cc - lo.cnt)) AS avg_jk
+        FROM pr lo JOIN pr hi ON lo.bin <= hi.bin
+    ),
+    fit AS (
+        SELECT bin, MAX(mn) AS cal FROM (
+            SELECT g.bin, p.j, MIN(p.avg_jk) AS mn
+            FROM g JOIN pairs p
+              ON p.j <= g.bin AND p.k >= g.bin
+            GROUP BY g.bin, p.j
+        ) GROUP BY bin
+    )
+    SELECT g.bin, g.cnt AS n,
+           ROUND(g.sump / g.cnt, 6) AS avg_pred,
+           ROUND(g.pos / CAST(g.cnt AS DOUBLE), 6) AS frac_pos,
+           ROUND(f.cal, 6) AS calibrated
+    FROM g JOIN fit f USING (bin)
+    ORDER BY bin
+"""
+
+ORACLE["m41_mcnemar"] = """
+    WITH staged AS (
+        SELECT (label < 5) AS y,
+               (list_inner_product(
+                   list_transform(embedding, v -> v::DOUBLE),
+                   list_transform(range(0, 64),
+                                  j -> ((j % 7) - 3) / 10.0)) > 0) AS pa,
+               (list_inner_product(
+                   list_transform(embedding, v -> v::DOUBLE),
+                   list_transform(range(0, 64),
+                                  j -> ((j % 5) - 2) / 10.0)) > 0) AS pb
+        FROM embeddings
+    ),
+    ok AS (
+        SELECT CASE WHEN pa = y THEN 1 ELSE 0 END AS a_ok,
+               CASE WHEN pb = y THEN 1 ELSE 0 END AS b_ok
+        FROM staged
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(a_ok) AS BIGINT) AS na,
+               CAST(SUM(b_ok) AS BIGINT) AS nb,
+               CAST(SUM(a_ok * (1 - b_ok)) AS BIGINT) AS b_disc,
+               CAST(SUM((1 - a_ok) * b_ok) AS BIGINT) AS c_disc
+        FROM ok
+    )
+    SELECT n, b_disc, c_disc,
+           CASE WHEN b_disc + c_disc = 0 THEN NULL
+                ELSE ROUND(
+                    (ABS(CAST(b_disc - c_disc AS DOUBLE)) - 1.0)
+                    * (ABS(CAST(b_disc - c_disc AS DOUBLE)) - 1.0)
+                    / CAST(b_disc + c_disc AS DOUBLE), 6)
+           END AS chi2,
+           ROUND(na / CAST(n AS DOUBLE), 6) AS acc_a,
+           ROUND(nb / CAST(n AS DOUBLE), 6) AS acc_b
+    FROM s
 """

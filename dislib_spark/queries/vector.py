@@ -409,6 +409,77 @@ def v20_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def v21_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN: top-k under a metadata predicate (label % 2 = 0
+    — the "only English docs" / "only this tenant" constraint every
+    production vector store supports), comparing the two standard
+    strategies per query against the exact filtered top-10:
+
+    - PRE-filter: the predicate is pushed into the index — the IVF
+      quantizer/cell lists are built over the FILTERED corpus only,
+      so every probed candidate already satisfies the predicate and
+      the probe always yields k valid results.
+    - POST-filter: probe the unfiltered index wider (k'=30), then
+      apply the predicate and keep the first 10 survivors — the
+      cheap strategy that loses recall when the predicate is
+      selective (survivor count can fall under k).
+
+    Scale shape: both paths are the bucketed v04 probe (no all-pairs
+    anywhere); the predicate reaches the corpus scan in the pre-filter
+    path (Catalyst pushdown), and the eval joins are |Q|·k-sized.
+    Deterministic seed centers (16 lowest-id vectors of each path's
+    corpus) make the whole probe value-replayable."""
+    from dislib_spark.vector.search import cosine_topk, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    filt = e.where(F.col("label") % 2 == 0)
+    exact = cosine_topk(q, filt, k=10).select("q_id", "c_id")
+    pre = ivf_topk(q, filt, k=10, centers="seed").select("q_id", "c_id")
+    from pyspark.sql import Window
+
+    lab = e.select(F.col("vec_id").alias("c_id"), "label")
+    wpost = Window.partitionBy("q_id").orderBy("rank")
+    post = (
+        ivf_topk(q, e, k=30, centers="seed")
+        .join(lab, "c_id")
+        .where(F.col("label") % 2 == 0)
+        .withColumn("rn", F.row_number().over(wpost))
+        .where(F.col("rn") <= 10)
+        .select("q_id", "c_id")
+    )
+    base = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    np_ = pre.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_pre"))
+    ns = post.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_post"))
+    hp = (
+        exact.join(pre, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("hits_pre"))
+    )
+    hs = (
+        exact.join(post, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("hits_post"))
+    )
+    return (
+        base.join(np_, "q_id", "left")
+        .join(ns, "q_id", "left")
+        .join(hp, "q_id", "left")
+        .join(hs, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_pre", F.lit(0)).alias("n_pre"),
+            F.coalesce("n_post", F.lit(0)).alias("n_post"),
+            (F.coalesce("hits_pre", F.lit(0)) / 10.0).alias("recall_pre"),
+            (F.coalesce("hits_post", F.lit(0)) / 10.0).alias(
+                "recall_post"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -430,6 +501,7 @@ QUERIES = {
     "v18_ann_recall": v18_ann_recall,
     "v19_quant_recall": v19_quant_recall,
     "v20_threshold_sweep": v20_threshold_sweep,
+    "v21_filtered_ann": v21_filtered_ann,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -1125,4 +1197,182 @@ ORACLE["v20_threshold_sweep"] = """
     WHERE sim >= CAST(threshold AS DOUBLE)
     GROUP BY threshold
     ORDER BY threshold
+"""
+
+# v21: the filtered-ANN oracle replays BOTH strategies end-to-end —
+# pre-filter rebuilds the seed quantizer over the filtered corpus
+# (16 lowest-id vectors WITH label%2=0); post-filter reuses the v04
+# index shape at k'=30 and re-ranks survivors by probe rank.
+ORACLE["v21_filtered_ann"] = """
+    WITH cells AS (
+        SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS k,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    keep AS (SELECT vec_id FROM embeddings WHERE label % 2 = 0),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM cells GROUP BY vec_id
+    ),
+    dots_e AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id, SUM(q.v * c.v) AS dot
+        FROM cells q JOIN cells c ON q.k = c.k
+        WHERE q.vec_id < 5
+          AND c.vec_id IN (SELECT vec_id FROM keep)
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    exact AS (
+        SELECT q_id, c_id FROM (
+            SELECT d.q_id, d.c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.q_id
+                       ORDER BY ROUND(d.dot / (na.nrm * nb.nrm), 6)
+                                DESC, d.c_id
+                   ) AS rank
+            FROM dots_e d
+            JOIN norms na ON na.vec_id = d.q_id
+            JOIN norms nb ON nb.vec_id = d.c_id
+        ) WHERE rank <= 10
+    ),
+    ctr_pre AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS cell,
+               vec_id AS cvid
+        FROM (SELECT vec_id FROM keep ORDER BY vec_id LIMIT 16)
+    ),
+    d2_pre AS (
+        SELECT a.vec_id AS vid, ctr_pre.cell,
+               SUM((a.v - b.v) * (a.v - b.v)) AS d2
+        FROM cells a
+        JOIN ctr_pre ON TRUE
+        JOIN cells b ON b.vec_id = ctr_pre.cvid AND b.k = a.k
+        WHERE a.vec_id < 5
+           OR a.vec_id IN (SELECT vec_id FROM keep)
+        GROUP BY a.vec_id, ctr_pre.cell
+    ),
+    assigned_pre AS (
+        SELECT vid, cell FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vid ORDER BY d2, cell) AS rn
+            FROM d2_pre
+            WHERE vid IN (SELECT vec_id FROM keep)
+        ) WHERE rn = 1
+    ),
+    probes_pre AS (
+        SELECT vid AS q_id, cell FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vid ORDER BY d2, cell) AS pr
+            FROM d2_pre WHERE vid < 5
+        ) WHERE pr <= 4
+    ),
+    dots_pre AS (
+        SELECT cd.q_id, cd.c_id, SUM(a.v * b.v) AS dot
+        FROM (
+            SELECT p.q_id, a.vid AS c_id
+            FROM probes_pre p JOIN assigned_pre a ON a.cell = p.cell
+        ) cd
+        JOIN cells a ON a.vec_id = cd.q_id
+        JOIN cells b ON b.vec_id = cd.c_id AND a.k = b.k
+        GROUP BY cd.q_id, cd.c_id
+    ),
+    pre AS (
+        SELECT q_id, c_id FROM (
+            SELECT d.q_id, d.c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.q_id
+                       ORDER BY ROUND(d.dot / (na.nrm * nb.nrm), 6)
+                                DESC, d.c_id
+                   ) AS rank
+            FROM dots_pre d
+            JOIN norms na ON na.vec_id = d.q_id
+            JOIN norms nb ON nb.vec_id = d.c_id
+        ) WHERE rank <= 10
+    ),
+    ctr_all AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS cell,
+               vec_id AS cvid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    d2_all AS (
+        SELECT a.vec_id AS vid, ctr_all.cell,
+               SUM((a.v - b.v) * (a.v - b.v)) AS d2
+        FROM cells a
+        JOIN ctr_all ON TRUE
+        JOIN cells b ON b.vec_id = ctr_all.cvid AND b.k = a.k
+        GROUP BY a.vec_id, ctr_all.cell
+    ),
+    assigned_all AS (
+        SELECT vid, cell FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vid ORDER BY d2, cell) AS rn
+            FROM d2_all
+        ) WHERE rn = 1
+    ),
+    probes_all AS (
+        SELECT vid AS q_id, cell FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vid ORDER BY d2, cell) AS pr
+            FROM d2_all WHERE vid < 5
+        ) WHERE pr <= 4
+    ),
+    dots_all AS (
+        SELECT cd.q_id, cd.c_id, SUM(a.v * b.v) AS dot
+        FROM (
+            SELECT p.q_id, a.vid AS c_id
+            FROM probes_all p JOIN assigned_all a ON a.cell = p.cell
+        ) cd
+        JOIN cells a ON a.vec_id = cd.q_id
+        JOIN cells b ON b.vec_id = cd.c_id AND a.k = b.k
+        GROUP BY cd.q_id, cd.c_id
+    ),
+    wide AS (
+        SELECT q_id, c_id, rank FROM (
+            SELECT d.q_id, d.c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.q_id
+                       ORDER BY ROUND(d.dot / (na.nrm * nb.nrm), 6)
+                                DESC, d.c_id
+                   ) AS rank
+            FROM dots_all d
+            JOIN norms na ON na.vec_id = d.q_id
+            JOIN norms nb ON nb.vec_id = d.c_id
+        ) WHERE rank <= 30
+    ),
+    post AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY rank) AS rn
+            FROM wide
+            WHERE c_id IN (SELECT vec_id FROM keep)
+        ) WHERE rn <= 10
+    ),
+    base AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY q_id),
+    np AS (SELECT q_id, COUNT(*) AS n_pre FROM pre GROUP BY q_id),
+    ns AS (SELECT q_id, COUNT(*) AS n_post FROM post GROUP BY q_id),
+    hp AS (
+        SELECT e.q_id, COUNT(*) AS hits_pre
+        FROM exact e JOIN pre p ON e.q_id = p.q_id AND e.c_id = p.c_id
+        GROUP BY e.q_id
+    ),
+    hs AS (
+        SELECT e.q_id, COUNT(*) AS hits_post
+        FROM exact e JOIN post s ON e.q_id = s.q_id AND e.c_id = s.c_id
+        GROUP BY e.q_id
+    )
+    SELECT b.q_id, b.n_exact,
+           COALESCE(np.n_pre, 0) AS n_pre,
+           COALESCE(ns.n_post, 0) AS n_post,
+           COALESCE(hp.hits_pre, 0) / 10.0 AS recall_pre,
+           COALESCE(hs.hits_post, 0) / 10.0 AS recall_post
+    FROM base b
+    LEFT JOIN np ON b.q_id = np.q_id
+    LEFT JOIN ns ON b.q_id = ns.q_id
+    LEFT JOIN hp ON b.q_id = hp.q_id
+    LEFT JOIN hs ON b.q_id = hs.q_id
+    ORDER BY b.q_id
 """

@@ -64,6 +64,8 @@ _BNLJ_OK = {
     "m37_psi",  # 1-row broadcast of the (lo, hi) bin bounds
     "t51_idf_simhash",  # 1-row broadcast of the corpus doc count (idf)
     "x80_growth_accounting",  # 1-row broadcast of the max observed week
+    "m40_isotonic_calibration",  # B<=16-row minimax joins on the binned frame
+    "v21_filtered_ann",  # broadcast query set / centers, the v01/v04 shape
 }
 
 

@@ -959,3 +959,42 @@ def test_running_total_offset_widening(spark):
     assert got[0] == big
     for i in range(40):
         assert got[i] == big * (i + 1), (i, got[i])
+
+
+def test_m40_minimax_equals_weighted_pav(spark):
+    """m40's minimax identity (max_{j<=i} min_{k>=i} pooled avg) must
+    equal sequential weighted pool-adjacent-violators on the same
+    binned data — the textbook equivalence the query's docstring
+    claims — and the fit must be monotone non-decreasing."""
+    from dislib_spark.queries.ml import m40_isotonic_calibration
+
+    rows = sorted(
+        m40_isotonic_calibration(
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert len(rows) >= 3
+    # reconstruct exact integer positives from the rounded frac_pos
+    blocks = [
+        [float(round(r["frac_pos"] * r["n"])), float(r["n"]), 1]
+        for r in rows
+    ]
+    out = []
+    for b in blocks:
+        out.append(list(b))
+        while (
+            len(out) > 1
+            and out[-2][0] / out[-2][1] > out[-1][0] / out[-1][1]
+        ):
+            s2, w2, c2 = out.pop()
+            out[-1][0] += s2
+            out[-1][1] += w2
+            out[-1][2] += c2
+    want = []
+    for s, w, c in out:
+        want += [s / w] * c
+    cal = [r["calibrated"] for r in rows]
+    for got, exp in zip(cal, want):
+        assert got == pytest.approx(exp, abs=2e-6)
+    assert all(b >= a for a, b in zip(cal, cal[1:]))

@@ -1984,6 +1984,25 @@ def x76_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def x82_stride_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ε-bounded quantile sketch
+    (``sketches.stride_quantiles``): per-md5-shard sorted stride
+    summaries (block minimum, block-size weight) whose worst-case
+    rank error is the REPORTED ``rank_err_bound = Σ_s (stride_s−1)``
+    — the KLL/MRL-style contract beside x76's hash-sample quantiles
+    (probabilistic error) and x74's histogram quantiles (bin-width
+    error). Summary is ≤ shards·k rows at any corpus size; the bound
+    is proved and the merge law pinned in tests/test_sketches.py."""
+    from dislib_spark.sketches import stride_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    return stride_quantiles(
+        li, "l_extendedprice", key, qs=(0.5, 0.9, 0.99),
+        k=256, shards=32,
+    )
+
+
 def s10_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (``streaming.windows
     .stream_stream_join``): clicks joined to same-user purchases
@@ -2144,6 +2163,66 @@ def x80_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cls.unionByName(churn).orderBy("w", "status")
 
 
+def x81_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel WITHIN sessions: the x15 staged-min funnel scoped to
+    x61's 30-minute inactivity sessions — "did the view→click→purchase
+    path complete inside ONE visit", the composition every product
+    funnel actually ships (cross-session funnels overcount). A
+    session converts if some click follows the session's first view
+    and some purchase follows that first qualifying click.
+
+    Scale shape: ONE sessionize window (user-grained partitions),
+    then the pruned (user, session, type, ts) frame is pinned with
+    localCheckpoint so the three stage aggregates reuse it instead of
+    re-running the session window per consumer (the t05/t51 rule);
+    stage outputs are session-cardinality equi-joins, never row×row.
+    Exact integer counts; one rounded IEEE division."""
+    from dislib_spark.temporal import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, "user_id", "ts", gap="30 minutes", tiebreak="event_id"
+    ).select(
+        "user_id", "session_id", "event_type", "ts"
+    ).localCheckpoint(eager=True)
+    k = ["user_id", "session_id"]
+    base = sess.groupBy(*k).agg(F.count(F.lit(1)).alias("n_ev"))
+    v = (
+        sess.where(F.col("event_type") == "view")
+        .groupBy(*k)
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        sess.where(F.col("event_type") == "click")
+        .join(v, k)
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy(*k)
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        sess.where(F.col("event_type") == "purchase")
+        .join(c, k)
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy(*k)
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        base.join(v, k, "left")
+        .join(c, k, "left")
+        .join(p, k, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count("v_ts").alias("n_view"),
+            F.count("c_ts").alias("n_click"),
+            F.count("p_ts").alias("n_purchase"),
+            F.round(
+                F.count("p_ts")
+                / F.nullif(F.count("v_ts"), F.lit(0)).cast("double"),
+                6,
+            ).alias("conv_rate"),
+        )
+    )
+
 
 QUERIES = {
     "x01_rollup": x01_rollup,
@@ -2210,6 +2289,8 @@ QUERIES = {
     "x78_weekday_seasonality": x78_weekday_seasonality,
     "x79_abc_pareto": x79_abc_pareto,
     "x80_growth_accounting": x80_growth_accounting,
+    "x81_session_funnel": x81_session_funnel,
+    "x82_stride_quantiles": x82_stride_quantiles,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -3550,4 +3631,117 @@ ORACLE["x80_growth_accounting"] = """
     UNION ALL
     SELECT w, status, n_users FROM churn
     ORDER BY w, status
+"""
+
+# x81: x61's second-quantized session assignment (all users) feeding
+# the x15 staged-min funnel, session-scoped; raw-ts stage comparisons
+# are safe (fixture timestamps are exactly microsecond-grained on
+# both engines).
+ORACLE["x81_session_funnel"] = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, ts,
+               CAST(EPOCH(date_trunc('second', ts)) AS BIGINT) AS sec
+        FROM events
+    ),
+    flg AS (
+        SELECT *,
+               CASE WHEN LAG(sec) OVER w IS NULL
+                         OR sec - LAG(sec) OVER w > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type, ts,
+               CAST(SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flg
+    ),
+    base AS (
+        SELECT user_id, session_id FROM sess GROUP BY 1, 2
+    ),
+    v AS (
+        SELECT user_id, session_id, MIN(ts) AS v_ts
+        FROM sess WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT s.user_id, s.session_id, MIN(s.ts) AS c_ts
+        FROM sess s
+        JOIN v ON s.user_id = v.user_id AND s.session_id = v.session_id
+        WHERE s.event_type = 'click' AND s.ts > v.v_ts
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT s.user_id, s.session_id, MIN(s.ts) AS p_ts
+        FROM sess s
+        JOIN c ON s.user_id = c.user_id AND s.session_id = c.session_id
+        WHERE s.event_type = 'purchase' AND s.ts > c.c_ts
+        GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_sessions,
+           COUNT(v.v_ts) AS n_view,
+           COUNT(c.c_ts) AS n_click,
+           COUNT(p.p_ts) AS n_purchase,
+           ROUND(COUNT(p.p_ts)
+                 / CAST(NULLIF(COUNT(v.v_ts), 0) AS DOUBLE), 6)
+               AS conv_rate
+    FROM base b
+    LEFT JOIN v ON b.user_id = v.user_id AND b.session_id = v.session_id
+    LEFT JOIN c ON b.user_id = c.user_id AND b.session_id = c.session_id
+    LEFT JOIN p ON b.user_id = p.user_id AND b.session_id = p.session_id
+"""
+
+# x82: full integer replay — md5 shard, ⌈m/k⌉ stride via integer
+# division, block-min/weight selection, running weighted rank, and
+# the ceil(q·n) target (q cast DOUBLE so both engines multiply the
+# same IEEE literals).
+ORACLE["x82_stride_quantiles"] = """
+    WITH src AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS val,
+               CONCAT(l_orderkey, '|', l_linenumber) AS kstr
+        FROM lineitem
+    ),
+    sh AS (
+        SELECT val, kstr,
+               CAST('0x' || substr(md5(kstr), 1, 4) AS INTEGER) % 32
+                   AS shard
+        FROM src
+    ),
+    st AS (
+        SELECT shard, val, kstr,
+               ROW_NUMBER() OVER (
+                   PARTITION BY shard ORDER BY val, kstr) AS rn,
+               COUNT(*) OVER (PARTITION BY shard) AS m
+        FROM sh
+    ),
+    st2 AS (SELECT *, (m + 255) // 256 AS stride FROM st),
+    kept AS (
+        SELECT shard, val, kstr, stride,
+               LEAST(stride, m - (rn - 1)) AS wt
+        FROM st2 WHERE (rn - 1) % stride = 0
+    ),
+    tot AS (
+        SELECT CAST(SUM(wt) AS BIGINT) AS n,
+               COUNT(*) AS summary_rows
+        FROM kept
+    ),
+    bnd AS (
+        SELECT CAST(SUM(stride - 1) AS BIGINT) AS rank_err_bound
+        FROM (SELECT shard, MAX(stride) AS stride
+              FROM kept GROUP BY shard)
+    ),
+    cum AS (
+        SELECT val,
+               CAST(SUM(wt) OVER (ORDER BY val, kstr
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw
+        FROM kept
+    ),
+    qs AS (SELECT CAST(UNNEST([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+    SELECT q, ROUND(MIN(val), 6) AS est, n, summary_rows,
+           rank_err_bound
+    FROM cum CROSS JOIN tot CROSS JOIN bnd CROSS JOIN qs
+    WHERE cumw >= CAST(CEIL(q * n) AS BIGINT)
+    GROUP BY q, n, summary_rows, rank_err_bound
+    ORDER BY q
 """

@@ -1094,6 +1094,58 @@ def t55_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def t56_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/Gopher boilerplate-STRIP step as one remove-and-keep
+    pipeline query (t53 DETECTS repeated passages; this applies the
+    removal and accounts for what survives): chunk every doc into
+    non-overlapping 20-token passages, mark every chunk whose md5
+    fingerprint appears in ≥2 distinct docs, and report per source
+    how much text the strip removes vs keeps — the curation ledger a
+    training-data pipeline signs off on before tokenization.
+
+    Scale shape: one chunk explode → one (fp, distinct-doc) count →
+    one fp equi-join back (no broadcast of the SF-growing dup-fp set,
+    no pairs anywhere) → doc-level then source-level aggregates.
+    Counts are exact integers; the removed fraction is one IEEE
+    division, 6-dp rounded."""
+    from dislib_spark.text.chunking import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(d, chunk_tokens=20, overlap=0)
+    bad = (
+        ch.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("fp")
+    )
+    marked = ch.join(bad.withColumn("rm", F.lit(1)), "fp", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("rm", F.lit(0)).alias("rm"),
+    )
+    doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("rm").alias("n_rem"),
+        F.sum(
+            F.when(F.col("rm") == 0, F.col("n_tokens")).otherwise(0)
+        ).alias("kept_toks"),
+    )
+    return (
+        doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+            F.sum("n_rem").cast("bigint").alias("n_removed"),
+            F.round(
+                F.sum("n_rem") / F.sum("n_chunks").cast("double"), 6
+            ).alias("removed_frac"),
+            F.sum("kept_toks").cast("bigint").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -1150,6 +1202,7 @@ QUERIES = {
     "t53_boilerplate_chunks": t53_boilerplate_chunks,
     "t54_crosslang_dups": t54_crosslang_dups,
     "t55_heaps_law": t55_heaps_law,
+    "t56_boilerplate_strip": t56_boilerplate_strip,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -2690,4 +2743,53 @@ ORACLE["t55_heaps_law"] = """
            ROUND(LN(CAST(n_vocab AS DOUBLE))
                  / LN(CAST(n_tokens AS DOUBLE)), 6) AS heaps_beta
     FROM g ORDER BY source
+"""
+
+# t56: the t53 chunk CTE plus the strip ledger — the two UNNESTs in c
+# zip in lockstep (same source array), matching Spark's posexplode.
+ORACLE["t56_boilerplate_strip"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               [x for x in range(1, greatest(len(toks), 1) + 1, 20)]
+                   AS starts
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(toks, UNNEST(starts), UNNEST(starts) + 19),
+                   ' ')) AS fp,
+               len(list_slice(toks, UNNEST(starts), UNNEST(starts) + 19))
+                   AS n_tokens
+        FROM s
+    ),
+    bad AS (
+        SELECT fp FROM c GROUP BY fp
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    mk AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN fp IN (SELECT fp FROM bad) THEN 1 ELSE 0 END
+                   AS rm
+        FROM c
+    ),
+    doc AS (
+        SELECT doc_id, COUNT(*) AS n_chunks, SUM(rm) AS n_rem,
+               SUM(CASE WHEN rm = 0 THEN n_tokens ELSE 0 END)
+                   AS kept_toks
+        FROM mk GROUP BY doc_id
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc.n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(doc.n_rem) AS BIGINT) AS n_removed,
+           ROUND(SUM(doc.n_rem) / CAST(SUM(doc.n_chunks) AS DOUBLE), 6)
+               AS removed_frac,
+           CAST(SUM(doc.kept_toks) AS BIGINT) AS kept_tokens
+    FROM doc JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
 """

@@ -484,3 +484,107 @@ def sampled_quantiles(
         for i, q in enumerate(qs)
     ]
     return g.select(*part, "n_sample", *cols)
+
+
+def stride_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key: Column,
+    qs: tuple = (0.5, 0.9, 0.99),
+    k: int = 256,
+    shards: int = 32,
+) -> DataFrame:
+    """Deterministic mergeable quantile summary with a WORST-CASE
+    rank-error contract (the MRL/KLL-style companion of
+    :func:`sampled_quantiles`, whose hash-Bernoulli error is only
+    probabilistic): rows hash into ``shards`` md5 shards; each shard
+    sorts and keeps every ``stride``-th element (stride = ⌈m/k⌉, the
+    block MINIMUM, weighted by its block size), so the summary holds
+    ≤ shards·k weighted rows no matter the corpus.
+
+    Contract (proved in tests/test_sketches.py): the weighted ECDF
+    only OVERcounts, by at most ``bound = Σ_s (stride_s − 1)`` (one
+    straddling block per shard) — so the reported estimate for rank
+    target t has true rank in ``[t − bound, t)``-adjacent positions:
+    fewer than t elements are strictly below it and at least
+    t − bound are ≤ it. With stride_s = ⌈m_s/k⌉ the bound is
+    ≤ n/k + shards, i.e. ε ≈ 1/k relative rank error, deterministic
+    — no sampling variance, no failure probability.
+
+    Mergeable by construction: shards are a hash PARTITION of the
+    key space, so each shard's summary is built from its rows alone
+    and summaries of disjoint shard sets union exactly (the merge is
+    set union; pinned in tests). At 100 TB, grow ``shards`` with the
+    corpus so per-shard sort partitions stay bounded; every value is
+    replayable (md5 shard, integer stride/weight arithmetic, IEEE
+    ceil on the rank target).
+
+    Returns one row per q: (q, est, n, summary_rows, rank_err_bound).
+    """
+    from pyspark.sql import Window
+
+    from dislib_spark.sampling import hash_bucket
+
+    src = df.select(
+        F.col(value_col).cast("double").alias("val"),
+        key.cast("string").alias("kstr"),
+    ).withColumn("shard", hash_bucket(F.col("kstr"), shards))
+    wsh = Window.partitionBy("shard").orderBy("val", "kstr")
+    csh = Window.partitionBy("shard")
+    staged = src.select(
+        "shard",
+        "val",
+        "kstr",
+        F.row_number().over(wsh).alias("rn"),
+        F.count(F.lit(1)).over(csh).alias("m"),
+    ).withColumn("stride", F.expr(f"(m + {int(k) - 1}) div {int(k)}"))
+    kept = staged.where((F.col("rn") - 1) % F.col("stride") == 0).select(
+        "shard",
+        "val",
+        "kstr",
+        "stride",
+        F.least(
+            F.col("stride"), F.col("m") - (F.col("rn") - 1)
+        ).alias("wt"),
+    )
+    tot = F.broadcast(
+        kept.agg(
+            F.sum("wt").cast("bigint").alias("n"),
+            F.count(F.lit(1)).alias("summary_rows"),
+        )
+    )
+    bnd = F.broadcast(
+        kept.groupBy("shard")
+        .agg(F.max("stride").alias("stride"))
+        .agg(
+            F.sum(F.col("stride") - 1)
+            .cast("bigint")
+            .alias("rank_err_bound")
+        )
+    )
+    wall = Window.orderBy("val", "kstr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = kept.select("val", F.sum("wt").over(wall).alias("cumw"))
+    e = (
+        cum.select(
+            "val",
+            "cumw",
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in qs])
+            ).alias("q"),
+        )
+        .crossJoin(tot)
+        .crossJoin(bnd)
+    )
+    return (
+        e.where(F.col("cumw") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(
+            F.round(F.min("val"), 6).alias("est"),
+            F.first("n").alias("n"),
+            F.first("summary_rows").alias("summary_rows"),
+            F.first("rank_err_bound").alias("rank_err_bound"),
+        )
+        .orderBy("q")
+    )

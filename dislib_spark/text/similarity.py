@@ -84,7 +84,18 @@ def jaro_winkler(s1: str, s2: str) -> float:
 @pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-batched JW over string pairs (the blocked-candidate slow
-    path; never apply to a corpus cross product)."""
+    path; never apply to a corpus cross product).
+
+    Cost contract: transfer is Arrow-batched, but the JW itself runs
+    per pair in Python inside the batch (~µs/pair on short keys).
+    Bounded by construction — callers only feed block-capped
+    candidate sets (``max_block²`` pairs per block, see
+    ``jaro_winkler_pairs``), so total Python time is
+    O(blocks · cap²), independent of corpus size. A JVM/vectorized
+    backend (e.g. rapidfuzz) would be the drop-in upgrade if one
+    ever becomes installable in-env; the algorithm here matches
+    DuckDB's jaro_winkler_similarity bit-for-bit on ASCII keys
+    (parity pytest-pinned)."""
     return pd.Series(
         [
             jaro_winkler(x, y)

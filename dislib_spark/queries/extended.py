@@ -2070,32 +2070,41 @@ def x83_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_ts") < F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
     )
+    # both bookend ranks in ONE pass over the join (same p_id
+    # partitioning, so the two Window sorts share one exchange and j
+    # is consumed once — no recompute, no full-outer stitch)
     wf = Window.partitionBy("p_id").orderBy("c_ts", "c_id")
     wl = Window.partitionBy("p_id").orderBy(
         F.desc("c_ts"), F.desc("c_id")
     )
-    first = j.withColumn("rn", F.row_number().over(wf)).where(
-        F.col("rn") == 1
-    )
-    last = j.withColumn("rn", F.row_number().over(wl)).where(
-        F.col("rn") == 1
-    )
-    fa = first.groupBy("channel").agg(
-        F.count(F.lit(1)).alias("n_first"),
-        F.sum("val").cast("double").alias("rev_first"),
-    )
-    la = last.groupBy("channel").agg(
-        F.count(F.lit(1)).alias("n_last"),
-        F.sum("val").cast("double").alias("rev_last"),
+    touches = (
+        j.withColumn("rn_f", F.row_number().over(wf))
+        .withColumn("rn_l", F.row_number().over(wl))
+        .where((F.col("rn_f") == 1) | (F.col("rn_l") == 1))
     )
     return (
-        fa.join(la, "channel", "full_outer")
-        .select(
-            "channel",
-            F.coalesce("n_first", F.lit(0)).alias("n_first"),
-            F.coalesce("rev_first", F.lit(0.0)).alias("rev_first"),
-            F.coalesce("n_last", F.lit(0)).alias("n_last"),
-            F.coalesce("rev_last", F.lit(0.0)).alias("rev_last"),
+        touches.groupBy("channel")
+        .agg(
+            F.sum(
+                (F.col("rn_f") == 1).cast("long")
+            ).alias("n_first"),
+            F.sum(
+                F.when(F.col("rn_f") == 1, F.col("val")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("rev_first"),
+            F.sum(
+                (F.col("rn_l") == 1).cast("long")
+            ).alias("n_last"),
+            F.sum(
+                F.when(F.col("rn_l") == 1, F.col("val")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("rev_last"),
         )
         .orderBy("channel")
     )

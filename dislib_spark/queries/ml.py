@@ -1398,10 +1398,17 @@ def m40_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     b = F.least(F.floor(F.col("p") * 16), F.lit(15)).cast("long")
-    g = staged.groupBy(b.alias("bin")).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum("y").cast("long").alias("pos"),
-        F.sum("p").alias("sump"),
+    # g feeds FOUR consumers (prefix window twice, the bin frame, the
+    # final join) — pin the 16-row result once so the corpus-sized
+    # binning aggregate runs ONE scan, not one per consumer.
+    g = (
+        staged.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("y").cast("long").alias("pos"),
+            F.sum("p").alias("sump"),
+        )
+        .localCheckpoint(eager=True)
     )
     from pyspark.sql import Window
 

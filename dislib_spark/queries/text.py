@@ -1146,7 +1146,12 @@ def t56_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dislib_spark.text.chunking import chunk_documents
 
     d = load_table(spark, sf_dir, "documents")
-    ch = chunk_documents(d, chunk_tokens=20, overlap=0)
+    # the chunk explode feeds TWO consumers (the dup-fp count and the
+    # mark join) — pin it once so the tokenize+md5 pass runs one scan
+    # (the t51 rule); only the three needed columns are checkpointed
+    ch = chunk_documents(d, chunk_tokens=20, overlap=0).select(
+        "doc_id", "n_tokens", "fp"
+    ).localCheckpoint(eager=True)
     bad = (
         ch.groupBy("fp")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -538,14 +538,21 @@ def stride_quantiles(
         F.row_number().over(wsh).alias("rn"),
         F.count(F.lit(1)).over(csh).alias("m"),
     ).withColumn("stride", F.expr(f"(m + {int(k) - 1}) div {int(k)}"))
-    kept = staged.where((F.col("rn") - 1) % F.col("stride") == 0).select(
-        "shard",
-        "val",
-        "kstr",
-        "stride",
-        F.least(
-            F.col("stride"), F.col("m") - (F.col("rn") - 1)
-        ).alias("wt"),
+    # kept feeds THREE consumers (totals, bound, the rank walk) — pin
+    # the ≤ shards·(k+1)-row summary once so the corpus-sized shard
+    # sort/window runs ONE pass, not one per consumer.
+    kept = (
+        staged.where((F.col("rn") - 1) % F.col("stride") == 0)
+        .select(
+            "shard",
+            "val",
+            "kstr",
+            "stride",
+            F.least(
+                F.col("stride"), F.col("m") - (F.col("rn") - 1)
+            ).alias("wt"),
+        )
+        .localCheckpoint(eager=True)
     )
     tot = F.broadcast(
         kept.agg(

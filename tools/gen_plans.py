@@ -61,6 +61,12 @@ PICKS = {
     "x63_twap": "lead window shares the (user,day) hash shuffle with the final agg; weights map-side",
     "x64_ohlc": "the whole bar is ONE map-side-combined aggregation — struct MIN/MAX open/close, no window, no sort",
     "t44_weighted_sample": "A-ES keys computed map-side; per-source top-k window (partitioned, WindowGroupLimit)",
+    "m40_isotonic_calibration": "corpus collapses to 16 bins in one map-side-combined agg; PAV minimax = tiny nested-loop joins on that frame",
+    "x82_stride_quantiles": "shown plan starts at the eager-checkpointed summary (corpus shard-windows run ONCE upstream); 1-row n/bound broadcasts",
+    "x83_attribution": "user-keyed range equi-join (no time cross join); purchase-grained rank windows pick the touch rows",
+    "x84_event_paths": "LEADs share the (user,session) sort with sessionize's per-user exchange; path counts map-side combined",
+    "s11_stream_left_join": "left-outer interval join keyed on user with the range in the ON clause — state-TTL'd when streaming",
+    "t56_boilerplate_strip": "chunk explode runs ONCE behind an eager checkpoint (plan shows the fp count + equi-join downstream); no broadcast of the SF-growing dup set",
 }
 
 

@@ -1522,6 +1522,52 @@ def m41_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m42_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error of the fixed m10 scorer
+    over the same 10 probability bins as m14's reliability diagram —
+    the one-number summaries a model card reports (m14 shows the
+    curve; ECE/MCE score it). The per-bin identity ``n_b·|conf_b −
+    acc_b| = |Σp − Σy|`` folds ECE into exact bin sums: ECE =
+    Σ_b |Σp_b − Σy_b| / N, so the only float accumulation is the
+    same Σp m14 already carries (rounding absorbs its 1-ulp order
+    sensitivity). ONE map-side-combined aggregate over the embedding
+    scan + a 10-row fold."""
+    e = load_table(spark, sf_dir, "embeddings")
+    w = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: ((j % 7) - 3) / F.lit(10.0),
+    )
+    z = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), w, lambda a, b: a.cast("double") * b
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    staged = (
+        e.select("label", "embedding")
+        .withColumn("z", z)
+        .withColumn("p", 1.0 / (1.0 + F.exp(-F.col("z"))))
+        .withColumn(
+            "y", F.when(F.col("label") < 5, F.lit(1)).otherwise(0)
+        )
+    )
+    b = F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("long")
+    g = staged.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum("p").alias("sp"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    gap = F.abs(F.col("sp") - F.col("sy"))
+    return g.agg(
+        F.sum("n_b").cast("bigint").alias("n"),
+        F.round(F.sum(gap) / F.sum("n_b"), 6).alias("ece"),
+        F.round(
+            F.max(gap / F.col("n_b").cast("double")), 6
+        ).alias("mce"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -1564,6 +1610,7 @@ QUERIES = {
     "m39_kruskal_wallis": m39_kruskal_wallis,
     "m40_isotonic_calibration": m40_isotonic_calibration,
     "m41_mcnemar": m41_mcnemar,
+    "m42_ece": m42_ece,
 }
 
 
@@ -2857,4 +2904,27 @@ ORACLE["m41_mcnemar"] = """
            ROUND(na / CAST(n AS DOUBLE), 6) AS acc_a,
            ROUND(nb / CAST(n AS DOUBLE), 6) AS acc_b
     FROM s
+"""
+
+ORACLE["m42_ece"] = """
+    WITH staged AS (
+        SELECT 1.0 / (1.0 + exp(-list_inner_product(
+                   list_transform(embedding, v -> v::DOUBLE),
+                   list_transform(range(0, 64),
+                                  j -> ((j % 7) - 3) / 10.0)
+               ))) AS p,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        FROM embeddings
+    ),
+    g AS (
+        SELECT CAST(LEAST(FLOOR(p * 10), 9) AS BIGINT) AS bin,
+               COUNT(*) AS n_b,
+               SUM(p) AS sp,
+               CAST(SUM(y) AS BIGINT) AS sy
+        FROM staged GROUP BY 1
+    )
+    SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+           ROUND(SUM(ABS(sp - sy)) / SUM(n_b), 6) AS ece,
+           ROUND(MAX(ABS(sp - sy) / CAST(n_b AS DOUBLE)), 6) AS mce
+    FROM g
 """

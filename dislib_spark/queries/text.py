@@ -1129,6 +1129,44 @@ def t57_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t58_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SURVIVORSHIP-BIAS audit: does canonical-keep dedup (the
+    t52 pipeline) skew the per-source length profile? Compares doc
+    count and mean token length before vs after the keep pass — the
+    check a curation team signs before shipping a dedup config
+    (templates are short: stripping them silently lengthens a source;
+    mirrored crawls are long: the opposite). Mean token counts are
+    exact integer-sum ratios, so both engines divide identical
+    integers; the drop set stays duplicate-proportional."""
+    from dislib_spark.graph import dedup_canonical
+    from dislib_spark.text.analysis import token_count
+    from dislib_spark.text.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.3, hash_fn="md5")
+    kept = dedup_canonical(d, pairs)
+    tok = token_count(F.col("text"))
+    before = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.round(F.avg(tok), 6).alias("avg_tok_before"),
+    )
+    after = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.round(F.avg(tok), 6).alias("avg_tok_after"),
+    )
+    return (
+        before.join(after, "source")
+        .select(
+            "source",
+            "n_before",
+            "avg_tok_before",
+            "n_after",
+            "avg_tok_after",
+        )
+        .orderBy("source")
+    )
+
+
 def t56_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4/Gopher boilerplate-STRIP step as one remove-and-keep
     pipeline query (t53 DETECTS repeated passages; this applies the
@@ -1244,6 +1282,7 @@ QUERIES = {
     "t55_heaps_law": t55_heaps_law,
     "t56_boilerplate_strip": t56_boilerplate_strip,
     "t57_dup_cluster_profile": t57_dup_cluster_profile,
+    "t58_dedup_bias_audit": t58_dedup_bias_audit,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -2858,4 +2897,38 @@ ORACLE["t57_dup_cluster_profile"] = f"""
            CAST((cluster_size - 1) * COUNT(*) AS BIGINT)
                AS n_duplicates
     FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+# t58: the t52 drop-set replay + per-source exact token-mean ratios.
+ORACLE["t58_dedup_bias_audit"] = f"""
+    WITH RECURSIVE p AS ({_t05_oracle()}),
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM p
+        UNION
+        SELECT b_id, a_id FROM p
+    ),
+    reach(n, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT reach.n, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    comp AS (SELECT n, MIN(r) AS comp FROM reach GROUP BY n),
+    dropids AS (SELECT n AS doc_id FROM comp WHERE n <> comp),
+    b AS (
+        SELECT source, COUNT(*) AS n_before,
+               ROUND(AVG(len(string_split(text, ' '))), 6)
+                   AS avg_tok_before
+        FROM documents GROUP BY source
+    ),
+    a AS (
+        SELECT d.source, COUNT(*) AS n_after,
+               ROUND(AVG(len(string_split(d.text, ' '))), 6)
+                   AS avg_tok_after
+        FROM documents d LEFT JOIN dropids x ON d.doc_id = x.doc_id
+        WHERE x.doc_id IS NULL GROUP BY d.source
+    )
+    SELECT b.source, b.n_before, b.avg_tok_before,
+           a.n_after, a.avg_tok_after
+    FROM b JOIN a ON b.source = a.source
+    ORDER BY b.source
 """

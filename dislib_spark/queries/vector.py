@@ -480,6 +480,132 @@ def v21_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v22_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health report: per-cell inverted-list sizes and each
+    cell's share of the corpus — the balance check run before
+    trusting an ANN index (a whale cell means its probes scan far
+    more than corpus/n_cells vectors; empty cells waste probes).
+    ONE assignment pass (the same broadcast-centers argmin v04 runs),
+    one 16-group count. Exact integer counts; shares are exact
+    int-over-int divisions."""
+    from dislib_spark.vector.search import ivf_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    _, assigned = ivf_index(e, centers="seed")
+    tot = F.broadcast(assigned.agg(F.count(F.lit(1)).alias("_n")))
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .crossJoin(tot)
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            "n_vecs",
+            F.round(
+                F.col("n_vecs") / F.col("_n").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("cell")
+    )
+
+
+def v23_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 vs ``n_probe`` ladder (1, 2, 4, 8) for the seed-IVF
+    index — the tuning curve that picks the probe budget (v18 reports
+    ONE operating point; this sweeps the knob). The candidate lists
+    and cosine scores are computed ONCE at the widest rung (pr ≤ 8,
+    each candidate tagged with its cell's probe rank); every narrower
+    rung is a filter + re-rank of that same scored set, so the sweep
+    costs one probe pass, not one per rung. Fully value-replayed
+    (seed centers, exact integer hit counts)."""
+    from pyspark.sql import Window
+
+    from dislib_spark.vector.search import (
+        cosine_similarity,
+        cosine_topk,
+        ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    ctrs, assigned = ivf_index(e, centers="seed")
+    qd = q.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("center"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("q_id").orderBy("d2", "cell")
+    probes = (
+        qd.crossJoin(F.broadcast(ctrs))
+        .select("q_id", "q_vec", "cell", d2.alias("d2"))
+        .withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= 8)
+        .select("q_id", "q_vec", "cell", "pr")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .select(
+            "q_id",
+            "pr",
+            "c_id",
+            F.round(
+                cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6
+            ).alias("sim"),
+        )
+    )
+    rungs = scored.select(
+        "q_id",
+        "pr",
+        "c_id",
+        "sim",
+        F.explode(F.array(*[F.lit(n) for n in (1, 2, 4, 8)])).alias(
+            "np"
+        ),
+    ).where(F.col("pr") <= F.col("np"))
+    wr = Window.partitionBy("np", "q_id").orderBy(
+        F.desc("sim"), "c_id"
+    )
+    topk = (
+        rungs.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 10)
+        .select("np", "q_id", "c_id")
+    )
+    exact = cosine_topk(q, e, k=10).select("q_id", "c_id")
+    nq = F.broadcast(
+        exact.agg(F.countDistinct("q_id").alias("_nq"))
+    )
+    hits = topk.join(exact, ["q_id", "c_id"]).groupBy("np").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    # every rung must appear even at 0 hits (the oracle's LEFT JOIN)
+    ladder = spark.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n in (1, 2, 4, 8)])).alias(
+            "np"
+        )
+    )
+    return (
+        ladder.join(hits, "np", "left")
+        .crossJoin(nq)
+        .select(
+            F.col("np").cast("int").alias("n_probe"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0))
+                / (10.0 * F.col("_nq")),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("n_probe")
+    )
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -502,6 +628,8 @@ QUERIES = {
     "v19_quant_recall": v19_quant_recall,
     "v20_threshold_sweep": v20_threshold_sweep,
     "v21_filtered_ann": v21_filtered_ann,
+    "v22_ivf_cell_balance": v22_ivf_cell_balance,
+    "v23_probe_recall_curve": v23_probe_recall_curve,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -1375,4 +1503,150 @@ ORACLE["v21_filtered_ann"] = """
     LEFT JOIN hp ON b.q_id = hp.q_id
     LEFT JOIN hs ON b.q_id = hs.q_id
     ORDER BY b.q_id
+"""
+
+# v22: the v04 assignment replay -> 16-group count + exact shares.
+ORACLE["v22_ivf_cell_balance"] = """
+    WITH cells AS (
+        SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS k,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    ctr AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS cell,
+               vec_id AS cvid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    d2 AS (
+        SELECT a.vec_id AS vid, ctr.cell,
+               SUM((a.v - b.v) * (a.v - b.v)) AS d2
+        FROM cells a
+        JOIN ctr ON TRUE
+        JOIN cells b ON b.vec_id = ctr.cvid AND b.k = a.k
+        GROUP BY a.vec_id, ctr.cell
+    ),
+    assigned AS (
+        SELECT vid, cell FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vid ORDER BY d2, cell) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    g AS (SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY cell),
+    tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n FROM g)
+    SELECT g.cell, g.n_vecs,
+           ROUND(g.n_vecs / CAST(tot.n AS DOUBLE), 6) AS share
+    FROM g CROSS JOIN tot
+    ORDER BY g.cell
+"""
+
+# v23: one widest-rung probe pass scored once; each rung filters and
+# re-ranks the same candidate set (pr kept through scoring).
+ORACLE["v23_probe_recall_curve"] = """
+    WITH cells AS (
+        SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS k,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM cells GROUP BY vec_id
+    ),
+    ctr AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS cell,
+               vec_id AS cvid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    d2 AS (
+        SELECT a.vec_id AS vid, ctr.cell,
+               SUM((a.v - b.v) * (a.v - b.v)) AS d2
+        FROM cells a
+        JOIN ctr ON TRUE
+        JOIN cells b ON b.vec_id = ctr.cvid AND b.k = a.k
+        GROUP BY a.vec_id, ctr.cell
+    ),
+    assigned AS (
+        SELECT vid, cell FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vid ORDER BY d2, cell) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vid AS q_id, cell, pr FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vid ORDER BY d2, cell) AS pr
+            FROM d2 WHERE vid < 5
+        ) WHERE pr <= 8
+    ),
+    cand AS (
+        SELECT p.q_id, p.pr, a.vid AS c_id
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+    ),
+    dots AS (
+        SELECT cd.q_id, cd.pr, cd.c_id, SUM(a.v * b.v) AS dot
+        FROM cand cd
+        JOIN cells a ON a.vec_id = cd.q_id
+        JOIN cells b ON b.vec_id = cd.c_id AND a.k = b.k
+        GROUP BY cd.q_id, cd.pr, cd.c_id
+    ),
+    scored AS (
+        SELECT d.q_id, d.pr, d.c_id,
+               ROUND(d.dot / (na.nrm * nb.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.q_id
+        JOIN norms nb ON nb.vec_id = d.c_id
+    ),
+    rungs AS (
+        SELECT q_id, c_id, sim, CAST(np AS INTEGER) AS np
+        FROM scored, UNNEST([1, 2, 4, 8]) AS t(np)
+        WHERE pr <= np
+    ),
+    topk AS (
+        SELECT np, q_id, c_id FROM (
+            SELECT np, q_id, c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY np, q_id
+                       ORDER BY sim DESC, c_id) AS rank
+            FROM rungs
+        ) WHERE rank <= 10
+    ),
+    dots_e AS (
+        SELECT qq.vec_id AS q_id, cells.vec_id AS c_id,
+               SUM(qq.v * cells.v) AS dot
+        FROM (SELECT * FROM cells WHERE vec_id < 5) qq
+        JOIN cells ON qq.k = cells.k
+        GROUP BY qq.vec_id, cells.vec_id
+    ),
+    exact AS (
+        SELECT q_id, c_id FROM (
+            SELECT d.q_id, d.c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.q_id
+                       ORDER BY ROUND(d.dot / (na.nrm * nb.nrm), 6)
+                                DESC, d.c_id
+                   ) AS rank
+            FROM dots_e d
+            JOIN norms na ON na.vec_id = d.q_id
+            JOIN norms nb ON nb.vec_id = d.c_id
+        ) WHERE rank <= 10
+    ),
+    hits AS (
+        SELECT t.np, COUNT(*) AS n_hits
+        FROM topk t JOIN exact e
+          ON t.q_id = e.q_id AND t.c_id = e.c_id
+        GROUP BY t.np
+    ),
+    nq AS (SELECT COUNT(DISTINCT q_id) AS nq FROM exact)
+    SELECT CAST(r.np AS INTEGER) AS n_probe,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / (10.0 * nq.nq), 6) AS recall
+    FROM UNNEST([1, 2, 4, 8]) AS r(np)
+    LEFT JOIN hits h ON h.np = r.np
+    CROSS JOIN nq
+    ORDER BY n_probe
 """

@@ -67,6 +67,8 @@ _BNLJ_OK = {
     "m40_isotonic_calibration",  # B<=16-row minimax joins on the binned frame
     "v21_filtered_ann",  # broadcast query set / centers, the v01/v04 shape
     "x82_stride_quantiles",  # 1-row broadcasts of (n, rows) and the bound
+    "v22_ivf_cell_balance",  # 16-row centers + 1-row total broadcasts
+    "v23_probe_recall_curve",  # broadcast centers/probes + 1-row nq (v04 shape)
 }
 
 

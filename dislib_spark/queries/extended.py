@@ -2154,6 +2154,39 @@ def x84_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x85_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit analysis: which event type OPENS a session,
+    which CLOSES it, and how often the session bounces (one event) —
+    the landing/exit-page report of web analytics, generalized to
+    event types. One sessionize window, then entry/exit via
+    ``min_by``/``max_by`` on the (second, event_id) order key in ONE
+    session-grained aggregate (no extra rank window). Exact integer
+    counts; bounce cells only exist on the entry=exit diagonal."""
+    from dislib_spark.temporal import _epoch_seconds, sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, "user_id", "ts", gap="30 minutes", tiebreak="event_id"
+    )
+    sec = _epoch_seconds(sess, "ts")
+    ord_key = F.struct(sec.alias("s"), F.col("event_id").alias("e"))
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", ord_key).alias("entry_type"),
+        F.max_by("event_type", ord_key).alias("exit_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per.groupBy("entry_type", "exit_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(
+                (F.col("n_events") == 1).cast("long")
+            ).alias("n_bounces"),
+        )
+        .orderBy("entry_type", "exit_type")
+    )
+
+
 def s11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (``streaming.windows
     .stream_stream_left_join``): every click accounted — matched to
@@ -2454,6 +2487,7 @@ QUERIES = {
     "x82_stride_quantiles": x82_stride_quantiles,
     "x83_attribution": x83_attribution,
     "x84_event_paths": x84_event_paths,
+    "x85_session_entry_exit": x85_session_entry_exit,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -4030,4 +4064,55 @@ ORACLE["x84_event_paths"] = """
     GROUP BY 1
     ORDER BY n DESC, path
     LIMIT 10
+"""
+
+# x85: the x61 session CTE; entry/exit replayed as rank-1 picks over
+# the same (sec, event_id) total order min_by/max_by uses.
+ORACLE["x85_session_entry_exit"] = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(EPOCH(date_trunc('second', ts)) AS BIGINT) AS sec
+        FROM events
+    ),
+    flg AS (
+        SELECT *,
+               CASE WHEN LAG(sec) OVER w IS NULL
+                         OR sec - LAG(sec) OVER w > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type, sec, event_id,
+               CAST(SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flg
+    ),
+    rk AS (
+        SELECT user_id, session_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, session_id
+                   ORDER BY sec, event_id) AS rf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, session_id
+                   ORDER BY sec DESC, event_id DESC) AS rl,
+               COUNT(*) OVER (
+                   PARTITION BY user_id, session_id) AS n
+        FROM sess
+    ),
+    per AS (
+        SELECT user_id, session_id,
+               MAX(CASE WHEN rf = 1 THEN event_type END) AS entry_type,
+               MAX(CASE WHEN rl = 1 THEN event_type END) AS exit_type,
+               CAST(MAX(n) AS BIGINT) AS n_events
+        FROM rk GROUP BY 1, 2
+    )
+    SELECT entry_type, exit_type,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounces
+    FROM per
+    GROUP BY 1, 2
+    ORDER BY entry_type, exit_type
 """

@@ -1568,6 +1568,72 @@ def m42_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m43_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g for every pair of the three return-flag
+    populations of lineitem quantity — the EFFECT-SIZE report that
+    belongs next to m18's t-test and m20's ANOVA (significance says a
+    difference exists; d/g say whether it's big enough to matter;
+    Hedges' small-sample correction ``1 − 3/(4N−9)``).
+
+    ONE conditional-aggregate pass collects per-group (n, Σx, Σx²)
+    with per-term DECIMAL casts (order-exact sums — the m18 recipe);
+    the three pair rows are pure scalar algebra on that packed row,
+    with the SQL oracle mirroring the exact operation order so every
+    IEEE division replays bit-for-bit before the 6-dp rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = F.col("l_quantity").cast("decimal(18,6)")
+    aggs = []
+    for gn in ("A", "N", "R"):
+        cond = F.col("l_returnflag") == gn
+        aggs += [
+            F.sum(cond.cast("long")).alias(f"n_{gn}"),
+            F.sum(F.when(cond, v)).alias(f"s_{gn}"),
+            F.sum(F.when(cond, v * v)).alias(f"ss_{gn}"),
+        ]
+    stats = li.agg(*aggs)
+
+    pairs = [("A", "N"), ("A", "R"), ("N", "R")]
+    proj = []
+    for i, (a, b) in enumerate(pairs):
+        n1 = F.col(f"n_{a}").cast("double")
+        n2 = F.col(f"n_{b}").cast("double")
+        s1 = F.col(f"s_{a}").cast("double")
+        s2 = F.col(f"s_{b}").cast("double")
+        q1 = F.col(f"ss_{a}").cast("double")
+        q2 = F.col(f"ss_{b}").cast("double")
+        m1, m2 = s1 / n1, s2 / n2
+        var1 = (q1 - s1 * s1 / n1) / (n1 - 1.0)
+        var2 = (q2 - s2 * s2 / n2) / (n2 - 1.0)
+        sp = F.sqrt(
+            ((n1 - 1.0) * var1 + (n2 - 1.0) * var2)
+            / (n1 + n2 - 2.0)
+        )
+        d = (m1 - m2) / sp
+        g = d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))
+        proj += [
+            F.lit(a).alias(f"ga_{i}"),
+            F.lit(b).alias(f"gb_{i}"),
+            F.col(f"n_{a}").alias(f"na_{i}"),
+            F.col(f"n_{b}").alias(f"nb_{i}"),
+            F.round(m1 - m2, 6).alias(f"md_{i}"),
+            F.round(d, 6).alias(f"d_{i}"),
+            F.round(g, 6).alias(f"g_{i}"),
+        ]
+    return (
+        stats.select(*proj)
+        .selectExpr(
+            "stack(3, "
+            + ", ".join(
+                f"ga_{i}, gb_{i}, na_{i}, nb_{i}, md_{i}, d_{i}, g_{i}"
+                for i in range(3)
+            )
+            + ") AS (group_a, group_b, n_a, n_b, mean_diff,"
+            " cohens_d, hedges_g)"
+        )
+        .orderBy("group_a", "group_b")
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -1611,6 +1677,7 @@ QUERIES = {
     "m40_isotonic_calibration": m40_isotonic_calibration,
     "m41_mcnemar": m41_mcnemar,
     "m42_ece": m42_ece,
+    "m43_effect_sizes": m43_effect_sizes,
 }
 
 
@@ -2927,4 +2994,68 @@ ORACLE["m42_ece"] = """
            ROUND(SUM(ABS(sp - sy)) / SUM(n_b), 6) AS ece,
            ROUND(MAX(ABS(sp - sy) / CAST(n_b AS DOUBLE)), 6) AS mce
     FROM g
+"""
+
+ORACLE["m43_effect_sizes"] = """
+    WITH st AS (
+        SELECT
+            CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+            SUM(CASE WHEN l_returnflag = 'A'
+                     THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS s_a,
+            SUM(CASE WHEN l_returnflag = 'A'
+                     THEN CAST(l_quantity AS DECIMAL(18,6))
+                          * CAST(l_quantity AS DECIMAL(18,6)) END)
+                AS ss_a,
+            CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_n,
+            SUM(CASE WHEN l_returnflag = 'N'
+                     THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS s_n,
+            SUM(CASE WHEN l_returnflag = 'N'
+                     THEN CAST(l_quantity AS DECIMAL(18,6))
+                          * CAST(l_quantity AS DECIMAL(18,6)) END)
+                AS ss_n,
+            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_r,
+            SUM(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS s_r,
+            SUM(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(l_quantity AS DECIMAL(18,6))
+                          * CAST(l_quantity AS DECIMAL(18,6)) END)
+                AS ss_r
+        FROM lineitem
+    ),
+    p AS (
+        SELECT 'A' AS group_a, 'N' AS group_b,
+               n_a AS n1i, n_n AS n2i,
+               CAST(n_a AS DOUBLE) AS n1, CAST(n_n AS DOUBLE) AS n2,
+               CAST(s_a AS DOUBLE) AS s1, CAST(s_n AS DOUBLE) AS s2,
+               CAST(ss_a AS DOUBLE) AS q1, CAST(ss_n AS DOUBLE) AS q2
+        FROM st
+        UNION ALL
+        SELECT 'A', 'R', n_a, n_r,
+               CAST(n_a AS DOUBLE), CAST(n_r AS DOUBLE),
+               CAST(s_a AS DOUBLE), CAST(s_r AS DOUBLE),
+               CAST(ss_a AS DOUBLE), CAST(ss_r AS DOUBLE)
+        FROM st
+        UNION ALL
+        SELECT 'N', 'R', n_n, n_r,
+               CAST(n_n AS DOUBLE), CAST(n_r AS DOUBLE),
+               CAST(s_n AS DOUBLE), CAST(s_r AS DOUBLE),
+               CAST(ss_n AS DOUBLE), CAST(ss_r AS DOUBLE)
+        FROM st
+    )
+    SELECT group_a, group_b, n1i AS n_a, n2i AS n_b,
+           ROUND(s1 / n1 - s2 / n2, 6) AS mean_diff,
+           ROUND((s1 / n1 - s2 / n2)
+                 / SQRT(((n1 - 1.0) * ((q1 - s1 * s1 / n1) / (n1 - 1.0))
+                         + (n2 - 1.0) * ((q2 - s2 * s2 / n2) / (n2 - 1.0)))
+                        / (n1 + n2 - 2.0)), 6) AS cohens_d,
+           ROUND(((s1 / n1 - s2 / n2)
+                  / SQRT(((n1 - 1.0) * ((q1 - s1 * s1 / n1) / (n1 - 1.0))
+                          + (n2 - 1.0) * ((q2 - s2 * s2 / n2) / (n2 - 1.0)))
+                         / (n1 + n2 - 2.0)))
+                 * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g
+    FROM p
+    ORDER BY group_a, group_b
 """

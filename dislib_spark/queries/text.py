@@ -1129,6 +1129,33 @@ def t57_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t59_minhash_estimator_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash estimator-quality audit: on every LSH candidate pair,
+    compare the classical signature estimator (matching minima / 32 —
+    an exact multiple of 1/32) against the exact shingle Jaccard, and
+    histogram the signed error in 0.01 bins — the v18-style quality
+    gate for the DEDUP index (is 32 hashes enough? is the estimator
+    biased near the 0.3 threshold?). Zero extra passes: the
+    signatures ride the candidate re-check join t05 already does.
+    Binned error is deterministic (exact-dyadic estimator minus a
+    6-dp-rounded ratio of exact integers; -0.0 normalized)."""
+    from dislib_spark.text.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, threshold=0.0, hash_fn="md5", with_estimate=True
+    )
+    r = F.round(F.col("minhash_est") - F.col("jaccard"), 2)
+    err = F.when(r == 0, F.lit(0.0)).otherwise(r)
+    return (
+        pairs.groupBy(err.alias("err_bin"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("err_bin")
+    )
+
+
 def t58_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup SURVIVORSHIP-BIAS audit: does canonical-keep dedup (the
     t52 pipeline) skew the per-source length profile? Compares doc
@@ -1283,6 +1310,7 @@ QUERIES = {
     "t56_boilerplate_strip": t56_boilerplate_strip,
     "t57_dup_cluster_profile": t57_dup_cluster_profile,
     "t58_dedup_bias_audit": t58_dedup_bias_audit,
+    "t59_minhash_estimator_error": t59_minhash_estimator_error,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -2414,11 +2442,13 @@ ORACLE["t48_char_entropy"] = """
 """
 
 
-def _t05_oracle() -> str:
+def _t05_oracle(with_est: bool = False) -> str:
     """DuckDB replay of t05's md5-mode MinHash+LSH: identical affine
     constants (shared ``minhash_perms``), md5-prefix shingle hashes,
     md5 band keys — pure integer arithmetic, so the candidate set and
-    the exact-Jaccard verify are both bit-deterministic."""
+    the exact-Jaccard verify are both bit-deterministic.
+    ``with_est=True`` adds the signature-match estimator column
+    (t59's estimator-quality audit); default output is unchanged."""
     from dislib_spark.text.dedup import _MERSENNE as M, minhash_perms
 
     sig_items = ",\n               ".join(
@@ -2434,6 +2464,18 @@ def _t05_oracle() -> str:
             ),
         )
         for b in range(8)
+    )
+    est_col = (
+        ",\n               ROUND(len([i for i in range(1, 33)"
+        " if x.sig[i] = y.sig[i]])::DOUBLE / 32.0, 6) AS minhash_est"
+        if with_est
+        else ""
+    )
+    tail = (
+        "SELECT a_id, b_id, jaccard, minhash_est FROM scored"
+        if with_est
+        else "SELECT a_id, b_id, jaccard FROM scored\n"
+        "    WHERE jaccard >= 0.3 ORDER BY a_id, b_id"
     )
     return f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -2472,13 +2514,12 @@ def _t05_oracle() -> str:
                ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE
                      / (len(x.sh) + len(y.sh)
                         - len(list_intersect(x.sh, y.sh)))::DOUBLE,
-                     6) AS jaccard
+                     6) AS jaccard{est_col}
         FROM cand c
-        JOIN sh x ON x.doc_id = c.a_id
-        JOIN sh y ON y.doc_id = c.b_id
+        JOIN sig x ON x.doc_id = c.a_id
+        JOIN sig y ON y.doc_id = c.b_id
     )
-    SELECT a_id, b_id, jaccard FROM scored
-    WHERE jaccard >= 0.3 ORDER BY a_id, b_id
+    {tail}
     """
 
 
@@ -2931,4 +2972,14 @@ ORACLE["t58_dedup_bias_audit"] = f"""
            a.n_after, a.avg_tok_after
     FROM b JOIN a ON b.source = a.source
     ORDER BY b.source
+"""
+
+# t59: the t05 replay WITH the signature-match estimator column,
+# un-thresholded, folded to a signed 0.01-bin error histogram.
+ORACLE["t59_minhash_estimator_error"] = f"""
+    WITH p AS ({_t05_oracle(with_est=True)})
+    SELECT CASE WHEN r = 0 THEN 0.0 ELSE r END AS err_bin,
+           COUNT(*) AS n_pairs
+    FROM (SELECT ROUND(minhash_est - jaccard, 2) AS r FROM p)
+    GROUP BY 1 ORDER BY err_bin
 """

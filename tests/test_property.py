@@ -251,3 +251,40 @@ def test_twap_matches_python_brute_force(spark, rows):
             continue
         assert math.isclose(got[k][0], round(num / den, 6), abs_tol=2e-6)
         assert got[k][1] == int(den)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=20,
+        max_size=400,
+    ),
+    k=st.integers(min_value=2, max_value=16),
+    shards=st.integers(min_value=1, max_value=8),
+    q=st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9]),
+)
+@settings(**_SETTINGS)
+def test_stride_quantiles_bound_property(spark, vals, k, shards, q):
+    """The x82 contract must hold on ARBITRARY integer multisets and
+    (k, shards) configs, not just the fixtures: fewer than
+    ceil(q*n) elements lie strictly below the estimate, and at least
+    ceil(q*n) - bound lie at or below it."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dislib_spark.sketches import stride_quantiles
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+    ).repartition(3)
+    row = stride_quantiles(
+        df, "v", F.col("id"), qs=(q,), k=k, shards=shards
+    ).collect()[0]
+    n, est, bound = row["n"], row["est"], row["rank_err_bound"]
+    assert n == len(vals)
+    t = math.ceil(q * n)
+    svals = sorted(float(v) for v in vals)
+    lt = sum(1 for v in svals if v < est)
+    le = sum(1 for v in svals if v <= est)
+    assert lt < t, (lt, t, est)
+    assert le >= t - bound, (le, t, bound, est)

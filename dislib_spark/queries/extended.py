@@ -2187,6 +2187,59 @@ def x85_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x86_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week audience overlap: for each consecutive week
+    pair, the exact Jaccard of the two weeks' active-user SETS plus
+    retained/new/lost splits — the set-algebra view of x80's growth
+    ledger (x80 counts statuses; this measures audience SIMILARITY,
+    the number a media/ads team quotes). One distinct (user, week)
+    collapse, one self-join on week+1 keyed by user, exact integer
+    set sizes — |A∩B| from the matched join, |A∪B| = |A|+|B|−|A∩B|."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    per = uw.groupBy("w").agg(F.count(F.lit(1)).alias("n_users"))
+    nxt = uw.select(
+        "user_id", (F.col("w") + F.expr("INTERVAL 7 DAYS")).alias("w")
+    )
+    inter = (
+        nxt.join(uw, ["user_id", "w"])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    prev = per.select(
+        (F.col("w") + F.expr("INTERVAL 7 DAYS")).alias("w"),
+        F.col("n_users").alias("n_prev"),
+    )
+    return (
+        per.join(prev, "w")
+        .join(inter, "w", "left")
+        .select(
+            "w",
+            "n_prev",
+            F.col("n_users").alias("n_curr"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            (F.col("n_users") - F.coalesce("n_retained", F.lit(0))).alias(
+                "n_new"
+            ),
+            (F.col("n_prev") - F.coalesce("n_retained", F.lit(0))).alias(
+                "n_lost"
+            ),
+            F.round(
+                F.coalesce("n_retained", F.lit(0))
+                / (
+                    F.col("n_prev")
+                    + F.col("n_users")
+                    - F.coalesce("n_retained", F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("w")
+    )
+
+
 def s11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (``streaming.windows
     .stream_stream_left_join``): every click accounted — matched to
@@ -2488,6 +2541,7 @@ QUERIES = {
     "x83_attribution": x83_attribution,
     "x84_event_paths": x84_event_paths,
     "x85_session_entry_exit": x85_session_entry_exit,
+    "x86_audience_overlap": x86_audience_overlap,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -4115,4 +4169,34 @@ ORACLE["x85_session_entry_exit"] = """
     FROM per
     GROUP BY 1, 2
     ORDER BY entry_type, exit_type
+"""
+
+ORACLE["x86_audience_overlap"] = """
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS w
+        FROM events
+    ),
+    per AS (SELECT w, COUNT(*) AS n_users FROM uw GROUP BY w),
+    inter AS (
+        SELECT n.w, COUNT(*) AS n_retained
+        FROM (SELECT user_id, w + INTERVAL 7 DAY AS w FROM uw) n
+        JOIN uw x ON n.user_id = x.user_id AND n.w = x.w
+        GROUP BY n.w
+    ),
+    prev AS (
+        SELECT w + INTERVAL 7 DAY AS w, n_users AS n_prev FROM per
+    )
+    SELECT p.w, pr.n_prev, p.n_users AS n_curr,
+           COALESCE(i.n_retained, 0) AS n_retained,
+           p.n_users - COALESCE(i.n_retained, 0) AS n_new,
+           pr.n_prev - COALESCE(i.n_retained, 0) AS n_lost,
+           ROUND(COALESCE(i.n_retained, 0)
+                 / CAST(pr.n_prev + p.n_users
+                        - COALESCE(i.n_retained, 0) AS DOUBLE), 6)
+               AS jaccard
+    FROM per p
+    JOIN prev pr ON p.w = pr.w
+    LEFT JOIN inter i ON p.w = i.w
+    ORDER BY p.w
 """

@@ -2240,6 +2240,48 @@ def x86_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x87_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the
+    engagement headline metric (DAU/WAU = "how many weekly users
+    show up on a given day"). Sliding-window DISTINCT is the hard
+    part at scale: instead of re-scanning a 7-day window per day,
+    each distinct (user, day) row fans out to the ≤7 window-end days
+    it can serve (bounded 7× explode of the already-collapsed
+    user-day table — never of raw events), then one distinct count
+    per window end. Exact integers; inner join on observed days
+    drops the phantom post-corpus window ends."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("n_dau"))
+    win = (
+        ud.select(
+            "user_id",
+            "d",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        )
+        .select(
+            "user_id",
+            F.expr("timestampadd(DAY, i, d)").alias("wd"),
+        )
+        .distinct()
+    )
+    wau = win.groupBy("wd").agg(F.count(F.lit(1)).alias("n_wau"))
+    return (
+        dau.join(wau, dau["d"] == wau["wd"])
+        .select(
+            "d",
+            "n_dau",
+            "n_wau",
+            F.round(
+                F.col("n_dau") / F.col("n_wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("d")
+    )
+
+
 def s11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (``streaming.windows
     .stream_stream_left_join``): every click accounted — matched to
@@ -2542,6 +2584,7 @@ QUERIES = {
     "x84_event_paths": x84_event_paths,
     "x85_session_entry_exit": x85_session_entry_exit,
     "x86_audience_overlap": x86_audience_overlap,
+    "x87_dau_wau_stickiness": x87_dau_wau_stickiness,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -4199,4 +4242,22 @@ ORACLE["x86_audience_overlap"] = """
     JOIN prev pr ON p.w = pr.w
     LEFT JOIN inter i ON p.w = i.w
     ORDER BY p.w
+"""
+
+ORACLE["x87_dau_wau_stickiness"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+        FROM events
+    ),
+    dau AS (SELECT d, COUNT(*) AS n_dau FROM ud GROUP BY d),
+    win AS (
+        SELECT DISTINCT user_id, d + i * INTERVAL 1 DAY AS wd
+        FROM ud, UNNEST([0, 1, 2, 3, 4, 5, 6]) AS t(i)
+    ),
+    wau AS (SELECT wd, COUNT(*) AS n_wau FROM win GROUP BY wd)
+    SELECT CAST(dau.d AS TIMESTAMP) AS d, dau.n_dau, wau.n_wau,
+           ROUND(dau.n_dau / CAST(wau.n_wau AS DOUBLE), 6)
+               AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.wd
+    ORDER BY d
 """

@@ -1634,6 +1634,76 @@ def m43_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m44_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan (Koenker studentized) heteroskedasticity test
+    for the m01 regression (l_quantity → l_extendedprice): regress
+    squared residuals on the regressor; LM = n·R²_aux, χ²(1) — the
+    diagnostic that decides whether m01's OLS standard errors can be
+    trusted. Two passes: one sufficient-statistics aggregate fits
+    (a, b); the 1-row fit broadcasts back onto the scan where per-row
+    e² is computed identically on both engines and cast per-term to
+    DECIMAL(38,6) so the auxiliary sums are order-exact (the m18
+    recipe); the LM/R² algebra then replays bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,6)")
+    y = F.col("l_extendedprice").cast("decimal(18,6)")
+    s1 = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    b = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    fit = F.broadcast(
+        s1.select(
+            "n",
+            "sx",
+            "sxx",
+            b.alias("b"),
+            ((sy - b * sx) / nn).alias("a"),
+        )
+    )
+    e = (
+        F.col("l_extendedprice")
+        - (F.col("a") + F.col("b") * F.col("l_quantity"))
+    )
+    g = (e * e).cast("decimal(38,6)")
+    s2 = (
+        li.crossJoin(fit)
+        .agg(
+            F.first("n").alias("n"),
+            F.first("sx").alias("sx"),
+            F.first("sxx").alias("sxx"),
+            F.sum(g).alias("sg"),
+            F.sum(
+                (F.col("l_quantity") * (e * e)).cast("decimal(38,6)")
+            ).alias("sxg"),
+            F.sum(((e * e) * (e * e)).cast("decimal(38,6)")).alias(
+                "sgg"
+            ),
+        )
+    )
+    sg = F.col("sg").cast("double")
+    sxg = F.col("sxg").cast("double")
+    sgg = F.col("sgg").cast("double")
+    num = nn * sxg - sx * sg
+    r2 = (num * num) / (
+        (nn * sxx - sx * sx) * (nn * sgg - sg * sg)
+    )
+    return s2.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(r2, 6).alias("r2_aux"),
+        F.round(nn * r2, 6).alias("lm_stat"),
+        F.lit(1).cast("int").alias("df"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -1678,6 +1748,7 @@ QUERIES = {
     "m41_mcnemar": m41_mcnemar,
     "m42_ece": m42_ece,
     "m43_effect_sizes": m43_effect_sizes,
+    "m44_breusch_pagan": m44_breusch_pagan,
 }
 
 
@@ -3058,4 +3129,80 @@ ORACLE["m43_effect_sizes"] = """
                  * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g
     FROM p
     ORDER BY group_a, group_b
+"""
+
+ORACLE["m44_breusch_pagan"] = """
+    WITH s1 AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+               -- DECIMAL(28,6) casts force DuckDB's int128 multiply
+               -- path (18-digit physical int64 products overflow);
+               -- the products are exact either way, matching Spark's
+               -- exact decimal(18,6) x decimal(18,6) arithmetic
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_quantity AS DECIMAL(28,6))) AS sxx,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_extendedprice AS DECIMAL(28,6))) AS sxy
+        FROM lineitem
+    ),
+    fit AS (
+        SELECT n, CAST(sx AS DOUBLE) AS sx, CAST(sxx AS DOUBLE) AS sxx,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+               (CAST(sy AS DOUBLE)
+                - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS a
+        FROM s1
+    ),
+    s2 AS (
+        SELECT MAX(f.n) AS n, MAX(f.sx) AS sx, MAX(f.sxx) AS sxx,
+               SUM(CAST((l.l_extendedprice
+                         - (f.a + f.b * l.l_quantity))
+                        * (l.l_extendedprice
+                           - (f.a + f.b * l.l_quantity))
+                        AS DECIMAL(38,6))) AS sg,
+               SUM(CAST(l.l_quantity
+                        * ((l.l_extendedprice
+                            - (f.a + f.b * l.l_quantity))
+                           * (l.l_extendedprice
+                              - (f.a + f.b * l.l_quantity)))
+                        AS DECIMAL(38,6))) AS sxg,
+               SUM(CAST(((l.l_extendedprice
+                          - (f.a + f.b * l.l_quantity))
+                         * (l.l_extendedprice
+                            - (f.a + f.b * l.l_quantity)))
+                        * ((l.l_extendedprice
+                            - (f.a + f.b * l.l_quantity))
+                           * (l.l_extendedprice
+                              - (f.a + f.b * l.l_quantity)))
+                        AS DECIMAL(38,6))) AS sgg
+        FROM lineitem l CROSS JOIN fit f
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(((CAST(n AS DOUBLE) * CAST(sxg AS DOUBLE)
+                   - sx * CAST(sg AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sxg AS DOUBLE)
+                     - sx * CAST(sg AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE)
+                       - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))),
+                 6) AS r2_aux,
+           ROUND(CAST(n AS DOUBLE)
+                 * ((CAST(n AS DOUBLE) * CAST(sxg AS DOUBLE)
+                     - sx * CAST(sg AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sxg AS DOUBLE)
+                       - sx * CAST(sg AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE)
+                       - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))),
+                 6) AS lm_stat,
+           CAST(1 AS INTEGER) AS df
+    FROM s2
 """

@@ -1156,6 +1156,28 @@ def t59_minhash_estimator_error(
     )
 
 
+def t60_source_length_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source document-length P50/P90/P99 via the GROUPED
+    deterministic rank sketch (``sketches.grouped_stride_quantiles``)
+    — the length-profile report a data-mix design reads per source,
+    carrying each group's worst-case rank-error bound alongside the
+    estimates (x82's contract, per group). Every window is (source,
+    shard)- or source-grained — the shape that holds when one source
+    is 100 TB."""
+    from dislib_spark.sketches import grouped_stride_quantiles
+    from dislib_spark.text.analysis import token_count
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toklen", token_count(F.col("text")).cast("double")
+    )
+    return grouped_stride_quantiles(
+        d, "toklen", F.col("doc_id"), "source",
+        qs=(0.5, 0.9, 0.99), k=64, shards=8,
+    )
+
+
 def t58_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup SURVIVORSHIP-BIAS audit: does canonical-keep dedup (the
     t52 pipeline) skew the per-source length profile? Compares doc
@@ -1311,6 +1333,7 @@ QUERIES = {
     "t57_dup_cluster_profile": t57_dup_cluster_profile,
     "t58_dedup_bias_audit": t58_dedup_bias_audit,
     "t59_minhash_estimator_error": t59_minhash_estimator_error,
+    "t60_source_length_profile": t60_source_length_profile,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -2982,4 +3005,60 @@ ORACLE["t59_minhash_estimator_error"] = f"""
            COUNT(*) AS n_pairs
     FROM (SELECT ROUND(minhash_est - jaccard, 2) AS r FROM p)
     GROUP BY 1 ORDER BY err_bin
+"""
+
+# t60: the x82 integer replay with (source) as a leading partition key.
+ORACLE["t60_source_length_profile"] = """
+    WITH src AS (
+        SELECT source AS grp,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS val,
+               CAST(doc_id AS VARCHAR) AS kstr
+        FROM documents
+    ),
+    sh AS (
+        SELECT grp, val, kstr,
+               CAST('0x' || substr(md5(kstr), 1, 4) AS INTEGER) % 8
+                   AS shard
+        FROM src
+    ),
+    st AS (
+        SELECT grp, shard, val, kstr,
+               ROW_NUMBER() OVER (
+                   PARTITION BY grp, shard ORDER BY val, kstr) AS rn,
+               COUNT(*) OVER (PARTITION BY grp, shard) AS m
+        FROM sh
+    ),
+    st2 AS (SELECT *, (m + 63) // 64 AS stride FROM st),
+    kept AS (
+        SELECT grp, shard, val, kstr, stride,
+               LEAST(stride, m - (rn - 1)) AS wt
+        FROM st2 WHERE (rn - 1) % stride = 0
+    ),
+    tot AS (
+        SELECT grp, CAST(SUM(wt) AS BIGINT) AS n,
+               COUNT(*) AS summary_rows
+        FROM kept GROUP BY grp
+    ),
+    bnd AS (
+        SELECT grp, CAST(SUM(stride - 1) AS BIGINT) AS rank_err_bound
+        FROM (SELECT grp, shard, MAX(stride) AS stride
+              FROM kept GROUP BY grp, shard)
+        GROUP BY grp
+    ),
+    cum AS (
+        SELECT grp, val,
+               CAST(SUM(wt) OVER (PARTITION BY grp ORDER BY val, kstr
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw
+        FROM kept
+    ),
+    qs AS (SELECT CAST(UNNEST([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+    SELECT c.grp AS source, q, ROUND(MIN(val), 6) AS est,
+           n, summary_rows, rank_err_bound
+    FROM cum c
+    JOIN tot USING (grp)
+    JOIN bnd USING (grp)
+    CROSS JOIN qs
+    WHERE cumw >= CAST(CEIL(q * n) AS BIGINT)
+    GROUP BY c.grp, q, n, summary_rows, rank_err_bound
+    ORDER BY source, q
 """

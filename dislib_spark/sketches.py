@@ -595,3 +595,100 @@ def stride_quantiles(
         )
         .orderBy("q")
     )
+
+
+def grouped_stride_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key: Column,
+    by: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    k: int = 256,
+    shards: int = 32,
+) -> DataFrame:
+    """Per-GROUP :func:`stride_quantiles`: the same deterministic
+    MRL-style summary, sharded and bounded WITHIN each ``by`` group —
+    per-group rank error ≤ the group's reported ``rank_err_bound``
+    (Σ over that group's shards of stride−1), summaries ≤ shards·k
+    rows per group. The grouped form is what a per-source /
+    per-tenant length-profile report runs at 100 TB: every window
+    below is (group, shard)- or group-grained, never global.
+
+    Returns one row per (by, q): (by, q, est, n, summary_rows,
+    rank_err_bound).
+    """
+    from pyspark.sql import Window
+
+    from dislib_spark.sampling import hash_bucket
+
+    src = df.select(
+        F.col(by).alias("grp"),
+        F.col(value_col).cast("double").alias("val"),
+        key.cast("string").alias("kstr"),
+    ).withColumn("shard", hash_bucket(F.col("kstr"), shards))
+    wsh = Window.partitionBy("grp", "shard").orderBy("val", "kstr")
+    csh = Window.partitionBy("grp", "shard")
+    staged = src.select(
+        "grp",
+        "shard",
+        "val",
+        "kstr",
+        F.row_number().over(wsh).alias("rn"),
+        F.count(F.lit(1)).over(csh).alias("m"),
+    ).withColumn("stride", F.expr(f"(m + {int(k) - 1}) div {int(k)}"))
+    kept = (
+        staged.where((F.col("rn") - 1) % F.col("stride") == 0)
+        .select(
+            "grp",
+            "shard",
+            "val",
+            "kstr",
+            "stride",
+            F.least(
+                F.col("stride"), F.col("m") - (F.col("rn") - 1)
+            ).alias("wt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = kept.groupBy("grp").agg(
+        F.sum("wt").cast("bigint").alias("n"),
+        F.count(F.lit(1)).alias("summary_rows"),
+    )
+    bnd = (
+        kept.groupBy("grp", "shard")
+        .agg(F.max("stride").alias("stride"))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("stride") - 1)
+            .cast("bigint")
+            .alias("rank_err_bound")
+        )
+    )
+    wall = Window.partitionBy("grp").orderBy("val", "kstr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = kept.select("grp", "val", F.sum("wt").over(wall).alias("cumw"))
+    e = (
+        cum.select(
+            "grp",
+            "val",
+            "cumw",
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in qs])
+            ).alias("q"),
+        )
+        .join(tot, "grp")
+        .join(bnd, "grp")
+    )
+    return (
+        e.where(F.col("cumw") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("grp", "q")
+        .agg(
+            F.round(F.min("val"), 6).alias("est"),
+            F.first("n").alias("n"),
+            F.first("summary_rows").alias("summary_rows"),
+            F.first("rank_err_bound").alias("rank_err_bound"),
+        )
+        .withColumnRenamed("grp", by)
+        .orderBy(by, "q")
+    )

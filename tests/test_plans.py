@@ -69,6 +69,7 @@ _BNLJ_OK = {
     "x82_stride_quantiles",  # 1-row broadcasts of (n, rows) and the bound
     "v22_ivf_cell_balance",  # 16-row centers + 1-row total broadcasts
     "v23_probe_recall_curve",  # broadcast centers/probes + 1-row nq (v04 shape)
+    "m44_breusch_pagan",  # 1-row broadcast of the fitted (a, b) onto the scan
 }
 
 

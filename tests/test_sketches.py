@@ -265,3 +265,54 @@ def test_stride_quantiles_merge_law(spark):
     # and the final estimates agree with the one-shot operator
     one = stride_quantiles(df, "v", F.col("id"), k=64, shards=8)
     assert one.count() == 3
+
+
+def test_grouped_stride_quantiles_contract(spark):
+    """The per-group form must (a) match single-group
+    stride_quantiles exactly when there is one group, and (b) honor
+    the rank-error contract independently PER group on skewed group
+    sizes."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dislib_spark.sketches import (
+        grouped_stride_quantiles,
+        stride_quantiles,
+    )
+
+    rows = [(i, "g1" if i % 10 else "g2", float((i * 17) % 251))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+
+    # (a) single group ≡ ungrouped
+    one = df.where(F.col("grp") == "g2")
+    a = {
+        r["q"]: (r["est"], r["n"], r["rank_err_bound"])
+        for r in stride_quantiles(
+            one, "v", F.col("id"), k=32, shards=4
+        ).collect()
+    }
+    b = {
+        r["q"]: (r["est"], r["n"], r["rank_err_bound"])
+        for r in grouped_stride_quantiles(
+            one, "v", F.col("id"), "grp", k=32, shards=4
+        ).collect()
+    }
+    assert a == b
+
+    # (b) contract per group on the skewed frame
+    got = grouped_stride_quantiles(
+        df, "v", F.col("id"), "grp", k=32, shards=4
+    ).collect()
+    by_grp = {}
+    for i, g, v in rows:
+        by_grp.setdefault(g, []).append(v)
+    for r in got:
+        vals = sorted(by_grp[r["grp"]])
+        assert r["n"] == len(vals)
+        t = math.ceil(r["q"] * r["n"])
+        lt = sum(1 for v in vals if v < r["est"])
+        le = sum(1 for v in vals if v <= r["est"])
+        assert lt < t
+        assert le >= t - r["rank_err_bound"]

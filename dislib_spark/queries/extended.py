@@ -2321,6 +2321,58 @@ def s11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s12_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply, declared: a change feed derived from orders
+    (latest order re-states a customer's balance; every 50th
+    customer key is a delete marker) compacts to latest-per-key
+    (``streaming.cdc.compact_changes``, the x43 kernel) and MERGEs
+    into the customer base (``sources.merge.merge_into`` — update /
+    insert / delete arms), then rolls the merged table up per
+    nation. This is the batch face of ``cdc_apply_sink`` (the
+    foreachBatch streaming sink runs the identical two kernels per
+    micro-batch — pinned in tests/test_cdc_apply.py); one window
+    over the change set + one full-outer key join, the 100 TB merge
+    shape. DECIMAL(18,2) balance sums keep the rollup order-exact."""
+    from dislib_spark.sources.merge import merge_into
+    from dislib_spark.streaming.cdc import compact_changes
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    base = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit("I").alias("op"),
+    )
+    changes = orders.join(
+        cust.select("c_custkey", "c_nationkey"),
+        orders["o_custkey"] == cust["c_custkey"],
+    ).select(
+        F.col("o_custkey").alias("c_custkey"),
+        "c_nationkey",
+        F.col("o_totalprice").alias("acctbal"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.when(F.col("o_custkey") % 50 == 0, "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    latest = compact_changes(changes, ["c_custkey"], "ts")
+    merged = merge_into(
+        base, latest, ["c_custkey"], F.col("op") == "D"
+    )
+    return (
+        merged.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_balance"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def x78_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traffic seasonality profile: events bucketed by (day-of-week,
     hour-of-day) with per-cell counts, value sums and each cell's
@@ -2596,6 +2648,7 @@ QUERIES = {
     "s09_stateful_running": s09_stateful_running,
     "s10_stream_join": s10_stream_join,
     "s11_stream_left_join": s11_stream_left_join,
+    "s12_cdc_apply": s12_cdc_apply,
 }
 
 ORACLE = {
@@ -4260,4 +4313,48 @@ ORACLE["x87_dau_wau_stickiness"] = """
                AS stickiness
     FROM dau JOIN wau ON dau.d = wau.wd
     ORDER BY d
+"""
+
+# s12: full merge replay — latest-per-key compaction with the exact
+# compact_changes tie order (ts, then remaining columns in frame
+# order, all DESC), then the update/insert/delete arms as set algebra.
+ORACLE["s12_cdc_apply"] = """
+    WITH base AS (
+        SELECT c_custkey, c_nationkey, c_acctbal AS acctbal,
+               TIMESTAMP '1990-01-01 00:00:00' AS ts, 'I' AS op
+        FROM customer
+    ),
+    ch AS (
+        SELECT o.o_custkey AS c_custkey, c.c_nationkey,
+               o.o_totalprice AS acctbal,
+               CAST(o.o_orderdate AS TIMESTAMP) AS ts,
+               CASE WHEN o.o_custkey % 50 = 0 THEN 'D' ELSE 'U' END
+                   AS op
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    latest AS (
+        SELECT c_custkey, c_nationkey, acctbal, ts, op FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY c_custkey
+                ORDER BY ts DESC, c_nationkey DESC, acctbal DESC,
+                         op DESC) AS rn
+            FROM ch
+        ) WHERE rn = 1
+    ),
+    upds AS (SELECT * FROM latest WHERE op <> 'D'),
+    dels AS (SELECT c_custkey FROM latest WHERE op = 'D'),
+    merged AS (
+        SELECT b.c_nationkey, b.acctbal FROM base b
+        WHERE b.c_custkey NOT IN (SELECT c_custkey FROM dels)
+          AND b.c_custkey NOT IN (SELECT c_custkey FROM upds)
+        UNION ALL
+        SELECT c_nationkey, acctbal FROM upds
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_balance
+    FROM merged
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
 """

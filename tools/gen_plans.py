@@ -67,6 +67,9 @@ PICKS = {
     "x84_event_paths": "LEADs share the (user,session) sort with sessionize's per-user exchange; path counts map-side combined",
     "s11_stream_left_join": "left-outer interval join keyed on user with the range in the ON clause — state-TTL'd when streaming",
     "t56_boilerplate_strip": "chunk explode runs ONCE behind an eager checkpoint (plan shows the fp count + equi-join downstream); no broadcast of the SF-growing dup set",
+    "m44_breusch_pagan": "two passes: sufficient-stats agg, then the 1-row fit broadcast onto the scan for decimal-exact residual sums",
+    "x87_dau_wau_stickiness": "sliding distinct via bounded 7x fan-out of the collapsed user-day table — no per-day window re-scan",
+    "s12_cdc_apply": "latest-per-key window over the change set + ONE full-outer key join (the merge arms in codegen)",
 }
 
 

@@ -1704,6 +1704,62 @@ def m44_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m45_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on the m01 regression residuals —
+    the second OLS diagnostic beside m44's heteroskedasticity LM
+    (JB = n/6·(S² + (K−3)²/4) from residual skewness S and kurtosis
+    K; OLS-with-intercept residuals have exactly zero mean, so the
+    central moments ARE the raw moments). Same two-pass shape as
+    m44: the 1-row fit broadcasts onto the scan; Σe², Σe³, Σe⁴ are
+    per-term DECIMAL(38,6) casts (order-exact, sign-carrying), and
+    the S/K/JB algebra mirrors the oracle's operation order exactly
+    (m2·√m2, never POWER)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,6)")
+    y = F.col("l_extendedprice").cast("decimal(18,6)")
+    s1 = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    b = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    fit = F.broadcast(
+        s1.select(
+            "n",
+            b.alias("b"),
+            ((sy - b * sx) / nn).alias("a"),
+        )
+    )
+    e = (
+        F.col("l_extendedprice")
+        - (F.col("a") + F.col("b") * F.col("l_quantity"))
+    )
+    s2 = li.crossJoin(fit).agg(
+        F.first("n").alias("n"),
+        F.sum((e * e).cast("decimal(38,6)")).alias("se2"),
+        F.sum(((e * e) * e).cast("decimal(38,6)")).alias("se3"),
+        F.sum(((e * e) * (e * e)).cast("decimal(38,6)")).alias("se4"),
+    )
+    nn2 = F.col("n").cast("double")
+    m2 = F.col("se2").cast("double") / nn2
+    s = (F.col("se3").cast("double") / nn2) / (m2 * F.sqrt(m2))
+    k = (F.col("se4").cast("double") / nn2) / (m2 * m2)
+    jb = nn2 / 6.0 * (s * s + (k - 3.0) * (k - 3.0) / 4.0)
+    return s2.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(s, 6).alias("skewness"),
+        F.round(k, 6).alias("kurtosis"),
+        F.round(jb, 6).alias("jb_stat"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -1749,6 +1805,7 @@ QUERIES = {
     "m42_ece": m42_ece,
     "m43_effect_sizes": m43_effect_sizes,
     "m44_breusch_pagan": m44_breusch_pagan,
+    "m45_jarque_bera": m45_jarque_bera,
 }
 
 
@@ -3204,5 +3261,88 @@ ORACLE["m44_breusch_pagan"] = """
                        - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))),
                  6) AS lm_stat,
            CAST(1 AS INTEGER) AS df
+    FROM s2
+"""
+
+ORACLE["m45_jarque_bera"] = """
+    WITH s1 AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_quantity AS DECIMAL(28,6))) AS sxx,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_extendedprice AS DECIMAL(28,6))) AS sxy
+        FROM lineitem
+    ),
+    fit AS (
+        SELECT n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+               (CAST(sy AS DOUBLE)
+                - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS a
+        FROM s1
+    ),
+    s2 AS (
+        SELECT MAX(f.n) AS n,
+               SUM(CAST((l.l_extendedprice
+                         - (f.a + f.b * l.l_quantity))
+                        * (l.l_extendedprice
+                           - (f.a + f.b * l.l_quantity))
+                        AS DECIMAL(38,6))) AS se2,
+               SUM(CAST(((l.l_extendedprice
+                          - (f.a + f.b * l.l_quantity))
+                         * (l.l_extendedprice
+                            - (f.a + f.b * l.l_quantity)))
+                        * (l.l_extendedprice
+                           - (f.a + f.b * l.l_quantity))
+                        AS DECIMAL(38,6))) AS se3,
+               SUM(CAST(((l.l_extendedprice
+                          - (f.a + f.b * l.l_quantity))
+                         * (l.l_extendedprice
+                            - (f.a + f.b * l.l_quantity)))
+                        * ((l.l_extendedprice
+                            - (f.a + f.b * l.l_quantity))
+                           * (l.l_extendedprice
+                              - (f.a + f.b * l.l_quantity)))
+                        AS DECIMAL(38,6))) AS se4
+        FROM lineitem l CROSS JOIN fit f
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND((CAST(se3 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / ((CAST(se2 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * SQRT(CAST(se2 AS DOUBLE) / CAST(n AS DOUBLE))),
+                 6) AS skewness,
+           ROUND((CAST(se4 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / ((CAST(se2 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(se2 AS DOUBLE) / CAST(n AS DOUBLE))),
+                 6) AS kurtosis,
+           ROUND(CAST(n AS DOUBLE) / 6.0
+                 * (((CAST(se3 AS DOUBLE) / CAST(n AS DOUBLE))
+                     / ((CAST(se2 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * SQRT(CAST(se2 AS DOUBLE)
+                               / CAST(n AS DOUBLE))))
+                    * ((CAST(se3 AS DOUBLE) / CAST(n AS DOUBLE))
+                       / ((CAST(se2 AS DOUBLE) / CAST(n AS DOUBLE))
+                          * SQRT(CAST(se2 AS DOUBLE)
+                                 / CAST(n AS DOUBLE))))
+                    + (((CAST(se4 AS DOUBLE) / CAST(n AS DOUBLE))
+                        / ((CAST(se2 AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(se2 AS DOUBLE)
+                              / CAST(n AS DOUBLE)))) - 3.0)
+                      * (((CAST(se4 AS DOUBLE) / CAST(n AS DOUBLE))
+                          / ((CAST(se2 AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                             * (CAST(se2 AS DOUBLE)
+                                / CAST(n AS DOUBLE)))) - 3.0)
+                      / 4.0),
+                 6) AS jb_stat
     FROM s2
 """

@@ -1178,6 +1178,56 @@ def t60_source_length_profile(
     )
 
 
+def t61_source_vocab_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source vocabulary overlap: Jaccard of the distinct-token
+    vocabularies for every source pair — the corpus-mix design signal
+    (two sources with near-identical vocabularies add redundancy, not
+    coverage; near-zero overlap flags a domain outlier). One (source,
+    token) distinct collapse (vocab-sized, sublinear in the corpus),
+    one token-keyed self-join for the intersection counts, exact
+    integer set algebra — never a doc-level pair join."""
+    d = load_table(spark, sf_dir, "documents")
+    st = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).distinct()
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = st.select(F.col("source").alias("src_a"), "w")
+    b = st.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("nv").alias("nv_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("nv").alias("nv_b")
+    )
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "nv_a",
+            "nv_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (
+                    F.col("nv_a") + F.col("nv_b") - F.col("n_common")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 def t58_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup SURVIVORSHIP-BIAS audit: does canonical-keep dedup (the
     t52 pipeline) skew the per-source length profile? Compares doc
@@ -1334,6 +1384,7 @@ QUERIES = {
     "t58_dedup_bias_audit": t58_dedup_bias_audit,
     "t59_minhash_estimator_error": t59_minhash_estimator_error,
     "t60_source_length_profile": t60_source_length_profile,
+    "t61_source_vocab_overlap": t61_source_vocab_overlap,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -3061,4 +3112,29 @@ ORACLE["t60_source_length_profile"] = """
     WHERE cumw >= CAST(CEIL(q * n) AS BIGINT)
     GROUP BY c.grp, q, n, summary_rows, rank_err_bound
     ORDER BY source, q
+"""
+
+ORACLE["t61_source_vocab_overlap"] = """
+    WITH st AS (
+        SELECT DISTINCT source, w FROM (
+            SELECT source, UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT source, COUNT(*) AS nv FROM st GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               COUNT(*) AS n_common
+        FROM st a JOIN st b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, sa.nv AS nv_a, sb.nv AS nv_b,
+           i.n_common,
+           ROUND(i.n_common
+                 / CAST(sa.nv + sb.nv - i.n_common AS DOUBLE), 6)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY i.src_a, i.src_b
 """

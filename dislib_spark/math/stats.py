@@ -60,15 +60,21 @@ def _with_bin_key(src: DataFrame, v: Column, n_bins: int):
     for the value — the shared binning step of the ECDF/rank-family
     kernels (ks_statistic / roc_auc / mann_whitney_u /
     kruskal_wallis). Bounds every downstream per-distinct-value
-    window at ``n_bins`` rows regardless of corpus size."""
-    lohi = src.agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
-    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    window at ``n_bins`` rows regardless of corpus size.
+
+    The broadcast bounds land under collision-proof internal names
+    (``__bk_lo``/``__bk_hi``) so a caller frame that already carries
+    a ``lo`` or ``hi`` column can't trip an ambiguous-reference
+    error or silently mis-bin."""
+    lohi = src.agg(F.min(v).alias("__bk_lo"), F.max(v).alias("__bk_hi"))
+    lo, hi = F.col("__bk_lo"), F.col("__bk_hi")
+    width = (hi - lo) / F.lit(float(n_bins))
     key = (
-        F.when(F.col("hi") == F.col("lo"), F.lit(0.0))
+        F.when(hi == lo, F.lit(0.0))
         .otherwise(
             F.least(
                 F.lit(float(n_bins - 1)),
-                F.floor((v - F.col("lo")) / width).cast("double"),
+                F.floor((v - lo) / width).cast("double"),
             )
         )
     )

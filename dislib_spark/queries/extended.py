@@ -2054,11 +2054,18 @@ def x83_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("long"), F.lit(4)
         ),
     )
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("event_id").alias("c_id"),
-        F.col("ts").alias("c_ts"),
-        ch.alias("channel"),
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("c_id"),
+            F.col("ts").alias("c_ts"),
+            ch.alias("channel"),
+        )
+        # drop clicks with missing props.k: a NULL channel would sort
+        # differently across engines (Spark NULLS FIRST vs DuckDB
+        # NULLS LAST) — the oracle filters identically
+        .where(F.col("channel").isNotNull())
     )
     buys = ev.where(F.col("event_type") == "purchase").select(
         "user_id",
@@ -4128,10 +4135,14 @@ ORACLE["s11_stream_left_join"] = """
 
 ORACLE["x83_attribution"] = """
     WITH ch AS (
+        -- ((k % 4) + 4) % 4 replays Spark's F.pmod (non-negative)
+        -- even on negative k; NULL-k clicks are dropped both sides
         SELECT user_id, event_id AS c_id, ts AS c_ts,
-               'ch' || (CAST(json_extract_string(props, '$.k')
-                             AS BIGINT) % 4) AS channel
+               'ch' || (((CAST(json_extract_string(props, '$.k')
+                               AS BIGINT) % 4) + 4) % 4) AS channel
         FROM events WHERE event_type = 'click'
+          AND CAST(json_extract_string(props, '$.k') AS BIGINT)
+              IS NOT NULL
     ),
     b AS (
         SELECT user_id, event_id AS p_id, ts AS p_ts,

@@ -3005,12 +3005,20 @@ ORACLE["m39_kruskal_wallis"] = """
     SELECT n, CAST(k AS INTEGER) AS k,
            ROUND(3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
                  * s - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
-           ROUND((3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) = 0
+                     OR (1.0 - tie
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+                        = 0
+                THEN NULL
+                ELSE ROUND(
+                 (3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
                   * s - 3.0 * (CAST(n AS DOUBLE) + 1.0))
                  / (1.0 - tie
                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))),
-                 6) AS h_tie_corrected
+                 6) END AS h_tie_corrected
     FROM agg CROSS JOIN ties
 """
 

@@ -711,6 +711,31 @@ def test_mann_whitney_u_identical_groups_z_zero(spark):
     assert got["z"] == 0.0
 
 
+def test_bin_key_survives_lo_hi_column_collision(spark):
+    """_with_bin_key broadcasts its (min, max) bounds into the
+    caller's frame under internal __bk_* names — an input that
+    already carries 'lo'/'hi' columns must neither raise an
+    ambiguous-reference error nor mis-bin (ADVICE r6)."""
+    rng = np.random.default_rng(7)
+    vals = rng.normal(0.0, 1.0, size=400)
+    rows = [
+        (float(v), "A" if i % 2 == 0 else "B", 1.0, 2.0)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["val", "grp", "lo", "hi"])
+    clean = df.drop("lo", "hi")
+    from dislib_spark.math.stats import mann_whitney_u
+
+    got = mann_whitney_u(
+        df, "val", "grp", "A", "B", n_bins=32
+    ).collect()[0]
+    ref = mann_whitney_u(
+        clean, "val", "grp", "A", "B", n_bins=32
+    ).collect()[0]
+    assert got["n_a"] == ref["n_a"] and got["n_b"] == ref["n_b"]
+    assert got["u_a"] == ref["u_a"] and got["z"] == ref["z"]
+
+
 def test_auto_bins_branch_selection(spark):
     """n_bins="auto" (the declared m11/m23 default) picks the exact
     path below the distinct-count threshold and the binned path above

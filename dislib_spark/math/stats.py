@@ -695,3 +695,130 @@ def kruskal_wallis(
         F.round(h, 6).alias("h"),
         h_tc.alias("h_tie_corrected"),
     )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int | None | str = None,
+    auto_threshold: int = AUTO_DISTINCT_THRESHOLD,
+    auto_bins: int = AUTO_BINS,
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (Levene's test with
+    the group MEDIAN center): one-way ANOVA on the absolute
+    deviations ``z = |y − median_g|`` — the robust precondition check
+    for the m39 Kruskal / m18 Welch family (reference analogue: the
+    model-validation statistics around ``dislib/model_selection``).
+    Median-centering (not mean) is what makes the statistic exactly
+    replayable: the median is a closed-form function of the
+    per-distinct-value count table.
+
+    Scale shape: rows collapse FIRST to per-(group, distinct-value)
+    counts in one map-side-combined aggregate; the per-group exact
+    median comes from ONE running-sum window over that table
+    (1-indexed positions ``(n+1)//2`` and ``(n+2)//2``, averaged —
+    the textbook even/odd rule), and every downstream sum is over
+    the distinct-value table, never the corpus. ``n_bins`` bounds
+    the table for continuous columns (same contract as
+    ``kruskal_wallis``).
+
+    Exactness: counts are exact longs; ``c·z`` and ``c·z²`` per-term
+    cast to DECIMAL(38,6) so the sums are order-exact; the final
+    W = ((N−k)/(k−1)) · Σ n_g(z̄_g−z̄)² / Σ(Σcz² − (Σcz)²/n_g) is
+    IEEE algebra on those exact operands. Degenerate inputs (k ≤ 1
+    or a zero within-group denominator) return NULL for ``w``.
+
+    Returns one row (n, k, w, df1, df2).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    src = df
+    n_bins = _resolve_auto_bins(src, v, n_bins, auto_threshold, auto_bins)
+    if n_bins is not None:
+        src, v = _with_bin_key(src, v, n_bins)
+    per = src.groupBy(
+        F.col(group_col).alias("g"), v.alias("val")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("g")
+    pv = per.select(
+        "g",
+        "val",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n_g"),
+    ).withColumn("prev", F.col("cum") - F.col("c"))
+    # exact median: avg of the values at 1-indexed positions
+    # (n+1)//2 and (n+2)//2 of the sorted sample
+    p1 = F.floor((F.col("n_g") + 1) / 2)
+    p2 = F.floor((F.col("n_g") + 2) / 2)
+    med = F.broadcast(
+        pv.groupBy("g")
+        .agg(
+            (
+                (
+                    F.max(
+                        F.when(
+                            (F.col("prev") < p1) & (p1 <= F.col("cum")),
+                            F.col("val"),
+                        )
+                    )
+                    + F.max(
+                        F.when(
+                            (F.col("prev") < p2) & (p2 <= F.col("cum")),
+                            F.col("val"),
+                        )
+                    )
+                )
+                / 2.0
+            ).alias("med")
+        )
+    )
+    z = F.abs(F.col("val") - F.col("med"))
+    grp = (
+        per.join(med, "g")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum((F.col("c") * z).cast("decimal(38,6)")).alias("sz"),
+            F.sum((F.col("c") * z * z).cast("decimal(38,6)")).alias(
+                "szz"
+            ),
+        )
+    )
+    szd = F.col("sz").cast("double")
+    szzd = F.col("szz").cast("double")
+    ngd = F.col("n_g").cast("double")
+    agg = grp.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(szd).alias("sz_all"),
+        F.sum(szd * szd / ngd).alias("sq_over_n"),
+        F.sum(szzd - szd * szd / ngd).alias("den"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    zbar = F.col("sz_all") / nd
+    num = F.col("sq_over_n") - nd * zbar * zbar
+    w_stat = (nd - kd) / (kd - 1.0) * F.col("num") / F.col("den")
+    return (
+        agg.withColumn("num", num)
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("k").cast("int").alias("k"),
+            F.when(
+                (F.col("k") <= 1) | (F.col("den") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(F.round(w_stat, 6))
+            .alias("w"),
+            (F.col("k") - 1).cast("int").alias("df1"),
+            (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
+        )
+    )

@@ -1760,6 +1760,24 @@ def m45_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m46_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across the three
+    return-flag populations of lineitem quantity
+    (``math.stats.brown_forsythe``) — the robust Levene variant that
+    completes the OLS/ANOVA diagnostics family: m44 checks
+    heteroskedasticity of the regression, m45 residual normality,
+    and this one the equal-variance precondition the m39 Kruskal /
+    m18 Welch comparisons care about. Median-centered so the whole
+    statistic is a closed-form function of the per-(group, value)
+    count table — distinct-value collapse first, per-group exact
+    medians from one partitioned running-sum window, DECIMAL(38,6)
+    per-term deviation sums, IEEE algebra replayed by the oracle."""
+    from dislib_spark.math.stats import brown_forsythe
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return brown_forsythe(li, "l_quantity", "l_returnflag")
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -1806,6 +1824,7 @@ QUERIES = {
     "m43_effect_sizes": m43_effect_sizes,
     "m44_breusch_pagan": m44_breusch_pagan,
     "m45_jarque_bera": m45_jarque_bera,
+    "m46_brown_forsythe": m46_brown_forsythe,
 }
 
 
@@ -3353,4 +3372,66 @@ ORACLE["m45_jarque_bera"] = """
                       / 4.0),
                  6) AS jb_stat
     FROM s2
+"""
+
+# m46: per-group exact medians from the running-sum positions
+# (n+1)//2 / (n+2)//2 over the distinct-value table; c·|v−med| and
+# c·|v−med|² per-term DECIMAL(38,6) so the deviation sums are
+# order-exact; the W algebra mirrors the engine's operation order.
+ORACLE["m46_brown_forsythe"] = """
+    WITH per AS (
+        SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS val,
+               COUNT(*) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pv AS (
+        SELECT g, val, c,
+               SUM(c) OVER (PARTITION BY g ORDER BY val
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               SUM(c) OVER (PARTITION BY g) AS n_g
+        FROM per
+    ),
+    med AS (
+        SELECT g,
+               (MAX(CASE WHEN cum - c < FLOOR((n_g + 1) / 2)
+                          AND FLOOR((n_g + 1) / 2) <= cum
+                         THEN val END)
+                + MAX(CASE WHEN cum - c < FLOOR((n_g + 2) / 2)
+                            AND FLOOR((n_g + 2) / 2) <= cum
+                           THEN val END)) / 2.0 AS med
+        FROM pv GROUP BY g
+    ),
+    grp AS (
+        SELECT per.g,
+               CAST(SUM(c) AS BIGINT) AS n_g,
+               SUM(CAST(c * ABS(val - med) AS DECIMAL(38,6))) AS sz,
+               SUM(CAST(c * ABS(val - med) * ABS(val - med)
+                        AS DECIMAL(38,6))) AS szz
+        FROM per JOIN med USING (g) GROUP BY per.g
+    ),
+    agg AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               COUNT(*) AS k,
+               SUM(CAST(sz AS DOUBLE)) AS sz_all,
+               SUM(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                   / CAST(n_g AS DOUBLE)) AS sq_over_n,
+               SUM(CAST(szz AS DOUBLE)
+                   - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                     / CAST(n_g AS DOUBLE)) AS den
+        FROM grp
+    )
+    SELECT n, CAST(k AS INTEGER) AS k,
+           CASE WHEN k <= 1 OR den = 0 THEN NULL
+                ELSE ROUND(
+                    (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                    / (CAST(k AS DOUBLE) - 1.0)
+                    * (sq_over_n
+                       - CAST(n AS DOUBLE)
+                         * (sz_all / CAST(n AS DOUBLE))
+                         * (sz_all / CAST(n AS DOUBLE)))
+                    / den, 6) END AS w,
+           CAST(k - 1 AS INTEGER) AS df1,
+           CAST(n - k AS BIGINT) AS df2
+    FROM agg
 """

@@ -1023,3 +1023,47 @@ def test_m40_minimax_equals_weighted_pav(spark):
     for got, exp in zip(cal, want):
         assert got == pytest.approx(exp, abs=2e-6)
     assert all(b >= a for a, b in zip(cal, cal[1:]))
+
+
+def test_brown_forsythe_matches_numpy(spark):
+    """brown_forsythe vs the direct textbook computation (median-
+    centered absolute deviations, one-way ANOVA F) on three heavily
+    tied integer groups."""
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 15, 120).astype(float)
+    b = rng.integers(0, 25, 90).astype(float)
+    c = rng.integers(5, 20, 75).astype(float)
+    rows = (
+        [(float(v), "A") for v in a]
+        + [(float(v), "B") for v in b]
+        + [(float(v), "C") for v in c]
+    )
+    df = spark.createDataFrame(rows, ["v", "g"])
+    from dislib_spark.math.stats import brown_forsythe
+
+    got = brown_forsythe(df, "v", "g").collect()[0]
+    groups = [a, b, c]
+    zs = [np.abs(g - np.median(g)) for g in groups]
+    n, k = sum(len(g) for g in groups), len(groups)
+    zbar = np.concatenate(zs).mean()
+    num = sum(len(z) * (z.mean() - zbar) ** 2 for z in zs)
+    den = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    ref = (n - k) / (k - 1) * num / den
+    assert got["n"] == n and got["k"] == k
+    assert got["df1"] == k - 1 and got["df2"] == n - k
+    assert got["w"] == pytest.approx(ref, abs=1e-5)
+
+
+def test_brown_forsythe_degenerate_returns_null_w(spark):
+    """A single group (k=1) and an all-constant sample both make W
+    meaningless -> NULL, not NaN/inf."""
+    from dislib_spark.math.stats import brown_forsythe
+
+    one = spark.createDataFrame(
+        [(1.0, "A"), (2.0, "A"), (3.0, "A")], ["v", "g"]
+    )
+    assert brown_forsythe(one, "v", "g").collect()[0]["w"] is None
+    const = spark.createDataFrame(
+        [(5.0, "A"), (5.0, "A"), (5.0, "B"), (5.0, "B")], ["v", "g"]
+    )
+    assert brown_forsythe(const, "v", "g").collect()[0]["w"] is None

@@ -174,3 +174,61 @@ def triangle_count(edges: DataFrame, a_col: str = "a_id",
     return spark.createDataFrame(
         [(n_e, n_t)], "n_edges bigint, n_triangles bigint"
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "a_id",
+    dst: str = "b_id",
+) -> DataFrame:
+    """k-core of the undirected graph ``edges`` by iterative peeling:
+    each round drops every vertex whose current degree is < ``k``
+    (and its incident edges), the classic spam-clique / dense-cluster
+    extractor beside :func:`triangle_count`.
+
+    Semantics are FIXED-ROUND so the result is engine-replayable: the
+    output is the graph after exactly ``rounds`` peels (vertex, deg).
+    Peeling is monotone, so once the fixpoint is reached further
+    rounds are no-ops — the loop exits early when the edge count
+    stops shrinking, and the early exit returns the SAME frame the
+    full unroll would (an unrolled-CTE oracle with ``rounds`` levels
+    replays it exactly whether or not convergence happened).
+
+    Scale shape: each round is one map-side-combined degree aggregate
+    plus two semi-joins on the shrinking edge set — cost proportional
+    to the SURVIVING edges, never the corpus; ``localCheckpoint`` per
+    round cuts the exponential lineage (the connected_components
+    recipe above).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = sym.count()
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        keep = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("u")
+        )
+        sym = (
+            sym.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+        n_now = sym.count()
+        if n_now == n_edges:
+            break
+        n_edges = n_now
+    return sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )

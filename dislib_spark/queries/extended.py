@@ -2289,6 +2289,24 @@ def x87_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x89_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the fuzzy-dedup graph (``graph.k_core`` over the t28
+    edge set): vertices surviving 6 peel rounds with their in-core
+    degree — the dense-cluster / spam-clique membership signal that
+    complements t28's triangle count (triangles say HOW clique-y the
+    graph is; the core says WHICH documents sit in the dense part).
+    Fixed-round peel semantics make it exactly replayable: the oracle
+    unrolls the same 6 degree-filter rounds as CTE levels, and the
+    engine's early fixpoint exit returns the identical frame (peeling
+    is monotone — post-convergence rounds are no-ops)."""
+    from dislib_spark.graph import k_core
+    from dislib_spark.text.chunking import fuzzy_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = fuzzy_pairs(d, prefix_len=80, bucket_tokens=2, max_dist=60)
+    return k_core(edges, k=2, rounds=6).orderBy("node")
+
+
 def s11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (``streaming.windows
     .stream_stream_left_join``): every click accounted — matched to
@@ -2644,6 +2662,7 @@ QUERIES = {
     "x85_session_entry_exit": x85_session_entry_exit,
     "x86_audience_overlap": x86_audience_overlap,
     "x87_dau_wau_stickiness": x87_dau_wau_stickiness,
+    "x89_k_core": x89_k_core,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -4369,3 +4388,43 @@ ORACLE["s12_cdc_apply"] = """
     GROUP BY c_nationkey
     ORDER BY c_nationkey
 """
+
+
+def _x89_oracle(k: int = 2, rounds: int = 6) -> str:
+    """Unrolled-CTE replay of graph.k_core's fixed-round peel (the
+    t21 pattern): each level filters vertices by HAVING COUNT >= k,
+    then keeps edges with both endpoints surviving."""
+    parts = [
+        """
+    WITH d AS (
+        SELECT doc_id, SUBSTRING(text, 1, 80) AS pfx,
+               md5(array_to_string(
+                   list_slice(string_split(text, ' '), 1, 2), ' ')) AS bk
+        FROM documents
+    ),
+    p AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM d a JOIN d b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.pfx, b.pfx) <= 60
+    ),
+    e0 AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+    v{i} AS (SELECT u FROM e{i} GROUP BY u HAVING COUNT(*) >= {k}),
+    e{i + 1} AS (
+        SELECT e.u, e.v FROM e{i} e
+        WHERE e.u IN (SELECT u FROM v{i})
+          AND e.v IN (SELECT u FROM v{i})
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM e{rounds} GROUP BY u ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+ORACLE["x89_k_core"] = _x89_oracle()

@@ -662,3 +662,28 @@ def test_weighted_sample_drops_nonpositive_weights(spark):
     )
     got = weighted_sample_topk(df, "w", "id", k=4, by="src").collect()
     assert sorted(r["id"] for r in got) == [1, 4]
+
+
+def test_k_core_peels_to_dense_subgraph(spark):
+    """2-core keeps exactly the triangle of a path+triangle graph;
+    a chain that needs multiple peel rounds empties correctly; k=3
+    on a graph with no 3-core returns nothing."""
+    from dislib_spark.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)],
+        ["a_id", "b_id"],
+    )
+    got = sorted(
+        (r["node"], r["deg"]) for r in k_core(edges, 2).collect()
+    )
+    assert got == [(5, 2), (6, 2), (7, 2)]
+    assert k_core(edges, 3).count() == 0
+    # pure chain: every round exposes new degree-1 endpoints; with
+    # enough rounds the 2-core is empty, with too few it is not —
+    # fixed-round semantics, monotone peel
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["a_id", "b_id"]
+    )
+    assert k_core(chain, 2, rounds=8).count() == 0
+    assert k_core(chain, 2, rounds=1).count() > 0

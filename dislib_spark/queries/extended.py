@@ -2307,6 +2307,62 @@ def x89_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=2, rounds=6).orderBy("node")
 
 
+def x90_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention TRIANGLE — the wide-format generalization of
+    x16's long-format cohort counts: one row per signup-cohort week
+    with its size and the retention RATE at week offsets 1..7, where
+    offsets past the observation horizon are NULL (not 0) — the blank
+    upper-right of the classic triangle chart that keeps immature
+    cohorts from reading as churned.
+
+    Scale shape: per-user first-event frame (user-cardinality) joins
+    the distinct (user, week) activity frame — the x16 join — then
+    ONE map-side-combined conditional aggregate pivots the 8 offsets
+    (no per-offset scans, no Spark pivot() two-pass). The 1-row
+    max-week frame broadcasts for the observability mask. Rates are
+    exact-integer divisions rounded to 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
+    ).distinct()
+    off = (F.datediff(F.col("aw"), F.col("cohort_w")) / 7).cast("int")
+    j = active.join(first, "user_id").select(
+        "cohort_w", off.alias("off")
+    )
+    base = j.groupBy("cohort_w").agg(
+        *[
+            F.sum(F.when(F.col("off") == i, 1).otherwise(0)).alias(
+                f"a{i}"
+            )
+            for i in range(8)
+        ]
+    )
+    mx = ev.agg(F.date_trunc("week", F.max("ts")).alias("max_w"))
+    horizon = (
+        F.datediff(F.col("max_w"), F.col("cohort_w")) / 7
+    ).cast("int")
+    rate_cols = [
+        F.when(F.lit(i) > horizon, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col(f"a{i}") / F.col("a0"), 6)
+        )
+        .alias(f"r{i}")
+        for i in range(1, 8)
+    ]
+    return (
+        base.crossJoin(F.broadcast(mx))
+        .select(
+            "cohort_w",
+            F.col("a0").cast("bigint").alias("cohort_size"),
+            *rate_cols,
+        )
+        .orderBy("cohort_w")
+    )
+
+
 def s11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (``streaming.windows
     .stream_stream_left_join``): every click accounted — matched to
@@ -2663,6 +2719,7 @@ QUERIES = {
     "x86_audience_overlap": x86_audience_overlap,
     "x87_dau_wau_stickiness": x87_dau_wau_stickiness,
     "x89_k_core": x89_k_core,
+    "x90_retention_triangle": x90_retention_triangle,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -4428,3 +4485,67 @@ def _x89_oracle(k: int = 2, rounds: int = 6) -> str:
 
 
 ORACLE["x89_k_core"] = _x89_oracle()
+
+# x90: a_i counts are exact ints; DuckDB's BIGINT '/' is float
+# division like Spark's — the per-offset rates replay to the ulp and
+# the NULL observability mask uses the identical datediff horizon.
+ORACLE["x90_retention_triangle"] = """
+    WITH f AS (
+        SELECT user_id,
+               CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP)
+                   AS cohort_w
+        FROM events GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS aw
+        FROM events
+    ),
+    j AS (
+        SELECT cohort_w,
+               CAST(DATE_DIFF('day', cohort_w, aw) / 7 AS INTEGER)
+                   AS off
+        FROM a JOIN f USING (user_id)
+    ),
+    base AS (
+        SELECT cohort_w,
+               SUM(CASE WHEN off = 0 THEN 1 ELSE 0 END)::BIGINT AS a0,
+               SUM(CASE WHEN off = 1 THEN 1 ELSE 0 END)::BIGINT AS a1,
+               SUM(CASE WHEN off = 2 THEN 1 ELSE 0 END)::BIGINT AS a2,
+               SUM(CASE WHEN off = 3 THEN 1 ELSE 0 END)::BIGINT AS a3,
+               SUM(CASE WHEN off = 4 THEN 1 ELSE 0 END)::BIGINT AS a4,
+               SUM(CASE WHEN off = 5 THEN 1 ELSE 0 END)::BIGINT AS a5,
+               SUM(CASE WHEN off = 6 THEN 1 ELSE 0 END)::BIGINT AS a6,
+               SUM(CASE WHEN off = 7 THEN 1 ELSE 0 END)::BIGINT AS a7
+        FROM j GROUP BY cohort_w
+    ),
+    mx AS (
+        SELECT CAST(DATE_TRUNC('week', MAX(ts)) AS TIMESTAMP)
+                   AS max_w
+        FROM events
+    )
+    SELECT cohort_w, a0 AS cohort_size,
+           CASE WHEN 1 > CAST(DATE_DIFF('day', cohort_w, max_w) / 7
+                              AS INTEGER)
+                THEN NULL ELSE ROUND(a1 / a0, 6) END AS r1,
+           CASE WHEN 2 > CAST(DATE_DIFF('day', cohort_w, max_w) / 7
+                              AS INTEGER)
+                THEN NULL ELSE ROUND(a2 / a0, 6) END AS r2,
+           CASE WHEN 3 > CAST(DATE_DIFF('day', cohort_w, max_w) / 7
+                              AS INTEGER)
+                THEN NULL ELSE ROUND(a3 / a0, 6) END AS r3,
+           CASE WHEN 4 > CAST(DATE_DIFF('day', cohort_w, max_w) / 7
+                              AS INTEGER)
+                THEN NULL ELSE ROUND(a4 / a0, 6) END AS r4,
+           CASE WHEN 5 > CAST(DATE_DIFF('day', cohort_w, max_w) / 7
+                              AS INTEGER)
+                THEN NULL ELSE ROUND(a5 / a0, 6) END AS r5,
+           CASE WHEN 6 > CAST(DATE_DIFF('day', cohort_w, max_w) / 7
+                              AS INTEGER)
+                THEN NULL ELSE ROUND(a6 / a0, 6) END AS r6,
+           CASE WHEN 7 > CAST(DATE_DIFF('day', cohort_w, max_w) / 7
+                              AS INTEGER)
+                THEN NULL ELSE ROUND(a7 / a0, 6) END AS r7
+    FROM base CROSS JOIN mx
+    ORDER BY cohort_w
+"""

@@ -71,6 +71,7 @@ _BNLJ_OK = {
     "v23_probe_recall_curve",  # broadcast centers/probes + 1-row nq (v04 shape)
     "m44_breusch_pagan",  # 1-row broadcast of the fitted (a, b) onto the scan
     "m45_jarque_bera",  # same 1-row fit broadcast as m44
+    "x90_retention_triangle",  # 1-row broadcast of the max-week horizon
 }
 
 

@@ -1228,6 +1228,51 @@ def t61_source_vocab_overlap(
     )
 
 
+def t62_tokenizer_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer FERTILITY per (lang, source): subwords-per-word,
+    bytes-per-subword and chars-per-subword under the BPE-ish regex
+    pre-tokenizer (``text.analysis.SUBWORD_RE`` — greedy ≤4-letter /
+    ≤3-digit chunks) — the per-slice cost model a training pipeline
+    reads before fixing a tokenizer budget (high fertility on a slice
+    means more sequence positions per word there; t30's trained-BPE
+    apply is the procedural sibling, this is its full-oracle face).
+
+    Scale shape: four pure-JVM expressions per row (regexp_count,
+    octet_length, length, split-size) folded in ONE map-side-combined
+    aggregate — no explode, no UDF; group cardinality is
+    |langs|×|sources|. Counts are exact longs; the ratios are
+    long/long IEEE divisions both engines."""
+    from dislib_spark.text.analysis import SUBWORD_RE
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    per = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(t)).alias("chars"),
+        F.sum(F.octet_length(t)).alias("bytes"),
+        F.sum(F.size(F.split(t, " ", -1))).alias("words"),
+        F.sum(F.regexp_count(t, F.lit(SUBWORD_RE))).alias("subwords"),
+    )
+    return per.select(
+        "lang",
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("words").cast("bigint").alias("words"),
+        F.col("subwords").cast("bigint").alias("subwords"),
+        F.round(F.col("subwords") / F.col("words"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.col("bytes") / F.col("subwords"), 6).alias(
+            "bytes_per_subword"
+        ),
+        F.round(F.col("chars") / F.col("subwords"), 6).alias(
+            "chars_per_subword"
+        ),
+    ).orderBy("lang", "source")
+
+
 def t58_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup SURVIVORSHIP-BIAS audit: does canonical-keep dedup (the
     t52 pipeline) skew the per-source length profile? Compares doc
@@ -1385,6 +1430,7 @@ QUERIES = {
     "t59_minhash_estimator_error": t59_minhash_estimator_error,
     "t60_source_length_profile": t60_source_length_profile,
     "t61_source_vocab_overlap": t61_source_vocab_overlap,
+    "t62_tokenizer_fertility": t62_tokenizer_fertility,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -3137,4 +3183,29 @@ ORACLE["t61_source_vocab_overlap"] = """
     JOIN sizes sa ON sa.source = i.src_a
     JOIN sizes sb ON sb.source = i.src_b
     ORDER BY i.src_a, i.src_b
+"""
+
+# t62: regexp_extract_all under RE2 chunks greedily left-to-right
+# exactly like Java's regexp_count; all counts are exact longs and
+# the fertility ratios are long/long float divisions both engines.
+ORACLE["t62_tokenizer_fertility"] = """
+    WITH per AS (
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               SUM(LENGTH(text)) AS chars,
+               SUM(STRLEN(text)) AS bytes,
+               SUM(LEN(STRING_SPLIT(text, ' '))) AS words,
+               SUM(LEN(REGEXP_EXTRACT_ALL(
+                   text, '[a-zA-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9 ]')))
+                   AS subwords
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(words AS BIGINT) AS words,
+           CAST(subwords AS BIGINT) AS subwords,
+           ROUND(subwords / words, 6) AS fertility,
+           ROUND(bytes / subwords, 6) AS bytes_per_subword,
+           ROUND(chars / subwords, 6) AS chars_per_subword
+    FROM per ORDER BY lang, source
 """

@@ -120,3 +120,19 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("pred_lang", predict_lang(t))
         .withColumn("fingerprint", fingerprint(t))
     )
+
+
+# BPE-ish subword pre-tokenizer: greedy left-to-right chunks of up to
+# 4 letters / 3 digits, plus one token per other non-space char —
+# the deterministic regex stand-in for a trained subword vocab (the
+# real BPE apply is t30's mapInPandas; this one is pure JVM regexp
+# AND replayable in DuckDB's regexp_extract_all, so fertility ratios
+# built on it are full-oracle).
+SUBWORD_RE = "[a-zA-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9 ]"
+
+
+def subword_count(text: Column) -> Column:
+    """Number of BPE-ish regex subword pieces in ``text`` — greedy
+    fixed-width chunking is identical under Java regex and RE2, so
+    the count replays exactly."""
+    return F.regexp_count(text, F.lit(SUBWORD_RE)).cast("long")

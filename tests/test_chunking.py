@@ -202,3 +202,31 @@ def test_load_blocks_rechunk_non_divisible_shape(spark):
     )
     assert got.shape == (5, 4)
     assert np.array_equal(got.collect(), full)
+
+
+def test_subword_count_matches_python_chunker(spark):
+    """SUBWORD_RE greedy chunking vs a direct python re.findall on
+    mixed text — the t62 fertility numerator."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dislib_spark.text.analysis import SUBWORD_RE, subword_count
+
+    texts = [
+        "tokenization and 12345 rows!",
+        "a bb ccc dddd eeeee ffffff",
+        "x9y 1234 ...",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [
+        r["c"]
+        for r in df.select(
+            subword_count(F.col("text")).alias("c")
+        ).collect()
+    ]
+    want = [len(re.findall(SUBWORD_RE, t)) for t in texts]
+    assert got == want
+    # greedy chunk arithmetic: 6 letters -> 4+2 = 2 pieces
+    assert want[1] == 1 + 1 + 1 + 1 + 2 + 2

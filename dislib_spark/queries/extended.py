@@ -2289,6 +2289,42 @@ def x87_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x88_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTENT sketch table with merge-on-read — the continuous-
+    profiling deployment shape: monthly stride-quantile partials of
+    lineitem extendedprice (``sketches.stride_partials``, k=64,
+    4 md5 shards per month) are written ``partitionBy(part)`` to a
+    parquet sketch table, then global p50/p90/p99 estimates are
+    computed from the STORED summary alone
+    (``sketches.merged_stride_quantiles``) — the corpus is scanned
+    once at write time and never again; a new month appends its own
+    partition and the merge stays summary-proportional (the t37/v10
+    stored-state pattern applied to sketches). The reported
+    rank_err_bound is the exact Σ(stride−1) law over the stored
+    (month, shard) blocks; the oracle replays the whole construction
+    including the persistence no-op (doubles/longs round-trip parquet
+    bit-exactly)."""
+    import tempfile
+
+    from dislib_spark.sketches import (
+        merged_stride_quantiles,
+        stride_partials,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    month = F.date_format(
+        F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM-dd"
+    )
+    key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    partials = stride_partials(
+        li, "l_extendedprice", key, month, k=64, shards=4
+    )
+    tmp = tempfile.mkdtemp(prefix="sketch_table_")
+    partials.write.partitionBy("part").mode("overwrite").parquet(tmp)
+    stored = spark.read.parquet(tmp)
+    return merged_stride_quantiles(stored, qs=(0.5, 0.9, 0.99))
+
+
 def x89_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the fuzzy-dedup graph (``graph.k_core`` over the t28
     edge set): vertices surviving 6 peel rounds with their in-core
@@ -2718,6 +2754,7 @@ QUERIES = {
     "x85_session_entry_exit": x85_session_entry_exit,
     "x86_audience_overlap": x86_audience_overlap,
     "x87_dau_wau_stickiness": x87_dau_wau_stickiness,
+    "x88_sketch_table": x88_sketch_table,
     "x89_k_core": x89_k_core,
     "x90_retention_triangle": x90_retention_triangle,
     "s01_tumbling": s01_tumbling,
@@ -4548,4 +4585,59 @@ ORACLE["x90_retention_triangle"] = """
                 THEN NULL ELSE ROUND(a7 / a0, 6) END AS r7
     FROM base CROSS JOIN mx
     ORDER BY cohort_w
+"""
+
+# x88: the x82 stride-sketch replay on the finer (month, shard)
+# partition; parquet persistence is a value no-op for double/long
+# columns so the oracle skips it.
+ORACLE["x88_sketch_table"] = """
+    WITH src AS (
+        SELECT STRFTIME(DATE_TRUNC('month', l_shipdate), '%Y-%m-%d')
+                   AS part,
+               CAST(l_extendedprice AS DOUBLE) AS val,
+               CONCAT(l_orderkey, '|', l_linenumber) AS kstr
+        FROM lineitem
+    ),
+    sh AS (
+        SELECT part, val, kstr,
+               CAST('0x' || substr(md5(kstr), 1, 4) AS INTEGER) % 4
+                   AS shard
+        FROM src
+    ),
+    st AS (
+        SELECT part, shard, val, kstr,
+               ROW_NUMBER() OVER (
+                   PARTITION BY part, shard ORDER BY val, kstr) AS rn,
+               COUNT(*) OVER (PARTITION BY part, shard) AS m
+        FROM sh
+    ),
+    st2 AS (SELECT *, (m + 63) // 64 AS stride FROM st),
+    kept AS (
+        SELECT part, shard, val, kstr, stride,
+               LEAST(stride, m - (rn - 1)) AS wt
+        FROM st2 WHERE (rn - 1) % stride = 0
+    ),
+    tot AS (
+        SELECT CAST(SUM(wt) AS BIGINT) AS n,
+               COUNT(*) AS summary_rows
+        FROM kept
+    ),
+    bnd AS (
+        SELECT CAST(SUM(stride - 1) AS BIGINT) AS rank_err_bound
+        FROM (SELECT part, shard, MAX(stride) AS stride
+              FROM kept GROUP BY part, shard)
+    ),
+    cum AS (
+        SELECT val,
+               CAST(SUM(wt) OVER (ORDER BY val, kstr
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw
+        FROM kept
+    ),
+    qs AS (SELECT CAST(UNNEST([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+    SELECT q, ROUND(MIN(val), 6) AS est, n, summary_rows,
+           rank_err_bound
+    FROM cum CROSS JOIN tot CROSS JOIN bnd CROSS JOIN qs
+    WHERE cumw >= CAST(CEIL(q * n) AS BIGINT)
+    GROUP BY q, n, summary_rows, rank_err_bound
+    ORDER BY q
 """

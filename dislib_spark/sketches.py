@@ -692,3 +692,113 @@ def grouped_stride_quantiles(
         .withColumnRenamed("grp", by)
         .orderBy(by, "q")
     )
+
+
+def stride_partials(
+    df: DataFrame,
+    value_col: str,
+    key: Column,
+    part: Column,
+    k: int = 64,
+    shards: int = 4,
+) -> DataFrame:
+    """The PERSISTABLE form of :func:`stride_quantiles`: per-
+    (``part``, md5-shard) sorted stride summaries as plain rows
+    (part, shard, val, kstr, stride, wt) — what a continuous-
+    profiling job writes ``partitionBy("part")`` to its sketch table
+    each day/month instead of keeping raw rows. Each partition's
+    summary is built from its rows alone, so partials for disjoint
+    partition sets union exactly (set-union merge, the
+    stride_quantiles contract) and the merged worst-case rank error
+    is Σ over stored (part, shard) blocks of (stride − 1) —
+    :func:`merged_stride_quantiles` reports it."""
+    from pyspark.sql import Window
+
+    from dislib_spark.sampling import hash_bucket
+
+    src = df.select(
+        part.cast("string").alias("part"),
+        F.col(value_col).cast("double").alias("val"),
+        key.cast("string").alias("kstr"),
+    ).withColumn("shard", hash_bucket(F.col("kstr"), shards))
+    wsh = Window.partitionBy("part", "shard").orderBy("val", "kstr")
+    csh = Window.partitionBy("part", "shard")
+    staged = src.select(
+        "part",
+        "shard",
+        "val",
+        "kstr",
+        F.row_number().over(wsh).alias("rn"),
+        F.count(F.lit(1)).over(csh).alias("m"),
+    ).withColumn("stride", F.expr(f"(m + {int(k) - 1}) div {int(k)}"))
+    return staged.where(
+        (F.col("rn") - 1) % F.col("stride") == 0
+    ).select(
+        "part",
+        "shard",
+        "val",
+        "kstr",
+        "stride",
+        F.least(F.col("stride"), F.col("m") - (F.col("rn") - 1)).alias(
+            "wt"
+        ),
+    )
+
+
+def merged_stride_quantiles(
+    kept: DataFrame, qs: tuple = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Merge-on-read over a stored :func:`stride_partials` table:
+    global quantile estimates from the summary rows ALONE — the
+    corpus is never rescanned (the t37/v10 stored-state pattern
+    applied to sketches). Cost is summary-proportional: one ordered
+    cumulative-weight walk over ≤ parts·shards·(k+1) rows; the
+    reported ``rank_err_bound`` is Σ over stored (part, shard)
+    blocks of (stride − 1), exactly the stride_quantiles law applied
+    to the finer partition.
+
+    Returns one row per q: (q, est, n, summary_rows,
+    rank_err_bound)."""
+    from pyspark.sql import Window
+
+    tot = F.broadcast(
+        kept.agg(
+            F.sum("wt").cast("bigint").alias("n"),
+            F.count(F.lit(1)).alias("summary_rows"),
+        )
+    )
+    bnd = F.broadcast(
+        kept.groupBy("part", "shard")
+        .agg(F.max("stride").alias("stride"))
+        .agg(
+            F.sum(F.col("stride") - 1)
+            .cast("bigint")
+            .alias("rank_err_bound")
+        )
+    )
+    wall = Window.orderBy("val", "kstr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = kept.select("val", F.sum("wt").over(wall).alias("cumw"))
+    e = (
+        cum.select(
+            "val",
+            "cumw",
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in qs])
+            ).alias("q"),
+        )
+        .crossJoin(tot)
+        .crossJoin(bnd)
+    )
+    return (
+        e.where(F.col("cumw") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(
+            F.round(F.min("val"), 6).alias("est"),
+            F.first("n").alias("n"),
+            F.first("summary_rows").alias("summary_rows"),
+            F.first("rank_err_bound").alias("rank_err_bound"),
+        )
+        .orderBy("q")
+    )

@@ -316,3 +316,62 @@ def test_grouped_stride_quantiles_contract(spark):
         le = sum(1 for v in vals if v <= r["est"])
         assert lt < t
         assert le >= t - r["rank_err_bound"]
+
+
+def test_sketch_table_append_currency(tmp_path, spark):
+    """Persistent sketch table (the x88 shape): write partials for
+    months 1-2, APPEND month 3's partition later, and merge-on-read
+    must equal building the partials over the full frame in one shot
+    — plus the merged estimates respect the reported rank-error
+    bound against exact quantiles."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dislib_spark.sketches import (
+        merged_stride_quantiles,
+        stride_partials,
+    )
+
+    rows = [
+        (i, f"m{(i % 3) + 1}", float((i * 131) % 977))
+        for i in range(6000)
+    ]
+    df = spark.createDataFrame(rows, "id long, part string, v double")
+    path = str(tmp_path / "sketch_table")
+    old = df.where(F.col("part") != "m3")
+    new = df.where(F.col("part") == "m3")
+    stride_partials(
+        old, "v", F.col("id"), F.col("part"), k=32, shards=4
+    ).write.partitionBy("part").mode("overwrite").parquet(path)
+    stride_partials(
+        new, "v", F.col("id"), F.col("part"), k=32, shards=4
+    ).write.partitionBy("part").mode("append").parquet(path)
+    stored = spark.read.parquet(path)
+    got = {
+        r["q"]: r
+        for r in merged_stride_quantiles(stored).collect()
+    }
+    # one-shot partials over the whole frame -> identical estimates
+    one = {
+        r["q"]: r
+        for r in merged_stride_quantiles(
+            stride_partials(
+                df, "v", F.col("id"), F.col("part"), k=32, shards=4
+            )
+        ).collect()
+    }
+    for q in (0.5, 0.9, 0.99):
+        assert got[q]["est"] == one[q]["est"]
+        assert got[q]["n"] == one[q]["n"] == 6000
+        assert got[q]["summary_rows"] == one[q]["summary_rows"]
+        assert got[q]["rank_err_bound"] == one[q]["rank_err_bound"]
+    # error contract vs exact quantiles: the estimate's true rank is
+    # within bound of the target
+    vals = np.sort(np.array([r[2] for r in rows]))
+    for q in (0.5, 0.9, 0.99):
+        t = int(np.ceil(q * 6000))
+        bound = got[q]["rank_err_bound"]
+        lo_rank = int(np.searchsorted(vals, got[q]["est"], "left"))
+        hi_rank = int(np.searchsorted(vals, got[q]["est"], "right"))
+        assert lo_rank < t  # fewer than t strictly below
+        assert hi_rank >= t - bound  # at least t-bound are <= est

@@ -606,6 +606,57 @@ def v23_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v24_ivf_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF index MAINTENANCE end-to-end (``vector.search
+    .ivf_index_maintain``): build the seed-quantizer index on the
+    even-id corpus, persist it partitionBy(cell), apply one
+    maintenance batch — re-embed ids ≡4 (mod 10) with their REVERSED
+    vectors (an update that can move a vector between cells), insert
+    the odd ids < 40, delete ids ≡0 (mod 10) — with cell-scoped
+    copy-on-write, then probe the maintained STORED index with odd
+    queries 41..49 against the stale centers (the maintenance
+    contract: quantizer retrains on rebuild, never on append).
+    The oracle replays the LOGICAL post-maintenance corpus state
+    (survivors ∪ reversed updates ∪ inserts), the stale-center
+    assignment, probing, and scoring value-exactly — parquet
+    round-trips are value no-ops. Currency and partition-scoped
+    rewrite are pytest-gated (tests/test_ivf_index.py)."""
+    import tempfile
+
+    from dislib_spark.vector.search import (
+        ivf_index,
+        ivf_index_maintain,
+        ivf_query_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    corpus = e.where(vid % 2 == 0)
+    centers, assigned = ivf_index(corpus, n_cells=16, centers="seed")
+    tmp = tempfile.mkdtemp(prefix="ivf_maint_")
+    path = f"{tmp}/assignments"
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    updates = e.where((vid % 2 == 0) & (vid % 10 == 4)).select(
+        "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+    )
+    inserts = e.where((vid % 2 == 1) & (vid < 40)).select(
+        "vec_id", "embedding"
+    )
+    deletes = e.where((vid % 2 == 0) & (vid % 10 == 0)).select(
+        "vec_id"
+    )
+    ivf_index_maintain(
+        spark, path, centers, updates.unionByName(inserts), deletes
+    )
+    stored = spark.read.parquet(path)
+    queries = e.where((vid % 2 == 1) & (vid >= 41) & (vid < 50))
+    return ivf_query_index(
+        queries, centers, stored, k=5, n_probe=4
+    ).orderBy("q_id", "rank")
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -630,6 +681,7 @@ QUERIES = {
     "v21_filtered_ann": v21_filtered_ann,
     "v22_ivf_cell_balance": v22_ivf_cell_balance,
     "v23_probe_recall_curve": v23_probe_recall_curve,
+    "v24_ivf_index_maintenance": v24_ivf_index_maintenance,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -1649,4 +1701,105 @@ ORACLE["v23_probe_recall_curve"] = """
     LEFT JOIN hits h ON h.np = r.np
     CROSS JOIN nq
     ORDER BY n_probe
+"""
+
+# v24: the v04 seed-quantizer replay against the LOGICAL post-
+# maintenance corpus — survivors (even, not deleted/updated) ∪
+# reversed updates (≡4 mod 10) ∪ inserted odds < 40 — with STALE
+# centers (16 lowest even ids, ORIGINAL vectors) and odd 41..49
+# queries. Storage mechanics are value no-ops.
+ORACLE["v24_ivf_index_maintenance"] = """
+    WITH orig AS (
+        SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS k,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cur_rows AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 2 = 0 AND vec_id % 10 NOT IN (0, 4)
+        UNION ALL
+        SELECT vec_id, list_reverse(embedding) FROM embeddings
+        WHERE vec_id % 2 = 0 AND vec_id % 10 = 4
+        UNION ALL
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 2 = 1 AND vec_id < 40
+    ),
+    cur AS (
+        SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS k,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM cur_rows
+    ),
+    ctr AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS cell,
+               vec_id AS cvid
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+              ORDER BY vec_id LIMIT 16)
+    ),
+    d2a AS (
+        SELECT a.vec_id AS vid, ctr.cell,
+               SUM((a.v - b.v) * (a.v - b.v)) AS d2
+        FROM cur a
+        JOIN ctr ON TRUE
+        JOIN orig b ON b.vec_id = ctr.cvid AND b.k = a.k
+        GROUP BY a.vec_id, ctr.cell
+    ),
+    assigned AS (
+        SELECT vid, cell FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vid ORDER BY d2, cell) AS rn
+            FROM d2a
+        ) WHERE rn = 1
+    ),
+    d2q AS (
+        SELECT a.vec_id AS vid, ctr.cell,
+               SUM((a.v - b.v) * (a.v - b.v)) AS d2
+        FROM orig a
+        JOIN ctr ON TRUE
+        JOIN orig b ON b.vec_id = ctr.cvid AND b.k = a.k
+        WHERE a.vec_id % 2 = 1 AND a.vec_id >= 41 AND a.vec_id < 50
+        GROUP BY a.vec_id, ctr.cell
+    ),
+    probes AS (
+        SELECT vid AS q_id, cell FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vid ORDER BY d2, cell) AS pr
+            FROM d2q
+        ) WHERE pr <= 4
+    ),
+    cand AS (
+        SELECT p.q_id, a.vid AS c_id
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+    ),
+    norms_q AS (
+        SELECT vec_id, SQRT(SUM(v * v)) AS nrm
+        FROM orig GROUP BY vec_id
+    ),
+    norms_c AS (
+        SELECT vec_id, SQRT(SUM(v * v)) AS nrm
+        FROM cur GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT cd.q_id, cd.c_id, SUM(a.v * b.v) AS dot
+        FROM cand cd
+        JOIN orig a ON a.vec_id = cd.q_id
+        JOIN cur b ON b.vec_id = cd.c_id AND a.k = b.k
+        GROUP BY cd.q_id, cd.c_id
+    ),
+    scored AS (
+        SELECT d.q_id, d.c_id,
+               ROUND(d.dot / (nq.nrm * nc.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms_q nq ON nq.vec_id = d.q_id
+        JOIN norms_c nc ON nc.vec_id = d.c_id
+    )
+    SELECT q_id, c_id, sim, CAST(rank AS INT) AS rank FROM (
+        SELECT q_id, c_id, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY sim DESC, c_id
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= 5 ORDER BY q_id, rank
 """

@@ -975,3 +975,82 @@ def mmr_rerank(
         return out
 
     return cand.groupBy("q_id").applyInPandas(greedy, schema)
+
+
+def ivf_index_maintain(
+    spark,
+    index_path: str,
+    centers: DataFrame,
+    upserts: DataFrame | None = None,
+    deletes: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """UPSERT/DELETE maintenance against a ``partitionBy("cell")``
+    stored IVF assignments table — the index-lifecycle step between
+    ``ivf_index`` (build) and ``ivf_query_index`` (probe), reference
+    analogue the incremental fit surface of ``neighbors/base.py``.
+
+    Cell-scoped copy-on-write: only the cell partitions that hold an
+    old version of a touched id, or receive a new/updated vector, are
+    rewritten (dynamic partition overwrite); every other inverted
+    list's files are untouched — at 100 TB the rewrite cost is
+    proportional to the maintenance batch's cell fan-out, never the
+    index. An update that moves a vector between cells rewrites both
+    its old and new cell; a cell whose last vectors are deleted has
+    its directory removed (dynamic overwrite cannot emit an empty
+    partition). The survivors+upserts frame is eagerly
+    localCheckpointed before the write so the self-overwrite of the
+    partitions being read is safe.
+
+    Upserts are assigned with the STORED (stale) centers — the IVF
+    maintenance contract: the coarse quantizer is retrained on
+    rebuild, never on append (matching ``assign_to_cells``).
+    """
+    import os
+    import shutil
+
+    if upserts is None and deletes is None:
+        return
+    stored = spark.read.parquet(index_path)
+    parts = []
+    if upserts is not None:
+        parts.append(upserts.select(F.col(id_col).alias("c_id")))
+    if deletes is not None:
+        parts.append(deletes.select(F.col(id_col).alias("c_id")))
+    touched = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+    touched = touched.distinct()
+    new_assign = (
+        assign_to_cells(upserts, centers, id_col, vec_col)
+        if upserts is not None
+        else None
+    )
+    affected = (
+        stored.join(F.broadcast(touched), "c_id", "left_semi")
+        .select("cell")
+        .distinct()
+    )
+    if new_assign is not None:
+        affected = affected.union(
+            new_assign.select("cell")
+        ).distinct()
+    cells = [r["cell"] for r in affected.collect()]
+    if not cells:
+        return
+    kept = stored.where(F.col("cell").isin(cells)).join(
+        F.broadcast(touched), "c_id", "left_anti"
+    )
+    out = kept if new_assign is None else kept.unionByName(new_assign)
+    out = out.localCheckpoint(eager=True)
+    out_cells = {r["cell"] for r in out.select("cell").distinct().collect()}
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(index_path)
+    )
+    for cell in cells:
+        if cell not in out_cells:
+            d = os.path.join(index_path, f"cell={cell}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)

@@ -85,3 +85,108 @@ def test_appended_index_finds_new_vectors(spark, emb):
     assert len(res) == 1
     assert res[0]["c_id"] == 1
     assert res[0]["sim"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ivf_index_maintain_currency_and_scoped_rewrite(
+    spark, emb, tmp_path_factory
+):
+    """(a) Currency: the maintained stored index equals assigning the
+    logical post-maintenance corpus from scratch with the SAME
+    centers. (b) Cell-scoped copy-on-write: untouched cell partition
+    files are byte-identical (never rewritten). (c) A cell emptied by
+    deletes disappears from the stored index."""
+    import os
+
+    from dislib_spark.vector.search import ivf_index_maintain
+
+    vid = F.col("vec_id")
+    corpus = emb.where(vid % 2 == 0)
+    centers, assigned = ivf_index(corpus, n_cells=8, centers="seed")
+    tmp = str(tmp_path_factory.mktemp("ivfmaint"))
+    path = f"{tmp}/assignments"
+    assigned.write.partitionBy("cell").parquet(path)
+
+    def files(p):
+        out = {}
+        for root, _, names in os.walk(p):
+            for n in names:
+                if n.endswith(".parquet"):
+                    f = os.path.join(root, n)
+                    out[f] = os.path.getmtime(f)
+        return out
+
+    before = files(path)
+    updates = emb.where((vid % 2 == 0) & (vid % 10 == 4)).select(
+        "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+    )
+    inserts = emb.where((vid % 2 == 1) & (vid < 40)).select(
+        "vec_id", "embedding"
+    )
+    deletes = emb.where((vid % 2 == 0) & (vid % 10 == 0)).select(
+        "vec_id"
+    )
+    ivf_index_maintain(
+        spark, path, centers, updates.unionByName(inserts), deletes
+    )
+    stored = spark.read.parquet(path)
+
+    # (a) currency vs from-scratch assignment of the logical state
+    survivors = corpus.where((vid % 10 != 0) & (vid % 10 != 4)).select(
+        "vec_id", "embedding"
+    )
+    logical = survivors.unionByName(updates).unionByName(inserts)
+    want = assign_to_cells(logical, centers)
+    got_rows = sorted(
+        (r["c_id"], r["cell"], tuple(r["c_vec"]))
+        for r in stored.collect()
+    )
+    want_rows = sorted(
+        (r["c_id"], r["cell"], tuple(r["c_vec"]))
+        for r in want.collect()
+    )
+    assert got_rows == want_rows
+
+    # (b) cell-scoped rewrite: a ONE-ROW follow-up delete must
+    # rewrite only that row's cell partition — every other cell's
+    # files stay byte-identical (same names, same mtimes)
+    del before  # the big batch legitimately touches every cell
+    one = stored.orderBy("c_id").limit(1).collect()[0]
+    before2 = files(path)
+    ivf_index_maintain(
+        spark,
+        path,
+        centers,
+        deletes=spark.createDataFrame(
+            [(one["c_id"],)], "vec_id long"
+        ),
+    )
+    after2 = files(path)
+    untouched = 0
+    for f, mtime in before2.items():
+        cell = int(f.split("cell=")[1].split(os.sep)[0])
+        if cell != one["cell"]:
+            assert f in after2 and after2[f] == mtime, f
+            untouched += 1
+    assert untouched > 0
+    assert spark.read.parquet(path).where(
+        F.col("c_id") == one["c_id"]
+    ).count() == 0
+
+    # (c) a synthetic lone-cell delete removes the cell directory
+    lone = spark.createDataFrame(
+        [(999_999, [0.0] * 64, 7777)],
+        "c_id long, c_vec array<double>, cell int",
+    )
+    path2 = f"{tmp}/assignments2"
+    assigned.unionByName(lone).write.partitionBy("cell").parquet(path2)
+    assert os.path.isdir(f"{path2}/cell=7777")
+    ivf_index_maintain(
+        spark,
+        path2,
+        centers,
+        deletes=spark.createDataFrame([(999_999,)], "vec_id long"),
+    )
+    assert not os.path.isdir(f"{path2}/cell=7777")
+    assert spark.read.parquet(path2).where(
+        F.col("c_id") == 999_999
+    ).count() == 0

@@ -73,6 +73,7 @@ _BNLJ_OK = {
     "m45_jarque_bera",  # same 1-row fit broadcast as m44
     "x90_retention_triangle",  # 1-row broadcast of the max-week horizon
     "x88_sketch_table",  # 1-row broadcasts of the merged totals and bound (x82 shape)
+    "v24_ivf_index_maintenance",  # broadcast centers/probes, the v04/v10 shape
 }
 
 

@@ -2682,6 +2682,40 @@ def x81_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s13_stream_dedup_archive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming dedup-against-archive — t37's daily-crawl shape with
+    the index PERSISTED and the banding in oracle-replayable md5 mode:
+    the even-id archive's LSH band index is written
+    ``partitionBy(band_idx)`` to parquet, and the odd-id batch probes
+    the STORED index (``text.dedup.dedup_against_index``,
+    ``hash_fn="md5"``) — candidates are batch-sized, the archive is
+    touched only through the (band_idx, band_hash) equi-join on the
+    partition-pruned index, exact Jaccard re-check on candidates
+    only. This batch form is what each micro-batch executes; the REAL
+    multi-micro-batch availableNow stream (maxFilesPerTrigger=1 over
+    a 3-file source, foreachBatch probe) is pinned equal to it in
+    tests/test_io_streaming_multimodal.py. md5 banding makes the
+    whole probe value-checkable — the t05 oracle recipe on new ×
+    archive candidates."""
+    import tempfile
+
+    from dislib_spark.text.dedup import dedup_against_index, minhash_index
+
+    d = load_table(spark, sf_dir, "documents")
+    ix = minhash_index(
+        d.where(F.col("doc_id") % 2 == 0), hash_fn="md5"
+    )
+    tmp = tempfile.mkdtemp(prefix="lsh_index_")
+    ix.write.partitionBy("band_idx").mode("overwrite").parquet(tmp)
+    stored = spark.read.parquet(tmp)
+    batch = d.where(F.col("doc_id") % 2 == 1)
+    return dedup_against_index(
+        batch, stored, threshold=0.3, hash_fn="md5"
+    ).orderBy("new_id", "index_id")
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -2769,6 +2803,7 @@ QUERIES = {
     "s10_stream_join": s10_stream_join,
     "s11_stream_left_join": s11_stream_left_join,
     "s12_cdc_apply": s12_cdc_apply,
+    "s13_stream_dedup_archive": s13_stream_dedup_archive,
 }
 
 ORACLE = {
@@ -4641,3 +4676,77 @@ ORACLE["x88_sketch_table"] = """
     GROUP BY q, n, summary_rows, rank_err_bound
     ORDER BY q
 """
+
+
+def _s13_oracle() -> str:
+    """DuckDB replay of s13's md5-mode index probe — the t05 recipe
+    (shared minhash_perms constants, md5-prefix shingle hashes, md5
+    band keys) with candidates restricted to new (odd) × archive
+    (even); the parquet round-trip of the index is a value no-op."""
+    from dislib_spark.text.dedup import _MERSENNE as M, minhash_perms
+
+    sig_items = ",\n               ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {M}))"
+        for a, b in minhash_perms(32, seed=7)
+    )
+    band_structs = ",\n                   ".join(
+        "{'bi': %d, 'bh': md5(concat_ws(',', %s))}"
+        % (
+            b,
+            ", ".join(
+                f"CAST(sig[{b * 4 + j + 1}] AS VARCHAR)" for j in range(4)
+            ),
+        )
+        for b in range(8)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([concat_ws(' ', toks[i], toks[i+1],
+                                        toks[i+2])
+                              for i in range(1, len(toks) - 1)]) AS sh
+        FROM t
+    ),
+    hashed AS (
+        SELECT doc_id, sh,
+               list_transform(sh, s ->
+                   CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+                   % {M}) AS hs
+        FROM sh WHERE len(sh) > 0
+    ),
+    sig AS (
+        SELECT doc_id, sh,
+               [{sig_items}] AS sig
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id, u.bi AS band_idx, u.bh AS band_hash FROM (
+            SELECT doc_id,
+                   UNNEST([{band_structs}]) AS u
+            FROM sig
+        )
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    ),
+    scored AS (
+        SELECT c.new_id, c.index_id,
+               ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE
+                     / (len(x.sh) + len(y.sh)
+                        - len(list_intersect(x.sh, y.sh)))::DOUBLE,
+                     6) AS jaccard
+        FROM cand c
+        JOIN sig x ON x.doc_id = c.new_id
+        JOIN sig y ON y.doc_id = c.index_id
+    )
+    SELECT new_id, index_id, jaccard FROM scored
+    WHERE jaccard >= 0.3 ORDER BY new_id, index_id
+    """
+
+
+ORACLE["s13_stream_dedup_archive"] = _s13_oracle()

@@ -713,11 +713,21 @@ def _banded_signatures(
     n: int,
     text_col: str,
     id_col: str,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, shingles, band_idx, band_hash) — the shared banding step
     of batch LSH dedup and the incremental index below. Identical
     parameters ⇒ identical band hashes, so an index built yesterday
-    collides correctly with a batch banded today."""
+    collides correctly with a batch banded today. ``hash_fn="md5"``
+    swaps in the oracle-replayable md5-prefix shingle hashes and md5
+    band keys (the ``minhash_lsh_pairs`` md5 mode — same affine
+    constants), making index-probe results value-checkable in DuckDB
+    (the s13 gate); band_hash becomes a string in that mode."""
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}"
+        )
+    shingle_hash = F.xxhash64 if hash_fn == "xxhash64" else md5_hash32
     hashed = (
         fan_out(df)
         .select(
@@ -729,7 +739,7 @@ def _banded_signatures(
             "_h",
             F.transform(
                 F.col("shingles"),
-                lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
+                lambda s: F.pmod(shingle_hash(s), F.lit(_MERSENNE)),
             ),
         )
         .localCheckpoint(eager=True)
@@ -740,13 +750,21 @@ def _banded_signatures(
         .drop("_h")
         .localCheckpoint(eager=True)
     )
+
+    def band_hash(sl):
+        if hash_fn == "xxhash64":
+            return F.xxhash64(sl)
+        return F.md5(
+            F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
+        )
+
     return sig.select(
         "id",
         "shingles",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
+                lambda b: band_hash(
                     F.slice(
                         F.col("sig"), b * rows_per_band + 1, rows_per_band
                     )
@@ -763,6 +781,7 @@ def minhash_index(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Build the persistent LSH dedup index for a corpus: one row per
     (doc, band) with the band hash and the doc's shingle set. Write
@@ -772,7 +791,9 @@ def minhash_index(
     the new batch's own index rows keeps it current (pure union —
     band hashes are content-determined, never relative to the
     corpus)."""
-    return _banded_signatures(df, num_hashes, bands, n, text_col, id_col)
+    return _banded_signatures(
+        df, num_hashes, bands, n, text_col, id_col, hash_fn
+    )
 
 
 def dedup_against_index(
@@ -784,6 +805,7 @@ def dedup_against_index(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Incremental near-dup detection: band the NEW batch with the
     index's parameters and equi-join band hashes against the stored
@@ -797,7 +819,7 @@ def dedup_against_index(
     New-vs-new duplicates are `minhash_lsh_pairs` on the batch alone.
     """
     banded_new = _banded_signatures(
-        new_docs, num_hashes, bands, n, text_col, id_col
+        new_docs, num_hashes, bands, n, text_col, id_col, hash_fn
     )
     nw = banded_new.select(
         F.col("id").alias("new_id"),

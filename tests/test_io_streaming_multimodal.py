@@ -731,3 +731,63 @@ def test_stream_stream_left_join_parity(spark, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_dedup_archive_equals_batch(spark, tmp_path):
+    """s13 as a REAL stream: drain the odd-id docs through an
+    availableNow parquet stream in MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 over a 3-file source); each micro-batch
+    probes the SAME stored md5-mode LSH index via foreachBatch, and
+    the union of per-batch matches must equal the one-shot batch
+    probe exactly (band hashes are content-determined — no
+    cross-batch state, so streaming ≡ batch by construction)."""
+    from pyspark.sql import functions as F
+
+    from dislib_spark.text.dedup import (
+        dedup_against_index,
+        minhash_index,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    ix = minhash_index(d.where(F.col("doc_id") % 2 == 0), hash_fn="md5")
+    ix_path = str(tmp_path / "lsh_index")
+    ix.write.partitionBy("band_idx").parquet(ix_path)
+    stored = spark.read.parquet(ix_path)
+
+    batch = d.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    want = sorted(
+        (r["new_id"], r["index_id"], r["jaccard"])
+        for r in dedup_against_index(
+            batch, stored, threshold=0.3, hash_fn="md5"
+        ).collect()
+    )
+
+    src = str(tmp_path / "new_docs")
+    batch.repartition(3).write.parquet(src)
+    out_path = str(tmp_path / "matches")
+    n_batches = []
+
+    def probe(bdf, epoch_id):
+        n_batches.append(epoch_id)
+        dedup_against_index(
+            bdf, stored, threshold=0.3, hash_fn="md5"
+        ).write.mode("append").parquet(out_path)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(n_batches) >= 3  # genuinely multi-micro-batch
+    got = sorted(
+        (r["new_id"], r["index_id"], r["jaccard"])
+        for r in spark.read.parquet(out_path).collect()
+    )
+    assert got == want and len(want) > 0

@@ -287,3 +287,32 @@ def test_v16_medoids_two_phase_topk(spark):
     x = plan.index("hashpartitioning(label", p)
     f = plan.index("row_number(), 3, Final")
     assert p < f
+
+
+def test_x84_event_paths_plan_pinned(spark):
+    """x84 sessionizes + takes two LEADs off ONE scan: the plan must
+    hold at one events scan and at most two exchanges (the user-key
+    session window + the final path rollup) — a regression to
+    per-LEAD re-scans or extra shuffles fails here."""
+    from dislib_spark.utils.plancheck import plan_facts
+
+    f = plan_facts(all_queries()["x84_event_paths"](spark, SF_SMOKE))
+    assert f.n_scans == 1
+    assert f.n_exchanges <= 2
+    assert not f.has_cartesian and not f.has_python_row_udf
+
+
+def test_x86_audience_overlap_plan_pinned(spark):
+    """x86's segment-pair overlap must keep every join broadcast (the
+    segment frames are audience-sized) and stay within its recorded
+    shuffle budget — a silent SortMergeJoin or an extra per-pair
+    re-aggregation fails here."""
+    from dislib_spark.utils.plancheck import plan_facts
+
+    f = plan_facts(
+        all_queries()["x86_audience_overlap"](spark, SF_SMOKE)
+    )
+    assert f.n_scans <= 4
+    assert f.n_exchanges <= 8
+    assert "SortMergeJoin" not in f.join_kinds
+    assert not f.has_cartesian and not f.has_python_row_udf

@@ -1778,6 +1778,78 @@ def m46_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brown_forsythe(li, "l_quantity", "l_returnflag")
 
 
+def m47_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation test on the m01 regression
+    residuals in ship-date order — the fourth OLS diagnostic (m44
+    heteroskedasticity, m45 normality, m46 variance homogeneity,
+    this one autocorrelation): DW = Σ(e_t − e_{t−1})² / Σe_t² over
+    residuals ordered by (l_shipdate, l_orderkey, l_linenumber).
+
+    Scale shape: the adjacent-difference sum is DE-GLOBALIZED — no
+    single-partition LAG window; ``with_global_index`` assigns the
+    order rank distributedly (range sort + per-partition offsets, the
+    x19 recipe) and the (t−1, t) pairs come from one integer-keyed
+    equi-join of the checkpointed frame against itself. Two lineitem
+    scans (1-row fit broadcast, then residuals — the m44/m45 floor,
+    see PLANS.md). Σe² and Σ(Δe)² are per-term DECIMAL(38,6) sums:
+    order-exact, so DW and the ρ≈1−DW/2 shortcut replay exactly."""
+    from dislib_spark.utils.base import with_global_index
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,6)")
+    y = F.col("l_extendedprice").cast("decimal(18,6)")
+    s1 = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    b = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    fit = F.broadcast(
+        s1.select(b.alias("b"), ((sy - b * sx) / nn).alias("a"))
+    )
+    e = (
+        F.col("l_extendedprice")
+        - (F.col("a") + F.col("b") * F.col("l_quantity"))
+    )
+    resid = li.crossJoin(fit).select(
+        e.alias("e"), "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    idx = with_global_index(
+        resid, order_by=["l_shipdate", "l_orderkey", "l_linenumber"]
+    )
+    cur = idx.select(F.col("_idx").alias("i"), F.col("e").alias("e1"))
+    prv = idx.select(
+        (F.col("_idx") + 1).alias("i"), F.col("e").alias("e0")
+    )
+    sd = cur.join(prv, "i").agg(
+        F.sum(
+            (
+                (F.col("e1") - F.col("e0"))
+                * (F.col("e1") - F.col("e0"))
+            ).cast("decimal(38,6)")
+        ).alias("sd")
+    )
+    se = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("e") * F.col("e")).cast("decimal(38,6)")).alias(
+            "se"
+        ),
+    )
+    dw = F.col("sd").cast("double") / F.col("se").cast("double")
+    return se.crossJoin(F.broadcast(sd)).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(dw, 6).alias("dw"),
+        F.round(1.0 - dw / 2.0, 6).alias("rho"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -1825,6 +1897,7 @@ QUERIES = {
     "m44_breusch_pagan": m44_breusch_pagan,
     "m45_jarque_bera": m45_jarque_bera,
     "m46_brown_forsythe": m46_brown_forsythe,
+    "m47_durbin_watson": m47_durbin_watson,
 }
 
 
@@ -3433,5 +3506,60 @@ ORACLE["m46_brown_forsythe"] = """
                     / den, 6) END AS w,
            CAST(k - 1 AS INTEGER) AS df1,
            CAST(n - k AS BIGINT) AS df2
+    FROM agg
+"""
+
+# m47: the m44 fit CTE; the adjacent difference replays as LAG over
+# the unique (shipdate, orderkey, linenumber) order; Σe² and Σ(Δe)²
+# are per-term DECIMAL(38,6) sums — order-exact both engines.
+ORACLE["m47_durbin_watson"] = """
+    WITH s1 AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_quantity AS DECIMAL(28,6))) AS sxx,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_extendedprice AS DECIMAL(28,6))) AS sxy
+        FROM lineitem
+    ),
+    fit AS (
+        SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+               (CAST(sy AS DOUBLE)
+                - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS a
+        FROM s1
+    ),
+    r AS (
+        SELECT l.l_extendedprice - (f.a + f.b * l.l_quantity) AS e,
+               l.l_shipdate, l.l_orderkey, l.l_linenumber
+        FROM lineitem l CROSS JOIN fit f
+    ),
+    o AS (
+        SELECT e,
+               LAG(e) OVER (ORDER BY l_shipdate, l_orderkey,
+                            l_linenumber) AS ep
+        FROM r
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(e * e AS DECIMAL(38,6))) AS se,
+               SUM(CASE WHEN ep IS NULL
+                        THEN CAST(0 AS DECIMAL(38,6))
+                        ELSE CAST((e - ep) * (e - ep)
+                                  AS DECIMAL(38,6)) END) AS sd
+        FROM o
+    )
+    SELECT n,
+           ROUND(CAST(sd AS DOUBLE) / CAST(se AS DOUBLE), 6) AS dw,
+           ROUND(1.0 - (CAST(sd AS DOUBLE) / CAST(se AS DOUBLE))
+                 / 2.0, 6) AS rho
     FROM agg
 """

@@ -74,6 +74,7 @@ _BNLJ_OK = {
     "x90_retention_triangle",  # 1-row broadcast of the max-week horizon
     "x88_sketch_table",  # 1-row broadcasts of the merged totals and bound (x82 shape)
     "v24_ivf_index_maintenance",  # broadcast centers/probes, the v04/v10 shape
+    "m47_durbin_watson",  # 1-row fit + 1-row diff-sum broadcasts (m44 shape)
 }
 
 

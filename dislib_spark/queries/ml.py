@@ -1850,6 +1850,78 @@ def m47_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m48_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-inflation factors for the three lineitem regressors
+    (quantity, discount, tax) — the multicollinearity check that
+    decides whether m06's multi-feature OLS coefficients are
+    interpretable (VIF_j = diag_j of the inverse correlation matrix;
+    for 3 regressors the inverse is closed-form via cofactors, e.g.
+    VIF₁ = (1−r₂₃²)/det with det = 1 + 2r₁₂r₁₃r₂₃ − r₁₂² − r₁₃² −
+    r₂₃²). ONE scan: the pairwise sufficient statistics (sums,
+    squares, cross products) fold in a single map-side-combined
+    aggregate as exact DECIMAL sums (the m44 recipe), and every
+    correlation/cofactor/det step is IEEE algebra on those exact
+    operands, mirrored operation-for-operation by the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,6)")
+    d = F.col("l_discount").cast("decimal(18,6)")
+    t = F.col("l_tax").cast("decimal(18,6)")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(d).alias("s2"),
+        F.sum(t).alias("s3"),
+        F.sum(q * q).alias("s11"),
+        F.sum(d * d).alias("s22"),
+        F.sum(t * t).alias("s33"),
+        F.sum(q * d).alias("s12"),
+        F.sum(q * t).alias("s13"),
+        F.sum(d * t).alias("s23"),
+    )
+    nn = F.col("n").cast("double")
+
+    def dd(c):
+        return F.col(c).cast("double")
+
+    def corr(sij, si, sj, sii, sjj):
+        return (nn * dd(sij) - dd(si) * dd(sj)) / F.sqrt(
+            (nn * dd(sii) - dd(si) * dd(si))
+            * (nn * dd(sjj) - dd(sj) * dd(sj))
+        )
+
+    r12 = corr("s12", "s1", "s2", "s11", "s22")
+    r13 = corr("s13", "s1", "s3", "s11", "s33")
+    r23 = corr("s23", "s2", "s3", "s22", "s33")
+    staged = s.select(
+        F.col("n").cast("bigint").alias("n"),
+        r12.alias("r12"),
+        r13.alias("r13"),
+        r23.alias("r23"),
+    )
+    det = (
+        1.0
+        + 2.0 * F.col("r12") * F.col("r13") * F.col("r23")
+        - F.col("r12") * F.col("r12")
+        - F.col("r13") * F.col("r13")
+        - F.col("r23") * F.col("r23")
+    )
+    return staged.select(
+        "n",
+        F.round("r12", 6).alias("r12"),
+        F.round("r13", 6).alias("r13"),
+        F.round("r23", 6).alias("r23"),
+        F.round(
+            (1.0 - F.col("r23") * F.col("r23")) / det, 6
+        ).alias("vif_quantity"),
+        F.round(
+            (1.0 - F.col("r13") * F.col("r13")) / det, 6
+        ).alias("vif_discount"),
+        F.round(
+            (1.0 - F.col("r12") * F.col("r12")) / det, 6
+        ).alias("vif_tax"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -1898,6 +1970,7 @@ QUERIES = {
     "m45_jarque_bera": m45_jarque_bera,
     "m46_brown_forsythe": m46_brown_forsythe,
     "m47_durbin_watson": m47_durbin_watson,
+    "m48_vif": m48_vif,
 }
 
 
@@ -3562,4 +3635,70 @@ ORACLE["m47_durbin_watson"] = """
            ROUND(1.0 - (CAST(sd AS DOUBLE) / CAST(se AS DOUBLE))
                  / 2.0, 6) AS rho
     FROM agg
+"""
+
+# m48: exact decimal sufficient stats (the m44 int128-product note),
+# then correlations/cofactors/det mirrored operation-for-operation.
+ORACLE["m48_vif"] = """
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS s1,
+               SUM(CAST(l_discount AS DECIMAL(18,6))) AS s2,
+               SUM(CAST(l_tax AS DECIMAL(18,6))) AS s3,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_quantity AS DECIMAL(28,6))) AS s11,
+               SUM(CAST(l_discount AS DECIMAL(28,6))
+                   * CAST(l_discount AS DECIMAL(28,6))) AS s22,
+               SUM(CAST(l_tax AS DECIMAL(28,6))
+                   * CAST(l_tax AS DECIMAL(28,6))) AS s33,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_discount AS DECIMAL(28,6))) AS s12,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_tax AS DECIMAL(28,6))) AS s13,
+               SUM(CAST(l_discount AS DECIMAL(28,6))
+                   * CAST(l_tax AS DECIMAL(28,6))) AS s23
+        FROM lineitem
+    ),
+    r AS (
+        SELECT CAST(n AS BIGINT) AS n,
+               (CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                         - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+                   AS r12,
+               (CAST(n AS DOUBLE) * CAST(s13 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(s33 AS DOUBLE)
+                         - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)))
+                   AS r13,
+               (CAST(n AS DOUBLE) * CAST(s23 AS DOUBLE)
+                - CAST(s2 AS DOUBLE) * CAST(s3 AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(s33 AS DOUBLE)
+                         - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)))
+                   AS r23
+        FROM s
+    )
+    SELECT n,
+           ROUND(r12, 6) AS r12,
+           ROUND(r13, 6) AS r13,
+           ROUND(r23, 6) AS r23,
+           ROUND((1.0 - r23 * r23)
+                 / (1.0 + 2.0 * r12 * r13 * r23
+                    - r12 * r12 - r13 * r13 - r23 * r23), 6)
+               AS vif_quantity,
+           ROUND((1.0 - r13 * r13)
+                 / (1.0 + 2.0 * r12 * r13 * r23
+                    - r12 * r12 - r13 * r13 - r23 * r23), 6)
+               AS vif_discount,
+           ROUND((1.0 - r12 * r12)
+                 / (1.0 + 2.0 * r12 * r13 * r23
+                    - r12 * r12 - r13 * r13 - r23 * r23), 6)
+               AS vif_tax
+    FROM r
 """

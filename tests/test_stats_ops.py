@@ -1067,3 +1067,25 @@ def test_brown_forsythe_degenerate_returns_null_w(spark):
         [(5.0, "A"), (5.0, "A"), (5.0, "B"), (5.0, "B")], ["v", "g"]
     )
     assert brown_forsythe(const, "v", "g").collect()[0]["w"] is None
+
+
+def test_m48_vif_numpy_parity(spark):
+    """m48's closed-form 3x3 inverse diagonal vs numpy's
+    inv(corrcoef) on the same lineitem regressors."""
+    from dislib_spark.queries.ml import m48_vif
+    from dislib_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = m48_vif(spark, SF_SMOKE).collect()[0]
+    rows = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_quantity", "l_discount", "l_tax")
+        .collect()
+    )
+    x = np.array([[r[0], r[1], r[2]] for r in rows], dtype=float)
+    r = np.corrcoef(x, rowvar=False)
+    vifs = np.diag(np.linalg.inv(r))
+    assert got["vif_quantity"] == pytest.approx(vifs[0], abs=1e-5)
+    assert got["vif_discount"] == pytest.approx(vifs[1], abs=1e-5)
+    assert got["vif_tax"] == pytest.approx(vifs[2], abs=1e-5)
+    assert got["r12"] == pytest.approx(r[0, 1], abs=1e-6)

@@ -1273,6 +1273,70 @@ def t62_tokenizer_fertility(
     ).orderBy("lang", "source")
 
 
+def t63_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram NOVELTY rate: the fraction of a source's
+    distinct 8-gram occurrences that are FIRST-SEEN there (the gram's
+    minimum doc_id across the corpus is the doc's own) — the
+    crawl-freshness signal that separates sources contributing new
+    content from ones re-serving what the corpus already holds (the
+    cross-doc complement of t29's verbatim span detector).
+
+    Scale shape: ONE explode to (doc, distinct-gram-md5) rows feeds a
+    single map-side-combined (gram, source) aggregate, eagerly
+    checkpointed so the corpus explode never reruns (the multi-
+    consumer-lineage rule); a gram's novel source is the source of
+    its minimum doc_id (doc ids are unique, so min(struct(min_doc,
+    source)) is exact), and both per-source rollups run over the
+    gram×source frame — gram-cardinality everywhere, no pair joins,
+    no corpus re-scan. Counts are exact longs; the rate is a
+    long/long IEEE division."""
+    from dislib_spark.text.analysis import tokens
+    from dislib_spark.text.dedup import shingles_from_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", "source", tokens(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                shingles_from_tokens(F.col("_toks"), 8),
+                lambda s: F.md5(s),
+            )
+        ).alias("gram"),
+    )
+    gs = (
+        g.groupBy("gram", "source")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("doc_id").alias("md"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = gs.groupBy("source").agg(F.sum("c").alias("n_grams"))
+    novel = (
+        gs.groupBy("gram")
+        .agg(F.min(F.struct("md", "source")).alias("f"))
+        .groupBy(F.col("f.source").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        totals.join(novel, "source", "left")
+        .select(
+            "source",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)) / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )
+
+
 def t58_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup SURVIVORSHIP-BIAS audit: does canonical-keep dedup (the
     t52 pipeline) skew the per-source length profile? Compares doc
@@ -1431,6 +1495,7 @@ QUERIES = {
     "t60_source_length_profile": t60_source_length_profile,
     "t61_source_vocab_overlap": t61_source_vocab_overlap,
     "t62_tokenizer_fertility": t62_tokenizer_fertility,
+    "t63_ngram_novelty": t63_ngram_novelty,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -3208,4 +3273,31 @@ ORACLE["t62_tokenizer_fertility"] = """
            ROUND(bytes / subwords, 6) AS bytes_per_subword,
            ROUND(chars / subwords, 6) AS chars_per_subword
     FROM per ORDER BY lang, source
+"""
+
+# t63: per-doc-distinct 8-gram md5s (the t29 gram recipe + DISTINCT),
+# gram-keyed MIN(doc_id), exact integer counts, long/long rate.
+ORACLE["t63_ngram_novelty"] = """
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, source,
+               md5(array_to_string(t[s:s+7], ' ')) AS gram
+        FROM toks,
+             UNNEST(generate_series(1, greatest(len(t) - 7, 0)))
+                 AS r(s)
+    ),
+    firsts AS (
+        SELECT gram, MIN(doc_id) AS first_id FROM grams GROUP BY gram
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS novelty
+    FROM grams JOIN firsts USING (gram)
+    GROUP BY source ORDER BY source
 """

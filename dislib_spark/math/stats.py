@@ -822,3 +822,114 @@ def brown_forsythe(
             (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
         )
     )
+
+
+def welch_anova(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Welch's heteroskedastic one-way ANOVA (Welch 1951): the
+    k-group test of equal MEANS that does not assume equal variances
+    — the parametric completion of the k-group family (m39
+    Kruskal-Wallis tests location by rank, :func:`brown_forsythe`
+    tests the variances themselves, this one tests the means under
+    the variance heterogeneity the other two detect). W follows
+    F(k−1, 1/Λ) under H0 with Λ = 3·Σ[(1−w_g/Σw)²/(n_g−1)]/(k²−1)
+    and precision weights w_g = n_g/s_g².
+
+    Scale shape: ONE map-side-combined aggregate collapses the corpus
+    to per-group (n, Σx, Σx²) with exact DECIMAL sums (the m44
+    recipe); the k-row weight/statistic algebra is pure IEEE on those
+    exact operands, every operation mirrored by the oracle.
+    Degenerate inputs (any group with n ≤ 1 or zero variance, or
+    k ≤ 1) return NULL for ``w`` rather than NaN/∞.
+
+    Returns one row: (n, k, w, df1, df2).
+    """
+    x = F.col(value_col).cast("decimal(18,6)")
+    grp = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    ng = F.col("n_g").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    mean = sx / ng
+    # ANSI mode throws on ANY zero divisor — keep the degenerate
+    # divisions (n_g = 1, zero variance) behind lazy CASE branches;
+    # the NULLed groups force the final statistic to NULL via w_ok
+    var = F.when(ng > 1.0, (sxx - sx * sx / ng) / (ng - 1.0))
+    staged = grp.select(
+        "n_g",
+        mean.alias("m"),
+        var.alias("v"),
+        F.when(var > 0, ng / var).alias("w"),
+    )
+    agg = staged.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("m")).alias("swm"),
+        F.min(F.col("n_g")).alias("min_n"),
+        # a zero/negative sample variance makes w infinite, not NaN —
+        # guard on the variance itself
+        F.min(
+            F.when(F.col("v") > 0, 1.0).otherwise(0.0)
+        ).alias("w_ok"),
+    )
+    # second k-row pass for the centered terms (needs the weighted
+    # grand mean); both passes run over the tiny per-group frame
+    xw = F.col("swm") / F.col("sw")
+    a2 = (
+        staged.crossJoin(
+            F.broadcast(agg.select("n", "k", "sw", xw.alias("xw")))
+        )
+        .agg(
+            F.first("n").alias("n"),
+            F.first("k").alias("k"),
+            F.sum(
+                F.col("w")
+                * (F.col("m") - F.col("xw"))
+                * (F.col("m") - F.col("xw"))
+            ).alias("num"),
+            F.sum(
+                F.when(
+                    F.col("n_g") > 1,
+                    (1.0 - F.col("w") / F.col("sw"))
+                    * (1.0 - F.col("w") / F.col("sw"))
+                    / (F.col("n_g").cast("double") - 1.0),
+                )
+            ).alias("t"),
+        )
+    )
+    kd = F.col("k").cast("double")
+    lam = 3.0 * F.col("t") / (kd * kd - 1.0)
+    w_stat = (F.col("num") / (kd - 1.0)) / (
+        1.0 + 2.0 * lam * (kd - 2.0) / 3.0
+    )
+    guard = F.broadcast(
+        agg.select(
+            F.col("min_n").alias("min_n"), F.col("w_ok").alias("w_ok")
+        )
+    )
+    return a2.crossJoin(guard).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("int").alias("k"),
+        F.when(
+            (F.col("k") <= 1)
+            | (F.col("min_n") <= 1)
+            | (F.col("w_ok") < 1.0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(w_stat, 6))
+        .alias("w"),
+        (F.col("k") - 1).cast("int").alias("df1"),
+        F.when(
+            (F.col("k") <= 1)
+            | (F.col("min_n") <= 1)
+            | (F.col("w_ok") < 1.0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(1.0 / lam, 6))
+        .alias("df2"),
+    )

@@ -1922,6 +1922,22 @@ def m48_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m49_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroskedastic one-way ANOVA across the return-flag
+    populations of lineitem quantity (``math.stats.welch_anova``) —
+    the parametric k-group MEAN test completing the family: m39 tests
+    location by rank, m46 tests the variances, this one tests the
+    means without assuming the equal variances m46 checks. ONE
+    map-side aggregate to per-group exact decimal (n, Σx, Σx²); the
+    k-row weight algebra replays operation-for-operation, and the
+    degenerate guards (n_g ≤ 1, zero variance, k ≤ 1 → NULL) are
+    mirrored in the oracle."""
+    from dislib_spark.math.stats import welch_anova
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return welch_anova(li, "l_quantity", "l_returnflag")
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -1971,6 +1987,7 @@ QUERIES = {
     "m46_brown_forsythe": m46_brown_forsythe,
     "m47_durbin_watson": m47_durbin_watson,
     "m48_vif": m48_vif,
+    "m49_welch_anova": m49_welch_anova,
 }
 
 
@@ -3701,4 +3718,68 @@ ORACLE["m48_vif"] = """
                     - r12 * r12 - r13 * r13 - r23 * r23), 6)
                AS vif_tax
     FROM r
+"""
+
+# m49: exact decimal per-group sufficient stats, then the Welch
+# weight algebra and degenerate guards mirrored operation-for-
+# operation (w = n/var and t-terms stay behind CASE like the engine).
+ORACLE["m49_welch_anova"] = """
+    WITH grp AS (
+        SELECT l_returnflag AS g, COUNT(*) AS n_g,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_quantity AS DECIMAL(28,6))) AS sxx
+        FROM lineitem GROUP BY 1
+    ),
+    st AS (
+        SELECT n_g,
+               CAST(sx AS DOUBLE) / CAST(n_g AS DOUBLE) AS m,
+               CASE WHEN CAST(n_g AS DOUBLE) > 1.0
+                    THEN (CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                            / CAST(n_g AS DOUBLE))
+                         / (CAST(n_g AS DOUBLE) - 1.0)
+               END AS v
+        FROM grp
+    ),
+    st2 AS (
+        SELECT n_g, m, v,
+               CASE WHEN v > 0 THEN CAST(n_g AS DOUBLE) / v END AS w
+        FROM st
+    ),
+    a1 AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n, COUNT(*) AS k,
+               SUM(w) AS sw, SUM(w * m) AS swm,
+               MIN(n_g) AS min_n,
+               MIN(CASE WHEN v > 0 THEN 1.0 ELSE 0.0 END) AS w_ok
+        FROM st2
+    ),
+    a2 AS (
+        SELECT MAX(a1.n) AS n, MAX(a1.k) AS k,
+               SUM(st2.w * (st2.m - a1.swm / a1.sw)
+                   * (st2.m - a1.swm / a1.sw)) AS num,
+               SUM(CASE WHEN st2.n_g > 1
+                        THEN (1.0 - st2.w / a1.sw)
+                             * (1.0 - st2.w / a1.sw)
+                             / (CAST(st2.n_g AS DOUBLE) - 1.0)
+                   END) AS t,
+               MAX(a1.min_n) AS min_n, MAX(a1.w_ok) AS w_ok
+        FROM st2 CROSS JOIN a1
+    )
+    SELECT n, CAST(k AS INTEGER) AS k,
+           CASE WHEN k <= 1 OR min_n <= 1 OR w_ok < 1.0 THEN NULL
+                ELSE ROUND((num / (CAST(k AS DOUBLE) - 1.0))
+                           / (1.0 + 2.0
+                              * (3.0 * t / (CAST(k AS DOUBLE)
+                                            * CAST(k AS DOUBLE)
+                                            - 1.0))
+                              * (CAST(k AS DOUBLE) - 2.0) / 3.0), 6)
+           END AS w,
+           CAST(k - 1 AS INTEGER) AS df1,
+           CASE WHEN k <= 1 OR min_n <= 1 OR w_ok < 1.0 THEN NULL
+                ELSE ROUND(1.0 / (3.0 * t
+                                  / (CAST(k AS DOUBLE)
+                                     * CAST(k AS DOUBLE) - 1.0)), 6)
+           END AS df2
+    FROM a2
 """

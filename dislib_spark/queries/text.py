@@ -1274,12 +1274,15 @@ def t62_tokenizer_fertility(
 
 
 def t63_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source n-gram NOVELTY rate: the fraction of a source's
+    """Per-source 8-gram NOVELTY rate: the fraction of a source's
     distinct 8-gram occurrences that are FIRST-SEEN there (the gram's
-    minimum doc_id across the corpus is the doc's own) — the
-    crawl-freshness signal that separates sources contributing new
-    content from ones re-serving what the corpus already holds (the
-    cross-doc complement of t29's verbatim span detector).
+    minimum doc_id across the corpus is the doc's own). The long-span
+    occurrence-pooled sibling of t45 (which means per-DOC trigram
+    ratios): 8-grams catch verbatim boilerplate reuse (t29's grain)
+    rather than phrase reuse, and pooling by occurrence weights big
+    documents by their actual contribution — the two rates diverge
+    exactly on sources mixing short fresh docs with long mirrored
+    ones, which is the case a crawl-scheduling decision cares about.
 
     Scale shape: ONE explode to (doc, distinct-gram-md5) rows feeds a
     single map-side-combined (gram, source) aggregate, eagerly

@@ -75,6 +75,7 @@ _BNLJ_OK = {
     "x88_sketch_table",  # 1-row broadcasts of the merged totals and bound (x82 shape)
     "v24_ivf_index_maintenance",  # broadcast centers/probes, the v04/v10 shape
     "m47_durbin_watson",  # 1-row fit + 1-row diff-sum broadcasts (m44 shape)
+    "m49_welch_anova",  # 1-row grand-mean + guard broadcasts onto the k-row frame
 }
 
 

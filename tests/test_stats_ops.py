@@ -1089,3 +1089,57 @@ def test_m48_vif_numpy_parity(spark):
     assert got["vif_discount"] == pytest.approx(vifs[1], abs=1e-5)
     assert got["vif_tax"] == pytest.approx(vifs[2], abs=1e-5)
     assert got["r12"] == pytest.approx(r[0, 1], abs=1e-6)
+
+
+def test_welch_anova_matches_reference(spark):
+    """welch_anova vs the direct Welch (1951) computation on three
+    groups with unequal variances."""
+    from dislib_spark.math.stats import welch_anova
+
+    rng = np.random.default_rng(5)
+    groups = {
+        "A": rng.normal(10, 1, 80),
+        "B": rng.normal(10.5, 3, 60),
+        "C": rng.normal(9.8, 0.5, 100),
+    }
+    rows = [
+        (round(float(v), 4), g) for g, vs in groups.items() for v in vs
+    ]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    got = welch_anova(df, "v", "g").collect()[0]
+
+    vals = [np.round(v, 4) for v in groups.values()]
+    n = [len(v) for v in vals]
+    m = [v.mean() for v in vals]
+    s2 = [v.var(ddof=1) for v in vals]
+    w = [ni / vi for ni, vi in zip(n, s2)]
+    sw = sum(w)
+    xw = sum(wi * mi for wi, mi in zip(w, m)) / sw
+    k = 3
+    num = sum(wi * (mi - xw) ** 2 for wi, mi in zip(w, m)) / (k - 1)
+    t = sum((1 - wi / sw) ** 2 / (ni - 1) for wi, ni in zip(w, n))
+    lam = 3 * t / (k * k - 1)
+    ref_w = num / (1 + 2 * lam * (k - 2) / 3)
+    assert got["n"] == sum(n) and got["k"] == k
+    assert got["w"] == pytest.approx(ref_w, abs=1e-4)
+    assert got["df2"] == pytest.approx(1 / lam, abs=1e-3)
+
+
+def test_welch_anova_degenerate_null(spark):
+    """Constant group, singleton group, or k=1 -> NULL statistic,
+    never NaN/inf/ANSI division error."""
+    from dislib_spark.math.stats import welch_anova
+
+    const = spark.createDataFrame(
+        [(5.0, "A"), (5.0, "A"), (6.0, "B"), (7.0, "B")], ["v", "g"]
+    )
+    r = welch_anova(const, "v", "g").collect()[0]
+    assert r["w"] is None and r["df2"] is None
+    single = spark.createDataFrame(
+        [(5.0, "A"), (6.0, "A"), (7.0, "B")], ["v", "g"]
+    )
+    assert welch_anova(single, "v", "g").collect()[0]["w"] is None
+    k1 = spark.createDataFrame(
+        [(5.0, "A"), (6.0, "A"), (7.0, "A")], ["v", "g"]
+    )
+    assert welch_anova(k1, "v", "g").collect()[0]["w"] is None

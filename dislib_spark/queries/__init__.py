@@ -18,18 +18,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry in FAMILY-INTERLEAVED insertion order (one query per
-    family per cycle, within-family order preserved): the driver's
-    correctness harness samples a PREFIX of this order, so any prefix
-    must span every family (relational/text/vector/ml/extended/tpch)
-    rather than exhausting q+t first."""
+    """Registry in FAMILY-INTERLEAVED order (one query per family per
+    cycle): the driver's correctness harness samples a PREFIX of this
+    order, so any prefix must span every family
+    (relational/text/vector/ml/extended/tpch) rather than exhausting
+    q+t first. Within each family the insertion order is REVERSED
+    (newest additions first) so the sampled prefix always covers the
+    latest round's queries — the older surface stays covered by the
+    full sweeps (tools/driver_check.py at three scales)."""
     from itertools import zip_longest
 
     from dislib_spark.queries import extended, ml, relational, text, tpch, vector
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     families = [
-        list(m.QUERIES.items())
+        list(reversed(m.QUERIES.items()))
         for m in (relational, text, vector, ml, extended, tpch)
     ]
     for cycle in zip_longest(*families):

@@ -2399,6 +2399,84 @@ def x90_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x91_position_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — the model
+    between x83's two bookends: each purchase's revenue splits 40% to
+    the first click, 40% to the last, and the remaining 20% evenly
+    across the middle touches (all of it to the single touch when the
+    path has one click, 50/50 when it has two — the standard
+    degenerate rules). The same user-keyed 7-day range join and
+    single-exchange double-rank pass as x83; weights are exact
+    decimal fractions of the DECIMAL(18,2) revenue computed per touch
+    row, so per-channel credit sums replay order-exactly.
+
+    Weight arithmetic: w = 1 (n=1), 0.5 (n=2), else 0.4 at the
+    bookends and 0.2/(n−2) in the middle — per-touch revenue is
+    ``val · w`` carried as DOUBLE with identical operation order both
+    engines; the 6-dp rounded SUM is stable because every val is a
+    2-dp decimal and w is an exact small ratio."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ch = F.concat(
+        F.lit("ch"),
+        F.pmod(
+            F.get_json_object("props", "$.k").cast("long"), F.lit(4)
+        ),
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("c_id"),
+            F.col("ts").alias("c_ts"),
+            ch.alias("channel"),
+        )
+        .where(F.col("channel").isNotNull())
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("decimal(18,2)").alias("val"),
+    )
+    j = buys.join(clicks, "user_id").where(
+        (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    wf = Window.partitionBy("p_id").orderBy("c_ts", "c_id")
+    wc = Window.partitionBy("p_id")
+    t = j.select(
+        "p_id",
+        "channel",
+        "val",
+        F.row_number().over(wf).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("nt"),
+    )
+    nt = F.col("nt").cast("double")
+    w = (
+        F.when(F.col("nt") == 1, F.lit(1.0))
+        .when(F.col("nt") == 2, F.lit(0.5))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("nt")),
+            F.lit(0.4),
+        )
+        .otherwise(0.2 / (nt - 2.0))
+    )
+    return (
+        t.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(
+                F.sum(F.col("val").cast("double") * w), 6
+            ).alias("credited_rev"),
+        )
+        .orderBy("channel")
+    )
+
+
 def s11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (``streaming.windows
     .stream_stream_left_join``): every click accounted — matched to
@@ -2791,6 +2869,7 @@ QUERIES = {
     "x88_sketch_table": x88_sketch_table,
     "x89_k_core": x89_k_core,
     "x90_retention_triangle": x90_retention_triangle,
+    "x91_position_attribution": x91_position_attribution,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -4750,3 +4829,45 @@ def _s13_oracle() -> str:
 
 
 ORACLE["s13_stream_dedup_archive"] = _s13_oracle()
+
+# x91: the x83 join/rank shape with U-shaped weights; 6-dp rounding
+# sits >=6 orders above the double-sum ulp so the per-channel credit
+# is summation-order-proof.
+ORACLE["x91_position_attribution"] = """
+    WITH ch AS (
+        SELECT user_id, event_id AS c_id, ts AS c_ts,
+               'ch' || (((CAST(json_extract_string(props, '$.k')
+                               AS BIGINT) % 4) + 4) % 4) AS channel
+        FROM events WHERE event_type = 'click'
+          AND CAST(json_extract_string(props, '$.k') AS BIGINT)
+              IS NOT NULL
+    ),
+    b AS (
+        SELECT user_id, event_id AS p_id, ts AS p_ts,
+               CAST(value AS DECIMAL(18,2)) AS val
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT b.p_id, b.val, c.channel, c.c_ts, c.c_id
+        FROM b JOIN ch c
+          ON b.user_id = c.user_id
+         AND c.c_ts < b.p_ts
+         AND c.c_ts >= b.p_ts - INTERVAL 7 DAY
+    ),
+    t AS (
+        SELECT p_id, channel, val,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_id ORDER BY c_ts, c_id) AS rn,
+               COUNT(*) OVER (PARTITION BY p_id) AS nt
+        FROM j
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(CAST(val AS DOUBLE)
+                 * CASE WHEN nt = 1 THEN 1.0
+                        WHEN nt = 2 THEN 0.5
+                        WHEN rn = 1 OR rn = nt THEN 0.4
+                        ELSE 0.2 / (CAST(nt AS DOUBLE) - 2.0)
+                   END), 6) AS credited_rev
+    FROM t GROUP BY channel ORDER BY channel
+"""

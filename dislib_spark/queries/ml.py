@@ -1938,6 +1938,45 @@ def m49_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_anova(li, "l_quantity", "l_returnflag")
 
 
+def m50_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' max-studentized-deviation outlier test on order
+    totalprice — the single-most-extreme-value screen that belongs
+    before any mean-based statistic in the m44-m49 diagnostics
+    family: G = max(x̄−x_min, x_max−x̄)/s with the flagged side
+    reported. ONE scan: (n, Σx, Σx², min, max) fold in a single
+    map-side-combined aggregate with exact decimal sums; G is scalar
+    IEEE algebra on those exact operands, mirrored by the oracle.
+    Degenerate inputs (n ≤ 1 or zero variance) return NULL."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(18,6)")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.min(F.col("o_totalprice")).alias("xmin"),
+        F.max(F.col("o_totalprice")).alias("xmax"),
+    )
+    nn = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    mean = sx / nn
+    var = F.when(nn > 1.0, (sxx - sx * sx / nn) / (nn - 1.0))
+    sd = F.sqrt(var)
+    d_hi = F.col("xmax") - mean
+    d_lo = mean - F.col("xmin")
+    g = F.greatest(d_hi, d_lo) / sd
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.when(var > 0, F.round(sd, 6)).alias("sd"),
+        F.when(var > 0, F.round(g, 6)).alias("g_stat"),
+        F.when(
+            var > 0,
+            F.when(d_hi >= d_lo, F.lit("max")).otherwise(F.lit("min")),
+        ).alias("outlier_side"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -1988,6 +2027,7 @@ QUERIES = {
     "m47_durbin_watson": m47_durbin_watson,
     "m48_vif": m48_vif,
     "m49_welch_anova": m49_welch_anova,
+    "m50_grubbs": m50_grubbs,
 }
 
 
@@ -3782,4 +3822,42 @@ ORACLE["m49_welch_anova"] = """
                                      * CAST(k AS DOUBLE) - 1.0)), 6)
            END AS df2
     FROM a2
+"""
+
+# m50: one exact-decimal sufficient-stats aggregate; G is scalar
+# algebra mirrored operation-for-operation, guards mirrored.
+ORACLE["m50_grubbs"] = """
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS sx,
+               SUM(CAST(o_totalprice AS DECIMAL(28,6))
+                   * CAST(o_totalprice AS DECIMAL(28,6))) AS sxx,
+               MIN(o_totalprice) AS xmin,
+               MAX(o_totalprice) AS xmax
+        FROM orders
+    ),
+    st AS (
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               CASE WHEN CAST(n AS DOUBLE) > 1.0
+                    THEN (CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                         / (CAST(n AS DOUBLE) - 1.0)
+               END AS v,
+               xmin, xmax
+        FROM s
+    )
+    SELECT n,
+           ROUND(mean, 6) AS mean,
+           CASE WHEN v > 0 THEN ROUND(SQRT(v), 6) END AS sd,
+           CASE WHEN v > 0
+                THEN ROUND(GREATEST(xmax - mean, mean - xmin)
+                           / SQRT(v), 6)
+           END AS g_stat,
+           CASE WHEN v > 0
+                THEN CASE WHEN xmax - mean >= mean - xmin
+                          THEN 'max' ELSE 'min' END
+           END AS outlier_side
+    FROM st
 """

@@ -92,6 +92,26 @@ def main():
         ).save(),
     )
 
+    def stride_sketch_item():
+        from dislib_spark.sketches import (
+            merged_stride_quantiles,
+            stride_partials,
+        )
+
+        vals = x.df.select(
+            "row_id", F.element_at("features", 1).alias("v")
+        )
+        parts = stride_partials(
+            vals, "v", F.col("row_id"), (F.col("row_id") % 8),
+            k=256, shards=32,
+        )
+        return merged_stride_quantiles(parts).count()
+
+    timed(
+        "stride sketch partials+merge (8 parts x 32 shards, k=256)",
+        stride_sketch_item,
+    )
+
     spark.stop()
 
 

@@ -121,6 +121,30 @@ def main():
         lambda: bpe_pair_counts(docs, top_k=20).collect(),
     )
 
+    def index_probe_item():
+        from dislib_spark.text.dedup import (
+            dedup_against_index,
+            minhash_index,
+        )
+
+        ix = minhash_index(docs.where(F.col("doc_id") % 2 == 0))
+        return dedup_against_index(
+            docs.where(F.col("doc_id") % 2 == 1), ix, threshold=0.5
+        ).count()
+
+    timed(
+        "archive index build + batch probe (band equi-join)",
+        index_probe_item,
+    )
+
+    def k_core_item():
+        from dislib_spark.graph import k_core
+
+        pairs = minhash_lsh_pairs(docs, threshold=0.5)
+        return k_core(pairs, k=2, rounds=4).count()
+
+    timed("k-core peel on the LSH dup graph (4 rounds)", k_core_item)
+
     def nb_fit_score():
         from dislib_spark.classification.naive_bayes import MultinomialNB
 

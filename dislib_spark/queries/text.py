@@ -1340,6 +1340,75 @@ def t63_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t64_split_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-split DECONTAMINATION audit: after the standard
+    deterministic 90/10 hash split (t10's md5 bucket on doc_id), how
+    many TRAIN documents share a verbatim 8-gram with any TEST
+    document — the train→test leakage every eval pipeline must scrub
+    before trusting its held-out numbers (t09 checks leakage against
+    an EXTERNAL benchmark; this is the internal-split counterpart).
+
+    Scale shape: one explode to (doc, distinct-gram-md5, is_test)
+    rows; the test side collapses to its distinct gram set
+    (test-sized, sublinear) and the train side probes it with ONE
+    gram-keyed semi-join — never a doc×doc comparison. Per-source
+    counts are exact longs; leak_rate is a long/long division."""
+    from dislib_spark.sampling import hash_bucket
+    from dislib_spark.text.analysis import tokens
+    from dislib_spark.text.dedup import shingles_from_tokens
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "is_test", hash_bucket(F.col("doc_id"), 100) < 10
+    )
+    g = d.select(
+        "doc_id",
+        "is_test",
+        F.explode(
+            F.transform(
+                shingles_from_tokens(
+                    tokens(F.col("text")), 8
+                ),
+                lambda s: F.md5(s),
+            )
+        ).alias("gram"),
+    ).localCheckpoint(eager=True)
+    test_grams = (
+        g.where(F.col("is_test")).select("gram").distinct()
+    )
+    leaky = (
+        g.where(~F.col("is_test"))
+        .join(test_grams, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    base = d.groupBy("source").agg(
+        F.sum((~F.col("is_test")).cast("long")).alias("n_train"),
+        F.sum(F.col("is_test").cast("long")).alias("n_test"),
+    )
+    lk = (
+        d.join(leaky, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_leaky"))
+    )
+    return (
+        base.join(lk, "source", "left")
+        .select(
+            "source",
+            "n_train",
+            "n_test",
+            F.coalesce("n_leaky", F.lit(0))
+            .cast("bigint")
+            .alias("n_leaky"),
+            F.round(
+                F.coalesce("n_leaky", F.lit(0)) / F.col("n_train"), 6
+            ).alias("leak_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def t58_dedup_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup SURVIVORSHIP-BIAS audit: does canonical-keep dedup (the
     t52 pipeline) skew the per-source length profile? Compares doc
@@ -1499,6 +1568,7 @@ QUERIES = {
     "t61_source_vocab_overlap": t61_source_vocab_overlap,
     "t62_tokenizer_fertility": t62_tokenizer_fertility,
     "t63_ngram_novelty": t63_ngram_novelty,
+    "t64_split_decontamination": t64_split_decontamination,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -3303,4 +3373,51 @@ ORACLE["t63_ngram_novelty"] = """
                  / COUNT(*), 6) AS novelty
     FROM grams JOIN firsts USING (gram)
     GROUP BY source ORDER BY source
+"""
+
+# t64: t10's md5-bucket split + the t29 gram recipe; test gram set is
+# DISTINCT, train probes it with a semi-join; counts exact longs.
+ORACLE["t64_split_decontamination"] = """
+    WITH d AS (
+        SELECT doc_id, source, text,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                     1, 4)) AS INTEGER) % 100) < 10
+                   AS is_test
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, is_test, string_split(text, ' ') AS t
+             FROM d),
+    grams AS (
+        SELECT DISTINCT doc_id, is_test,
+               md5(array_to_string(t[s:s+7], ' ')) AS gram
+        FROM toks,
+             UNNEST(generate_series(1, greatest(len(t) - 7, 0)))
+                 AS r(s)
+    ),
+    test_grams AS (
+        SELECT DISTINCT gram FROM grams WHERE is_test
+    ),
+    leaky AS (
+        SELECT DISTINCT doc_id FROM grams
+        WHERE NOT is_test
+          AND gram IN (SELECT gram FROM test_grams)
+    ),
+    base AS (
+        SELECT source,
+               CAST(SUM(CASE WHEN is_test THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_train,
+               CAST(SUM(CASE WHEN is_test THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_test
+        FROM d GROUP BY source
+    ),
+    lk AS (
+        SELECT d.source, COUNT(*) AS n_leaky
+        FROM d JOIN leaky USING (doc_id)
+        GROUP BY d.source
+    )
+    SELECT base.source, n_train, n_test,
+           CAST(COALESCE(n_leaky, 0) AS BIGINT) AS n_leaky,
+           ROUND(COALESCE(n_leaky, 0) / n_train, 6) AS leak_rate
+    FROM base LEFT JOIN lk ON base.source = lk.source
+    ORDER BY base.source
 """

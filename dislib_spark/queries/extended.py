@@ -2477,6 +2477,58 @@ def x91_position_attribution(
     )
 
 
+def x92_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-Exchange fact-fact join off BUCKETED storage
+    (``sources.bucketing.save_bucketed``): orders and lineitem land
+    as 16-bucket tables bucketBy+sortBy the join key, and the
+    priority revenue rollup then joins them with NO shuffle and NO
+    sort — the layout investment every nightly pipeline makes when
+    the same fact-fact join runs per day at 100 TB. The oracle is the
+    plain join+aggregate (bucketed storage is a value no-op); the
+    zero-Exchange SMJ plan itself is pinned in
+    tests/test_plans.py::test_x92_bucketed_join_plan_pinned.
+    Revenue sums are DECIMAL(18,2) order-exact."""
+    import tempfile
+
+    from dislib_spark.sources.bucketing import (
+        load_table_bucketed,
+        save_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    tmp = tempfile.mkdtemp(prefix="bucketed_")
+    save_bucketed(
+        orders, "x92_orders", ["o_orderkey"], 16,
+        sort_cols=["o_orderkey"], path=f"{tmp}/orders",
+    )
+    save_bucketed(
+        lineitem, "x92_lineitem", ["l_orderkey"], 16,
+        sort_cols=["l_orderkey"], path=f"{tmp}/lineitem",
+    )
+    bo = load_table_bucketed(spark, "x92_orders")
+    bl = load_table_bucketed(spark, "x92_lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev.cast("decimal(28,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def s11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (``streaming.windows
     .stream_stream_left_join``): every click accounted — matched to
@@ -2870,6 +2922,7 @@ QUERIES = {
     "x89_k_core": x89_k_core,
     "x90_retention_triangle": x90_retention_triangle,
     "x91_position_attribution": x91_position_attribution,
+    "x92_bucketed_join": x92_bucketed_join,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -4870,4 +4923,18 @@ ORACLE["x91_position_attribution"] = """
                         ELSE 0.2 / (CAST(nt AS DOUBLE) - 2.0)
                    END), 6) AS credited_rev
     FROM t GROUP BY channel ORDER BY channel
+"""
+
+# x92: bucketed layout is a value no-op — plain join + rollup; money
+# math per-term DECIMAL (the x25 recipe).
+ORACLE["x92_bucketed_join"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
 """

@@ -318,3 +318,44 @@ def test_x86_audience_overlap_plan_pinned(spark):
     assert f.n_exchanges <= 8
     assert "SortMergeJoin" not in f.join_kinds
     assert not f.has_cartesian and not f.has_python_row_udf
+
+
+def test_x92_bucketed_join_plan_pinned(spark):
+    """x92's value is its LAYOUT: with broadcast disabled, the
+    orders-lineitem join off the bucketed tables must plan as a
+    SortMergeJoin with NO Exchange and NO Sort below it (bucketBy
+    kills the shuffle, sortBy kills the sort) — the zero-shuffle
+    fact-fact join contract."""
+    import re
+
+    df = all_queries()["x92_bucketed_join"](spark, SF_SMOKE)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # rebuild under the no-broadcast conf so the join strategy is
+        # decided by the bucketed layout alone
+        df = all_queries()["x92_bucketed_join"](spark, SF_SMOKE)
+        plan = _plan_df(df)
+        assert "SortMergeJoin" in plan
+        join_part = plan.split("SortMergeJoin")[1]
+        # nothing between the join and its bucketed scans may shuffle
+        # or sort; the rollup above the join still exchanges once
+        pre_join = plan.split("SortMergeJoin")[0]
+        scans = [
+            line
+            for line in plan.splitlines()
+            if "Scan parquet" in line
+        ]
+        assert len(scans) >= 2
+        assert re.search(r"Exchange hashpartitioning\(o_orderkey", plan) is None
+        assert re.search(r"Exchange hashpartitioning\(l_orderkey", plan) is None
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _plan_df(df):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()

@@ -933,3 +933,173 @@ def welch_anova(
         .otherwise(F.round(1.0 / lam, 6))
         .alias("df2"),
     )
+
+
+def bartlett(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Bartlett's test of variance homogeneity (Bartlett 1937): the
+    likelihood-ratio k-group variance test that is most powerful
+    under normality, complementing :func:`brown_forsythe` (which
+    trades power for robustness to heavy tails). T = [(N−k)·ln s_p²
+    − Σ(n_g−1)·ln s_g²] / C with the Bartlett correction
+    C = 1 + (Σ 1/(n_g−1) − 1/(N−k)) / (3(k−1)); T ~ χ²(k−1) under
+    H0.
+
+    Scale shape: ONE map-side-combined aggregate collapses the corpus
+    to per-group (n, Σx, Σx²) with exact DECIMAL sums; the k-row
+    log/pool algebra is IEEE on those exact operands, every operation
+    mirrored by the oracle. Degenerate inputs (k ≤ 1, any group with
+    n ≤ 1 or zero variance) return NULL rather than NaN/∞.
+
+    Returns one row: (n, k, t_stat, df).
+    """
+    x = F.col(value_col).cast("decimal(18,6)")
+    grp = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    ng = F.col("n_g").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    var = F.when(ng > 1.0, (sxx - sx * sx / ng) / (ng - 1.0))
+    staged = grp.select("n_g", var.alias("v"))
+    agg = staged.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum((F.col("n_g").cast("double") - 1.0) * F.col("v")).alias(
+            "ssw"
+        ),
+        F.sum(
+            F.when(
+                F.col("v") > 0,
+                (F.col("n_g").cast("double") - 1.0)
+                * F.log(F.col("v")),
+            )
+        ).alias("slnv"),
+        F.sum(
+            F.when(
+                F.col("n_g") > 1,
+                1.0 / (F.col("n_g").cast("double") - 1.0),
+            )
+        ).alias("sinv"),
+        F.min("n_g").alias("min_n"),
+        F.min(F.when(F.col("v") > 0, 1.0).otherwise(0.0)).alias(
+            "v_ok"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    bad = (
+        (F.col("k") <= 1) | (F.col("min_n") <= 1) | (F.col("v_ok") < 1.0)
+    )
+    pooled = F.col("ssw") / (nd - kd)
+    t_stat = ((nd - kd) * F.log(pooled) - F.col("slnv")) / (
+        1.0
+        + (F.col("sinv") - 1.0 / (nd - kd)) / (3.0 * (kd - 1.0))
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("int").alias("k"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(t_stat, 6))
+        .alias("t_stat"),
+        (F.col("k") - 1).cast("int").alias("df"),
+    )
+
+
+def friedman(
+    df: DataFrame,
+    value_col: str,
+    block_col: Column,
+    treatment_col: str,
+) -> DataFrame:
+    """Friedman rank test for k matched treatments over b blocks
+    (Friedman 1937): the nonparametric repeated-measures ANOVA —
+    within every block the k treatment scores are replaced by their
+    (average-tie) ranks, and the tie-robust statistic
+    χ²_F = (k−1)·Σ_j (R_j − b(k+1)/2)² / (A − C) with
+    A = ΣΣ R_ij² and C = b·k·(k+1)²/4 is referred to χ²(k−1).
+    Only COMPLETE blocks (all k treatments present) enter.
+
+    Scale shape: ONE map-side-combined aggregate collapses the corpus
+    to the (block × treatment) cell grid — exact DECIMAL(18,6) sums
+    so the ranked cell means are deterministic IEEE doubles (exact
+    operands, one correctly-rounded division) — then every window
+    and fold runs on that bounded grid, not the corpus. The rank,
+    completeness filter and χ² algebra replay operation-for-
+    operation in the oracle; A = C (all blocks internally tied)
+    returns NULL.
+
+    Returns one row: (b, k, chi2_f, df).
+    """
+    from pyspark.sql import Window
+
+    x = F.col(value_col).cast("decimal(18,6)")
+    cells = df.groupBy(
+        block_col.alias("blk"), F.col(treatment_col).alias("trt")
+    ).agg(
+        F.count(F.lit(1)).alias("n_c"),
+        F.sum(x).alias("sx"),
+    )
+    m = F.col("sx").cast("double") / F.col("n_c").cast("double")
+    cells = cells.select("blk", "trt", m.alias("m"))
+    k_total = cells.select(
+        F.countDistinct("trt").alias("k")
+    )
+    w_cnt = Window.partitionBy("blk")
+    complete = (
+        cells.withColumn(
+            "k_blk", F.count(F.lit(1)).over(w_cnt)
+        )
+        .crossJoin(F.broadcast(k_total))
+        .where(F.col("k_blk") == F.col("k"))
+    )
+    w_rank = Window.partitionBy("blk").orderBy("m")
+    w_tie = Window.partitionBy("blk", "m")
+    ranked = complete.select(
+        "blk",
+        "trt",
+        "k",
+        (
+            F.rank().over(w_rank).cast("double")
+            + (F.count(F.lit(1)).over(w_tie).cast("double") - 1.0)
+            / 2.0
+        ).alias("r"),
+    )
+    per_trt = ranked.groupBy("trt").agg(
+        F.first("k").alias("k"),
+        F.countDistinct("blk").alias("b"),
+        F.sum("r").alias("rj"),
+        F.sum(F.col("r") * F.col("r")).alias("rj2"),
+    )
+    agg = per_trt.agg(
+        F.max("b").alias("b"),
+        F.max("k").alias("k"),
+        F.sum("rj2").alias("a"),
+        F.sum(
+            (
+                F.col("rj")
+                - F.col("b").cast("double")
+                * (F.col("k").cast("double") + 1.0)
+                / 2.0
+            )
+            * (
+                F.col("rj")
+                - F.col("b").cast("double")
+                * (F.col("k").cast("double") + 1.0)
+                / 2.0
+            )
+        ).alias("ssq"),
+    )
+    bd = F.col("b").cast("double")
+    kd = F.col("k").cast("double")
+    c = bd * kd * (kd + 1.0) * (kd + 1.0) / 4.0
+    chi2 = (kd - 1.0) * F.col("ssq") / (F.col("a") - c)
+    return agg.select(
+        F.col("b").cast("bigint").alias("b"),
+        F.col("k").cast("int").alias("k"),
+        F.when(F.col("a") - c > 0, F.round(chi2, 6)).alias("chi2_f"),
+        (F.col("k") - 1).cast("int").alias("df"),
+    )

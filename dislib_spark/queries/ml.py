@@ -1977,6 +1977,87 @@ def m50_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m51_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's likelihood-ratio variance-homogeneity test across
+    the return-flag populations of lineitem quantity
+    (``math.stats.bartlett``) — the normal-theory counterpart of m46
+    Brown-Forsythe: most powerful when the populations are normal,
+    where the robust median-based variant deliberately gives up
+    power. ONE map-side aggregate to per-group exact decimal
+    (n, Σx, Σx²); the k-row log/pool algebra replays
+    operation-for-operation and the degenerate guards (k ≤ 1,
+    n_g ≤ 1, zero variance → NULL) are mirrored in the oracle."""
+    from dislib_spark.math.stats import bartlett
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return bartlett(li, "l_quantity", "l_returnflag")
+
+
+def m52_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test over k=3 deterministic binary screens on
+    orders — the k-classifier generalization of m41 McNemar: do the
+    three rules (totalprice > 250k, priority ∈ {1-URGENT, 2-HIGH},
+    order placed in H1) flag the same fraction of subjects?
+    Q = (k−1)·(k·ΣG_j² − T²) / (k·T − ΣL_i²) ~ χ²(k−1) under H0,
+    with G_j the per-rule success totals, L_i the per-subject row
+    sums and T = ΣL_i. ONE map-side-combined scan folds the corpus
+    to five integer totals (G₁, G₂, G₃, T arrives as their sum,
+    ΣL²) — exact integer arithmetic until the final division, every
+    operation mirrored by the oracle; a zero denominator (every
+    subject flagged by none or all rules) returns NULL."""
+    o = load_table(spark, sf_dir, "orders")
+    c1 = F.when(F.col("o_totalprice") > 250000.0, 1).otherwise(0)
+    c2 = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    c3 = F.when(F.month("o_orderdate") <= 6, 1).otherwise(0)
+    li = c1 + c2 + c3
+    s = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c1).alias("g1"),
+        F.sum(c2).alias("g2"),
+        F.sum(c3).alias("g3"),
+        F.sum(li * li).alias("sl2"),
+    )
+    t = F.col("g1") + F.col("g2") + F.col("g3")
+    num = 2.0 * (
+        3.0
+        * (
+            F.col("g1") * F.col("g1")
+            + F.col("g2") * F.col("g2")
+            + F.col("g3") * F.col("g3")
+        ).cast("double")
+        - (t * t).cast("double")
+    )
+    den = (3 * t - F.col("sl2")).cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("g1").cast("bigint").alias("g1"),
+        F.col("g2").cast("bigint").alias("g2"),
+        F.col("g3").cast("bigint").alias("g3"),
+        F.when(den > 0, F.round(num / den, 6)).alias("q_stat"),
+        F.lit(2).cast("int").alias("df"),
+    )
+
+
+def m53_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test (``math.stats.friedman``): blocks = ISO
+    weeks of the events stream, matched treatments = event types,
+    score = the week×type mean event value — "does event type shift
+    value consistently across weeks?", the nonparametric repeated-
+    measures ANOVA completing the rank family (m33 two-group, m39
+    k-group independent, this one k-group BLOCKED). ONE corpus scan
+    to the week×type cell grid with exact decimal sums; ranks,
+    completeness filter and the tie-robust χ² algebra all replay on
+    that bounded grid in the oracle."""
+    from dislib_spark.math.stats import friedman
+
+    ev = load_table(spark, sf_dir, "events")
+    return friedman(
+        ev, "value", F.date_trunc("week", F.col("ts")), "event_type"
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -2028,6 +2109,9 @@ QUERIES = {
     "m48_vif": m48_vif,
     "m49_welch_anova": m49_welch_anova,
     "m50_grubbs": m50_grubbs,
+    "m51_bartlett": m51_bartlett,
+    "m52_cochran_q": m52_cochran_q,
+    "m53_friedman": m53_friedman,
 }
 
 
@@ -3860,4 +3944,147 @@ ORACLE["m50_grubbs"] = """
                           THEN 'max' ELSE 'min' END
            END AS outlier_side
     FROM st
+"""
+
+# m51: per-group exact-decimal sufficient stats, then the k-row
+# Bartlett log/pool algebra mirrored operation-for-operation; guards
+# (k<=1, n_g<=1, zero variance) mirrored as NULL.
+ORACLE["m51_bartlett"] = """
+    WITH grp AS (
+        SELECT l_returnflag AS g,
+               COUNT(*) AS n_g,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_quantity AS DECIMAL(28,6))) AS sxx
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    st AS (
+        SELECT n_g,
+               CASE WHEN CAST(n_g AS DOUBLE) > 1.0
+                    THEN (CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                            / CAST(n_g AS DOUBLE))
+                         / (CAST(n_g AS DOUBLE) - 1.0)
+               END AS v
+        FROM grp
+    ),
+    agg AS (
+        SELECT SUM(n_g) AS n,
+               COUNT(*) AS k,
+               SUM((CAST(n_g AS DOUBLE) - 1.0) * v) AS ssw,
+               SUM(CASE WHEN v > 0
+                        THEN (CAST(n_g AS DOUBLE) - 1.0) * LN(v)
+                   END) AS slnv,
+               SUM(CASE WHEN n_g > 1
+                        THEN 1.0 / (CAST(n_g AS DOUBLE) - 1.0)
+                   END) AS sinv,
+               MIN(n_g) AS min_n,
+               MIN(CASE WHEN v > 0 THEN 1.0 ELSE 0.0 END) AS v_ok
+        FROM st
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(k AS INTEGER) AS k,
+           CASE WHEN k <= 1 OR min_n <= 1 OR v_ok < 1.0 THEN NULL
+                ELSE ROUND(((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                            * LN(ssw / (CAST(n AS DOUBLE)
+                                        - CAST(k AS DOUBLE)))
+                            - slnv)
+                           / (1.0 + (sinv
+                                     - 1.0 / (CAST(n AS DOUBLE)
+                                              - CAST(k AS DOUBLE)))
+                                    / (3.0 * (CAST(k AS DOUBLE)
+                                              - 1.0))), 6)
+           END AS t_stat,
+           CAST(k - 1 AS INTEGER) AS df
+    FROM agg
+"""
+
+# m52: one integer-exact scan to (n, G1, G2, G3, sum L^2); the Q
+# algebra is mirrored operation-for-operation, zero denominator ->
+# NULL on both sides.
+ORACLE["m52_cochran_q"] = """
+    WITH ind AS (
+        SELECT CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END AS c1,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS c2,
+               CASE WHEN MONTH(o_orderdate) <= 6 THEN 1 ELSE 0 END AS c3
+        FROM orders
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               SUM(c1) AS g1, SUM(c2) AS g2, SUM(c3) AS g3,
+               SUM((c1 + c2 + c3) * (c1 + c2 + c3)) AS sl2
+        FROM ind
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(g1 AS BIGINT) AS g1,
+           CAST(g2 AS BIGINT) AS g2,
+           CAST(g3 AS BIGINT) AS g3,
+           CASE WHEN CAST(3 * (g1 + g2 + g3) - sl2 AS DOUBLE) > 0
+                THEN ROUND(2.0 * (CAST(3 * (g1 * g1 + g2 * g2 + g3 * g3)
+                                       AS DOUBLE)
+                                  - CAST((g1 + g2 + g3) * (g1 + g2 + g3)
+                                         AS DOUBLE))
+                           / CAST(3 * (g1 + g2 + g3) - sl2 AS DOUBLE), 6)
+           END AS q_stat,
+           CAST(2 AS INTEGER) AS df
+    FROM s
+"""
+
+# m53: exact-decimal cell means -> deterministic-IEEE ranked grid;
+# ranks are half-integers so every downstream sum is float-exact and
+# order-independent; algebra mirrored operation-for-operation.
+ORACLE["m53_friedman"] = """
+    WITH cells AS (
+        SELECT date_trunc('week', ts) AS blk, event_type AS trt,
+               COUNT(*) AS n_c,
+               SUM(CAST(value AS DECIMAL(18,6))) AS sx
+        FROM events GROUP BY 1, 2
+    ),
+    cm AS (
+        SELECT blk, trt,
+               CAST(sx AS DOUBLE) / CAST(n_c AS DOUBLE) AS m
+        FROM cells
+    ),
+    kt AS (SELECT COUNT(DISTINCT trt) AS k FROM cm),
+    complete AS (
+        SELECT cm.blk, cm.trt, cm.m, kt.k
+        FROM cm, kt
+        QUALIFY COUNT(*) OVER (PARTITION BY blk) = kt.k
+    ),
+    ranked AS (
+        SELECT trt, k, blk,
+               CAST(RANK() OVER (PARTITION BY blk ORDER BY m)
+                    AS DOUBLE)
+               + (CAST(COUNT(*) OVER (PARTITION BY blk, m)
+                       AS DOUBLE) - 1.0) / 2.0 AS r
+        FROM complete
+    ),
+    pt AS (
+        SELECT trt, MAX(k) AS k, COUNT(DISTINCT blk) AS b,
+               SUM(r) AS rj, SUM(r * r) AS rj2
+        FROM ranked GROUP BY trt
+    ),
+    agg AS (
+        SELECT MAX(b) AS b, MAX(k) AS k, SUM(rj2) AS a,
+               SUM((rj - CAST(b AS DOUBLE)
+                         * (CAST(k AS DOUBLE) + 1.0) / 2.0)
+                   * (rj - CAST(b AS DOUBLE)
+                           * (CAST(k AS DOUBLE) + 1.0) / 2.0)) AS ssq
+        FROM pt
+    )
+    SELECT CAST(b AS BIGINT) AS b,
+           CAST(k AS INTEGER) AS k,
+           CASE WHEN a - CAST(b AS DOUBLE) * CAST(k AS DOUBLE)
+                        * (CAST(k AS DOUBLE) + 1.0)
+                        * (CAST(k AS DOUBLE) + 1.0) / 4.0 > 0
+                THEN ROUND((CAST(k AS DOUBLE) - 1.0) * ssq
+                           / (a - CAST(b AS DOUBLE)
+                                  * CAST(k AS DOUBLE)
+                                  * (CAST(k AS DOUBLE) + 1.0)
+                                  * (CAST(k AS DOUBLE) + 1.0) / 4.0),
+                           6)
+           END AS chi2_f,
+           CAST(k - 1 AS INTEGER) AS df
+    FROM agg
 """

@@ -2529,6 +2529,73 @@ def x92_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x93_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency sweep line: each event is an interval
+    [ts, ts + value minutes]; per event type, how many ran at once at
+    the worst moment, and when was that moment first reached — the
+    capacity question behind connection pools, call centers and GPU
+    queues. Classic sweep line made distributed: ONE scan explodes
+    each interval to two (+1/−1) endpoints in exact integer
+    microseconds, and the global prefix sum runs through
+    ``utils.base.with_running_total`` ordered by (type, t, d, id) —
+    because every interval contributes +1 and −1, each type's deltas
+    telescope to zero, so the single GLOBAL prefix sum IS the
+    per-type concurrency (no per-type global window, no skewed
+    partition). End-before-start at equal timestamps (d ascending)
+    pins the touching-intervals-don't-overlap convention; the peak
+    row is recovered with a broadcast join back on (type, peak), all
+    integer-exact."""
+    from dislib_spark.temporal import _epoch_micros
+    from dislib_spark.utils.base import with_running_total
+
+    ev = load_table(spark, sf_dir, "events")
+    t0 = _epoch_micros(ev, "ts")
+    t1 = t0 + F.floor(F.col("value") * 60000000.0)
+    pts = ev.select(
+        "event_id",
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    t0.alias("t"), F.lit(1).cast("long").alias("d")
+                ),
+                F.struct(
+                    t1.alias("t"), F.lit(-1).cast("long").alias("d")
+                ),
+            )
+        ).alias("p"),
+    ).select(
+        "event_id",
+        "event_type",
+        F.col("p.t").alias("t"),
+        F.col("p.d").alias("d"),
+    )
+    cum = with_running_total(
+        pts,
+        "d",
+        [F.col("event_type"), F.col("t"), F.col("d"), F.col("event_id")],
+        out_col="conc",
+    )
+    pk = cum.groupBy(F.col("event_type").alias("pk_type")).agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_events"),
+        F.max("conc").alias("peak"),
+    )
+    return (
+        cum.join(
+            F.broadcast(pk),
+            (F.col("event_type") == F.col("pk_type"))
+            & (F.col("conc") == F.col("peak")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("peak").cast("bigint").alias("peak_concurrency"),
+            F.min("t").alias("first_peak_t_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def s11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (``streaming.windows
     .stream_stream_left_join``): every click accounted — matched to
@@ -2923,6 +2990,7 @@ QUERIES = {
     "x90_retention_triangle": x90_retention_triangle,
     "x91_position_attribution": x91_position_attribution,
     "x92_bucketed_join": x92_bucketed_join,
+    "x93_max_concurrency": x93_max_concurrency,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -4937,4 +5005,44 @@ ORACLE["x92_bucketed_join"] = """
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
+"""
+
+# x93: integer-microsecond endpoints, per-type windowed prefix sum
+# (the engine's single global prefix sum telescopes to the same
+# values), end-before-start tie order pinned by d ascending.
+ORACLE["x93_max_concurrency"] = """
+    WITH pts AS (
+        SELECT event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(1 AS BIGINT) AS d
+        FROM events
+        UNION ALL
+        SELECT event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP))
+               + CAST(FLOOR(value * 60000000.0) AS BIGINT) AS t,
+               CAST(-1 AS BIGINT) AS d
+        FROM events
+    ),
+    cum AS (
+        SELECT event_type, t, d,
+               SUM(d) OVER (PARTITION BY event_type
+                            ORDER BY t, d, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS conc
+        FROM pts
+    ),
+    pk AS (
+        SELECT event_type,
+               CAST(COUNT(*) / 2 AS BIGINT) AS n_events,
+               MAX(conc) AS peak
+        FROM cum GROUP BY event_type
+    )
+    SELECT cum.event_type,
+           MAX(pk.n_events) AS n_events,
+           CAST(MAX(pk.peak) AS BIGINT) AS peak_concurrency,
+           MIN(cum.t) AS first_peak_t_us
+    FROM cum JOIN pk
+      ON cum.event_type = pk.event_type AND cum.conc = pk.peak
+    GROUP BY cum.event_type
+    ORDER BY cum.event_type
 """

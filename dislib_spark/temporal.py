@@ -178,6 +178,20 @@ def _epoch_seconds(df: DataFrame, time_col: str) -> Column:
     return F.col(time_col).cast("long")
 
 
+
+def _epoch_micros(df: DataFrame, time_col: str) -> Column:
+    """Exact integer microseconds since 1970-01-01 for ``time_col``,
+    TIMEZONE-FREE for both timestamp flavors (the microsecond sibling
+    of :func:`_epoch_seconds`): TIMESTAMP_NTZ subtracts the epoch
+    wall-clock and scales the exact DECIMAL(28,6)-seconds interval;
+    TIMESTAMP uses ``unix_micros`` directly."""
+    if dict(df.dtypes).get(time_col) == "timestamp_ntz":
+        iv = F.col(time_col) - F.lit("1970-01-01 00:00:00").cast(
+            "timestamp_ntz"
+        )
+        return (iv.cast("decimal(28,6)") * 1000000).cast("long")
+    return F.unix_micros(F.col(time_col))
+
 def sessionize(
     df: DataFrame,
     key: str,

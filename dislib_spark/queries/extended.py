@@ -2596,6 +2596,74 @@ def x93_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x94_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for every user, the time from
+    their FIRST view to the first purchase strictly after it, bucketed
+    into whole days (capped at 7 = "a week or more") with a NULL
+    bucket for viewers who never converted — the funnel-velocity
+    histogram behind every growth dashboard, and the latency
+    companion to x15's step-conversion funnel. Shapes to scale: one
+    filtered scan → per-user min-view aggregate (shuffle on user_id),
+    purchases join back on the same key, exact integer-microsecond
+    arithmetic end to end; the day buckets, counts and shares replay
+    integer-exactly in the oracle."""
+    from dislib_spark.temporal import _epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    t = _epoch_micros(ev, "ts")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id", t.alias("t"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("mv"))
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", t.alias("t")
+    )
+    conv = (
+        buys.join(views, "user_id")
+        .where(F.col("t") > F.col("mv"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("mp"), F.max("mv").alias("mv"))
+        .select(
+            "user_id",
+            F.floor(
+                (F.col("mp") - F.col("mv")) / F.lit(1000000.0)
+            ).alias("lat_s"),
+        )
+    )
+    bucketed = views.join(conv, "user_id", "left").select(
+        F.when(
+            F.col("lat_s").isNotNull(),
+            F.least(
+                F.floor(F.col("lat_s") / F.lit(86400.0)),
+                F.lit(7).cast("long"),
+            ),
+        ).alias("conv_day"),
+        "lat_s",
+    )
+    total = bucketed.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        bucketed.groupBy("conv_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum("lat_s").cast("double") / F.count("lat_s"), 6
+            ).alias("avg_latency_s"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "conv_day",
+            "n_users",
+            F.round(F.col("n_users") / F.col("n_total"), 6).alias(
+                "share"
+            ),
+            "avg_latency_s",
+        )
+        .orderBy(F.col("conv_day").asc_nulls_last())
+    )
+
+
 def s11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (``streaming.windows
     .stream_stream_left_join``): every click accounted — matched to
@@ -2991,6 +3059,7 @@ QUERIES = {
     "x91_position_attribution": x91_position_attribution,
     "x92_bucketed_join": x92_bucketed_join,
     "x93_max_concurrency": x93_max_concurrency,
+    "x94_time_to_convert": x94_time_to_convert,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -5045,4 +5114,45 @@ ORACLE["x93_max_concurrency"] = """
       ON cum.event_type = pk.event_type AND cum.conc = pk.peak
     GROUP BY cum.event_type
     ORDER BY cum.event_type
+"""
+
+# x94: exact integer-microsecond latency, FLOOR-pinned day buckets
+# (DuckDB CAST(double AS BIGINT) rounds where Spark truncates, so
+# both sides floor explicitly); shares over the full viewer base.
+ORACLE["x94_time_to_convert"] = """
+    WITH v AS (
+        SELECT user_id,
+               MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS mv
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    b AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT b.user_id,
+               CAST(FLOOR((MIN(b.t) - MAX(v.mv)) / 1000000.0)
+                    AS BIGINT) AS lat_s
+        FROM b JOIN v ON b.user_id = v.user_id
+        WHERE b.t > v.mv
+        GROUP BY b.user_id
+    ),
+    bucketed AS (
+        SELECT CASE WHEN c.lat_s IS NOT NULL
+                    THEN LEAST(CAST(FLOOR(c.lat_s / 86400.0)
+                                    AS BIGINT), 7)
+               END AS conv_day,
+               c.lat_s
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM bucketed)
+    SELECT conv_day,
+           COUNT(*) AS n_users,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(MAX(tot.n_total) AS DOUBLE), 6) AS share,
+           ROUND(CAST(SUM(lat_s) AS DOUBLE) / COUNT(lat_s), 6)
+               AS avg_latency_s
+    FROM bucketed CROSS JOIN tot
+    GROUP BY conv_day
+    ORDER BY conv_day
 """

@@ -1504,6 +1504,24 @@ def t56_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def t65_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-priority exact dedup ledger (``text.dedup
+    .priority_dedup``): identical documents collapse to the copy from
+    the most-curated source (rank = the numeric source suffix, lower
+    = better; ties to lowest doc id), and each source reports what it
+    kept, dropped, and ceded to a better source plus the characters
+    saved — the cross-dump curation rule applied when the same page
+    arrives from several crawls. Winner selection is one md5-keyed
+    struct-min aggregate (no corpus window), replayed in the oracle
+    as the equivalent per-group ROW_NUMBER pick."""
+    from dislib_spark.text.dedup import priority_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    prio = F.substring(F.col("source"), 4, 10).cast("int")
+    return priority_dedup(d, prio)
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -1569,6 +1587,7 @@ QUERIES = {
     "t62_tokenizer_fertility": t62_tokenizer_fertility,
     "t63_ngram_novelty": t63_ngram_novelty,
     "t64_split_decontamination": t64_split_decontamination,
+    "t65_priority_dedup": t65_priority_dedup,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -3420,4 +3439,45 @@ ORACLE["t64_split_decontamination"] = """
            ROUND(COALESCE(n_leaky, 0) / n_train, 6) AS leak_rate
     FROM base LEFT JOIN lk ON base.source = lk.source
     ORDER BY base.source
+"""
+
+
+# t65: winner = first row per fingerprint ordered by (prio, id) —
+# the windowed replay of the engine's struct-min; ledgers integer-
+# exact.
+ORACLE["t65_priority_dedup"] = """
+    WITH base AS (
+        SELECT doc_id AS id, source AS src,
+               CAST(SUBSTR(source, 4) AS INTEGER) AS prio,
+               n_chars,
+               md5(LOWER(text)) AS fp
+        FROM documents
+    ),
+    ranked AS (
+        SELECT fp, id, src,
+               ROW_NUMBER() OVER (PARTITION BY fp
+                                  ORDER BY prio, id) AS rn
+        FROM base
+    ),
+    win AS (
+        SELECT fp, id AS w_id, src AS w_src FROM ranked WHERE rn = 1
+    ),
+    j AS (
+        SELECT base.src, base.n_chars,
+               CASE WHEN base.id = win.w_id THEN 1 ELSE 0 END AS kept,
+               CASE WHEN base.id <> win.w_id
+                         AND win.w_src <> base.src
+                    THEN 1 ELSE 0 END AS lost_x
+        FROM base JOIN win ON base.fp = win.fp
+    )
+    SELECT src AS source,
+           COUNT(*) AS n_docs,
+           SUM(kept) AS n_kept,
+           SUM(1 - kept) AS n_dropped,
+           SUM(lost_x) AS n_lost_cross_source,
+           SUM(CASE WHEN kept = 0 THEN n_chars ELSE 0 END)
+               AS chars_dropped
+    FROM j
+    GROUP BY src
+    ORDER BY src
 """

@@ -848,3 +848,58 @@ def dedup_against_index(
             6,
         ).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
+
+
+def priority_dedup(
+    df: DataFrame,
+    priority: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Source-priority exact dedup: within every content-fingerprint
+    group keep ONE copy — the one from the highest-priority (lowest
+    ``priority`` rank) source, ties broken by lowest id — and ledger
+    what each source kept, dropped, and ceded to a better source.
+    This is the curation rule real LLM corpora apply when the same
+    page arrives from multiple crawls/dumps of different quality
+    (keep the curated copy, drop the CommonCrawl one), extending
+    :func:`exact_dedup`'s min-id rule with an explicit quality order.
+
+    Scale shape: one md5-keyed aggregate to per-group winner (a
+    single struct-min — no window over the corpus), one co-partitioned
+    equi-join back on the fingerprint, one per-source rollup. Returns
+    (source, n_docs, n_kept, n_dropped, n_lost_cross_source,
+    chars_dropped) per source.
+    """
+    from dislib_spark.text.analysis import fingerprint
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("src"),
+        priority.alias("prio"),
+        F.col("n_chars"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    win = base.groupBy("fp").agg(
+        F.min(F.struct("prio", "id")).alias("w"),
+        F.min_by("src", F.struct("prio", "id")).alias("w_src"),
+    )
+    j = base.join(win, "fp")
+    kept = F.col("id") == F.col("w.id")
+    return (
+        j.groupBy(F.col("src").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
+            F.sum(
+                F.when(~kept & (F.col("w_src") != F.col("src")), 1)
+                .otherwise(0)
+            ).alias("n_lost_cross_source"),
+            F.sum(
+                F.when(~kept, F.col("n_chars")).otherwise(F.lit(0))
+            ).alias("chars_dropped"),
+        )
+        .orderBy("source")
+    )

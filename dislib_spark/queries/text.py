@@ -1522,6 +1522,68 @@ def t65_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_dedup(d, prio)
 
 
+
+def t66_crossmodal_dedup_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-modal dedup agreement audit: do the TEXT near-dup
+    candidates (t05's md5-mode MinHash+LSH pairs) look like
+    duplicates in EMBEDDING space too? Every candidate pair joins its
+    two vectors and scores exact cosine; pairs bucket by Jaccard
+    decile with the mean cosine and the fraction above 0.9 — the
+    estimator-disagreement surface that tells a pipeline owner when
+    lexical and semantic dedup diverge (paraphrases: high cosine, low
+    Jaccard; boilerplate: the reverse). Work is candidate-bounded:
+    the LSH bucket join emits the pairs, and only those pairs touch
+    the embedding table (broadcast of the small pair set against the
+    id-keyed scan)."""
+    from dislib_spark.text.dedup import minhash_lsh_pairs
+    from dislib_spark.vector.search import cosine_similarity
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pairs = minhash_lsh_pairs(d, threshold=0.3, hash_fn="md5")
+    j = (
+        pairs.join(
+            e.select(
+                F.col("vec_id").alias("a_id"), F.col("v").alias("va")
+            ),
+            "a_id",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("b_id"), F.col("v").alias("vb")
+            ),
+            "b_id",
+        )
+        .select(
+            "jaccard",
+            F.round(
+                cosine_similarity(F.col("va"), F.col("vb")), 6
+            ).alias("cos"),
+        )
+    )
+    dec = F.least(
+        F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9)
+    )
+    return (
+        j.groupBy(dec.alias("jacc_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("cos"), 6).alias("avg_cosine"),
+            F.round(
+                F.avg(
+                    F.when(F.col("cos") >= 0.9, 1.0).otherwise(0.0)
+                ),
+                6,
+            ).alias("frac_cos_high"),
+        )
+        .orderBy("jacc_decile")
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -1588,6 +1650,7 @@ QUERIES = {
     "t63_ngram_novelty": t63_ngram_novelty,
     "t64_split_decontamination": t64_split_decontamination,
     "t65_priority_dedup": t65_priority_dedup,
+    "t66_crossmodal_dedup_audit": t66_crossmodal_dedup_audit,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -3480,4 +3543,42 @@ ORACLE["t65_priority_dedup"] = """
     FROM j
     GROUP BY src
     ORDER BY src
+"""
+
+
+# t66: t05's full MinHash replay feeds the pair set; cosine follows
+# the proven v01 cells/norms recipe; deciles FLOOR-pinned.
+ORACLE["t66_crossmodal_dedup_audit"] = f"""
+    WITH pairs AS ({_t05_oracle()}),
+    cells AS (
+        SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS k,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(v * v)) AS nrm
+        FROM cells GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT p.a_id, p.b_id, p.jaccard, SUM(ca.v * cb.v) AS dot
+        FROM pairs p
+        JOIN cells ca ON ca.vec_id = p.a_id
+        JOIN cells cb ON cb.vec_id = p.b_id AND cb.k = ca.k
+        GROUP BY p.a_id, p.b_id, p.jaccard
+    ),
+    scored AS (
+        SELECT d.jaccard,
+               ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.a_id
+        JOIN norms nb ON nb.vec_id = d.b_id
+    )
+    SELECT LEAST(CAST(FLOOR(jaccard * 10) AS INTEGER), 9)
+               AS jacc_decile,
+           COUNT(*) AS n_pairs,
+           ROUND(AVG(cos), 6) AS avg_cosine,
+           ROUND(AVG(CASE WHEN cos >= 0.9 THEN 1.0 ELSE 0.0 END), 6)
+               AS frac_cos_high
+    FROM scored
+    GROUP BY 1 ORDER BY 1
 """

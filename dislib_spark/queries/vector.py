@@ -657,6 +657,58 @@ def v24_ivf_index_maintenance(
     ).orderBy("q_id", "rank")
 
 
+
+def v25_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN reciprocity audit: for a bounded 100-vector slice,
+    each vector takes its exact cosine top-10 (self excluded) and
+    every directed edge is checked for its reverse — is my rank-r
+    neighbor someone whose own top-10 contains me? The per-rank
+    mutuality curve is the standard diagnostic for hubness and
+    asymmetric neighborhoods (hubs collect edges they do not return)
+    that decides whether a reciprocal-edge filter is worth it before
+    kNN-graph clustering. Bounded slice here; at corpus scale the
+    same audit runs per IVF cell (v04/v22) so the pair work stays
+    cell-local. One broadcast pair scoring + one self-join on the
+    directed edge set."""
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 100
+    )
+    t = (
+        cosine_topk(e, e, k=11)
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id", (F.col("rank") - 1).alias("rank")
+        )
+    )
+    rev = t.select(
+        F.col("q_id").alias("rq"), F.col("c_id").alias("rc")
+    )
+    j = t.join(
+        rev,
+        (t["q_id"] == rev["rc"]) & (t["c_id"] == rev["rq"]),
+        "left",
+    )
+    return (
+        j.groupBy("rank")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(
+                F.when(F.col("rq").isNotNull(), 1).otherwise(0)
+            ).alias("n_mutual"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rq").isNotNull(), 1.0).otherwise(
+                        0.0
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mutual_rate"),
+        )
+        .orderBy("rank")
+    )
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -682,6 +734,7 @@ QUERIES = {
     "v22_ivf_cell_balance": v22_ivf_cell_balance,
     "v23_probe_recall_curve": v23_probe_recall_curve,
     "v24_ivf_index_maintenance": v24_ivf_index_maintenance,
+    "v25_mutual_knn": v25_mutual_knn,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -1802,4 +1855,50 @@ ORACLE["v24_ivf_index_maintenance"] = """
                ) AS rank
         FROM scored
     ) WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+
+# v25: v01's cells/norms recipe on the <100 slice, rank<=11 with the
+# self row dropped and ranks shifted down one; reverse-edge flag via
+# LEFT JOIN on the (unique) directed pair.
+ORACLE["v25_mutual_knn"] = """
+    WITH cells AS (
+        SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS k,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings WHERE vec_id < 100
+    ),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM cells GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id, SUM(a.v * b.v) AS dot
+        FROM cells a JOIN cells b ON a.k = b.k
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    scored AS (
+        SELECT d.q_id, d.c_id,
+               ROUND(d.dot / (na.nrm * nb.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.q_id
+        JOIN norms nb ON nb.vec_id = d.c_id
+    ),
+    topk AS (
+        SELECT q_id, c_id, rank - 1 AS rank FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, c_id
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= 11 AND q_id <> c_id
+    )
+    SELECT t.rank,
+           COUNT(*) AS n_edges,
+           SUM(CASE WHEN r.q_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_mutual,
+           ROUND(SUM(CASE WHEN r.q_id IS NOT NULL THEN 1.0
+                          ELSE 0.0 END) / COUNT(*), 6) AS mutual_rate
+    FROM topk t
+    LEFT JOIN topk r ON r.q_id = t.c_id AND r.c_id = t.q_id
+    GROUP BY t.rank
+    ORDER BY t.rank
 """

@@ -2058,6 +2058,77 @@ def m53_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m54_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between lineitem quantity and linenumber via the
+    CONTINGENCY-TABLE closed form — the rank-correlation sibling of
+    m22 Spearman that naive algorithms need O(n²) row pairs for: on
+    discrete variables every pair statistic collapses onto the
+    |X|×|Y| cell grid (≤ 50×7 here, corpus-size-independent), so
+    concordant/discordant counts are one bounded cell-pair join, not
+    a corpus self-join. ONE scan builds the grid; C, D and the tie
+    terms n1/n2 are exact DECIMAL(38,0) integer sums over it
+    (long-proof at any corpus size); τ-b = (C−D)/√((n0−n1)(n0−n2))
+    is scalar IEEE mirrored by the oracle, NULL when either tie
+    factor degenerates to zero."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(
+            F.col("l_quantity").cast("int").alias("x"),
+            F.col("l_linenumber").cast("int").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    dec = "decimal(38,0)"
+    a = cells.select(
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.col("cnt").alias("an"),
+    )
+    b = cells.select(
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cnt").alias("bn"),
+    )
+    prod = (F.col("an") * F.col("bn")).cast(dec)
+    cd = (
+        a.join(F.broadcast(b), F.col("ax") < F.col("bx"))
+        .agg(
+            F.sum(F.when(F.col("by") > F.col("ay"), prod)).alias("c"),
+            F.sum(F.when(F.col("by") < F.col("ay"), prod)).alias("d"),
+        )
+    )
+    tx = cells.groupBy("x").agg(F.sum("cnt").alias("t"))
+    ty = cells.groupBy("y").agg(F.sum("cnt").alias("t"))
+    tie = lambda df_: df_.agg(  # noqa: E731
+        F.sum(
+            (F.col("t").cast(dec) * (F.col("t") - 1).cast(dec)) / 2
+        )
+        .cast(dec)
+        .alias("ties"),
+        F.sum("t").cast(dec).alias("n"),
+    )
+    n1 = tie(tx).select(
+        F.col("ties").alias("n1"), F.col("n").alias("n")
+    )
+    n2 = tie(ty).select(F.col("ties").alias("n2"))
+    s = cd.crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
+    nd = F.col("n").cast("double")
+    n0 = nd * (nd - 1.0) / 2.0
+    den = (n0 - F.col("n1").cast("double")) * (
+        n0 - F.col("n2").cast("double")
+    )
+    tau = (
+        F.col("c").cast("double") - F.col("d").cast("double")
+    ) / F.sqrt(den)
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("c").cast("double").alias("concordant"),
+        F.col("d").cast("double").alias("discordant"),
+        F.when(den > 0, F.round(tau, 6)).alias("tau_b"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -2112,6 +2183,7 @@ QUERIES = {
     "m51_bartlett": m51_bartlett,
     "m52_cochran_q": m52_cochran_q,
     "m53_friedman": m53_friedman,
+    "m54_kendall_tau": m54_kendall_tau,
 }
 
 
@@ -4087,4 +4159,41 @@ ORACLE["m53_friedman"] = """
            END AS chi2_f,
            CAST(k - 1 AS INTEGER) AS df
     FROM agg
+"""
+
+# m54: pair statistics collapsed onto the bounded value grid; C/D/tie
+# sums integer-exact, the tau algebra mirrored operation-for-
+# operation in double.
+ORACLE["m54_kendall_tau"] = """
+    WITH cells AS (
+        SELECT CAST(l_quantity AS INTEGER) AS x,
+               CAST(l_linenumber AS INTEGER) AS y,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cd AS (
+        SELECT SUM(CASE WHEN b.y > a.y THEN a.cnt * b.cnt END) AS c,
+               SUM(CASE WHEN b.y < a.y THEN a.cnt * b.cnt END) AS d
+        FROM cells a JOIN cells b ON a.x < b.x
+    ),
+    tx AS (SELECT x, SUM(cnt) AS t FROM cells GROUP BY x),
+    ty AS (SELECT y, SUM(cnt) AS t FROM cells GROUP BY y),
+    s1 AS (SELECT SUM((t * (t - 1)) // 2) AS n1, SUM(t) AS n FROM tx),
+    s2 AS (SELECT SUM((t * (t - 1)) // 2) AS n2 FROM ty)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(c AS DOUBLE) AS concordant,
+           CAST(d AS DOUBLE) AS discordant,
+           CASE WHEN (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                      / 2.0 - CAST(n1 AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                        / 2.0 - CAST(n2 AS DOUBLE)) > 0
+                THEN ROUND((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+                           / SQRT((CAST(n AS DOUBLE)
+                                   * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                                   - CAST(n1 AS DOUBLE))
+                                  * (CAST(n AS DOUBLE)
+                                     * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                                     - CAST(n2 AS DOUBLE))), 6)
+           END AS tau_b
+    FROM cd, s1, s2
 """

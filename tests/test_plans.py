@@ -17,6 +17,7 @@ from tests.conftest import SF_SMOKE
 _BNLJ_OK = {
     "m04_knn_classify",
     "m08_dbscan_core_count",  # 3^d halo offsets: tiny broadcast replication
+    "m54_kendall_tau",  # cell-pair join over the bounded 50x7 value grid
     "v01_cosine_topk",
     "v08_mips_topk",  # broadcast query set vs corpus scan, like v01
     "v04_ivf_topk",

@@ -709,6 +709,57 @@ def v25_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def v26_stratified_cell_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cell-stratified deterministic corpus sampling: every vector
+    lands in its seed-IVF cell (the v04/v22 assignment), and each
+    cell contributes its ⌈√n⌉ lowest-md5 members — square-root
+    allocation, the classic stratified compromise that over-samples
+    small strata so rare clusters survive subsampling (uniform
+    sampling at the same budget would nearly empty them). The ledger
+    reports per-cell kept counts and label diversity before vs after
+    — the coverage evidence a training-data diet needs. Seedless
+    md5-order determinism (the t10/t44 recipe); ranking is a per-cell
+    window (WindowGroupLimit-friendly), everything else one
+    assignment pass plus a 16-group rollup."""
+    from pyspark.sql import Window
+
+    from dislib_spark.vector.search import ivf_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    _, assigned = ivf_index(e, centers="seed")
+    a = assigned.select("c_id", "cell").join(
+        e.select(F.col("vec_id").alias("c_id"), "label"), "c_id"
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("c_id").cast("string")), "c_id"
+    )
+    wc = Window.partitionBy("cell")
+    t = a.select(
+        "cell",
+        "label",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_c"),
+    )
+    keep = F.col("rn") <= F.ceil(
+        F.sqrt(F.col("n_c").cast("double"))
+    )
+    return (
+        t.groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"),
+            F.countDistinct("label").alias("n_labels"),
+            F.countDistinct(F.when(keep, F.col("label"))).alias(
+                "n_labels_sampled"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -735,6 +786,7 @@ QUERIES = {
     "v23_probe_recall_curve": v23_probe_recall_curve,
     "v24_ivf_index_maintenance": v24_ivf_index_maintenance,
     "v25_mutual_knn": v25_mutual_knn,
+    "v26_stratified_cell_sample": v26_stratified_cell_sample,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -1901,4 +1953,54 @@ ORACLE["v25_mutual_knn"] = """
     LEFT JOIN topk r ON r.q_id = t.c_id AND r.c_id = t.q_id
     GROUP BY t.rank
     ORDER BY t.rank
+"""
+
+
+# v26: v22's assignment replay + md5-order sqrt allocation per cell.
+ORACLE["v26_stratified_cell_sample"] = """
+    WITH cells AS (
+        SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS k,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    ctr AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS cell,
+               vec_id AS cvid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    d2 AS (
+        SELECT a.vec_id AS vid, ctr.cell,
+               SUM((a.v - b.v) * (a.v - b.v)) AS d2
+        FROM cells a
+        JOIN ctr ON TRUE
+        JOIN cells b ON b.vec_id = ctr.cvid AND b.k = a.k
+        GROUP BY a.vec_id, ctr.cell
+    ),
+    assigned AS (
+        SELECT vid, cell FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vid ORDER BY d2, cell) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    t AS (
+        SELECT a.cell, e.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.cell
+                   ORDER BY md5(CAST(a.vid AS VARCHAR)), a.vid
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY a.cell) AS n_c
+        FROM assigned a JOIN embeddings e ON e.vec_id = a.vid
+    )
+    SELECT CAST(cell AS INT) AS cell,
+           COUNT(*) AS n_vecs,
+           SUM(CASE WHEN rn <= CEIL(SQRT(CAST(n_c AS DOUBLE)))
+                    THEN 1 ELSE 0 END) AS n_sampled,
+           COUNT(DISTINCT label) AS n_labels,
+           COUNT(DISTINCT CASE WHEN rn <= CEIL(SQRT(CAST(n_c
+                                                         AS DOUBLE)))
+                               THEN label END) AS n_labels_sampled
+    FROM t GROUP BY cell ORDER BY cell
 """

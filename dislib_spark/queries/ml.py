@@ -2129,6 +2129,73 @@ def m54_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m55_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlations for the (quantity,
+    extendedprice, discount) triple — what m16's raw correlations
+    CANNOT answer: how much of the price-quantity association
+    survives once discount is held fixed (r_xy·z = (r_xy −
+    r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)), all three rotations reported).
+    The confounder screen that precedes m48's VIF check in any
+    regression sanity pass. ONE map-side-combined scan folds the
+    exact DECIMAL pairwise sufficient statistics (the m48 recipe);
+    the partial-correlation algebra is IEEE on those exact operands,
+    mirrored operation-for-operation, NULL when a denominator
+    degenerates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,6)")
+    y = F.col("l_extendedprice").cast("decimal(18,6)")
+    z = F.col("l_discount").cast("decimal(18,6)")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(y).alias("s2"),
+        F.sum(z).alias("s3"),
+        F.sum(x * x).alias("s11"),
+        F.sum(y * y).alias("s22"),
+        F.sum(z * z).alias("s33"),
+        F.sum(x * y).alias("s12"),
+        F.sum(x * z).alias("s13"),
+        F.sum(y * z).alias("s23"),
+    )
+    nn = F.col("n").cast("double")
+
+    def dd(c):
+        return F.col(c).cast("double")
+
+    def corr(sij, si, sj, sii, sjj):
+        return (nn * dd(sij) - dd(si) * dd(sj)) / F.sqrt(
+            (nn * dd(sii) - dd(si) * dd(si))
+            * (nn * dd(sjj) - dd(sj) * dd(sj))
+        )
+
+    staged = s.select(
+        F.col("n").cast("bigint").alias("n"),
+        corr("s12", "s1", "s2", "s11", "s22").alias("r12"),
+        corr("s13", "s1", "s3", "s11", "s33").alias("r13"),
+        corr("s23", "s2", "s3", "s22", "s33").alias("r23"),
+    )
+
+    def partial(rab, rac, rbc):
+        den = (1.0 - F.col(rac) * F.col(rac)) * (
+            1.0 - F.col(rbc) * F.col(rbc)
+        )
+        return F.when(
+            den > 0,
+            F.round(
+                (F.col(rab) - F.col(rac) * F.col(rbc)) / F.sqrt(den),
+                6,
+            ),
+        )
+
+    return staged.select(
+        "n",
+        F.round("r12", 6).alias("r_qty_price"),
+        partial("r12", "r13", "r23").alias("r_qty_price_given_disc"),
+        partial("r13", "r12", "r23").alias("r_qty_disc_given_price"),
+        partial("r23", "r12", "r13").alias("r_price_disc_given_qty"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -2184,6 +2251,7 @@ QUERIES = {
     "m52_cochran_q": m52_cochran_q,
     "m53_friedman": m53_friedman,
     "m54_kendall_tau": m54_kendall_tau,
+    "m55_partial_corr": m55_partial_corr,
 }
 
 
@@ -4196,4 +4264,71 @@ ORACLE["m54_kendall_tau"] = """
                                      - CAST(n2 AS DOUBLE))), 6)
            END AS tau_b
     FROM cd, s1, s2
+"""
+
+# m55: the m48 exact-decimal sufficient-stats scan; partial-corr
+# algebra mirrored operation-for-operation, degenerate -> NULL.
+ORACLE["m55_partial_corr"] = """
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS s1,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS s2,
+               SUM(CAST(l_discount AS DECIMAL(18,6))) AS s3,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_quantity AS DECIMAL(28,6))) AS s11,
+               SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                   * CAST(l_extendedprice AS DECIMAL(28,6))) AS s22,
+               SUM(CAST(l_discount AS DECIMAL(28,6))
+                   * CAST(l_discount AS DECIMAL(28,6))) AS s33,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_extendedprice AS DECIMAL(28,6))) AS s12,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_discount AS DECIMAL(28,6))) AS s13,
+               SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                   * CAST(l_discount AS DECIMAL(28,6))) AS s23
+        FROM lineitem
+    ),
+    r AS (
+        SELECT CAST(n AS BIGINT) AS n,
+               (CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                         - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+                   AS r12,
+               (CAST(n AS DOUBLE) * CAST(s13 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(s33 AS DOUBLE)
+                         - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)))
+                   AS r13,
+               (CAST(n AS DOUBLE) * CAST(s23 AS DOUBLE)
+                - CAST(s2 AS DOUBLE) * CAST(s3 AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(s33 AS DOUBLE)
+                         - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)))
+                   AS r23
+        FROM s
+    )
+    SELECT n,
+           ROUND(r12, 6) AS r_qty_price,
+           CASE WHEN (1.0 - r13 * r13) * (1.0 - r23 * r23) > 0
+                THEN ROUND((r12 - r13 * r23)
+                           / SQRT((1.0 - r13 * r13)
+                                  * (1.0 - r23 * r23)), 6)
+           END AS r_qty_price_given_disc,
+           CASE WHEN (1.0 - r12 * r12) * (1.0 - r23 * r23) > 0
+                THEN ROUND((r13 - r12 * r23)
+                           / SQRT((1.0 - r12 * r12)
+                                  * (1.0 - r23 * r23)), 6)
+           END AS r_qty_disc_given_price,
+           CASE WHEN (1.0 - r12 * r12) * (1.0 - r13 * r13) > 0
+                THEN ROUND((r23 - r12 * r13)
+                           / SQRT((1.0 - r12 * r12)
+                                  * (1.0 - r13 * r13)), 6)
+           END AS r_price_disc_given_qty
+    FROM r
 """

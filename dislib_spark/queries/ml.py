@@ -2196,6 +2196,82 @@ def m55_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m56_assoc_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association-strength battery on the
+    (order priority × order month) contingency grid: raw Cramér's V
+    (m21's estimator) plus the three corrections a 5×12 table
+    actually needs — Bergsma's bias-corrected V (raw V is inflated
+    on many-celled tables even under independence), Tschuprow's T
+    (comparable across non-square tables) and Pearson's C. One
+    grouped count collapses the corpus to ≤60 cells; marginals come
+    from windows OVER that tiny grid and every estimator is scalar
+    IEEE algebra on exact integer counts, mirrored by the oracle."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("rk"),
+        F.month("o_orderdate").alias("ck"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("rk")
+    wc = Window.partitionBy("ck")
+    wall = Window.partitionBy()
+    m = cells.select(
+        "rk",
+        "ck",
+        "o",
+        F.sum("o").over(wr).alias("row_tot"),
+        F.sum("o").over(wc).alias("col_tot"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (
+        (F.col("o").cast("double") - e)
+        * (F.col("o").cast("double") - e)
+        / e
+    )
+    agg = m.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("rk").alias("r"),
+        F.countDistinct("ck").alias("c"),
+        F.sum(term).alias("chi2"),
+    )
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    cd = F.col("c").cast("double")
+    phi2 = F.col("chi2") / nd
+    phi2c = F.greatest(
+        phi2 - (rd - 1.0) * (cd - 1.0) / (nd - 1.0), F.lit(0.0)
+    )
+    rc = rd - (rd - 1.0) * (rd - 1.0) / (nd - 1.0)
+    cc = cd - (cd - 1.0) * (cd - 1.0) / (nd - 1.0)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("r").cast("int").alias("r"),
+        F.col("c").cast("int").alias("c"),
+        F.round("chi2", 4).alias("chi2"),
+        F.round(
+            F.sqrt(phi2 / F.least(rd - 1.0, cd - 1.0)), 6
+        ).alias("cramers_v"),
+        F.round(
+            F.sqrt(
+                phi2c / F.least(rc - 1.0, cc - 1.0)
+            ),
+            6,
+        ).alias("cramers_v_corrected"),
+        F.round(
+            F.sqrt(phi2 / F.sqrt((rd - 1.0) * (cd - 1.0))), 6
+        ).alias("tschuprow_t"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("chi2") + nd)), 6
+        ).alias("pearson_c"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -2252,6 +2328,7 @@ QUERIES = {
     "m53_friedman": m53_friedman,
     "m54_kendall_tau": m54_kendall_tau,
     "m55_partial_corr": m55_partial_corr,
+    "m56_assoc_strength": m56_assoc_strength,
 }
 
 
@@ -4331,4 +4408,56 @@ ORACLE["m55_partial_corr"] = """
                                   * (1.0 - r13 * r13)), 6)
            END AS r_price_disc_given_qty
     FROM r
+"""
+
+# m56: contingency grid + window marginals (the m21 recipe on the
+# orders 5x12 grid); the four estimators' algebra mirrored
+# operation-for-operation on exact integer counts.
+ORACLE["m56_assoc_strength"] = """
+    WITH cells AS (
+        SELECT o_orderpriority AS rk, MONTH(o_orderdate) AS ck,
+               COUNT(*) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT rk, ck, o,
+               SUM(o) OVER (PARTITION BY rk) AS row_tot,
+               SUM(o) OVER (PARTITION BY ck) AS col_tot,
+               SUM(o) OVER () AS n
+        FROM cells
+    ),
+    agg AS (
+        SELECT MAX(n) AS n,
+               COUNT(DISTINCT rk) AS r,
+               COUNT(DISTINCT ck) AS c,
+               SUM((o::DOUBLE - row_tot::DOUBLE * col_tot::DOUBLE
+                                / n::DOUBLE)
+                   * (o::DOUBLE - row_tot::DOUBLE * col_tot::DOUBLE
+                                  / n::DOUBLE)
+                   / (row_tot::DOUBLE * col_tot::DOUBLE / n::DOUBLE))
+                   AS chi2
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(r AS INTEGER) AS r,
+           CAST(c AS INTEGER) AS c,
+           ROUND(chi2, 4) AS chi2,
+           ROUND(SQRT((chi2 / n::DOUBLE)
+                      / LEAST(r::DOUBLE - 1.0, c::DOUBLE - 1.0)), 6)
+               AS cramers_v,
+           ROUND(SQRT(GREATEST(chi2 / n::DOUBLE
+                               - (r::DOUBLE - 1.0) * (c::DOUBLE - 1.0)
+                                 / (n::DOUBLE - 1.0), 0.0)
+                      / LEAST(r::DOUBLE - (r::DOUBLE - 1.0)
+                                          * (r::DOUBLE - 1.0)
+                                          / (n::DOUBLE - 1.0) - 1.0,
+                              c::DOUBLE - (c::DOUBLE - 1.0)
+                                          * (c::DOUBLE - 1.0)
+                                          / (n::DOUBLE - 1.0) - 1.0)),
+                 6) AS cramers_v_corrected,
+           ROUND(SQRT((chi2 / n::DOUBLE)
+                      / SQRT((r::DOUBLE - 1.0) * (c::DOUBLE - 1.0))),
+                 6) AS tschuprow_t,
+           ROUND(SQRT(chi2 / (chi2 + n::DOUBLE)), 6) AS pearson_c
+    FROM agg
 """

@@ -2664,6 +2664,54 @@ def x94_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x95_header_line_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Header-vs-lines amount reconciliation: every order's
+    o_totalprice is checked against the exact-decimal rollup of its
+    lineitems' discounted revenue, per priority class — the
+    financial-close audit (does the invoice header match the sum of
+    its lines?) that complements x60's key-level integrity checks
+    and x73's duplicate-billing screen with an AMOUNT-level one. One
+    map-side-combined lineitem rollup keyed on order (DECIMAL(38,4),
+    order-exact), one equi-join to headers on the same key, one
+    per-priority fold reporting orphan headers (no lines at all) and
+    the relative-gap profile."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    lines = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sum(rev.cast("decimal(28,4)")).alias("line_sum")
+    )
+    j = o.join(
+        lines, F.col("o_orderkey") == F.col("ok"), "left"
+    ).select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("line_sum").cast("double").alias("ls"),
+    )
+    rel = F.abs(F.col("o_totalprice") - F.col("ls")) / F.col(
+        "o_totalprice"
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("ls").isNull(), 1).otherwise(0)
+            ).alias("n_orphan_headers"),
+            F.round(F.avg(rel), 6).alias("avg_rel_gap"),
+            F.round(
+                F.avg(F.when(rel <= 0.5, 1.0).otherwise(0.0)), 6
+            ).alias("frac_within_50pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def s11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (``streaming.windows
     .stream_stream_left_join``): every click accounted — matched to
@@ -3060,6 +3108,7 @@ QUERIES = {
     "x92_bucketed_join": x92_bucketed_join,
     "x93_max_concurrency": x93_max_concurrency,
     "x94_time_to_convert": x94_time_to_convert,
+    "x95_header_line_reconciliation": x95_header_line_reconciliation,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -5155,4 +5204,35 @@ ORACLE["x94_time_to_convert"] = """
     FROM bucketed CROSS JOIN tot
     GROUP BY conv_day
     ORDER BY conv_day
+"""
+
+# x95: exact-decimal line rollup, double gap algebra mirrored; avg
+# over NULL gaps (orphan headers) excluded by AVG on both engines.
+ORACLE["x95_header_line_reconciliation"] = """
+    WITH lines AS (
+        SELECT l_orderkey AS ok,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(28,4))) AS line_sum
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderpriority, o.o_totalprice,
+               CAST(l.line_sum AS DOUBLE) AS ls
+        FROM orders o LEFT JOIN lines l ON o.o_orderkey = l.ok
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN ls IS NULL THEN 1 ELSE 0 END)
+               AS n_orphan_headers,
+           ROUND(AVG(ABS(o_totalprice - ls) / o_totalprice), 6)
+               AS avg_rel_gap,
+           ROUND(AVG(CASE WHEN ABS(o_totalprice - ls) / o_totalprice
+                               <= 0.5
+                          THEN 1.0 ELSE 0.0 END), 6)
+               AS frac_within_50pct
+    FROM j
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
 """

@@ -1584,6 +1584,43 @@ def t66_crossmodal_dedup_audit(
     )
 
 
+
+def t67_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding tuning curve (``text.dedup.lsh_band_sweep``): one
+    MinHash signature pass re-banded as 4×8 / 8×4 / 16×2 and each
+    configuration scored on its own candidates — candidate volume,
+    confirmed-pair count at the 0.3 Jaccard bar, precision, and the
+    mean candidate Jaccard. The counterpart of v23's probe-recall
+    curve for the TEXT index: it prices recall (more bands catch
+    lower-similarity pairs) in candidate volume, which IS the cost
+    that explodes at 100 TB. Signature build is shared; the sweep
+    adds only band-key bucket passes."""
+    from dislib_spark.text.dedup import lsh_band_sweep
+
+    d = load_table(spark, sf_dir, "documents")
+    p = lsh_band_sweep(d)
+    return (
+        p.groupBy("bands")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(
+                F.when(F.col("jaccard") >= 0.3, 1).otherwise(0)
+            ).alias("n_confirmed"),
+            F.round(
+                F.sum(
+                    F.when(F.col("jaccard") >= 0.3, 1.0).otherwise(
+                        0.0
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("precision"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("bands")
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -1651,6 +1688,7 @@ QUERIES = {
     "t64_split_decontamination": t64_split_decontamination,
     "t65_priority_dedup": t65_priority_dedup,
     "t66_crossmodal_dedup_audit": t66_crossmodal_dedup_audit,
+    "t67_lsh_band_sweep": t67_lsh_band_sweep,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -3582,3 +3620,89 @@ ORACLE["t66_crossmodal_dedup_audit"] = f"""
     FROM scored
     GROUP BY 1 ORDER BY 1
 """
+
+
+def _t67_config_sql(bands: int) -> str:
+    """One banding configuration's aggregate row for the t67 sweep —
+    _t05_oracle's replay with a parameterized (bands × rows) split
+    and no confirm filter (the sweep scores ALL candidates)."""
+    from dislib_spark.text.dedup import _MERSENNE as M, minhash_perms
+
+    rows = 32 // bands
+    sig_items = ",\n               ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {M}))"
+        for a, b in minhash_perms(32, seed=7)
+    )
+    band_structs = ",\n                   ".join(
+        "{'bi': %d, 'bh': md5(concat_ws(',', %s))}"
+        % (
+            b,
+            ", ".join(
+                f"CAST(sig[{b * rows + j + 1}] AS VARCHAR)"
+                for j in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    SELECT CAST({bands} AS INTEGER) AS bands,
+           COUNT(*) AS n_candidates,
+           SUM(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END)
+               AS n_confirmed,
+           ROUND(SUM(CASE WHEN jaccard >= 0.3 THEN 1.0
+                          ELSE 0.0 END) / COUNT(*), 6) AS precision,
+           ROUND(AVG(jaccard), 6) AS avg_jaccard
+    FROM (
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([concat_ws(' ', toks[i], toks[i+1],
+                                            toks[i+2])
+                                  for i in range(1, len(toks) - 1)])
+                       AS sh
+            FROM t
+        ),
+        hashed AS (
+            SELECT doc_id, sh,
+                   list_transform(sh, s ->
+                       CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+                       % {M}) AS hs
+            FROM sh WHERE len(sh) > 0
+        ),
+        sig AS (
+            SELECT doc_id, sh,
+                   [{sig_items}] AS sig
+            FROM hashed
+        ),
+        banded AS (
+            SELECT doc_id, u.bi AS band_idx, u.bh AS band_hash FROM (
+                SELECT doc_id,
+                       UNNEST([{band_structs}]) AS u
+                FROM sig
+            )
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        )
+        SELECT ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE
+                     / (len(x.sh) + len(y.sh)
+                        - len(list_intersect(x.sh, y.sh)))::DOUBLE,
+                     6) AS jaccard
+        FROM cand c
+        JOIN sig x ON x.doc_id = c.a_id
+        JOIN sig y ON y.doc_id = c.b_id
+    )
+    """
+
+
+ORACLE["t67_lsh_band_sweep"] = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"({_t67_config_sql(b)})" for b in (4, 8, 16)
+    )
+    + ") ORDER BY bands"
+)

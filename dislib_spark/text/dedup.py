@@ -903,3 +903,128 @@ def priority_dedup(
         )
         .orderBy("source")
     )
+
+
+def lsh_band_sweep(
+    df: DataFrame,
+    band_counts: tuple = (4, 8, 16),
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """LSH banding tuning sweep: ONE md5-mode MinHash signature pass
+    (the expensive part — shingles, 32 permutation minima, both
+    eagerly checkpointed exactly as :func:`minhash_lsh_pairs` does),
+    then each candidate generation in ``band_counts`` re-bands the
+    SAME signatures — 4 bands × 8 rows (high precision), 8 × 4 (the
+    t05 default), 16 × 2 (high recall) — and scores its candidates
+    with the exact-Jaccard re-check. Returns the pooled
+    (bands, a_id, b_id, jaccard) frame the t67 tuning query folds
+    into the candidate-volume / precision curve that picks a
+    production banding. Per-config work is the cheap part (band-key
+    hashing + bucket pairing over ids only, same skew caps), so the
+    sweep costs one signature build plus three bucket passes — not
+    three pipelines."""
+    hashed = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("id"),
+            tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            "id", shingles_from_tokens(F.col("_toks"), n).alias("shingles")
+        )
+        .where(F.size("shingles") > 0)
+        .withColumn(
+            "_h",
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.pmod(md5_hash32(s), F.lit(_MERSENNE)),
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sig = (
+        hashed.withColumn(
+            "sig", _minhash_signature(F.col("_h"), num_hashes)
+        )
+        .drop("_h")
+        .localCheckpoint(eager=True)
+    )
+    sh = sig.select("id", "shingles")
+    a_side = sh.select(
+        F.col("id").alias("a_id"), F.col("shingles").alias("a_sh")
+    )
+    b_side = sh.select(
+        F.col("id").alias("b_id"), F.col("shingles").alias("b_sh")
+    )
+    out = None
+    for bands in band_counts:
+        rows = num_hashes // bands
+
+        def band_key(b, rows=rows):
+            sl = F.slice(F.col("sig"), b * rows + 1, rows)
+            return F.md5(
+                F.array_join(
+                    F.transform(sl, lambda x: x.cast("string")), ","
+                )
+            )
+
+        banded = sig.select(
+            "id",
+            F.posexplode(
+                F.array(*[band_key(b) for b in range(bands)])
+            ).alias("band_idx", "band_hash"),
+        )
+        buckets = (
+            banded.groupBy("band_idx", "band_hash")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list("id")),
+                    1,
+                    max_bucket_size,
+                ).alias("ids")
+            )
+            .where(F.size("ids") > 1)
+        )
+        pair_col = F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x: F.transform(
+                        F.col("ids"),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            ),
+            lambda p: p["a"] < p["b"],
+        )
+        cand = (
+            buckets.select(F.explode(pair_col).alias("p"))
+            .select(
+                F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id")
+            )
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        scored = (
+            cand.join(a_side, "a_id")
+            .join(b_side, "b_id")
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.col("a_id"),
+                F.col("b_id"),
+                F.round(
+                    F.size(
+                        F.array_intersect("a_sh", "b_sh")
+                    ).cast("double")
+                    / F.size(
+                        F.array_union("a_sh", "b_sh")
+                    ).cast("double"),
+                    6,
+                ).alias("jaccard"),
+            )
+        )
+        out = scored if out is None else out.unionAll(scored)
+    return out

@@ -2712,6 +2712,26 @@ def x95_header_line_reconciliation(
     )
 
 
+
+def s14_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful streaming operators (``streaming.windows
+    .dedup_then_tumbling_counts``): the event stream is doubled (an
+    at-least-once redelivery), exact-deduped by event_id within the
+    watermark, and the SAME query rolls the deduped stream into
+    hourly per-type counts — dedup state and window state chained in
+    one streaming pipeline, no intermediate topic. Counts must equal
+    the single-copy hourly counts (oracle: DISTINCT over the doubled
+    rows); the real availableNow run with a sentinel watermark flush
+    is pinned in tests/test_io_streaming_multimodal.py."""
+    from dislib_spark.streaming.windows import dedup_then_tumbling_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    doubled = ev.unionAll(ev)
+    return dedup_then_tumbling_counts(doubled).orderBy(
+        "w_start", "event_type"
+    )
+
+
 def s11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (``streaming.windows
     .stream_stream_left_join``): every click accounted — matched to
@@ -3109,6 +3129,7 @@ QUERIES = {
     "x93_max_concurrency": x93_max_concurrency,
     "x94_time_to_convert": x94_time_to_convert,
     "x95_header_line_reconciliation": x95_header_line_reconciliation,
+    "s14_dedup_then_window": s14_dedup_then_window,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -5235,4 +5256,24 @@ ORACLE["x95_header_line_reconciliation"] = """
     FROM j
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
+"""
+
+
+# s14: dedup of identical redelivered rows == DISTINCT on the tripled
+# projection; hour windows replayed as date_trunc, s01's convention.
+ORACLE["s14_dedup_then_window"] = """
+    WITH dd AS (
+        SELECT DISTINCT event_id, ts, event_type FROM (
+            SELECT event_id, ts, event_type FROM events
+            UNION ALL
+            SELECT event_id, ts, event_type FROM events
+        )
+    )
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w_start,
+           CAST(DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR
+                AS TIMESTAMP) AS w_end,
+           event_type, COUNT(*) AS n
+    FROM dd
+    GROUP BY w_start, w_end, event_type
+    ORDER BY w_start, event_type
 """

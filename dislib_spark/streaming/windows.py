@@ -377,3 +377,39 @@ def stream_stream_left_join(
         "p_ts",
         (F.col("p_ts") - F.col("c_ts")).cast("long").alias("lag_s"),
     )
+
+
+def dedup_then_tumbling_counts(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CHAINED stateful operators in one streaming query: watermark-
+    bounded exact dedup (dropDuplicatesWithinWatermark) feeding a
+    tumbling window count — the at-least-once ingestion cleanup every
+    Kafka-fed pipeline wants fused with its rollup instead of paying
+    a second topic hop. Spark supports multiple stateful operators in
+    append mode (the dedup's event-time survives into the window
+    agg); batch mode falls back to dropDuplicates + the same rollup,
+    so streaming ≡ batch within the horizon (parity pytest runs the
+    real availableNow stream with sentinel watermark flushes).
+    Returns (w_start, w_end, event_type, n)."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        src = _watermarked(events, ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    else:
+        src = events.dropDuplicates(keys)
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+        )
+    )

@@ -791,3 +791,61 @@ def test_stream_dedup_archive_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(out_path).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_dedup_then_window_chained_stateful_parity(spark, tmp_path):
+    """s14 as a REAL stream: doubled events drain through an
+    availableNow parquet stream into dropDuplicatesWithinWatermark
+    CHAINED with a tumbling count (two stateful operators, one
+    query). Append mode only emits windows the watermark has closed,
+    so a far-future sentinel round flushes the tail; after the flush
+    the emitted windows (sentinel's own window excluded) must equal
+    the batch form exactly."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dislib_spark.streaming.windows import dedup_then_tumbling_counts
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    doubled = ev.unionAll(ev)
+    batch = {
+        (r.w_start, r.w_end, r.event_type, r.n)
+        for r in dedup_then_tumbling_counts(doubled).collect()
+    }
+
+    src_dir = str(tmp_path / "s14_src")
+    out = str(tmp_path / "s14_out")
+    ckpt = str(tmp_path / "s14_ckpt")
+    doubled.write.mode("overwrite").parquet(src_dir)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+        q = (
+            dedup_then_tumbling_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    for hours in (10, 20):
+        st = max_ts + datetime.timedelta(hours=hours)
+        sent = spark.createDataFrame(
+            [(-1, st, -1, "sentinel", 0.0, "{}")], ev.schema
+        )
+        sent.write.mode("append").parquet(src_dir)
+        run_once()
+
+    got = {
+        (r.w_start, r.w_end, r.event_type, r.n)
+        for r in spark.read.parquet(out)
+        .where(F.col("event_type") != "sentinel")
+        .collect()
+    }
+    assert got == batch

@@ -2272,6 +2272,90 @@ def m56_assoc_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m57_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the m01 regression residual SIGNS
+    in ship-date order — the nonparametric randomness check closing
+    the OLS diagnostics family (m44 heteroskedasticity, m45
+    normality, m46/m51 variance homogeneity, m47 autocorrelation
+    magnitude; this one asks whether the residual SIGN sequence
+    itself clusters): R = 1 + #(adjacent sign changes), z = (R −
+    (2n₁n₂/n + 1)) / √(2n₁n₂(2n₁n₂ − n)/(n²(n−1))). Same
+    de-globalized adjacent pairing as m47 (``with_global_index`` +
+    integer-keyed self-join — no single-partition LAG); sign counts
+    and the change count are integer-exact, the z algebra is double
+    mirrored operation-for-operation; one-sided sign sets return
+    NULL."""
+    from dislib_spark.utils.base import with_global_index
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,6)")
+    y = F.col("l_extendedprice").cast("decimal(18,6)")
+    s1 = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    b = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    fit = F.broadcast(
+        s1.select(b.alias("b"), ((sy - b * sx) / nn).alias("a"))
+    )
+    e = (
+        F.col("l_extendedprice")
+        - (F.col("a") + F.col("b") * F.col("l_quantity"))
+    )
+    resid = li.crossJoin(fit).select(
+        (e > 0).cast("int").alias("s"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    idx = with_global_index(
+        resid, order_by=["l_shipdate", "l_orderkey", "l_linenumber"]
+    )
+    cur = idx.select(F.col("_idx").alias("i"), F.col("s").alias("sc"))
+    prv = idx.select(
+        (F.col("_idx") + 1).alias("i"), F.col("s").alias("sp")
+    )
+    ch = cur.join(prv, "i").agg(
+        F.sum(
+            F.when(F.col("sc") != F.col("sp"), 1).otherwise(0)
+        ).alias("changes")
+    )
+    cnt = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("n_pos"),
+    )
+    j = cnt.crossJoin(F.broadcast(ch))
+    n1 = F.col("n_pos").cast("double")
+    n2 = (F.col("n") - F.col("n_pos")).cast("double")
+    ntot = F.col("n").cast("double")
+    runs = (F.col("changes") + 1).cast("double")
+    mu = 2.0 * n1 * n2 / ntot + 1.0
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - ntot)
+        / (ntot * ntot * (ntot - 1.0))
+    )
+    return j.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        (F.col("n") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+        (F.col("changes") + 1).cast("bigint").alias("runs"),
+        F.when(var > 0, F.round((runs - mu) / F.sqrt(var), 6)).alias(
+            "z"
+        ),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -2329,6 +2413,7 @@ QUERIES = {
     "m54_kendall_tau": m54_kendall_tau,
     "m55_partial_corr": m55_partial_corr,
     "m56_assoc_strength": m56_assoc_strength,
+    "m57_runs_test": m57_runs_test,
 }
 
 
@@ -4459,5 +4544,80 @@ ORACLE["m56_assoc_strength"] = """
                       / SQRT((r::DOUBLE - 1.0) * (c::DOUBLE - 1.0))),
                  6) AS tschuprow_t,
            ROUND(SQRT(chi2 / (chi2 + n::DOUBLE)), 6) AS pearson_c
+    FROM agg
+"""
+
+# m57: m47's fit/residual/ordering replay; sign-change and sign
+# counts integer-exact, z algebra mirrored operation-for-operation.
+ORACLE["m57_runs_test"] = """
+    WITH s1 AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_quantity AS DECIMAL(28,6))) AS sxx,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_extendedprice AS DECIMAL(28,6))) AS sxy
+        FROM lineitem
+    ),
+    fit AS (
+        SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+               (CAST(sy AS DOUBLE)
+                - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS a
+        FROM s1
+    ),
+    r AS (
+        SELECT CASE WHEN l.l_extendedprice
+                         - (f.a + f.b * l.l_quantity) > 0
+                    THEN 1 ELSE 0 END AS s,
+               l.l_shipdate, l.l_orderkey, l.l_linenumber
+        FROM lineitem l CROSS JOIN fit f
+    ),
+    o AS (
+        SELECT s,
+               LAG(s) OVER (ORDER BY l_shipdate, l_orderkey,
+                            l_linenumber) AS sp
+        FROM r
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n,
+               SUM(s) AS n_pos,
+               SUM(CASE WHEN sp IS NOT NULL AND s <> sp
+                        THEN 1 ELSE 0 END) AS changes
+        FROM o
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n - n_pos AS BIGINT) AS n_neg,
+           CAST(changes + 1 AS BIGINT) AS runs,
+           CASE WHEN 2.0 * CAST(n_pos AS DOUBLE)
+                        * CAST(n - n_pos AS DOUBLE)
+                        * (2.0 * CAST(n_pos AS DOUBLE)
+                           * CAST(n - n_pos AS DOUBLE)
+                           - CAST(n AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - 1.0)) > 0
+                THEN ROUND((CAST(changes + 1 AS DOUBLE)
+                            - (2.0 * CAST(n_pos AS DOUBLE)
+                               * CAST(n - n_pos AS DOUBLE)
+                               / CAST(n AS DOUBLE) + 1.0))
+                           / SQRT(2.0 * CAST(n_pos AS DOUBLE)
+                                  * CAST(n - n_pos AS DOUBLE)
+                                  * (2.0 * CAST(n_pos AS DOUBLE)
+                                     * CAST(n - n_pos AS DOUBLE)
+                                     - CAST(n AS DOUBLE))
+                                  / (CAST(n AS DOUBLE)
+                                     * CAST(n AS DOUBLE)
+                                     * (CAST(n AS DOUBLE) - 1.0))),
+                           6)
+           END AS z
     FROM agg
 """

@@ -20,6 +20,8 @@ _BNLJ_OK = {
     "m54_kendall_tau",  # cell-pair join over the bounded 50x7 value grid
     "v01_cosine_topk",
     "v08_mips_topk",  # broadcast query set vs corpus scan, like v01
+    "v25_mutual_knn",  # broadcast 100-vector slice pair scoring, like v01
+    "v26_stratified_cell_sample",  # 16-row broadcast of IVF centers, like v04
     "v04_ivf_topk",
     "v10_ivf_stored_index",  # 16-row broadcast of the IVF centers, like v04
     "x02_set_ops",

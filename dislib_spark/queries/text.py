@@ -1621,6 +1621,53 @@ def t67_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def t68_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate contamination matrix: t05's
+    MinHash+LSH pairs grouped by the (unordered) source pair of
+    their endpoints — which dumps are copying which, the diagnostic
+    that decides whether a source is additive or a re-crawl of one
+    you already have (same-source pairs are internal dup rate;
+    cross-source mass is redundancy you pay twice for). Candidate-
+    bounded: the source lookup joins ONLY the LSH pair set back to
+    the id→source projection."""
+    from dislib_spark.text.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.3, hash_fn="md5")
+    src = d.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("a_id"),
+                F.col("source").alias("src_a"),
+            ),
+            "a_id",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("b_id"),
+                F.col("source").alias("src_b"),
+            ),
+            "b_id",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+            "jaccard",
+        )
+    )
+    return (
+        j.groupBy("source_lo", "source_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        .orderBy("source_lo", "source_hi")
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -1689,6 +1736,7 @@ QUERIES = {
     "t65_priority_dedup": t65_priority_dedup,
     "t66_crossmodal_dedup_audit": t66_crossmodal_dedup_audit,
     "t67_lsh_band_sweep": t67_lsh_band_sweep,
+    "t68_cross_source_dups": t68_cross_source_dups,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -3706,3 +3754,20 @@ ORACLE["t67_lsh_band_sweep"] = (
     )
     + ") ORDER BY bands"
 )
+
+
+# t68: t05's full replay feeds the pair set; unordered source pair
+# via LEAST/GREATEST, counts integer-exact.
+ORACLE["t68_cross_source_dups"] = f"""
+    WITH pairs AS ({_t05_oracle()})
+    SELECT LEAST(sa.source, sb.source) AS source_lo,
+           GREATEST(sa.source, sb.source) AS source_hi,
+           COUNT(*) AS n_pairs,
+           ROUND(AVG(p.jaccard), 6) AS avg_jaccard,
+           ROUND(MAX(p.jaccard), 6) AS max_jaccard
+    FROM pairs p
+    JOIN documents sa ON sa.doc_id = p.a_id
+    JOIN documents sb ON sb.doc_id = p.b_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

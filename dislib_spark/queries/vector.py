@@ -760,6 +760,86 @@ def v26_stratified_cell_sample(
     )
 
 
+
+def v27_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separability audit: exact per-label centroids (7-dp
+    decimal component sums, order-exact) and the cosine between every
+    label pair — near-parallel centroids mean the classes are not
+    linearly separated in embedding space, the screen run before
+    trusting v13's hard negatives or any label-conditioned retrieval.
+    One posexplode feeds a (label × dim)-keyed map-side aggregate
+    (640 cells at any corpus size); the 45 centroid pairs are grid
+    algebra, never touching the corpus again."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "xf")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("xf").cast("double"), 7)
+        .cast("decimal(18,7)")
+        .alias("x"),
+    )
+    g = v.groupBy("label", "dim").agg(
+        F.sum("x").alias("s1"), F.count(F.lit(1)).alias("n")
+    )
+    c = g.select(
+        "label",
+        "dim",
+        "n",
+        (F.col("s1").cast("double") / F.col("n").cast("double")).alias(
+            "m"
+        ),
+    )
+    nrm = c.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nrm"),
+    )
+    a = c.select(
+        F.col("label").alias("la"),
+        F.col("dim").alias("dim"),
+        F.col("m").alias("ma"),
+    )
+    b = c.select(
+        F.col("label").alias("lb"),
+        F.col("dim").alias("dim_b"),
+        F.col("m").alias("mb"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("dim") == F.col("dim_b"))
+            & (F.col("la") < F.col("lb")),
+        )
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("dot"))
+    )
+    na = nrm.select(
+        F.col("label").alias("la"),
+        F.col("n_vecs").alias("n_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    nb = nrm.select(
+        F.col("label").alias("lb"),
+        F.col("n_vecs").alias("n_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    return (
+        dots.join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .select(
+            F.col("la").alias("label_a"),
+            F.col("lb").alias("label_b"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -787,6 +867,7 @@ QUERIES = {
     "v24_ivf_index_maintenance": v24_ivf_index_maintenance,
     "v25_mutual_knn": v25_mutual_knn,
     "v26_stratified_cell_sample": v26_stratified_cell_sample,
+    "v27_label_separability": v27_label_separability,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -2003,4 +2084,43 @@ ORACLE["v26_stratified_cell_sample"] = """
                                                          AS DOUBLE)))
                                THEN label END) AS n_labels_sampled
     FROM t GROUP BY cell ORDER BY cell
+"""
+
+
+# v27: the v17 rounded-decimal trick makes centroids engine-stable;
+# pairwise centroid algebra on the 10x64 grid.
+ORACLE["v27_label_separability"] = """
+    WITH v AS (
+        SELECT label, s.ord - 1 AS dim,
+               CAST(ROUND(CAST(embedding[s.ord] AS DOUBLE), 7)
+                    AS DECIMAL(18,7)) AS x
+        FROM embeddings,
+             (SELECT UNNEST(range(1, 65)) AS ord) s
+    ),
+    g AS (
+        SELECT label, dim, SUM(x) AS s1, COUNT(*) AS n
+        FROM v GROUP BY label, dim
+    ),
+    c AS (
+        SELECT label, dim, n,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m
+        FROM g
+    ),
+    nrm AS (
+        SELECT label, MAX(n) AS n_vecs, SQRT(SUM(m * m)) AS nrm
+        FROM c GROUP BY label
+    ),
+    dots AS (
+        SELECT a.label AS la, b.label AS lb, SUM(a.m * b.m) AS dot
+        FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT d.la AS label_a, d.lb AS label_b,
+           CAST(na.n_vecs AS BIGINT) AS n_a,
+           CAST(nb.n_vecs AS BIGINT) AS n_b,
+           ROUND(d.dot / (na.nrm * nb.nrm), 6) AS centroid_cosine
+    FROM dots d
+    JOIN nrm na ON na.label = d.la
+    JOIN nrm nb ON nb.label = d.lb
+    ORDER BY label_a, label_b
 """

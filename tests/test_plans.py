@@ -78,6 +78,8 @@ _BNLJ_OK = {
     "x88_sketch_table",  # 1-row broadcasts of the merged totals and bound (x82 shape)
     "v24_ivf_index_maintenance",  # broadcast centers/probes, the v04/v10 shape
     "m47_durbin_watson",  # 1-row fit + 1-row diff-sum broadcasts (m44 shape)
+    "m57_runs_test",  # 1-row fit + 1-row change-count broadcasts (m47 shape)
+    "x94_time_to_convert",  # 1-row broadcast of the viewer total for shares
     "m49_welch_anova",  # 1-row grand-mean + guard broadcasts onto the k-row frame
 }
 
@@ -362,3 +364,50 @@ def _plan_df(df):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def test_x93_max_concurrency_plan_pinned(spark):
+    """x93's sweep line must stay ONE global prefix sum: the endpoint
+    explode feeds with_running_total (whose offset join is a
+    broadcast), and the peak recovery is a broadcast join back — a
+    regression to a per-type global window or a SortMergeJoin fails
+    here."""
+    from dislib_spark.utils.plancheck import plan_facts
+
+    f = plan_facts(
+        all_queries()["x93_max_concurrency"](spark, SF_SMOKE)
+    )
+    assert f.n_scans <= 4
+    assert f.n_exchanges <= 5
+    assert "SortMergeJoin" not in f.join_kinds
+    assert not f.has_cartesian and not f.has_python_row_udf
+
+
+def test_t67_lsh_band_sweep_plan_pinned(spark):
+    """t67 shares ONE checkpointed signature pass across its three
+    band configs; every join must stay broadcast (candidate sets are
+    bounded) and the shuffle budget must hold — a regression that
+    rebuilds signatures per config or shuffles shingle arrays through
+    the band buckets fails here."""
+    from dislib_spark.utils.plancheck import plan_facts
+
+    f = plan_facts(
+        all_queries()["t67_lsh_band_sweep"](spark, SF_SMOKE)
+    )
+    assert f.n_exchanges <= 9
+    assert "SortMergeJoin" not in f.join_kinds
+    assert not f.has_cartesian and not f.has_python_row_udf
+
+
+def test_t65_priority_dedup_plan_pinned(spark):
+    """t65's winner selection is a struct-min AGGREGATE, not a
+    corpus window: two scans (base + join back), tight shuffle
+    budget, broadcast-only joins."""
+    from dislib_spark.utils.plancheck import plan_facts
+
+    f = plan_facts(
+        all_queries()["t65_priority_dedup"](spark, SF_SMOKE)
+    )
+    assert f.n_scans <= 2
+    assert f.n_exchanges <= 3
+    assert not f.has_cartesian and not f.has_python_row_udf

@@ -2732,6 +2732,62 @@ def s14_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x96_seasonal_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical multiplicative seasonal decomposition of monthly
+    order revenue: a 12-month CENTERED moving average (the ½·w₋₆ +
+    ... + ½·w₊₆ even-window form) estimates trend, ratio-to-trend
+    gives the detrended series, and each calendar month's mean ratio
+    is its seasonal index — the textbook X-11 first pass, and the
+    missing piece between x68's MoM growth and x78's weekday
+    seasonality. The corpus collapses to ≤ |months| rows in one
+    exact-decimal aggregate; every window runs over that tiny series
+    (bounded frames, no corpus window). Edge months without a full
+    ±6 neighborhood report NULL trend, mirrored exactly."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy("mon")
+    half = (
+        F.lag("rev", 6).over(w) / 2.0
+        + F.lag("rev", 5).over(w)
+        + F.lag("rev", 4).over(w)
+        + F.lag("rev", 3).over(w)
+        + F.lag("rev", 2).over(w)
+        + F.lag("rev", 1).over(w)
+        + F.col("rev")
+        + F.lead("rev", 1).over(w)
+        + F.lead("rev", 2).over(w)
+        + F.lead("rev", 3).over(w)
+        + F.lead("rev", 4).over(w)
+        + F.lead("rev", 5).over(w)
+        + F.lead("rev", 6).over(w) / 2.0
+    ) / 12.0
+    t = m.select(
+        "mon", "rev", half.alias("trend")
+    )
+    return (
+        t.groupBy(F.month("mon").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.round(
+                F.avg(F.col("rev") / F.col("trend")), 6
+            ).alias("seasonal_index"),
+            F.round(F.avg("rev"), 6).alias("avg_revenue"),
+        )
+        .orderBy("month")
+    )
+
+
 def s11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (``streaming.windows
     .stream_stream_left_join``): every click accounted — matched to
@@ -3129,6 +3185,7 @@ QUERIES = {
     "x93_max_concurrency": x93_max_concurrency,
     "x94_time_to_convert": x94_time_to_convert,
     "x95_header_line_reconciliation": x95_header_line_reconciliation,
+    "x96_seasonal_decomposition": x96_seasonal_decomposition,
     "s14_dedup_then_window": s14_dedup_then_window,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
@@ -5276,4 +5333,39 @@ ORACLE["s14_dedup_then_window"] = """
     FROM dd
     GROUP BY w_start, w_end, event_type
     ORDER BY w_start, event_type
+"""
+
+# x96: monthly exact-decimal rollup, the even-window centered MA
+# written in the same left-associative order, NULL-edge months
+# skipped by AVG on both engines.
+ORACLE["x96_seasonal_decomposition"] = """
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT mon, rev,
+               (LAG(rev, 6) OVER w / 2.0
+                + LAG(rev, 5) OVER w
+                + LAG(rev, 4) OVER w
+                + LAG(rev, 3) OVER w
+                + LAG(rev, 2) OVER w
+                + LAG(rev, 1) OVER w
+                + rev
+                + LEAD(rev, 1) OVER w
+                + LEAD(rev, 2) OVER w
+                + LEAD(rev, 3) OVER w
+                + LEAD(rev, 4) OVER w
+                + LEAD(rev, 5) OVER w
+                + LEAD(rev, 6) OVER w / 2.0) / 12.0 AS trend
+        FROM m WINDOW w AS (ORDER BY mon)
+    )
+    SELECT CAST(MONTH(mon) AS BIGINT) AS month,
+           COUNT(*) AS n_months,
+           ROUND(AVG(rev / trend), 6) AS seasonal_index,
+           ROUND(AVG(rev), 6) AS avg_revenue
+    FROM t
+    GROUP BY 1 ORDER BY 1
 """

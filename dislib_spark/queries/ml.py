@@ -2356,6 +2356,44 @@ def m57_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m58_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test: is the realized unit price
+    (l_extendedprice / l_quantity) systematically above or below the
+    catalog price (p_retailprice) for the same part? The
+    distribution-free paired-location test — no symmetry or
+    normality assumed, just the sign of each pair's difference —
+    z = (n₊ − m/2)/√(m/4) over the m non-tied pairs. One fact-dim
+    equi-join on partkey (broadcastable dimension) and one
+    map-side-combined conditional aggregate; every count is integer-
+    exact and the z algebra is mirrored operation-for-operation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice"
+    )
+    d = (
+        F.col("l_extendedprice") / F.col("l_quantity")
+        - F.col("p_retailprice")
+    )
+    s = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(d > 0, 1).otherwise(0)).alias("n_pos"),
+            F.sum(F.when(d < 0, 1).otherwise(0)).alias("n_neg"),
+        )
+    )
+    m = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    z = (F.col("n_pos").cast("double") - m / 2.0) / F.sqrt(m / 4.0)
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.when(m > 0, F.round(F.col("n_pos").cast("double") / m, 6))
+        .alias("frac_above"),
+        F.when(m > 0, F.round(z, 6)).alias("z"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -2414,6 +2452,7 @@ QUERIES = {
     "m55_partial_corr": m55_partial_corr,
     "m56_assoc_strength": m56_assoc_strength,
     "m57_runs_test": m57_runs_test,
+    "m58_sign_test": m58_sign_test,
 }
 
 
@@ -4620,4 +4659,34 @@ ORACLE["m57_runs_test"] = """
                            6)
            END AS z
     FROM agg
+"""
+
+# m58: one partkey equi-join + one conditional aggregate; sign
+# counts integer-exact (double comparisons identical both engines),
+# z algebra mirrored.
+ORACLE["m58_sign_test"] = """
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN l_extendedprice / l_quantity
+                             - p_retailprice > 0
+                        THEN 1 ELSE 0 END) AS n_pos,
+               SUM(CASE WHEN l_extendedprice / l_quantity
+                             - p_retailprice < 0
+                        THEN 1 ELSE 0 END) AS n_neg
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CASE WHEN CAST(n_pos + n_neg AS DOUBLE) > 0
+                THEN ROUND(CAST(n_pos AS DOUBLE)
+                           / CAST(n_pos + n_neg AS DOUBLE), 6)
+           END AS frac_above,
+           CASE WHEN CAST(n_pos + n_neg AS DOUBLE) > 0
+                THEN ROUND((CAST(n_pos AS DOUBLE)
+                            - CAST(n_pos + n_neg AS DOUBLE) / 2.0)
+                           / SQRT(CAST(n_pos + n_neg AS DOUBLE)
+                                  / 4.0), 6)
+           END AS z
+    FROM s
 """

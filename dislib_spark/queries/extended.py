@@ -5302,8 +5302,8 @@ ORACLE["x95_header_line_reconciliation"] = """
     )
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN ls IS NULL THEN 1 ELSE 0 END)
-               AS n_orphan_headers,
+           CAST(SUM(CASE WHEN ls IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan_headers,
            ROUND(AVG(ABS(o_totalprice - ls) / o_totalprice), 6)
                AS avg_rel_gap,
            ROUND(AVG(CASE WHEN ABS(o_totalprice - ls) / o_totalprice

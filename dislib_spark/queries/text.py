@@ -3621,11 +3621,11 @@ ORACLE["t65_priority_dedup"] = """
     )
     SELECT src AS source,
            COUNT(*) AS n_docs,
-           SUM(kept) AS n_kept,
-           SUM(1 - kept) AS n_dropped,
-           SUM(lost_x) AS n_lost_cross_source,
-           SUM(CASE WHEN kept = 0 THEN n_chars ELSE 0 END)
-               AS chars_dropped
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(1 - kept) AS BIGINT) AS n_dropped,
+           CAST(SUM(lost_x) AS BIGINT) AS n_lost_cross_source,
+           CAST(SUM(CASE WHEN kept = 0 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_dropped
     FROM j
     GROUP BY src
     ORDER BY src
@@ -3695,8 +3695,8 @@ def _t67_config_sql(bands: int) -> str:
     return f"""
     SELECT CAST({bands} AS INTEGER) AS bands,
            COUNT(*) AS n_candidates,
-           SUM(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END)
-               AS n_confirmed,
+           CAST(SUM(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_confirmed,
            ROUND(SUM(CASE WHEN jaccard >= 0.3 THEN 1.0
                           ELSE 0.0 END) / COUNT(*), 6) AS precision,
            ROUND(AVG(jaccard), 6) AS avg_jaccard

@@ -2026,8 +2026,8 @@ ORACLE["v25_mutual_knn"] = """
     )
     SELECT t.rank,
            COUNT(*) AS n_edges,
-           SUM(CASE WHEN r.q_id IS NOT NULL THEN 1 ELSE 0 END)
-               AS n_mutual,
+           CAST(SUM(CASE WHEN r.q_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mutual,
            ROUND(SUM(CASE WHEN r.q_id IS NOT NULL THEN 1.0
                           ELSE 0.0 END) / COUNT(*), 6) AS mutual_rate
     FROM topk t
@@ -2077,8 +2077,8 @@ ORACLE["v26_stratified_cell_sample"] = """
     )
     SELECT CAST(cell AS INT) AS cell,
            COUNT(*) AS n_vecs,
-           SUM(CASE WHEN rn <= CEIL(SQRT(CAST(n_c AS DOUBLE)))
-                    THEN 1 ELSE 0 END) AS n_sampled,
+           CAST(SUM(CASE WHEN rn <= CEIL(SQRT(CAST(n_c AS DOUBLE)))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
            COUNT(DISTINCT label) AS n_labels,
            COUNT(DISTINCT CASE WHEN rn <= CEIL(SQRT(CAST(n_c
                                                          AS DOUBLE)))

@@ -34,11 +34,14 @@ def con():
 
 @pytest.mark.parametrize("name", sorted(all_oracles()))
 def test_oracle_output_types(con, name):
-    res = con.execute(all_oracles()[name])
-    # description: (name, type_code, ...) — DuckDB reports type names
+    # DESCRIBE reports real column types; cursor.description maps
+    # HUGEINT to the generic 'NUMBER' type_code and would miss it
+    # (caught round 7: five SUM(int) oracles sailed through the old
+    # check but hashed as floats under the pandas path).
+    cols = con.execute(f"DESCRIBE {all_oracles()[name]}").fetchall()
     bad = [
-        (col[0], str(col[1]))
-        for col in res.description
-        if any(b in str(col[1]).upper() for b in BANNED)
+        (c[0], c[1])
+        for c in cols
+        if any(b in str(c[1]).upper() for b in BANNED)
     ]
     assert not bad, f"{name}: oracle emits banned column types {bad}"

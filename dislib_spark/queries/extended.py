@@ -2788,6 +2788,58 @@ def x96_seasonal_decomposition(
     )
 
 
+def x97_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern matching without the
+    clause Spark lacks: each user-day session compiles to an ordered
+    event-initial string (one grouped aggregate — array_sort over
+    (ts, event_id)-keyed structs, then a JVM regex per pattern), and
+    the patterns every funnel PM asks for run as plain RLIKE:
+    browse-to-buy subsequence (v…c…p), the strict adjacent vcp
+    chain, error-interrupted checkouts (c…e…p), and bounce (a
+    single-event day). Entirely whole-stage-codegen: one shuffle on
+    the session key, string build and all four regexes map-side; the
+    oracle replays the same string via ORDER BY string_agg."""
+    ev = load_table(spark, sf_dir, "events")
+    ini = F.substring("event_type", 1, 1)
+    sess = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.struct(
+                F.col("ts"), F.col("event_id"), ini.alias("c")
+            ).alias("s"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    return sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            F.when(F.col("path").rlike("v.*c.*p"), 1).otherwise(0)
+        ).alias("n_browse_to_buy"),
+        F.sum(
+            F.when(F.col("path").rlike("vcp"), 1).otherwise(0)
+        ).alias("n_strict_vcp"),
+        F.sum(
+            F.when(F.col("path").rlike("c.*e.*p"), 1).otherwise(0)
+        ).alias("n_error_interrupted"),
+        F.sum(
+            F.when(F.length("path") == 1, 1).otherwise(0)
+        ).alias("n_bounce"),
+        F.round(
+            F.avg(F.length("path").cast("double")), 6
+        ).alias("avg_session_len"),
+    )
+
+
 def s11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (``streaming.windows
     .stream_stream_left_join``): every click accounted — matched to
@@ -3186,6 +3238,7 @@ QUERIES = {
     "x94_time_to_convert": x94_time_to_convert,
     "x95_header_line_reconciliation": x95_header_line_reconciliation,
     "x96_seasonal_decomposition": x96_seasonal_decomposition,
+    "x97_sequence_pattern": x97_sequence_pattern,
     "s14_dedup_then_window": s14_dedup_then_window,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
@@ -5368,4 +5421,31 @@ ORACLE["x96_seasonal_decomposition"] = """
            ROUND(AVG(rev), 6) AS avg_revenue
     FROM t
     GROUP BY 1 ORDER BY 1
+"""
+
+# x97: path string via ORDER BY string_agg (the engine's
+# array_sort(struct) replay); regexes identical RE2-safe patterns.
+ORACLE["x97_sequence_pattern"] = """
+    WITH sess AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               STRING_AGG(SUBSTR(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS path
+        FROM events
+        GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN regexp_matches(path, 'v.*c.*p')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_browse_to_buy,
+           CAST(SUM(CASE WHEN regexp_matches(path, 'vcp')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_strict_vcp,
+           CAST(SUM(CASE WHEN regexp_matches(path, 'c.*e.*p')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_error_interrupted,
+           CAST(SUM(CASE WHEN LENGTH(path) = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+           ROUND(AVG(CAST(LENGTH(path) AS DOUBLE)), 6)
+               AS avg_session_len
+    FROM sess
 """

@@ -2394,6 +2394,66 @@ def m58_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m59_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test on the monthly revenue
+    series — the nonparametric companion to x96's decomposition and
+    x71's CUSUM: S = Σ_{i<j} sign(x_j − x_i) over the collapsed
+    series, tie-corrected Var(S) = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18,
+    continuity-corrected z. The corpus collapses to ≤ |months| exact-
+    decimal rows in ONE aggregate; the pair fold runs on that bounded
+    series (a ~80-row inequality join — corpus-size-independent),
+    every count integer-exact and the z algebra mirrored."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = m.select(F.col("mon").alias("ma"), F.col("rev").alias("ra"))
+    b = m.select(F.col("mon").alias("mb"), F.col("rev").alias("rb"))
+    s = a.join(F.broadcast(b), F.col("ma") < F.col("mb")).agg(
+        F.sum(
+            F.when(F.col("rb") > F.col("ra"), 1)
+            .when(F.col("rb") < F.col("ra"), -1)
+            .otherwise(0)
+        ).alias("s_stat")
+    )
+    ties = (
+        m.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum("t").alias("n"),
+            F.sum(
+                F.col("t")
+                * (F.col("t") - 1)
+                * (2 * F.col("t") + 5)
+            ).alias("tt"),
+        )
+    )
+    j = ties.crossJoin(F.broadcast(s))
+    nd = F.col("n").cast("double")
+    var_s = (
+        nd * (nd - 1.0) * (2.0 * nd + 5.0)
+        - F.col("tt").cast("double")
+    ) / 18.0
+    sd = F.col("s_stat").cast("double")
+    z = (
+        F.when(sd > 0, (sd - 1.0) / F.sqrt(var_s))
+        .when(sd < 0, (sd + 1.0) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        F.col("n").cast("bigint").alias("n_months"),
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        F.when(var_s > 0, F.round(var_s, 6)).alias("var_s"),
+        F.when(var_s > 0, F.round(z, 6)).alias("z"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -2453,6 +2513,7 @@ QUERIES = {
     "m56_assoc_strength": m56_assoc_strength,
     "m57_runs_test": m57_runs_test,
     "m58_sign_test": m58_sign_test,
+    "m59_mann_kendall": m59_mann_kendall,
 }
 
 
@@ -4689,4 +4750,55 @@ ORACLE["m58_sign_test"] = """
                                   / 4.0), 6)
            END AS z
     FROM s
+"""
+
+# m59: exact-decimal monthly collapse, bounded-series pair fold,
+# tie-corrected variance and continuity-corrected z mirrored.
+ORACLE["m59_mann_kendall"] = """
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT SUM(CASE WHEN b.rev > a.rev THEN 1
+                        WHEN b.rev < a.rev THEN -1
+                        ELSE 0 END) AS s_stat
+        FROM m a JOIN m b ON a.mon < b.mon
+    ),
+    ties AS (
+        SELECT SUM(t) AS n,
+               SUM(t * (t - 1) * (2 * t + 5)) AS tt
+        FROM (SELECT COUNT(*) AS t FROM m GROUP BY rev)
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           CASE WHEN (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                      * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                      - CAST(tt AS DOUBLE)) / 18.0 > 0
+                THEN ROUND((CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0)
+                            * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                            - CAST(tt AS DOUBLE)) / 18.0, 6)
+           END AS var_s,
+           CASE WHEN (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                      * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                      - CAST(tt AS DOUBLE)) / 18.0 > 0
+                THEN ROUND(CASE
+                    WHEN s_stat > 0
+                    THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                         / SQRT((CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) - 1.0)
+                                 * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                                 - CAST(tt AS DOUBLE)) / 18.0)
+                    WHEN s_stat < 0
+                    THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                         / SQRT((CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) - 1.0)
+                                 * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                                 - CAST(tt AS DOUBLE)) / 18.0)
+                    ELSE 0.0 END, 6)
+           END AS z
+    FROM ties CROSS JOIN s
 """

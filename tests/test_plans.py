@@ -18,6 +18,7 @@ _BNLJ_OK = {
     "m04_knn_classify",
     "m08_dbscan_core_count",  # 3^d halo offsets: tiny broadcast replication
     "m54_kendall_tau",  # cell-pair join over the bounded 50x7 value grid
+    "m59_mann_kendall",  # pair fold over the bounded monthly series
     "v01_cosine_topk",
     "v08_mips_topk",  # broadcast query set vs corpus scan, like v01
     "v25_mutual_knn",  # broadcast 100-vector slice pair scoring, like v01

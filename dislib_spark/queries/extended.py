@@ -3234,12 +3234,6 @@ QUERIES = {
     "x90_retention_triangle": x90_retention_triangle,
     "x91_position_attribution": x91_position_attribution,
     "x92_bucketed_join": x92_bucketed_join,
-    "x93_max_concurrency": x93_max_concurrency,
-    "x94_time_to_convert": x94_time_to_convert,
-    "x95_header_line_reconciliation": x95_header_line_reconciliation,
-    "x96_seasonal_decomposition": x96_seasonal_decomposition,
-    "x97_sequence_pattern": x97_sequence_pattern,
-    "s14_dedup_then_window": s14_dedup_then_window,
     "s01_tumbling": s01_tumbling,
     "s02_sessions": s02_sessions,
     "s03_dedup": s03_dedup,
@@ -3253,6 +3247,14 @@ QUERIES = {
     "s11_stream_left_join": s11_stream_left_join,
     "s12_cdc_apply": s12_cdc_apply,
     "s13_stream_dedup_archive": s13_stream_dedup_archive,
+    # round-7 continuation entries LAST: the registry reverses each
+    # family, so the driver's sampled prefix sees the newest first
+    "x93_max_concurrency": x93_max_concurrency,
+    "x94_time_to_convert": x94_time_to_convert,
+    "x95_header_line_reconciliation": x95_header_line_reconciliation,
+    "x96_seasonal_decomposition": x96_seasonal_decomposition,
+    "x97_sequence_pattern": x97_sequence_pattern,
+    "s14_dedup_then_window": s14_dedup_then_window,
 }
 
 ORACLE = {

@@ -2840,6 +2840,74 @@ def x97_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x98_experiment_readout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end A/B experiment readout: users are assigned to
+    control/treatment by the same seedless md5-parity rule the t10
+    splitter uses (deterministic, re-derivable, no assignment table
+    to lose), and each arm reports exposure, converter count,
+    conversion rate and the pooled two-proportion z — the m35 kernel
+    fed by a hash split instead of a stored flag, i.e. the readout
+    query a growth team actually runs. One scan to per-user
+    (arm, converted), one 2-row rollup, scalar z algebra; every
+    count integer-exact, both the assignment and the z mirrored."""
+    from dislib_spark.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        hash_bucket(F.col("user_id"), 2) == 0, F.lit("control")
+    ).otherwise(F.lit("treatment"))
+    per_user = (
+        ev.select("user_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(
+                    0
+                )
+            ).alias("converted")
+        )
+        .select(arm.alias("arm"), "converted")
+    )
+    g = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = g.agg(
+        F.sum(
+            F.when(F.col("arm") == "control", F.col("n_users"))
+        ).alias("nc"),
+        F.sum(
+            F.when(F.col("arm") == "control", F.col("n_converted"))
+        ).alias("xc"),
+        F.sum(
+            F.when(F.col("arm") == "treatment", F.col("n_users"))
+        ).alias("nt"),
+        F.sum(
+            F.when(F.col("arm") == "treatment", F.col("n_converted"))
+        ).alias("xt"),
+    )
+    nc = F.col("nc").cast("double")
+    nt = F.col("nt").cast("double")
+    xc = F.col("xc").cast("double")
+    xt = F.col("xt").cast("double")
+    p_pool = (xc + xt) / (nc + nt)
+    se = F.sqrt(p_pool * (1.0 - p_pool) * (1.0 / nc + 1.0 / nt))
+    return wide.select(
+        F.col("nc").cast("bigint").alias("n_control"),
+        F.col("xc").cast("bigint").alias("conv_control"),
+        F.col("nt").cast("bigint").alias("n_treatment"),
+        F.col("xt").cast("bigint").alias("conv_treatment"),
+        F.round(xc / nc, 6).alias("rate_control"),
+        F.round(xt / nt, 6).alias("rate_treatment"),
+        F.when(
+            (p_pool > 0) & (p_pool < 1),
+            F.round((xt / nt - xc / nc) / se, 6),
+        ).alias("z"),
+    )
+
+
 def s11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (``streaming.windows
     .stream_stream_left_join``): every click accounted — matched to
@@ -3255,6 +3323,7 @@ QUERIES = {
     "x96_seasonal_decomposition": x96_seasonal_decomposition,
     "x97_sequence_pattern": x97_sequence_pattern,
     "s14_dedup_then_window": s14_dedup_then_window,
+    "x98_experiment_readout": x98_experiment_readout,
 }
 
 ORACLE = {
@@ -5450,4 +5519,62 @@ ORACLE["x97_sequence_pattern"] = """
            ROUND(AVG(CAST(LENGTH(path) AS DOUBLE)), 6)
                AS avg_session_len
     FROM sess
+"""
+
+
+# x98: the sampling.hash_bucket md5 parity replayed verbatim; per-
+# user conversion flags and the pooled-z algebra mirrored.
+ORACLE["x98_experiment_readout"] = """
+    WITH pu AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS converted,
+               CASE WHEN CAST('0x' || substr(
+                              md5(CAST(user_id AS VARCHAR)), 1, 4)
+                          AS INTEGER) % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS arm
+        FROM events
+        GROUP BY user_id
+    ),
+    g AS (
+        SELECT arm, COUNT(*) AS n_users,
+               SUM(converted) AS n_converted
+        FROM pu GROUP BY arm
+    ),
+    w AS (
+        SELECT SUM(CASE WHEN arm = 'control' THEN n_users END) AS nc,
+               SUM(CASE WHEN arm = 'control' THEN n_converted END)
+                   AS xc,
+               SUM(CASE WHEN arm = 'treatment' THEN n_users END)
+                   AS nt,
+               SUM(CASE WHEN arm = 'treatment' THEN n_converted END)
+                   AS xt
+        FROM g
+    )
+    SELECT CAST(nc AS BIGINT) AS n_control,
+           CAST(xc AS BIGINT) AS conv_control,
+           CAST(nt AS BIGINT) AS n_treatment,
+           CAST(xt AS BIGINT) AS conv_treatment,
+           ROUND(CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+               AS rate_control,
+           ROUND(CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+               AS rate_treatment,
+           CASE WHEN (CAST(xc AS DOUBLE) + CAST(xt AS DOUBLE))
+                     / (CAST(nc AS DOUBLE) + CAST(nt AS DOUBLE)) > 0
+                 AND (CAST(xc AS DOUBLE) + CAST(xt AS DOUBLE))
+                     / (CAST(nc AS DOUBLE) + CAST(nt AS DOUBLE)) < 1
+                THEN ROUND((CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+                            - CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE))
+                           / SQRT(((CAST(xc AS DOUBLE)
+                                    + CAST(xt AS DOUBLE))
+                                   / (CAST(nc AS DOUBLE)
+                                      + CAST(nt AS DOUBLE)))
+                                  * (1.0 - (CAST(xc AS DOUBLE)
+                                            + CAST(xt AS DOUBLE))
+                                           / (CAST(nc AS DOUBLE)
+                                              + CAST(nt AS DOUBLE)))
+                                  * (1.0 / CAST(nc AS DOUBLE)
+                                     + 1.0 / CAST(nt AS DOUBLE))), 6)
+           END AS z
+    FROM w
 """

@@ -2454,6 +2454,49 @@ def m59_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m60_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of the engine's OWN md5 bucketing
+    against uniform — the audit backing every seedless-determinism
+    claim in this repo: t10's splits, t44's weighted sampling, x98's
+    experiment arms all assume ``sampling.hash_bucket`` spreads keys
+    evenly, and this query measures it (16 buckets over the order
+    keys, χ² = Σ(O−E)²/E vs df=15, plus the min/max bucket shares a
+    skew-sensitive consumer cares about). ONE scan to 16 integer
+    cells; the statistic is scalar algebra on exact counts,
+    mirrored."""
+    from dislib_spark.sampling import hash_bucket
+
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        hash_bucket(F.col("o_orderkey"), 16).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("o_cnt"))
+    agg = g.agg(
+        F.sum("o_cnt").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.min("o_cnt").alias("mn"),
+        F.max("o_cnt").alias("mx"),
+        F.sum(
+            (F.col("o_cnt") * F.col("o_cnt")).cast("decimal(38,0)")
+        ).alias("so2"),
+    )
+    nd = F.col("n").cast("double")
+    e = nd / 16.0
+    # Σ(O−E)²/E = (ΣO²)/E − n when all 16 cells exist (E constant)
+    chi2 = F.col("so2").cast("double") / e - nd
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("int").alias("k_buckets"),
+        F.round(F.col("mn").cast("double") / nd, 6).alias(
+            "min_share"
+        ),
+        F.round(F.col("mx").cast("double") / nd, 6).alias(
+            "max_share"
+        ),
+        F.when(F.col("k") == 16, F.round(chi2, 6)).alias("chi2"),
+        F.lit(15).cast("int").alias("df"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -2514,6 +2557,7 @@ QUERIES = {
     "m57_runs_test": m57_runs_test,
     "m58_sign_test": m58_sign_test,
     "m59_mann_kendall": m59_mann_kendall,
+    "m60_hash_uniformity": m60_hash_uniformity,
 }
 
 
@@ -4801,4 +4845,34 @@ ORACLE["m59_mann_kendall"] = """
                     ELSE 0.0 END, 6)
            END AS z
     FROM ties CROSS JOIN s
+"""
+
+# m60: hash_bucket's md5 parity replayed verbatim (the documented
+# DuckDB form); chi2 via the constant-E identity on exact counts.
+ORACLE["m60_hash_uniformity"] = """
+    WITH g AS (
+        SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                   1, 4) AS INTEGER) % 16 AS bucket,
+               COUNT(*) AS o_cnt
+        FROM orders GROUP BY 1
+    ),
+    agg AS (
+        SELECT SUM(o_cnt) AS n, COUNT(*) AS k,
+               MIN(o_cnt) AS mn, MAX(o_cnt) AS mx,
+               SUM(o_cnt * o_cnt) AS so2
+        FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(k AS INTEGER) AS k_buckets,
+           ROUND(CAST(mn AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS min_share,
+           ROUND(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS max_share,
+           CASE WHEN k = 16
+                THEN ROUND(CAST(so2 AS DOUBLE)
+                           / (CAST(n AS DOUBLE) / 16.0)
+                           - CAST(n AS DOUBLE), 6)
+           END AS chi2,
+           CAST(15 AS INTEGER) AS df
+    FROM agg
 """

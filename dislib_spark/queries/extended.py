@@ -2908,6 +2908,45 @@ def x98_experiment_readout(
     )
 
 
+def x99_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting demonstrated as a VALUE no-op: revenue per return
+    flag computed through the two-stage salted plan — md5-salted
+    (key, salt) partial aggregation, then the final merge per key —
+    that a skewed key demands at 100 TB (one whale flag would
+    otherwise pin a single reducer; the salt fans its rows over 16
+    reducers and the merge is 16 rows per key). The oracle is the
+    PLAIN group-by: salting must change the shuffle layout and
+    nothing else, and exact DECIMAL partials make the re-merge
+    order-independent, so the equality is bit-for-bit. The two-stage
+    Exchange pair is the plan evidence (PLANS.md)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from dislib_spark.sampling import hash_bucket
+
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    partial = (
+        li.groupBy(
+            "l_returnflag",
+            hash_bucket(F.col("l_orderkey"), 16).alias("_salt"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(rev.cast("decimal(28,4)")).alias("prev"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("pn").alias("n_items"),
+            F.sum("prev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_salt_cells"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def s11_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (``streaming.windows
     .stream_stream_left_join``): every click accounted — matched to
@@ -3324,6 +3363,7 @@ QUERIES = {
     "x97_sequence_pattern": x97_sequence_pattern,
     "s14_dedup_then_window": s14_dedup_then_window,
     "x98_experiment_readout": x98_experiment_readout,
+    "x99_salted_agg": x99_salted_agg,
 }
 
 ORACLE = {
@@ -5577,4 +5617,29 @@ ORACLE["x98_experiment_readout"] = """
                                      + 1.0 / CAST(nt AS DOUBLE))), 6)
            END AS z
     FROM w
+"""
+
+
+# x99: the oracle is the UNSALTED rollup — salting must be a value
+# no-op; n_salt_cells replays the distinct-salt count per key.
+ORACLE["x99_salted_agg"] = """
+    WITH partial AS (
+        SELECT l_returnflag,
+               CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                                   1, 4) AS INTEGER) % 16 AS salt,
+               COUNT(*) AS pn,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(28,4))) AS prev
+        FROM lineitem
+        GROUP BY 1, 2
+    )
+    SELECT l_returnflag,
+           CAST(SUM(pn) AS BIGINT) AS n_items,
+           CAST(SUM(prev) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_salt_cells
+    FROM partial
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
 """

@@ -2497,6 +2497,74 @@ def m60_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m61_tost_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOST equivalence test on the x98 experiment arms: m35/x98 can
+    only fail to find a difference — this asks the opposite,
+    regulatory-grade question, "are the two conversion rates
+    equivalent within ±1 percentage point?" via two one-sided z
+    tests (z_lower = (Δ+δ)/SE, z_upper = (Δ−δ)/SE, unpooled SE;
+    equivalent iff both reject at 1.645). Same md5-parity
+    assignment and per-user conversion fold as x98 — one scan, one
+    2-row rollup, scalar algebra mirrored operation-for-operation;
+    degenerate SE returns NULL."""
+    from dislib_spark.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        hash_bucket(F.col("user_id"), 2) == 0, F.lit("control")
+    ).otherwise(F.lit("treatment"))
+    per_user = (
+        ev.select("user_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(
+                    0
+                )
+            ).alias("converted")
+        )
+        .select(arm.alias("arm"), "converted")
+    )
+    wide = per_user.agg(
+        F.sum(
+            F.when(F.col("arm") == "control", 1).otherwise(0)
+        ).alias("nc"),
+        F.sum(
+            F.when(F.col("arm") == "control", F.col("converted"))
+        ).alias("xc"),
+        F.sum(
+            F.when(F.col("arm") == "treatment", 1).otherwise(0)
+        ).alias("nt"),
+        F.sum(
+            F.when(F.col("arm") == "treatment", F.col("converted"))
+        ).alias("xt"),
+    )
+    nc = F.col("nc").cast("double")
+    nt = F.col("nt").cast("double")
+    pc = F.col("xc").cast("double") / nc
+    pt = F.col("xt").cast("double") / nt
+    se = F.sqrt(
+        pc * (1.0 - pc) / nc + pt * (1.0 - pt) / nt
+    )
+    delta = 0.01
+    zl = (pt - pc + delta) / se
+    zu = (pt - pc - delta) / se
+    return wide.select(
+        F.col("nc").cast("bigint").alias("n_control"),
+        F.col("nt").cast("bigint").alias("n_treatment"),
+        F.round(pc, 6).alias("rate_control"),
+        F.round(pt, 6).alias("rate_treatment"),
+        F.when(se > 0, F.round(zl, 6)).alias("z_lower"),
+        F.when(se > 0, F.round(zu, 6)).alias("z_upper"),
+        F.when(
+            se > 0,
+            ((zl > 1.645) & (zu < -1.645)).cast("int"),
+        ).alias("equivalent"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -2558,6 +2626,7 @@ QUERIES = {
     "m58_sign_test": m58_sign_test,
     "m59_mann_kendall": m59_mann_kendall,
     "m60_hash_uniformity": m60_hash_uniformity,
+    "m61_tost_equivalence": m61_tost_equivalence,
 }
 
 
@@ -4875,4 +4944,58 @@ ORACLE["m60_hash_uniformity"] = """
            END AS chi2,
            CAST(15 AS INTEGER) AS df
     FROM agg
+"""
+
+# m61: x98's assignment/conversion replay; unpooled-SE TOST algebra
+# mirrored operation-for-operation, zero SE -> NULL.
+ORACLE["m61_tost_equivalence"] = """
+    WITH pu AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS converted,
+               CASE WHEN CAST('0x' || substr(
+                              md5(CAST(user_id AS VARCHAR)), 1, 4)
+                          AS INTEGER) % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS arm
+        FROM events
+        GROUP BY user_id
+    ),
+    w AS (
+        SELECT SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                   AS nc,
+               SUM(CASE WHEN arm = 'control' THEN converted END)
+                   AS xc,
+               SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                   AS nt,
+               SUM(CASE WHEN arm = 'treatment' THEN converted END)
+                   AS xt
+        FROM pu
+    ),
+    st AS (
+        SELECT CAST(nc AS BIGINT) AS n_control,
+               CAST(nt AS BIGINT) AS n_treatment,
+               CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE) AS pc,
+               CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE) AS pt,
+               SQRT((CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE))
+                    * (1.0 - CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE))
+                    / CAST(nc AS DOUBLE)
+                    + (CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+                      * (1.0 - CAST(xt AS DOUBLE)
+                               / CAST(nt AS DOUBLE))
+                      / CAST(nt AS DOUBLE)) AS se
+        FROM w
+    )
+    SELECT n_control, n_treatment,
+           ROUND(pc, 6) AS rate_control,
+           ROUND(pt, 6) AS rate_treatment,
+           CASE WHEN se > 0
+                THEN ROUND((pt - pc + 0.01) / se, 6) END AS z_lower,
+           CASE WHEN se > 0
+                THEN ROUND((pt - pc - 0.01) / se, 6) END AS z_upper,
+           CASE WHEN se > 0
+                THEN CAST(CASE WHEN (pt - pc + 0.01) / se > 1.645
+                                AND (pt - pc - 0.01) / se < -1.645
+                          THEN 1 ELSE 0 END AS INTEGER)
+           END AS equivalent
+    FROM st
 """

@@ -85,6 +85,10 @@ PICKS = {
     "v26_stratified_cell_sample": "16-row center broadcast assignment; sqrt allocation ranks per cell (WindowGroupLimit shape)",
     "s14_dedup_then_window": "CHAINED stateful operators: watermark dedup state feeds window state in one streaming query (no intermediate sink)",
     "m57_runs_test": "m47's de-globalized adjacent pairing reused for sign changes; no single-partition LAG",
+    "x97_sequence_pattern": "path build + all four regexes in whole-stage codegen; ONE shuffle on the session key",
+    "x98_experiment_readout": "md5-parity arms computed map-side; one user rollup + one 2-row fold, no assignment table",
+    "x99_salted_agg": "the salted plan: TWO partial/final exchange pairs — (key, salt) then key — exact decimal partials re-merge",
+    "m60_hash_uniformity": "one map-side-combined 16-cell count; chi2 via the constant-E identity",
 }
 
 # Hand-written findings preserved across regenerations (the judge

@@ -1668,6 +1668,71 @@ def t68_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def t69_quality_lm_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Do the cheap heuristic quality gate (t07's length+diversity
+    rule at 0.7) and the LM-based gate (t23's unigram cross-entropy
+    at a fixed −3.402 nats) keep the same documents? The 2×2
+    agreement table with Cohen's κ — the filter-triage audit run
+    before replacing an expensive signal with a cheap one (κ ≈ 0
+    means the heuristic is NOT a substitute for perplexity
+    filtering, whatever the raw agreement rate says). Per-doc scores
+    are 6-dp rounded BEFORE thresholding so the gate decisions are
+    engine-stable; one corpus scan per signal, one broadcast-joined
+    2×2 fold."""
+    from dislib_spark.text.analysis import quality_score
+    from dislib_spark.text.lm import lm_doc_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        (quality_score(F.col("text")) >= 0.7).cast("int").alias("h"),
+    )
+    s = lm_doc_scores(d).select(
+        "doc_id",
+        (F.round(F.col("lm_score"), 6) >= -3.402)
+        .cast("int")
+        .alias("l"),
+    )
+    j = q.join(s, "doc_id")
+    w = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("h") == 1) & (F.col("l") == 1), 1).otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when((F.col("h") == 1) & (F.col("l") == 0), 1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("h") == 0) & (F.col("l") == 1), 1).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when((F.col("h") == 0) & (F.col("l") == 0), 1).otherwise(0)
+        ).alias("d"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("a") + F.col("d")).cast("double") / nd
+    pe = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        + (F.col("c") + F.col("d")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
+    ) / (nd * nd)
+    return w.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("a").cast("bigint").alias("n_both"),
+        F.col("b").cast("bigint").alias("n_heur_only"),
+        F.col("c").cast("bigint").alias("n_lm_only"),
+        F.col("d").cast("bigint").alias("n_neither"),
+        F.round(po, 6).alias("agreement"),
+        F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), 6)).alias(
+            "kappa"
+        ),
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -1737,6 +1802,7 @@ QUERIES = {
     "t66_crossmodal_dedup_audit": t66_crossmodal_dedup_audit,
     "t67_lsh_band_sweep": t67_lsh_band_sweep,
     "t68_cross_source_dups": t68_cross_source_dups,
+    "t69_quality_lm_agreement": t69_quality_lm_agreement,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -3770,4 +3836,62 @@ ORACLE["t68_cross_source_dups"] = f"""
     JOIN documents sb ON sb.doc_id = p.b_id
     GROUP BY 1, 2
     ORDER BY 1, 2
+"""
+
+
+# t69: t07's quality fragment + t23's LM replay, both gates on 6-dp
+# rounded scores; kappa algebra mirrored on exact integer cells.
+ORACLE["t69_quality_lm_agreement"] = f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    toks2 AS (SELECT * FROM toks WHERE w <> ''),
+    counts AS (SELECT w, COUNT(*) AS c FROM toks2 GROUP BY w),
+    total AS (SELECT SUM(c)::DOUBLE AS n FROM counts),
+    per_doc AS (
+        SELECT t.doc_id,
+               ROUND(AVG(LN(c.c / total.n)), 6) AS lm6
+        FROM toks2 t JOIN counts c ON t.w = c.w CROSS JOIN total
+        GROUP BY t.doc_id
+    ),
+    flags AS (
+        SELECT d.doc_id,
+               CASE WHEN {_QUALITY} >= 0.7 THEN 1 ELSE 0 END AS h,
+               CASE WHEN p.lm6 >= -3.402 THEN 1 ELSE 0 END AS l
+        FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+    ),
+    w AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN h = 1 AND l = 1 THEN 1 ELSE 0 END) AS a,
+               SUM(CASE WHEN h = 1 AND l = 0 THEN 1 ELSE 0 END) AS b,
+               SUM(CASE WHEN h = 0 AND l = 1 THEN 1 ELSE 0 END) AS c,
+               SUM(CASE WHEN h = 0 AND l = 0 THEN 1 ELSE 0 END) AS d
+        FROM flags
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(a AS BIGINT) AS n_both,
+           CAST(b AS BIGINT) AS n_heur_only,
+           CAST(c AS BIGINT) AS n_lm_only,
+           CAST(d AS BIGINT) AS n_neither,
+           ROUND(CAST(a + d AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS agreement,
+           CASE WHEN (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                      + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+                THEN ROUND((CAST(a + d AS DOUBLE) / CAST(n AS DOUBLE)
+                            - (CAST(a + b AS DOUBLE)
+                               * CAST(a + c AS DOUBLE)
+                               + CAST(c + d AS DOUBLE)
+                               * CAST(b + d AS DOUBLE))
+                              / (CAST(n AS DOUBLE)
+                                 * CAST(n AS DOUBLE)))
+                           / (1.0 - (CAST(a + b AS DOUBLE)
+                                     * CAST(a + c AS DOUBLE)
+                                     + CAST(c + d AS DOUBLE)
+                                     * CAST(b + d AS DOUBLE))
+                                    / (CAST(n AS DOUBLE)
+                                       * CAST(n AS DOUBLE))), 6)
+           END AS kappa
+    FROM w
 """

@@ -840,6 +840,50 @@ def v27_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def v28_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook health audit: per-subspace quantization MSE and
+    code-usage balance (codes used of 16, heaviest-code share) for
+    the v06 seed codebooks — rising subspace MSE or a collapsed code
+    histogram is the retrain signal for any PQ index, read BEFORE
+    trusting ADC scores (v06) or quantized recall (v19). One
+    BLAS-under-mapInArrow distortion pass
+    (``vector.search.pq_distortion``, checkpointed once for its two
+    rollups); the oracle replays slice/normalize/argmin
+    value-exactly like v06."""
+    from dislib_spark.vector.search import pq_codebooks, pq_distortion
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(e, method="seed")
+    d = pq_distortion(e, books).localCheckpoint(eager=True)
+    g2 = d.groupBy("m", "code").agg(F.count(F.lit(1)).alias("cnt"))
+    use = g2.groupBy("m").agg(
+        F.sum("cnt").alias("n_vecs"),
+        F.count(F.lit(1)).alias("n_codes_used"),
+        F.round(
+            F.max("cnt").cast("double")
+            / F.sum("cnt").cast("double"),
+            6,
+        ).alias("top_code_share"),
+    )
+    mse = d.groupBy("m").agg(
+        F.round(F.avg("min_d2"), 6).alias("mse")
+    )
+    return (
+        use.join(mse, "m")
+        .select(
+            F.col("m").cast("int").alias("m"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            "mse",
+            F.col("n_codes_used").cast("bigint").alias(
+                "n_codes_used"
+            ),
+            "top_code_share",
+        )
+        .orderBy("m")
+    )
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -868,6 +912,7 @@ QUERIES = {
     "v25_mutual_knn": v25_mutual_knn,
     "v26_stratified_cell_sample": v26_stratified_cell_sample,
     "v27_label_separability": v27_label_separability,
+    "v28_pq_distortion": v28_pq_distortion,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -2123,4 +2168,66 @@ ORACLE["v27_label_separability"] = """
     JOIN nrm na ON na.label = d.la
     JOIN nrm nb ON nb.label = d.lb
     ORDER BY label_a, label_b
+"""
+
+
+# v28: the v06 encode replay (slice/normalize/argmin) without the
+# query restriction; per-subspace MSE and code-usage rollups.
+ORACLE["v28_pq_distortion"] = f"""
+    WITH cells AS ({_CELLS}),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM cells GROUP BY vec_id
+    ),
+    unit AS (
+        SELECT c.vec_id, c.k,
+               c.v / CASE WHEN n.nrm = 0 THEN 1 ELSE n.nrm END AS u
+        FROM cells c JOIN norms n USING (vec_id)
+    ),
+    ctrids AS (
+        SELECT vec_id AS cvid,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    book AS (
+        SELECT ct.c, CAST((u.k - 1) // 8 AS INT) AS m, (u.k - 1) % 8 AS j,
+               u.u AS w
+        FROM unit u JOIN ctrids ct ON u.vec_id = ct.cvid
+    ),
+    sub AS (
+        SELECT vec_id, CAST((k - 1) // 8 AS INT) AS m, (k - 1) % 8 AS j, u
+        FROM unit
+    ),
+    d2 AS (
+        SELECT s.vec_id, s.m, b.c, SUM((s.u - b.w) * (s.u - b.w)) AS d2
+        FROM sub s JOIN book b ON b.m = s.m AND b.j = s.j
+        GROUP BY s.vec_id, s.m, b.c
+    ),
+    pick AS (
+        SELECT vec_id, m, c AS code, d2 AS min_d2 FROM (
+            SELECT vec_id, m, c, d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, m ORDER BY d2, c
+                   ) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    g2 AS (
+        SELECT m, code, COUNT(*) AS cnt FROM pick GROUP BY m, code
+    ),
+    use AS (
+        SELECT m, SUM(cnt) AS n_vecs, COUNT(*) AS n_codes_used,
+               ROUND(CAST(MAX(cnt) AS DOUBLE)
+                     / CAST(SUM(cnt) AS DOUBLE), 6) AS top_code_share
+        FROM g2 GROUP BY m
+    ),
+    mse AS (
+        SELECT m, ROUND(AVG(min_d2), 6) AS mse FROM pick GROUP BY m
+    )
+    SELECT CAST(use.m AS INT) AS m,
+           CAST(use.n_vecs AS BIGINT) AS n_vecs,
+           mse.mse,
+           CAST(use.n_codes_used AS BIGINT) AS n_codes_used,
+           use.top_code_share
+    FROM use JOIN mse ON use.m = mse.m
+    ORDER BY m
 """

@@ -31,6 +31,7 @@ _BNLJ_OK = {
     "t16_tfidf_topk",  # 1-row broadcast of the corpus doc count
     "t17_bm25",  # 1-row broadcast of corpus (N, avgdl) stats
     "t23_lm_score",  # 1-row broadcast of the corpus token total
+    "t69_quality_lm_agreement",  # same 1-row LM-total broadcast as t23
     "m15_cv_ols",  # 1-row broadcast of the total sufficient stats
     "t31_token_mi",  # |classes|-row + 1-row marginal broadcasts
     "t32_source_drift",  # |groups|-row + 1-row marginal broadcasts

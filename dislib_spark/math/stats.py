@@ -208,20 +208,8 @@ def ks_statistic(
     v = F.col(value_col).cast("double")
     n_bins = _resolve_auto_bins(src, v, n_bins, auto_threshold, auto_bins)
     if n_bins is not None:
-        lohi = src.agg(
-            F.min(v).alias("lo"), F.max(v).alias("hi")
-        )
-        width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
-        key = (
-            F.when(F.col("hi") == F.col("lo"), F.lit(0))
-            .otherwise(
-                F.least(
-                    F.lit(n_bins - 1),
-                    F.floor((v - F.col("lo")) / width),
-                )
-            )
-        ).alias("v")
-        src = src.crossJoin(F.broadcast(lohi))
+        src, key = _with_bin_key(src, v, n_bins)
+        key = key.alias("v")
     else:
         key = v.alias("v")
     g = src.groupBy(key).agg(
@@ -281,18 +269,8 @@ def roc_auc(
     n_bins = _resolve_auto_bins(df, v, n_bins, auto_threshold, auto_bins)
     src = df
     if n_bins is not None:
-        lohi = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
-        width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
-        key = (
-            F.when(F.col("hi") == F.col("lo"), F.lit(0.0))
-            .otherwise(
-                F.least(
-                    F.lit(float(n_bins - 1)),
-                    F.floor((v - F.col("lo")) / width).cast("double"),
-                )
-            )
-        ).alias("score")
-        src = df.crossJoin(F.broadcast(lohi))
+        src, key = _with_bin_key(df, v, n_bins)
+        key = key.alias("score")
     else:
         key = v.alias("score")
     grp = src.groupBy(key).agg(
@@ -402,18 +380,8 @@ def average_precision(
     n_bins = _resolve_auto_bins(df, v, n_bins, auto_threshold, auto_bins)
     src = df
     if n_bins is not None:
-        lohi = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
-        width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
-        key = (
-            F.when(F.col("hi") == F.col("lo"), F.lit(0.0))
-            .otherwise(
-                F.least(
-                    F.lit(float(n_bins - 1)),
-                    F.floor((v - F.col("lo")) / width).cast("double"),
-                )
-            )
-        ).alias("score")
-        src = df.crossJoin(F.broadcast(lohi))
+        src, key = _with_bin_key(df, v, n_bins)
+        key = key.alias("score")
     else:
         key = v.alias("score")
     grp = src.groupBy(key).agg(

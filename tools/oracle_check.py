@@ -14,6 +14,8 @@ import sys
 
 import duckdb
 
+sys.path.insert(0, "/root/repo")  # self-bootstrap like driver_check.py
+
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events "

@@ -2565,6 +2565,143 @@ def m61_tost_equivalence(
     )
 
 
+def _grid_weighted_median(grid: DataFrame, value_col: str, weight_col: str) -> DataFrame:
+    """Exact weighted median of a BOUNDED value grid — the m54 trick
+    extended from counting to order statistics: ``grid`` rows are
+    (value, multiplicity) with multiplicity as DECIMAL(38,0) (pair
+    populations outgrow BIGINT long before 100 TB), and the median of
+    the expanded population is read off ONE ordered window over the
+    grid (corpus-size-independent rows), never the population itself.
+
+    Even/odd handling without decimal division: with integer weights,
+    ``2·cum ≥ W + (W mod 2)`` selects the lower median and
+    ``2·cum ≥ W + 2 − (W mod 2)`` the upper; their mean is the
+    textbook median for both parities. Returns one row
+    (w_total DECIMAL, med DOUBLE)."""
+    from pyspark.sql import Window
+
+    v, w = F.col(value_col), F.col(weight_col)
+    g = grid.groupBy(v.alias("_v")).agg(F.sum(w).alias("_w"))
+    cum = F.sum("_w").over(
+        Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = F.sum("_w").over(Window.partitionBy())
+    c = g.select("_v", cum.alias("_c"), tot.alias("_t"))
+    two_c = F.col("_c") * 2
+    parity = F.col("_t") % 2
+    lo = F.min(
+        F.when(two_c >= F.col("_t") + parity, F.col("_v"))
+    ).alias("_lo")
+    hi = F.min(
+        F.when(two_c >= F.col("_t") + 2 - parity, F.col("_v"))
+    ).alias("_hi")
+    return c.agg(F.max("_t").alias("w_total"), lo, hi).select(
+        "w_total",
+        ((F.col("_lo") + F.col("_hi")) / 2.0).alias("med"),
+    )
+
+
+def m62_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust regression of quantity on discount — the
+    median-of-pairwise-slopes estimator that m01's OLS family has no
+    robust counterpart for (a single corrupted shipment can move an
+    OLS slope arbitrarily; Theil–Sen tolerates ~29% contamination).
+    Naively O(n²) row pairs; on discrete variables every pairwise
+    slope collapses onto the 11×50 (discount, quantity) cell grid
+    (the m54 Kendall trick lifted from counting concordances to an
+    ORDER STATISTIC): slope multiplicities are exact DECIMAL products
+    of cell counts, and the weighted median reads off one window over
+    ≤ |grid|² slope values — corpus-size-independent. Intercept is
+    the matching weighted median of (y − β·x) over the cells.
+    Returns (n, n_pairs, slope, intercept)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    cells = (
+        li.groupBy(
+            F.col("l_discount").alias("x"),
+            F.col("l_quantity").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.col("cnt").alias("an"),
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.col("cnt").alias("bn"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("ax") < F.col("bx")).select(
+        ((F.col("by") - F.col("ay")) / (F.col("bx") - F.col("ax")))
+        .alias("slope"),
+        (F.col("an") * F.col("bn")).cast(dec).alias("w"),
+    )
+    med = _grid_weighted_median(pairs, "slope", "w")
+    n_row = cells.agg(F.sum("cnt").cast("bigint").alias("n"))
+    slope = med.select(
+        F.col("w_total").cast("double").alias("n_pairs"),
+        F.col("med").alias("beta"),
+    )
+    resid = cells.crossJoin(F.broadcast(slope)).select(
+        (F.col("y") - F.col("beta") * F.col("x")).alias("r"),
+        F.col("cnt").cast(dec).alias("w"),
+    )
+    inter = _grid_weighted_median(resid, "r", "w").select(
+        F.col("med").alias("intercept")
+    )
+    return (
+        n_row.crossJoin(F.broadcast(slope))
+        .crossJoin(F.broadcast(inter))
+        .select(
+            "n",
+            "n_pairs",
+            F.round(F.col("beta"), 6).alias("slope"),
+            F.round(F.col("intercept"), 6).alias("intercept"),
+        )
+    )
+
+
+def m63_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann pseudomedian of lineitem quantity — the median
+    of all n(n+1)/2 Walsh averages (xᵢ+xⱼ)/2, i ≤ j: the robust
+    location estimate the m33/m58 rank tests invert (the
+    confidence-interval midpoint a Wilcoxon signed-rank test
+    implies), sitting between the mean (m02, 0% breakdown) and the
+    median (m17, 50%) at ~29%. Same bounded-grid order-statistic
+    machinery as m62: Walsh averages collapse onto the 50-value
+    quantity grid — same-value pairs weigh cnt·(cnt+1)/2, cross-value
+    pairs cntₐ·cnt_b — and one window over ≤ |grid|² averages reads
+    the exact weighted median. Returns (n, n_walsh_pairs,
+    hl_estimate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    cells = (
+        li.groupBy(F.col("l_quantity").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    a = cells.select(F.col("v").alias("av"), F.col("cnt").alias("an"))
+    b = cells.select(F.col("v").alias("bv"), F.col("cnt").alias("bn"))
+    cross = a.join(F.broadcast(b), F.col("av") < F.col("bv")).select(
+        ((F.col("av") + F.col("bv")) / 2.0).alias("walsh"),
+        (F.col("an") * F.col("bn")).cast(dec).alias("w"),
+    )
+    same = cells.select(
+        F.col("v").cast("double").alias("walsh"),
+        (F.col("cnt").cast(dec) * (F.col("cnt") + 1).cast(dec) / 2)
+        .cast(dec)
+        .alias("w"),
+    )
+    med = _grid_weighted_median(cross.unionByName(same), "walsh", "w")
+    n_row = cells.agg(F.sum("cnt").cast("bigint").alias("n"))
+    return n_row.crossJoin(F.broadcast(med)).select(
+        "n",
+        F.col("w_total").cast("double").alias("n_walsh_pairs"),
+        F.round(F.col("med"), 6).alias("hl_estimate"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -2627,6 +2764,8 @@ QUERIES = {
     "m59_mann_kendall": m59_mann_kendall,
     "m60_hash_uniformity": m60_hash_uniformity,
     "m61_tost_equivalence": m61_tost_equivalence,
+    "m62_theil_sen": m62_theil_sen,
+    "m63_hodges_lehmann": m63_hodges_lehmann,
 }
 
 
@@ -4998,4 +5137,88 @@ ORACLE["m61_tost_equivalence"] = """
                           THEN 1 ELSE 0 END AS INTEGER)
            END AS equivalent
     FROM st
+"""
+
+# m62: pairwise slopes collapsed onto the bounded (discount,
+# quantity) grid; slope/residual weighted medians via the
+# 2·cum ≥ W + parity selector (exact for both parities), HUGEINT
+# weights mirror the engine's DECIMAL(38,0).
+ORACLE["m62_theil_sen"] = """
+    WITH cells AS (
+        SELECT l_discount AS x, l_quantity AS y, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT (b.y - a.y) / (b.x - a.x) AS v,
+               CAST(a.cnt AS HUGEINT) * b.cnt AS w
+        FROM cells a JOIN cells b ON a.x < b.x
+    ),
+    g AS (SELECT v, SUM(w) AS w FROM pairs GROUP BY v),
+    c AS (
+        SELECT v,
+               SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c,
+               SUM(w) OVER () AS t
+        FROM g
+    ),
+    sm AS (
+        SELECT MAX(t) AS w_total,
+               (MIN(CASE WHEN 2 * c >= t + (t % 2) THEN v END)
+                + MIN(CASE WHEN 2 * c >= t + 2 - (t % 2) THEN v END))
+               / 2.0 AS beta
+        FROM c
+    ),
+    r AS (
+        SELECT (cells.y - sm.beta * cells.x) AS v,
+               CAST(cells.cnt AS HUGEINT) AS w
+        FROM cells, sm
+    ),
+    rg AS (SELECT v, SUM(w) AS w FROM r GROUP BY v),
+    rc AS (
+        SELECT v,
+               SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c,
+               SUM(w) OVER () AS t
+        FROM rg
+    ),
+    im AS (
+        SELECT (MIN(CASE WHEN 2 * c >= t + (t % 2) THEN v END)
+                + MIN(CASE WHEN 2 * c >= t + 2 - (t % 2) THEN v END))
+               / 2.0 AS intercept
+        FROM rc
+    )
+    SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM cells) AS n,
+           CAST(sm.w_total AS DOUBLE) AS n_pairs,
+           ROUND(sm.beta, 6) AS slope,
+           ROUND(im.intercept, 6) AS intercept
+    FROM sm, im
+"""
+
+# m63: Walsh averages on the 50-value quantity grid — cross pairs
+# weigh cnt_a*cnt_b, same-value pairs cnt*(cnt+1)/2 (i <= j); same
+# weighted-median selector as m62.
+ORACLE["m63_hodges_lehmann"] = """
+    WITH cells AS (
+        SELECT l_quantity AS v, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1
+    ),
+    walsh AS (
+        SELECT (a.v + b.v) / 2.0 AS v,
+               CAST(a.cnt AS HUGEINT) * b.cnt AS w
+        FROM cells a JOIN cells b ON a.v < b.v
+        UNION ALL
+        SELECT v, CAST(cnt AS HUGEINT) * (cnt + 1) // 2 AS w
+        FROM cells
+    ),
+    g AS (SELECT v, SUM(w) AS w FROM walsh GROUP BY v),
+    c AS (
+        SELECT v,
+               SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c,
+               SUM(w) OVER () AS t
+        FROM g
+    )
+    SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM cells) AS n,
+           CAST(MAX(t) AS DOUBLE) AS n_walsh_pairs,
+           ROUND((MIN(CASE WHEN 2 * c >= t + (t % 2) THEN v END)
+                  + MIN(CASE WHEN 2 * c >= t + 2 - (t % 2) THEN v END))
+                 / 2.0, 6) AS hl_estimate
+    FROM c
 """

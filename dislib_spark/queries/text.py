@@ -1733,6 +1733,109 @@ def t69_quality_lm_agreement(
     )
 
 
+def t70_archive_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination against a PERSISTED corpus index — the
+    operational form of t09: the training corpus's LSH band index is
+    built once and stored partitionBy(band_idx) (s13's storage
+    shape), and each BENCHMARK suite (src0 here) probes the stored
+    index — candidates are benchmark-sized, the corpus is touched
+    only through the partition-pruned (band_idx, band_hash)
+    equi-join, exact Jaccard re-check on candidates only. Reported
+    per corpus source: how many documents must be DROPPED as
+    near-dups (jaccard ≥ 0.3) of any benchmark doc — t09 flags
+    verbatim 4-gram overlap per document; this catches whole-document
+    paraphrase-level leakage and scales to a corpus that is never
+    rescanned when a new benchmark arrives."""
+    import tempfile
+
+    from dislib_spark.text.dedup import dedup_against_index, minhash_index
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("source") != "src0")
+    bench = d.where(F.col("source") == "src0")
+    ix = minhash_index(corpus, hash_fn="md5")
+    tmp = tempfile.mkdtemp(prefix="decontam_index_")
+    ix.write.partitionBy("band_idx").mode("overwrite").parquet(tmp)
+    stored = spark.read.parquet(tmp)
+    hits = dedup_against_index(
+        bench, stored, threshold=0.3, hash_fn="md5"
+    )
+    flagged = hits.select(F.col("index_id").alias("doc_id")).distinct()
+    base = corpus.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    fl = (
+        corpus.join(flagged, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+    return (
+        base.join(fl, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_flagged"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_flagged"), F.lit(0)).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def t71_length_quality_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-vs-quality calibration curve: corpus documents ranked
+    into EXACT length deciles (x19's distributed-rank NTILE — global
+    rank from ``with_global_index``'s range-sort + per-partition
+    offsets, bucket arithmetic from (rank, n); never a global
+    Window), each decile reporting its char-length bounds, mean
+    heuristic quality (t07's score) and quality-gate pass rate. The
+    diagnostic that decides whether a pipeline's length floor and
+    quality threshold are REDUNDANT (pass rate saturating with
+    length means one of the two filters does nothing) — read before
+    tuning either. Gate rate is an exact long/long division; decile
+    semantics mirror SQL NTILE row-position exactly."""
+    from dislib_spark.text.analysis import quality_score
+    from dislib_spark.utils.base import with_global_index
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", quality_score(F.col("text")).alias("q")
+    )
+    ranked = with_global_index(d, ["n_chars", "doc_id"], "_r")
+    tot = F.broadcast(d.agg(F.count(F.lit(1)).alias("_n")))
+    decile = F.expr(
+        "CAST(CASE WHEN _r < (_n % 10) * (_n DIV 10 + 1) "
+        "THEN _r DIV (_n DIV 10 + 1) + 1 "
+        "ELSE (_n % 10) + (_r - (_n % 10) * (_n DIV 10 + 1)) "
+        "DIV (_n DIV 10) + 1 END AS INT)"
+    ).alias("decile")
+    return (
+        ranked.crossJoin(tot)
+        .select(decile, "n_chars", "q")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("len_lo"),
+            F.max("n_chars").alias("len_hi"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+            F.round(
+                F.sum((F.col("q") >= 0.7).cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("gate_pass_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -1803,6 +1906,8 @@ QUERIES = {
     "t67_lsh_band_sweep": t67_lsh_band_sweep,
     "t68_cross_source_dups": t68_cross_source_dups,
     "t69_quality_lm_agreement": t69_quality_lm_agreement,
+    "t70_archive_decontamination": t70_archive_decontamination,
+    "t71_length_quality_calibration": t71_length_quality_calibration,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -3894,4 +3999,107 @@ ORACLE["t69_quality_lm_agreement"] = f"""
                                        * CAST(n AS DOUBLE))), 6)
            END AS kappa
     FROM w
+"""
+
+
+def _t70_oracle() -> str:
+    """DuckDB replay of t70's stored-index probe — the t05/s13 md5
+    recipe with candidates restricted to benchmark (src0) × corpus
+    (non-src0), flagged corpus docs folded per source; the parquet
+    round-trip of the index is a value no-op."""
+    from dislib_spark.text.dedup import _MERSENNE as M, minhash_perms
+
+    sig_items = ",\n               ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {M}))"
+        for a, b in minhash_perms(32, seed=7)
+    )
+    band_structs = ",\n                   ".join(
+        "{'bi': %d, 'bh': md5(concat_ws(',', %s))}"
+        % (
+            b,
+            ", ".join(
+                f"CAST(sig[{b * 4 + j + 1}] AS VARCHAR)" for j in range(4)
+            ),
+        )
+        for b in range(8)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+    sh AS (
+        SELECT doc_id, source,
+               list_distinct([concat_ws(' ', toks[i], toks[i+1],
+                                        toks[i+2])
+                              for i in range(1, len(toks) - 1)]) AS sh
+        FROM t
+    ),
+    hashed AS (
+        SELECT doc_id, source, sh,
+               list_transform(sh, s ->
+                   CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+                   % {M}) AS hs
+        FROM sh WHERE len(sh) > 0
+    ),
+    sig AS (
+        SELECT doc_id, source, sh,
+               [{sig_items}] AS sig
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id, source, u.bi AS band_idx, u.bh AS band_hash
+        FROM (
+            SELECT doc_id, source,
+                   UNNEST([{band_structs}]) AS u
+            FROM sig
+        )
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS bench_id, b.doc_id AS corpus_id
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        WHERE a.source = 'src0' AND b.source <> 'src0'
+    ),
+    flagged AS (
+        SELECT DISTINCT c.corpus_id AS doc_id
+        FROM cand c
+        JOIN sig x ON x.doc_id = c.bench_id
+        JOIN sig y ON y.doc_id = c.corpus_id
+        WHERE ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE
+                    / (len(x.sh) + len(y.sh)
+                       - len(list_intersect(x.sh, y.sh)))::DOUBLE,
+                    6) >= 0.3
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           ROUND(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 ::DOUBLE / COUNT(*), 6) AS contamination_rate
+    FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+    WHERE d.source <> 'src0'
+    GROUP BY d.source ORDER BY d.source
+    """
+
+
+ORACLE["t70_archive_decontamination"] = _t70_oracle()
+
+# t71: decile bounds/counts and the gate rate are exact integers;
+# only the 6-dp-rounded per-doc quality mean depends on summation
+# order -> ROUND(,6). NTILE's row-position semantics are replayed
+# by the engine's (rank, n) bucket arithmetic exactly.
+ORACLE["t71_length_quality_calibration"] = f"""
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n_chars) AS len_lo,
+           MAX(n_chars) AS len_hi,
+           ROUND(AVG(q), 6) AS avg_quality,
+           ROUND(SUM(CASE WHEN q >= 0.7 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS gate_pass_rate
+    FROM (
+        SELECT n_chars, {_QUALITY} AS q,
+               CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id)
+                    AS INTEGER) AS decile
+        FROM documents
+    )
+    GROUP BY decile ORDER BY decile
 """

@@ -3264,6 +3264,214 @@ def s13_stream_dedup_archive(
     ).orderBy("new_id", "index_id")
 
 
+def x100_bitemporal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal rewrite audit — how much did LATE data rewrite
+    history? The x65 SCD2 build runs twice: once on the events known
+    at first load (event_id % 7 != 0 — the on-time feed) and once
+    after the late corrections land (all events); three pinned
+    instants are as-of-probed against BOTH dimensions (x13's as-of
+    semantics via the broadcast-probe interval join) and the report
+    counts, per probe, how many users' point-in-time answer CHANGED
+    and how many became visible only after corrections — the audit
+    any warehouse with late-arriving CDC runs before trusting a
+    backfilled dashboard. Two per-user lead windows + one broadcast
+    probe join each; the initial feed is a subset of the corrected
+    one, so corrected visibility ⊇ initial visibility by
+    construction (the left join is exact, not heuristic)."""
+    from pyspark.sql import Window
+
+    from dislib_spark.temporal import _epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = _epoch_seconds(ev, "ts")
+    base = ev.select(
+        "user_id", "event_id", "event_type", sec.alias("_s")
+    )
+
+    def build(src: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("_s", "event_id")
+        return src.select(
+            "user_id",
+            "event_type",
+            F.col("_s").alias("valid_from"),
+            F.coalesce(F.lead("_s").over(w), F.lit(2**62)).alias(
+                "valid_to"
+            ),
+        )
+
+    probes = spark.range(3).select(
+        (F.lit(1704844800) + F.col("id") * 864000).alias("probe_s")
+    )  # 2024-01-10 / -20 / -30 00:00:00Z, the x65 instants
+
+    def asof(dim: DataFrame, et: str) -> DataFrame:
+        return dim.join(
+            F.broadcast(probes),
+            (F.col("valid_from") <= F.col("probe_s"))
+            & (F.col("probe_s") < F.col("valid_to")),
+        ).select("probe_s", "user_id", F.col("event_type").alias(et))
+
+    initial = asof(
+        build(base.where(F.col("event_id") % 7 != 0)), "et_i"
+    )
+    corrected = asof(build(base), "et_c")
+    j = corrected.join(initial, ["probe_s", "user_id"], "left")
+    return (
+        j.groupBy("probe_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_visible_corrected"),
+            F.sum(F.col("et_i").isNotNull().cast("long")).alias(
+                "n_visible_initial"
+            ),
+            F.sum(
+                (
+                    F.col("et_i").isNotNull()
+                    & (F.col("et_i") != F.col("et_c"))
+                ).cast("long")
+            ).alias("n_answer_changed"),
+            F.sum(F.col("et_i").isNull().cast("long")).alias(
+                "n_newly_visible"
+            ),
+        )
+        .orderBy("probe_s")
+    )
+
+
+def x101_hll_union_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-scope distinct-user report from STORED, engine-
+    replayable HLL registers (``sketches.md5_hll_partials``): per-
+    event-type register partials are persisted partitionBy(scope) —
+    the x88 merge-on-read deployment shape — then every estimate,
+    including the all-types union, is computed from the STORED
+    summary alone (register MAX is the HLL merge law; the corpus is
+    never rescanned for a new scope combination). Each row carries
+    the exact COUNT(DISTINCT) alongside, so rel_err IS the audit:
+    the accuracy check x14's DataSketches path can only pytest-gate
+    is value-checked here end to end, because the md5-derived
+    register state replays bit-identically in ANSI SQL."""
+    import tempfile
+
+    from dislib_spark.sketches import md5_hll_estimate, md5_hll_partials
+
+    ev = load_table(spark, sf_dir, "events")
+    partials = md5_hll_partials(
+        ev, "user_id", ["event_type"]
+    ).withColumnRenamed("event_type", "scope")
+    tmp = tempfile.mkdtemp(prefix="hll_regs_")
+    partials.write.partitionBy("scope").mode("overwrite").parquet(tmp)
+    stored = spark.read.parquet(tmp)
+
+    per_scope = md5_hll_estimate(stored, ["scope"])
+    merged = md5_hll_estimate(stored).select(
+        F.lit("__all__").alias("scope"),
+        "hll_estimate",
+        "n_nonzero_regs",
+    )
+    est = per_scope.unionByName(merged)
+    exact_scope = ev.groupBy(
+        F.col("event_type").alias("scope")
+    ).agg(F.count_distinct("user_id").alias("exact_distinct"))
+    exact_all = ev.agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    ).select(F.lit("__all__").alias("scope"), "exact_distinct")
+    exact = exact_scope.unionByName(exact_all)
+    return (
+        est.join(exact, "scope")
+        .select(
+            "scope",
+            F.col("exact_distinct").cast("bigint").alias(
+                "exact_distinct"
+            ),
+            "hll_estimate",
+            F.round(
+                F.abs(
+                    F.col("hll_estimate")
+                    - F.col("exact_distinct").cast("double")
+                )
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+            "n_nonzero_regs",
+        )
+        .orderBy("scope")
+    )
+
+
+def x102_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-planning audit: before picking a Structured
+    Streaming watermark delay, measure how LATE the feed actually
+    runs — for each candidate delay, how many events arrive with an
+    event time more than that far behind the maximum event time
+    already ingested (arrival order ≈ event_id), i.e. exactly the
+    rows ``withWatermark`` would drop. The strict-predecessor
+    running max comes from ``utils.base.with_running_max``
+    (range-sort + per-partition maxima + within-partition window —
+    the x93 prefix primitive lifted from sums to order statistics;
+    never a global Window), one aggregate folds all candidate
+    delays, and a 4-row stack unpivots the report. Counts are exact
+    longs; shares exact long/long divisions."""
+    from dislib_spark.temporal import _epoch_seconds
+    from dislib_spark.utils.base import with_running_max
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id", _epoch_seconds(ev, "ts").alias("t")
+    )
+    r = with_running_max(
+        src, "t", ["event_id"], "prev_max", inclusive=False
+    )
+    late = F.col("prev_max") - F.col("t")
+    delays = [0, 60, 300, 3600]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for d in delays:
+        aggs.append(
+            F.sum((late > d).cast("long")).alias(f"n_{d}")
+        )
+    aggs.append(F.max(late).alias("max_late_s"))
+    w = r.agg(*aggs)
+    stack = ", ".join(f"{d}, n_{d}" for d in delays)
+    return (
+        w.selectExpr(
+            "n",
+            "max_late_s",
+            f"stack({len(delays)}, {stack}) AS "
+            "(watermark_delay_s, n_dropped)",
+        )
+        .select(
+            F.col("watermark_delay_s").cast("int").alias(
+                "watermark_delay_s"
+            ),
+            F.col("n_dropped").cast("bigint").alias("n_dropped"),
+            F.round(
+                F.col("n_dropped").cast("double") / F.col("n"), 6
+            ).alias("drop_share"),
+            F.col("max_late_s").cast("bigint").alias("max_late_s"),
+        )
+        .orderBy("watermark_delay_s")
+    )
+
+
+def s15_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length histogram over TIMEOUT-BASED sessionization
+    (``streaming.stateful.stream_sessions``, 15-minute gap) — the
+    module code path whose streaming form is a REAL
+    transformWithState processor with per-key event-time TIMERS
+    (idle sessions close when the watermark passes start+gap, not at
+    an artificial batch boundary); the batch form replays the
+    identical gaps-and-islands semantics, and the two are pinned
+    equal on a real availableNow multi-batch stream in
+    tests/test_io_streaming_multimodal.py. Histogram = one groupBy
+    over session-cardinality rows."""
+    from dislib_spark.streaming.stateful import stream_sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = stream_sessions(ev, gap="15 minutes")
+    return (
+        sess.groupBy(F.col("n_events"))
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("n_events")
+    )
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -3364,6 +3572,11 @@ QUERIES = {
     "s14_dedup_then_window": s14_dedup_then_window,
     "x98_experiment_readout": x98_experiment_readout,
     "x99_salted_agg": x99_salted_agg,
+    # round-8 additions
+    "x100_bitemporal_audit": x100_bitemporal_audit,
+    "x101_hll_union_report": x101_hll_union_report,
+    "x102_late_arrival_audit": x102_late_arrival_audit,
+    "s15_stream_sessions": s15_stream_sessions,
 }
 
 ORACLE = {
@@ -5643,3 +5856,216 @@ ORACLE["x99_salted_agg"] = """
     GROUP BY l_returnflag
     ORDER BY l_returnflag
 """
+
+# x100: two SCD2 builds (with/without the late feed), the x65 probe
+# join against both, exact integer fold.
+ORACLE["x100_bitemporal_audit"] = """
+    WITH sec AS (
+        SELECT user_id, event_id, event_type,
+               CAST(EPOCH(date_trunc('second', ts)) AS BIGINT) AS s
+        FROM events
+    ),
+    dim_c AS (
+        SELECT user_id, event_type, s AS vf,
+               COALESCE(LEAD(s) OVER w, 4611686018427387904) AS vt
+        FROM sec
+        WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+    ),
+    dim_i AS (
+        SELECT user_id, event_type, s AS vf,
+               COALESCE(LEAD(s) OVER w, 4611686018427387904) AS vt
+        FROM sec WHERE event_id % 7 <> 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+    ),
+    probes AS (
+        SELECT CAST(1704844800 + k * 864000 AS BIGINT) AS probe_s
+        FROM UNNEST([0, 1, 2]) AS t(k)
+    ),
+    ac AS (
+        SELECT probe_s, user_id, event_type AS et_c
+        FROM dim_c JOIN probes ON vf <= probe_s AND probe_s < vt
+    ),
+    ai AS (
+        SELECT probe_s, user_id, event_type AS et_i
+        FROM dim_i JOIN probes ON vf <= probe_s AND probe_s < vt
+    )
+    SELECT probe_s,
+           CAST(COUNT(*) AS BIGINT) AS n_visible_corrected,
+           CAST(SUM(CASE WHEN et_i IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_visible_initial,
+           CAST(SUM(CASE WHEN et_i IS NOT NULL AND et_i <> et_c
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_answer_changed,
+           CAST(SUM(CASE WHEN et_i IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_newly_visible
+    FROM ac LEFT JOIN ai USING (probe_s, user_id)
+    GROUP BY probe_s ORDER BY probe_s
+"""
+
+# x102: strict-predecessor running max over arrival order (the
+# global window is oracle-side only — the engine uses the
+# distributed prefix-max primitive); NULL first-row lateness never
+# counts on either engine.
+ORACLE["x102_late_arrival_audit"] = """
+    WITH t AS (
+        SELECT event_id,
+               CAST(EPOCH(date_trunc('second', ts)) AS BIGINT) AS t
+        FROM events
+    ),
+    r AS (
+        SELECT t, MAX(t) OVER (ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS pm
+        FROM t
+    ),
+    l AS (SELECT pm - t AS late FROM r),
+    w AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS d0,
+               SUM(CASE WHEN late > 60 THEN 1 ELSE 0 END) AS d60,
+               SUM(CASE WHEN late > 300 THEN 1 ELSE 0 END) AS d300,
+               SUM(CASE WHEN late > 3600 THEN 1 ELSE 0 END) AS d3600,
+               MAX(late) AS mx
+        FROM l
+    )
+    SELECT watermark_delay_s, n_dropped,
+           ROUND(CAST(n_dropped AS DOUBLE) / n, 6) AS drop_share,
+           CAST(mx AS BIGINT) AS max_late_s
+    FROM (
+        SELECT CAST(0 AS INTEGER) AS watermark_delay_s,
+               CAST(d0 AS BIGINT) AS n_dropped, n, mx FROM w
+        UNION ALL
+        SELECT 60, CAST(d60 AS BIGINT), n, mx FROM w
+        UNION ALL
+        SELECT 300, CAST(d300 AS BIGINT), n, mx FROM w
+        UNION ALL
+        SELECT 3600, CAST(d3600 AS BIGINT), n, mx FROM w
+    )
+    ORDER BY watermark_delay_s
+"""
+
+# s15: gaps-and-islands replay of the timeout sessionizer (ties at
+# the same second share a session whatever the lag order, so the
+# tiebreak-free window is deterministic here).
+ORACLE["s15_stream_sessions"] = """
+    WITH s AS (
+        SELECT user_id,
+               CAST(EPOCH(date_trunc('second', ts)) AS BIGINT) AS t
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, t,
+               CASE WHEN LAG(t) OVER w IS NULL
+                         OR t - LAG(t) OVER w > 900
+                    THEN 1 ELSE 0 END AS brk
+        FROM s WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    g AS (
+        SELECT user_id,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    ),
+    sess AS (
+        SELECT user_id, sid, COUNT(*) AS n_events
+        FROM g GROUP BY user_id, sid
+    )
+    SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM sess GROUP BY n_events ORDER BY n_events
+"""
+
+
+def _x101_oracle() -> str:
+    """DuckDB replay of the md5-HLL register pipeline: identical
+    register/rank derivation (exact string arithmetic on md5 hex),
+    identical Python-computed alpha*m^2 constant, identical
+    small-range correction branch; the parquet round-trip of the
+    partials is a value no-op. The `wh || '0'` pad keeps the nibble
+    cast total (the lz=8 branch never reads it)."""
+    m = 256
+    amm = 0.7213 / (1.0 + 1.079 / m) * m * m
+    return f"""
+    WITH h AS (
+        SELECT event_type AS scope,
+               md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events
+    ),
+    reg AS (
+        SELECT scope,
+               CAST(('0x' || substr(h, 1, 2)) AS INTEGER) AS reg,
+               substr(h, 3, 8) AS wh
+        FROM h
+    ),
+    rho AS (
+        SELECT scope, reg,
+               CASE WHEN lz = 8 THEN 33
+                    ELSE lz * 4
+                         + CASE WHEN nib >= 8 THEN 0
+                                WHEN nib >= 4 THEN 1
+                                WHEN nib >= 2 THEN 2
+                                ELSE 3 END
+                         + 1
+               END AS rho
+        FROM (
+            SELECT scope, reg, lz,
+                   CAST(('0x' || substr(wh || '0', lz + 1, 1))
+                        AS INTEGER) AS nib
+            FROM (
+                SELECT scope, reg, wh,
+                       len(regexp_extract(wh, '^0*')) AS lz
+                FROM reg
+            )
+        )
+    ),
+    partials AS (
+        SELECT scope, reg, MAX(rho) AS max_rho
+        FROM rho GROUP BY scope, reg
+    ),
+    all_regs AS (
+        SELECT 'all' AS k, reg, MAX(max_rho) AS max_rho
+        FROM partials GROUP BY reg
+    ),
+    est_scope AS (
+        SELECT scope,
+               SUM(POW(2.0, -max_rho)) AS s,
+               COUNT(*) AS nz
+        FROM partials GROUP BY scope
+    ),
+    est_all AS (
+        SELECT '__all__' AS scope,
+               SUM(POW(2.0, -max_rho)) AS s,
+               COUNT(*) AS nz
+        FROM all_regs
+    ),
+    est AS (
+        SELECT scope,
+               ROUND(CASE WHEN {amm!r} / (s + ({m} - nz)) <= {2.5 * m!r}
+                               AND nz < {m}
+                          THEN {float(m)!r}
+                               * LN({float(m)!r}
+                                    / CAST({m} - nz AS DOUBLE))
+                          ELSE {amm!r} / (s + ({m} - nz))
+                     END, 6) AS hll_estimate,
+               CAST(nz AS BIGINT) AS n_nonzero_regs
+        FROM (SELECT * FROM est_scope UNION ALL SELECT * FROM est_all)
+    ),
+    exact AS (
+        SELECT event_type AS scope,
+               COUNT(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '__all__', COUNT(DISTINCT user_id) FROM events
+    )
+    SELECT e.scope,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+           e.hll_estimate,
+           ROUND(ABS(e.hll_estimate
+                     - CAST(x.exact_distinct AS DOUBLE))
+                 / x.exact_distinct, 6) AS rel_err,
+           e.n_nonzero_regs
+    FROM est e JOIN exact x ON e.scope = x.scope
+    ORDER BY e.scope
+    """
+
+
+ORACLE["x101_hll_union_report"] = _x101_oracle()

@@ -802,3 +802,88 @@ def merged_stride_quantiles(
         )
         .orderBy("q")
     )
+
+
+def _md5_hll_rho(word_hex: Column) -> Column:
+    """Position of the first set bit (1-based) of the 32-bit value
+    written as 8 hex chars — 33 when zero. Exact string/CASE
+    arithmetic (no float log2), so the register state replays
+    bit-identically in any engine with md5 + regexp."""
+    lz_hex = F.length(F.regexp_extract(word_hex, "^0*", 0))
+    nib = F.conv(F.substring(word_hex, lz_hex + 1, 1), 16, 10).cast(
+        "int"
+    )
+    nib_clz = (
+        F.when(nib >= 8, 0)
+        .when(nib >= 4, 1)
+        .when(nib >= 2, 2)
+        .otherwise(3)
+    )
+    return F.when(lz_hex == 8, F.lit(33)).otherwise(
+        lz_hex * 4 + nib_clz + 1
+    )
+
+
+def md5_hll_partials(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    m: int = 256,
+) -> DataFrame:
+    """ENGINE-REPLAYABLE HyperLogLog register partials — the stored-
+    sketch companion to :func:`hll_partial` for pipelines that need
+    the sketch state itself value-auditable (DataSketches binaries
+    aren't ANSI-replayable; these registers are): register index =
+    first byte of md5(value), rank = leading-zero count of the next
+    32 md5 bits + 1. Output is one (group…, reg, max_rho) row per
+    NON-ZERO register — ≤ ``m`` rows per group regardless of input
+    size, mergeable downstream by plain MAX (union of sketches ≡
+    max per register, the HLL merge law). Store partitionBy(group)
+    and re-aggregate forever without rescanning the corpus."""
+    if m != 256:
+        raise ValueError(
+            "md5_hll registers are derived from the first md5 byte; "
+            "only m=256 is supported"
+        )
+    h = F.md5(F.col(col).cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("reg")
+    rho = _md5_hll_rho(F.substring(h, 3, 8))
+    keys = [F.col(c) for c in (group_cols or [])] + [reg]
+    return df.groupBy(*keys).agg(F.max(rho).alias("max_rho"))
+
+
+def md5_hll_estimate(
+    partials: DataFrame,
+    group_cols: list[str] | None = None,
+    m: int = 256,
+) -> DataFrame:
+    """Cardinality estimate from stored :func:`md5_hll_partials`
+    registers (merging duplicate (group, reg) rows by MAX first, so
+    unioned partials from many shards/sources are valid input):
+    Flajolet's E = α·m²/Σ2^(−M_j) with empty registers contributing
+    2⁰, and the linear-counting small-range correction
+    E = m·ln(m/V) when E ≤ 2.5m and V > 0 empty registers remain.
+    Returns (group…, hll_estimate, n_nonzero_regs); the scalar
+    algebra is plain IEEE, replayable to the rounding digit."""
+    gcols = list(group_cols or [])
+    merged = partials.groupBy(
+        *[F.col(c) for c in gcols], F.col("reg")
+    ).agg(F.max("max_rho").alias("max_rho"))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = merged.groupBy(*gcols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s"),
+        F.count(F.lit(1)).alias("n_nonzero_regs"),
+    )
+    v = F.lit(m) - F.col("n_nonzero_regs")
+    raw = F.lit(alpha * m * m) / (
+        F.col("_s") + v.cast("double")
+    )
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *gcols,
+        F.round(est, 6).alias("hll_estimate"),
+        F.col("n_nonzero_regs").cast("bigint").alias("n_nonzero_regs"),
+    )

@@ -141,3 +141,122 @@ def running_user_stats_v2(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             timeMode="None",
         )
     )
+
+
+class _SessionProcessor(StatefulProcessor):
+    """Per-user timeout sessionization with EVENT-TIME TIMERS: state
+    is the open session (start_s, last_s, n); a gap-exceeding event
+    closes it and emits; one timer per key at last_s+gap closes idle
+    sessions when the watermark passes — real session windows, not
+    batch-boundary artifacts. Within a micro-batch rows are sorted by
+    event time; a late row inside the open session only counts (it
+    cannot extend the gap horizon), matching the ordered-arrival
+    batch replay."""
+
+    def __init__(self, gap_s: int) -> None:
+        self._gap = gap_s
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._h = handle
+        self._state = handle.getValueState(
+            "sess", "start_s long, last_s long, n long"
+        )
+
+    def _emit(self, key, start, last, n):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "start_s": [start],
+                "end_s": [last],
+                "n_events": [n],
+            }
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        ts: list[int] = []
+        for pdf in rows:
+            ts.extend(int(x) for x in pdf["t"])
+        ts.sort()
+        if self._state.exists():
+            start, last, n = self._state.get()
+        else:
+            start = last = n = None
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > self._gap:
+                yield self._emit(key, start, last, n)
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        self._state.update((start, last, n))
+        for tmr in self._h.listTimers():
+            self._h.deleteTimer(tmr)
+        self._h.registerTimer((last + self._gap) * 1000)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if self._state.exists():
+            start, last, n = self._state.get()
+            self._state.clear()
+            yield self._emit(key, start, last, n)
+
+    def close(self) -> None:
+        pass
+
+
+def stream_sessions(
+    events: DataFrame,
+    gap: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Timeout-based sessionization returning ONE ROW PER CLOSED
+    SESSION (key, start_s, end_s, n_events): streaming inputs run the
+    transformWithState processor above (timeMode=EventTime — idle
+    sessions close via per-key timers when the watermark passes
+    start+gap); batch inputs replay the identical gaps-and-islands
+    semantics through ``temporal.sessionize`` so batch ≡ streaming is
+    testable (pinned in tests/test_io_streaming_multimodal.py).
+    Epoch-second session bounds keep the output timezone-free."""
+    from dislib_spark.temporal import _epoch_seconds, sessionize
+
+    units = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    num, unit = gap.split()
+    gap_s = int(num) * units[unit.rstrip("s")]
+    if not events.isStreaming:
+        sess = sessionize(
+            events, key_col, ts_col, gap=gap, tiebreak=None
+        )
+        sec = _epoch_seconds(sess, ts_col)
+        return sess.groupBy(key_col, "session_id").agg(
+            F.min(sec).alias("start_s"),
+            F.max(sec).alias("end_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        ).drop("session_id")
+    if not ensure_protobuf(events.sparkSession):
+        raise ImportError(
+            "transformWithState requires google.protobuf; the vendored "
+            "runtime (vendor/google/protobuf) is unavailable"
+        )
+    from dislib_spark.streaming.windows import _watermarked
+
+    src = _watermarked(events, ts_col, watermark).select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(ts_col).cast("long").alias("t"),
+    )
+    return (
+        src.groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=_SessionProcessor(gap_s),
+            outputStructType=(
+                f"{key_col} long, start_s long, end_s long, "
+                "n_events long"
+            ),
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

@@ -160,6 +160,76 @@ def with_running_total(
     )
 
 
+def with_running_max(
+    df: DataFrame,
+    value_col: str,
+    order_by: list,
+    out_col: str = "_runmax",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Distributed prefix MAX of ``value_col`` in ``order_by`` order —
+    :func:`with_running_total`'s sibling for the order-statistic case
+    (e.g. "highest event-time seen so far" for watermark/lateness
+    audits): range-sort, pin partition/sequence ids, collect the P
+    per-partition maxima, broadcast EXCLUSIVE cross-partition prefix
+    maxima back, and take the greatest of that offset and a
+    WITHIN-PARTITION running-max window (partition key = physical
+    partition id — never a global Window; only P rows reach the
+    driver).
+
+    ``inclusive=False`` gives the strict-predecessor running max
+    (current row excluded) — NULL for the global first row, exactly
+    the "was this row late vs everything before it" semantics.
+    ``order_by`` ties must be broken (total order)."""
+    s = df.orderBy(*order_by).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+    pid = F.shiftrightunsigned(F.col("_mid"), 33).cast("int")
+    maxima = (
+        s.groupBy(pid.alias("_pid"))
+        .agg(F.max(value_col).alias("_m"))
+        .collect()
+    )
+    spark = df.sparkSession
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    val_type = dict(zip(s.schema.names, s.schema.fields))[
+        value_col
+    ].dataType
+    offsets, acc = [], None
+    for r in sorted(maxima, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        if r["_m"] is not None and (acc is None or r["_m"] > acc):
+            acc = r["_m"]
+    off_schema = StructType(
+        [
+            StructField("_pid", IntegerType(), False),
+            StructField("_pmax", val_type, True),
+        ]
+    )
+    off = F.broadcast(
+        spark.createDataFrame(offsets or [(0, None)], off_schema)
+    )
+    from pyspark.sql import Window
+
+    end = 0 if inclusive else -1
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_mid")
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    # F.greatest skips NULLs (NULL only when every operand is NULL),
+    # which is exactly the boundary semantics needed here
+    return (
+        s.withColumn("_pid", pid)
+        .join(off, "_pid")
+        .withColumn(
+            out_col, F.greatest(F.max(value_col).over(w), F.col("_pmax"))
+        )
+        .drop("_pid", "_pmax", "_mid")
+    )
+
+
 def to_ml_df(x: DsArray, y: DsArray | None = None) -> DataFrame:
     """DsArray (+ optional (n,1) label DsArray) → DataFrame with an
     MLlib Vector ``_v`` column (and ``label``). The row_id join

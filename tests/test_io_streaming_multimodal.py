@@ -849,3 +849,92 @@ def test_dedup_then_window_chained_stateful_parity(spark, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_sessions_timer_parity(spark, tmp_path):
+    """s15 as a REAL stream: events drain through an availableNow
+    parquet stream into the transformWithState SESSION processor
+    (event-time TIMERS close idle sessions when the watermark
+    passes start+gap) in TWO event-time-ordered rounds sharing one
+    checkpoint — sessions straddling the round boundary must
+    continue, not split — then two far-future sentinel rounds
+    advance the watermark past every real event so the open tails
+    flush via timers. The flushed session set must equal the batch
+    gaps-and-islands replay exactly."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dislib_spark.streaming.stateful import (
+        ensure_protobuf,
+        stream_sessions,
+    )
+
+    if not ensure_protobuf(spark):
+        pytest.skip("no protobuf runtime (wheel or vendored)")
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .where(F.col("user_id") < 30)
+        .select("user_id", "ts")
+    )
+    batch = {
+        tuple(r) for r in stream_sessions(ev, gap="15 minutes").collect()
+    }
+    assert len(batch) > 0
+
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    mid, max_ts = ev.agg(
+        F.date_trunc("second", F.min("ts"))
+        + F.expr("INTERVAL 12 HOURS"),
+        F.max("ts"),
+    ).first()
+    # round 1: the early half, in event-time order; round 2: the rest
+    ev.where(F.col("ts") <= mid).write.parquet(src)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            stream_sessions(stream, gap="15 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    try:
+        run_once()
+        ev.where(F.col("ts") > mid).write.mode("append").parquet(src)
+        run_once()
+        for hours in (10, 20):
+            st = max_ts + datetime.timedelta(hours=hours)
+            spark.createDataFrame(
+                [(-1, st)], ev.schema
+            ).write.mode("append").parquet(src)
+            run_once()
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .where(F.col("user_id") >= 0)
+        .collect()
+    }
+    assert got == batch

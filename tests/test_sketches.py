@@ -375,3 +375,70 @@ def test_sketch_table_append_currency(tmp_path, spark):
         hi_rank = int(np.searchsorted(vals, got[q]["est"], "right"))
         assert lo_rank < t  # fewer than t strictly below
         assert hi_rank >= t - bound  # at least t-bound are <= est
+
+
+def test_md5_hll_merge_law_and_accuracy(spark):
+    """Engine-replayable HLL (x101's kernel): (a) the register-MAX
+    merge of per-group partials equals the one-shot global sketch
+    state exactly (the HLL merge law on exact integer registers);
+    (b) estimates land within the m=256 error envelope; (c) partials
+    survive a parquet round-trip bit-exactly."""
+    import tempfile
+
+    from dislib_spark.sketches import md5_hll_estimate, md5_hll_partials
+
+    df = spark.range(20000).selectExpr(
+        "id", "CAST(id % 4 AS STRING) AS g"
+    )
+    parts = md5_hll_partials(df, "id", ["g"])
+    path = tempfile.mkdtemp(prefix="md5_hll_") + "/regs"
+    parts.write.partitionBy("g").parquet(path)
+    stored = spark.read.parquet(path)
+
+    # (a) merge law: max-per-register over stored partials == the
+    # one-shot sketch of the whole frame
+    merged_regs = {
+        (r["reg"], r["max_rho"])
+        for r in stored.groupBy("reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .collect()
+    }
+    whole_regs = {
+        (r["reg"], r["max_rho"])
+        for r in md5_hll_partials(df, "id").collect()
+    }
+    assert merged_regs == whole_regs
+
+    # (b) estimate accuracy: ~1.04/sqrt(256) = 6.5% typical; allow 4x
+    est = md5_hll_estimate(stored).first()["hll_estimate"]
+    assert abs(est - 20000) / 20000 < 0.26
+    per = {
+        r["g"]: r["hll_estimate"]
+        for r in md5_hll_estimate(stored, ["g"]).collect()
+    }
+    for g, e in per.items():
+        assert abs(e - 5000) / 5000 < 0.26, (g, e)
+
+    # (c) estimate from stored partials == estimate from live ones
+    # (partition-column type inference may read "0".."3" back as
+    # ints — normalize the key; the sketch values must be identical)
+    live = {
+        str(r["g"]): tuple(r)[1:]
+        for r in md5_hll_estimate(parts, ["g"]).collect()
+    }
+    back = {
+        str(r["g"]): tuple(r)[1:]
+        for r in md5_hll_estimate(stored, ["g"]).collect()
+    }
+    assert live == back
+
+
+def test_md5_hll_small_range_correction(spark):
+    """Tiny cardinalities route through the linear-counting branch
+    and come out near-exact (empty registers dominate)."""
+    from dislib_spark.sketches import md5_hll_estimate, md5_hll_partials
+
+    df = spark.range(30).selectExpr("id")
+    est = md5_hll_estimate(md5_hll_partials(df, "id")).first()
+    assert est["n_nonzero_regs"] <= 30
+    assert abs(est["hll_estimate"] - 30) < 5

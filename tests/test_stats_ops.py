@@ -1174,3 +1174,29 @@ def test_welch_anova_degenerate_null(spark):
         [(5.0, "A"), (6.0, "A"), (7.0, "A")], ["v", "g"]
     )
     assert welch_anova(k1, "v", "g").collect()[0]["w"] is None
+
+
+def test_running_max_exact(spark):
+    """with_running_max (x102's kernel): inclusive and
+    strict-predecessor distributed prefix max in total order match a
+    local replay, independent of input partitioning; the global
+    first row's exclusive max is NULL."""
+    from dislib_spark.utils.base import with_running_max
+
+    rows = [(i, int((i * 17) % 101)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(13)
+    inc = {
+        r["id"]: r["rm"]
+        for r in with_running_max(df, "v", ["id"], "rm").collect()
+    }
+    exc = {
+        r["id"]: r["rm"]
+        for r in with_running_max(
+            df, "v", ["id"], "rm", inclusive=False
+        ).collect()
+    }
+    best = None
+    for i, v in rows:
+        assert exc[i] == best
+        best = v if best is None or v > best else best
+        assert inc[i] == best

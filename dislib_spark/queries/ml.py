@@ -2702,6 +2702,99 @@ def m63_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m64_siegel_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel repeated-median regression of quantity on discount —
+    the 50%-breakdown upgrade of m62's Theil–Sen (~29%): slope =
+    median over points i of (median over j≠i of pairwise slopes), so
+    even a majority-contaminated pair set can't move it. Both median
+    layers collapse onto the 11×50 cell grid: the inner medians are
+    PER-CELL weighted medians over ≤|grid| slope rows (window
+    partitioned by the anchor cell — bounded AND keyed, never
+    global), the outer one reuses m62's ``_grid_weighted_median``
+    over the ≤|grid| per-cell medians weighted by cell counts.
+    Intercept = the matching outer median of (y − β·x). Returns
+    (n, slope, intercept)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    cells = (
+        li.groupBy(
+            F.col("l_discount").alias("x"),
+            F.col("l_quantity").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.col("cnt").alias("an"),
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.col("cnt").alias("bn"),
+    )
+    slopes = (
+        a.join(F.broadcast(b), F.col("ax") != F.col("bx"))
+        .groupBy(
+            "ax",
+            "ay",
+            "an",
+            ((F.col("by") - F.col("ay")) / (F.col("bx") - F.col("ax")))
+            .alias("s"),
+        )
+        .agg(F.sum(F.col("bn").cast(dec)).alias("w"))
+    )
+    key = ["ax", "ay"]
+    wcum = Window.partitionBy(*key).orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy(*key)
+    c = slopes.select(
+        "ax", "ay", "an", "s",
+        F.sum("w").over(wcum).alias("c"),
+        F.sum("w").over(wall).alias("t"),
+    )
+    two_c, parity = F.col("c") * 2, F.col("t") % 2
+    inner = c.groupBy("ax", "ay", "an").agg(
+        (
+            (
+                F.min(F.when(two_c >= F.col("t") + parity, F.col("s")))
+                + F.min(
+                    F.when(two_c >= F.col("t") + 2 - parity, F.col("s"))
+                )
+            )
+            / 2.0
+        ).alias("med_i")
+    )
+    outer = _grid_weighted_median(
+        inner.select("med_i", F.col("an").cast(dec).alias("w")),
+        "med_i",
+        "w",
+    )
+    beta = outer.select(F.col("med").alias("beta"))
+    resid = cells.crossJoin(F.broadcast(beta)).select(
+        (F.col("y") - F.col("beta") * F.col("x")).alias("r"),
+        F.col("cnt").cast(dec).alias("w"),
+    )
+    inter = _grid_weighted_median(resid, "r", "w").select(
+        F.col("med").alias("intercept")
+    )
+    n_row = cells.agg(F.sum("cnt").cast("bigint").alias("n"))
+    return (
+        n_row.crossJoin(F.broadcast(beta))
+        .crossJoin(F.broadcast(inter))
+        .select(
+            "n",
+            # + 0.0 folds IEEE -0.0 to 0.0 (engines disagree on the
+            # rounded zero's sign when the raw median is a tiny
+            # negative; the oracle applies the same normalization)
+            (F.round(F.col("beta"), 6) + 0.0).alias("slope"),
+            (F.round(F.col("intercept"), 6) + 0.0).alias("intercept"),
+        )
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -2766,6 +2859,7 @@ QUERIES = {
     "m61_tost_equivalence": m61_tost_equivalence,
     "m62_theil_sen": m62_theil_sen,
     "m63_hodges_lehmann": m63_hodges_lehmann,
+    "m64_siegel_slope": m64_siegel_slope,
 }
 
 
@@ -5221,4 +5315,73 @@ ORACLE["m63_hodges_lehmann"] = """
                   + MIN(CASE WHEN 2 * c >= t + 2 - (t % 2) THEN v END))
                  / 2.0, 6) AS hl_estimate
     FROM c
+"""
+
+# m64: inner per-anchor-cell weighted medians (window PARTITIONed by
+# the anchor), outer weighted median over the cell medians, the same
+# 2*cum >= W + parity selector as m62 at both layers.
+ORACLE["m64_siegel_slope"] = """
+    WITH cells AS (
+        SELECT l_discount AS x, l_quantity AS y, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.x AS ax, a.y AS ay, a.cnt AS an,
+               (b.y - a.y) / (b.x - a.x) AS s,
+               SUM(CAST(b.cnt AS HUGEINT)) AS w
+        FROM cells a JOIN cells b ON a.x <> b.x
+        GROUP BY 1, 2, 3, 4
+    ),
+    c AS (
+        SELECT ax, ay, an, s,
+               SUM(w) OVER (PARTITION BY ax, ay ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS c,
+               SUM(w) OVER (PARTITION BY ax, ay) AS t
+        FROM slopes
+    ),
+    inner_med AS (
+        SELECT ax, ay, an,
+               (MIN(CASE WHEN 2 * c >= t + (t % 2) THEN s END)
+                + MIN(CASE WHEN 2 * c >= t + 2 - (t % 2) THEN s END))
+               / 2.0 AS med_i
+        FROM c GROUP BY ax, ay, an
+    ),
+    og AS (
+        SELECT med_i AS v, SUM(CAST(an AS HUGEINT)) AS w
+        FROM inner_med GROUP BY med_i
+    ),
+    oc AS (
+        SELECT v,
+               SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c,
+               SUM(w) OVER () AS t
+        FROM og
+    ),
+    sm AS (
+        SELECT (MIN(CASE WHEN 2 * c >= t + (t % 2) THEN v END)
+                + MIN(CASE WHEN 2 * c >= t + 2 - (t % 2) THEN v END))
+               / 2.0 AS beta
+        FROM oc
+    ),
+    r AS (
+        SELECT (cells.y - sm.beta * cells.x) AS v,
+               CAST(cells.cnt AS HUGEINT) AS w
+        FROM cells, sm
+    ),
+    rg AS (SELECT v, SUM(w) AS w FROM r GROUP BY v),
+    rc AS (
+        SELECT v,
+               SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c,
+               SUM(w) OVER () AS t
+        FROM rg
+    ),
+    im AS (
+        SELECT (MIN(CASE WHEN 2 * c >= t + (t % 2) THEN v END)
+                + MIN(CASE WHEN 2 * c >= t + 2 - (t % 2) THEN v END))
+               / 2.0 AS intercept
+        FROM rc
+    )
+    SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM cells) AS n,
+           ROUND(sm.beta, 6) + 0.0 AS slope,
+           ROUND(im.intercept, 6) + 0.0 AS intercept
+    FROM sm, im
 """

@@ -884,6 +884,98 @@ def v28_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v29_pq_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PQ index MAINTENANCE with a codebook-staleness drift audit —
+    the v24 upsert/delete lifecycle applied to the PQ codes table,
+    with v28's distortion metric as the retrain trigger: the seed
+    codebooks are trained on the even-id corpus and its codes
+    persisted partitionBy(cell = first subspace code); one
+    maintenance batch re-encodes ids ≡4 (mod 10) with REVERSED
+    vectors, inserts the odd ids < 40 and deletes ids ≡0 (mod 10) —
+    all encoded with the STALE codebooks (the maintenance contract:
+    codebooks retrain on rebuild, never on append), cell-scoped
+    copy-on-write. The report compares per-subspace MSE before vs
+    after from the codes the MAINTAINED STORED index actually serves
+    (``pq_stored_residuals`` — hash-equal to a fresh argmin exactly
+    when maintenance wrote the right codes, which is what the oracle
+    value-checks); mse_drift > 1 quantifies how much the data drift
+    degraded the frozen codebooks. Currency and partition-scoped
+    rewrite are pytest-gated (tests/test_ivf_index.py)."""
+    import tempfile
+
+    from dislib_spark.vector.search import (
+        pq_codebooks,
+        pq_distortion,
+        pq_encode,
+        pq_index_maintain,
+        pq_stored_residuals,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    corpus = e.where(vid % 2 == 0)
+    books = pq_codebooks(corpus, method="seed")
+    codes = pq_encode(corpus, books).withColumn(
+        "cell", F.col("codes")[0]
+    )
+    tmp = tempfile.mkdtemp(prefix="pq_maint_")
+    path = f"{tmp}/codes"
+    codes.write.partitionBy("cell").mode("overwrite").parquet(path)
+    updates = e.where((vid % 2 == 0) & (vid % 10 == 4)).select(
+        "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+    )
+    inserts = e.where((vid % 2 == 1) & (vid < 40)).select(
+        "vec_id", "embedding"
+    )
+    deletes = e.where((vid % 2 == 0) & (vid % 10 == 0)).select(
+        "vec_id"
+    )
+    pq_index_maintain(
+        spark, path, books, updates.unionByName(inserts), deletes
+    )
+    stored = spark.read.parquet(path)
+    post = (
+        e.where(
+            (vid % 2 == 0) & (vid % 10 != 0) & (vid % 10 != 4)
+        )
+        .select("vec_id", "embedding")
+        .unionByName(updates)
+        .unionByName(inserts)
+    )
+    before = (
+        pq_distortion(corpus, books)
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.round(F.avg("min_d2"), 6).alias("mse_before"),
+        )
+    )
+    after = (
+        pq_stored_residuals(post, stored, books)
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_after"),
+            F.round(F.avg("d2"), 6).alias("mse_after"),
+        )
+    )
+    return (
+        before.join(after, "m")
+        .select(
+            F.col("m").cast("int").alias("m"),
+            F.col("n_before").cast("bigint").alias("n_before"),
+            "mse_before",
+            F.col("n_after").cast("bigint").alias("n_after"),
+            "mse_after",
+            F.round(
+                F.col("mse_after") / F.col("mse_before"), 6
+            ).alias("mse_drift"),
+        )
+        .orderBy("m")
+    )
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -913,6 +1005,7 @@ QUERIES = {
     "v26_stratified_cell_sample": v26_stratified_cell_sample,
     "v27_label_separability": v27_label_separability,
     "v28_pq_distortion": v28_pq_distortion,
+    "v29_pq_index_maintenance": v29_pq_index_maintenance,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -2229,5 +2322,102 @@ ORACLE["v28_pq_distortion"] = f"""
            CAST(use.n_codes_used AS BIGINT) AS n_codes_used,
            use.top_code_share
     FROM use JOIN mse ON use.m = mse.m
+    ORDER BY m
+"""
+
+# v29: the v28 distortion replay run twice — "before" over the even
+# corpus, "after" over the logical post-maintenance corpus (survivors
+# ∪ reversed updates ∪ inserts) — with codebooks seeded from the 16
+# lowest EVEN ids in both; the stored-code residual equals the fresh
+# argmin min-d2 exactly when maintenance wrote argmin codes (tie
+# codes share the same d2 value, so the MSE is tie-proof); parquet
+# round-trips and the cell-scoped rewrite are value no-ops. Drift is
+# a ratio of the two ROUNDED MSEs (deterministic on both engines).
+_V29_POST = """
+        SELECT vec_id, embedding AS emb FROM embeddings
+        WHERE vec_id % 2 = 0 AND vec_id % 10 <> 0 AND vec_id % 10 <> 4
+        UNION ALL
+        SELECT vec_id, list_reverse(embedding) FROM embeddings
+        WHERE vec_id % 2 = 0 AND vec_id % 10 = 4
+        UNION ALL
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 2 = 1 AND vec_id < 40
+"""
+
+
+def _v29_side(name: str, src: str) -> str:
+    """One distortion pass (cells → unit → per-subspace argmin d2 →
+    per-m count + rounded MSE) over ``src`` rows (vec_id, emb)."""
+    return f"""
+    {name}_cells AS (
+        SELECT vec_id, GENERATE_SUBSCRIPTS(emb, 1) AS k,
+               CAST(UNNEST(emb) AS DOUBLE) AS v
+        FROM ({src})
+    ),
+    {name}_norms AS (
+        SELECT vec_id, SQRT(SUM(v * v)) AS nrm
+        FROM {name}_cells GROUP BY vec_id
+    ),
+    {name}_unit AS (
+        SELECT c.vec_id, c.k,
+               c.v / CASE WHEN n.nrm = 0 THEN 1 ELSE n.nrm END AS u
+        FROM {name}_cells c JOIN {name}_norms n USING (vec_id)
+    ),
+    {name}_sub AS (
+        SELECT vec_id, CAST((k - 1) // 8 AS INT) AS m,
+               (k - 1) % 8 AS j, u
+        FROM {name}_unit
+    ),
+    {name}_d2 AS (
+        SELECT s.vec_id, s.m, b.c,
+               SUM((s.u - b.w) * (s.u - b.w)) AS d2
+        FROM {name}_sub s JOIN book b ON b.m = s.m AND b.j = s.j
+        GROUP BY s.vec_id, s.m, b.c
+    ),
+    {name}_pick AS (
+        SELECT vec_id, m, MIN(d2) AS min_d2
+        FROM {name}_d2 GROUP BY vec_id, m
+    ),
+    {name}_mse AS (
+        SELECT m, COUNT(*) AS n, ROUND(AVG(min_d2), 6) AS mse
+        FROM {name}_pick GROUP BY m
+    )"""
+
+
+ORACLE["v29_pq_index_maintenance"] = f"""
+    WITH bc AS (
+        SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS k,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    bn AS (
+        SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM bc GROUP BY vec_id
+    ),
+    bu AS (
+        SELECT c.vec_id, c.k,
+               c.v / CASE WHEN n.nrm = 0 THEN 1 ELSE n.nrm END AS u
+        FROM bc c JOIN bn n USING (vec_id)
+    ),
+    ctrids AS (
+        SELECT vec_id AS cvid,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS c
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+              ORDER BY vec_id LIMIT 16)
+    ),
+    book AS (
+        SELECT ct.c, CAST((u.k - 1) // 8 AS INT) AS m,
+               (u.k - 1) % 8 AS j, u.u AS w
+        FROM bu u JOIN ctrids ct ON u.vec_id = ct.cvid
+    ),
+    {_v29_side("bef", "SELECT vec_id, embedding AS emb FROM embeddings WHERE vec_id % 2 = 0")},
+    {_v29_side("aft", _V29_POST)}
+    SELECT CAST(b.m AS INT) AS m,
+           CAST(b.n AS BIGINT) AS n_before,
+           b.mse AS mse_before,
+           CAST(a.n AS BIGINT) AS n_after,
+           a.mse AS mse_after,
+           ROUND(a.mse / b.mse, 6) AS mse_drift
+    FROM bef_mse b JOIN aft_mse a ON b.m = a.m
     ORDER BY m
 """

@@ -1127,3 +1127,153 @@ def pq_distortion(
             )
 
     return staged.mapInArrow(fn, out_schema)
+
+
+def pq_index_maintain(
+    spark,
+    index_path: str,
+    codebooks: list[list[list[float]]],
+    upserts: DataFrame | None = None,
+    deletes: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """UPSERT/DELETE maintenance against a ``partitionBy("cell")``
+    stored PQ codes table (cell = first subspace code) — the
+    :func:`ivf_index_maintain` contract applied to the PQ index:
+    upserts are encoded with the STORED (stale) codebooks (codebooks
+    retrain on rebuild, never on append — the drift that v29's
+    distortion audit measures), and the rewrite is cell-scoped
+    copy-on-write: only partitions holding an old version of a
+    touched id or receiving a new code are rewritten; a cell left
+    empty has its directory removed (dynamic overwrite cannot emit
+    an empty partition)."""
+    import os
+    import shutil
+
+    if upserts is None and deletes is None:
+        return
+    stored = spark.read.parquet(index_path)
+    parts = []
+    if upserts is not None:
+        parts.append(upserts.select(F.col(id_col).alias("id")))
+    if deletes is not None:
+        parts.append(deletes.select(F.col(id_col).alias("id")))
+    touched = (
+        parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+    ).distinct()
+    new_codes = (
+        pq_encode(upserts, codebooks, id_col, vec_col).withColumn(
+            "cell", F.col("codes")[0]
+        )
+        if upserts is not None
+        else None
+    )
+    affected = (
+        stored.join(F.broadcast(touched), "id", "left_semi")
+        .select("cell")
+        .distinct()
+    )
+    if new_codes is not None:
+        affected = affected.union(new_codes.select("cell")).distinct()
+    cells = [r["cell"] for r in affected.collect()]
+    if not cells:
+        return
+    kept = stored.where(F.col("cell").isin(cells)).join(
+        F.broadcast(touched), "id", "left_anti"
+    )
+    out = kept if new_codes is None else kept.unionByName(new_codes)
+    out = out.localCheckpoint(eager=True)
+    out_cells = {
+        r["cell"] for r in out.select("cell").distinct().collect()
+    }
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(index_path)
+    )
+    for cell in cells:
+        if cell not in out_cells:
+            d = os.path.join(index_path, f"cell={cell}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+
+
+def pq_stored_residuals(
+    vectors: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(vector, subspace) residual of the codes a SERVING index
+    actually stores — ``codes`` joined to the current raw vectors,
+    d² = ||x_m − book[m][stored_code]||² on the unit-normalized
+    slice (the :func:`pq_distortion` math with the argmin replaced
+    by the stored lookup). Hash-equal to ``pq_distortion`` exactly
+    when the stored codes ARE the argmin under ``codebooks`` — which
+    is what v29 value-checks after maintenance. Same
+    BLAS-under-``mapInArrow`` shape; the join is the only shuffle.
+    Returns (id, m, code, d2)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    B = np.asarray(codebooks, dtype=np.float64)
+
+    staged = (
+        fan_out(vectors)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("_raw"),
+        )
+        .join(codes.select("id", "codes"), "id")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id", staged.schema["id"].dataType, True),
+            T.StructField("m", T.IntegerType(), False),
+            T.StructField("code", T.IntegerType(), False),
+            T.StructField("d2", T.DoubleType(), False),
+        ]
+    )
+
+    def fn(batches):
+        for b in batches:
+            col = b.column(b.schema.get_field_index("_raw"))
+            cds = b.column(b.schema.get_field_index("codes"))
+            ids = b.column(b.schema.get_field_index("id")).to_pylist()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            X = flat.astype(np.float64, copy=False).reshape(
+                len(col), -1
+            )
+            nrm = np.sqrt((X * X).sum(axis=1, keepdims=True))
+            nrm[nrm == 0.0] = 1.0
+            X = X / nrm
+            C = np.asarray(cds.to_pylist(), dtype=np.int64).reshape(
+                len(col), n_sub
+            )
+            n = len(col)
+            out_id, out_m, out_c, out_d = [], [], [], []
+            for m in range(n_sub):
+                Xm = X[:, m * sub : (m + 1) * sub]
+                R = Xm - B[m][C[:, m]]
+                d2 = (R * R).sum(axis=1)
+                out_id.extend(ids)
+                out_m.extend([m] * n)
+                out_c.extend(int(x) for x in C[:, m])
+                out_d.extend(float(x) for x in d2)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id),
+                    pa.array(out_m, type=pa.int32()),
+                    pa.array(out_c, type=pa.int32()),
+                    pa.array(out_d, type=pa.float64()),
+                ],
+                names=["id", "m", "code", "d2"],
+            )
+
+    return staged.mapInArrow(fn, out_schema)

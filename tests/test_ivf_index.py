@@ -190,3 +190,113 @@ def test_ivf_index_maintain_currency_and_scoped_rewrite(
     assert spark.read.parquet(path2).where(
         F.col("c_id") == 999_999
     ).count() == 0
+
+
+def test_pq_index_maintain_currency_and_scoped_rewrite(
+    spark, emb, tmp_path_factory
+):
+    """v29's storage gates, mirroring the IVF ones: (a) currency —
+    the maintained stored codes equal re-encoding the logical
+    post-maintenance corpus from scratch with the SAME (stale)
+    codebooks; (b) cell-scoped copy-on-write — a one-row follow-up
+    delete leaves every other cell partition's files byte-identical;
+    (c) a cell emptied by deletes disappears."""
+    import os
+
+    from dislib_spark.vector.search import (
+        pq_codebooks,
+        pq_encode,
+        pq_index_maintain,
+    )
+
+    vid = F.col("vec_id")
+    corpus = emb.where(vid % 2 == 0)
+    books = pq_codebooks(corpus, method="seed")
+    tmp = str(tmp_path_factory.mktemp("pqmaint"))
+    path = f"{tmp}/codes"
+    pq_encode(corpus, books).withColumn(
+        "cell", F.col("codes")[0]
+    ).write.partitionBy("cell").parquet(path)
+
+    updates = emb.where((vid % 2 == 0) & (vid % 10 == 4)).select(
+        "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+    )
+    inserts = emb.where((vid % 2 == 1) & (vid < 40)).select(
+        "vec_id", "embedding"
+    )
+    deletes = emb.where((vid % 2 == 0) & (vid % 10 == 0)).select(
+        "vec_id"
+    )
+    pq_index_maintain(
+        spark, path, books, updates.unionByName(inserts), deletes
+    )
+    stored = spark.read.parquet(path)
+
+    # (a) currency
+    survivors = corpus.where((vid % 10 != 0) & (vid % 10 != 4)).select(
+        "vec_id", "embedding"
+    )
+    logical = survivors.unionByName(updates).unionByName(inserts)
+    want = sorted(
+        (r["id"], tuple(r["codes"]))
+        for r in pq_encode(logical, books).collect()
+    )
+    got = sorted(
+        (r["id"], tuple(r["codes"])) for r in stored.collect()
+    )
+    assert got == want
+    # every stored row's partition key matches its first code
+    assert stored.where(
+        F.col("cell") != F.col("codes")[0]
+    ).count() == 0
+
+    # (b) one-row delete rewrites only its own cell
+    def files(p):
+        out = {}
+        for root, _, names in os.walk(p):
+            for n in names:
+                if n.endswith(".parquet"):
+                    f = os.path.join(root, n)
+                    out[f] = os.path.getmtime(f)
+        return out
+
+    one = stored.orderBy("id").limit(1).collect()[0]
+    before = files(path)
+    pq_index_maintain(
+        spark,
+        path,
+        books,
+        deletes=spark.createDataFrame([(one["id"],)], "vec_id long"),
+    )
+    after = files(path)
+    untouched = 0
+    for f, mtime in before.items():
+        cell = int(f.split("cell=")[1].split(os.sep)[0])
+        if cell != one["cell"]:
+            assert f in after and after[f] == mtime, f
+            untouched += 1
+    assert untouched > 0
+    assert spark.read.parquet(path).where(
+        F.col("id") == one["id"]
+    ).count() == 0
+
+    # (c) a synthetic lone-cell delete removes the cell directory
+    lone = spark.createDataFrame(
+        [(999_999, [0] * len(books), 7777)],
+        "id long, codes array<int>, cell int",
+    )
+    path2 = f"{tmp}/codes2"
+    pq_encode(corpus, books).withColumn(
+        "cell", F.col("codes")[0]
+    ).unionByName(lone).write.partitionBy("cell").parquet(path2)
+    assert os.path.isdir(f"{path2}/cell=7777")
+    pq_index_maintain(
+        spark,
+        path2,
+        books,
+        deletes=spark.createDataFrame([(999_999,)], "vec_id long"),
+    )
+    assert not os.path.isdir(f"{path2}/cell=7777")
+    assert spark.read.parquet(path2).where(
+        F.col("id") == 999_999
+    ).count() == 0

@@ -83,6 +83,11 @@ _BNLJ_OK = {
     "m57_runs_test",  # 1-row fit + 1-row change-count broadcasts (m47 shape)
     "x94_time_to_convert",  # 1-row broadcast of the viewer total for shares
     "m49_welch_anova",  # 1-row grand-mean + guard broadcasts onto the k-row frame
+    "m62_theil_sen",  # cell-pair join over the bounded 11x50 grid (m54 shape)
+    "m63_hodges_lehmann",  # Walsh-pair join over the bounded 50-value grid
+    "m64_siegel_slope",  # same bounded grid pair join as m62, twice-medianed
+    "t71_length_quality_calibration",  # 1-row broadcast of n (the x19/m36 shape)
+    "x100_bitemporal_audit",  # 3-row broadcast probe interval join (x65 shape)
 }
 
 
@@ -412,4 +417,70 @@ def test_t65_priority_dedup_plan_pinned(spark):
     )
     assert f.n_scans <= 2
     assert f.n_exchanges <= 3
+    assert not f.has_cartesian and not f.has_python_row_udf
+
+
+def _assert_no_global_window(plan: str) -> None:
+    """Every Window in the plan must carry a partition key: a
+    windowspecdefinition whose FIRST argument is already an ordering
+    term (carries ASC/DESC NULLS) has no partition columns — the
+    all-rows-to-one-task shape these pins exist to forbid."""
+    import re
+
+    specs = list(
+        re.finditer(
+            r"windowspecdefinition\((.*?)specifiedwindowframe", plan
+        )
+    )
+    for m in specs:
+        first = m.group(1).split(",")[0].strip()
+        assert not re.search(r"(ASC|DESC) NULLS", first), (
+            "global Window (no partition key): " + m.group(0)[:120]
+        )
+
+
+def test_x93_x102_never_global_window(spark):
+    """The two prefix-primitive queries (x93 running total, x102
+    running max) must NEVER plan a partition-less Window — their
+    whole point is replacing the global-window sweep with the
+    physical-partition-id trick (utils/base.py); a regression that
+    reintroduces `Window ... ORDER BY` without a partition key moves
+    the corpus through one task."""
+    from dislib_spark.utils.plancheck import plan_text
+
+    for name in ("x93_max_concurrency", "x102_late_arrival_audit"):
+        plan = plan_text(all_queries()[name](spark, SF_SMOKE))
+        _assert_no_global_window(plan)
+
+
+def test_x95_header_line_reconciliation_plan_pinned(spark):
+    """x95 is ONE lineitem rollup + ONE equi-join to headers + one
+    fold: two scans, at most three exchanges (rollup key, join side,
+    final per-priority fold), broadcast or shuffled-hash join only —
+    a second lineitem scan or a per-order window fails here."""
+    from dislib_spark.utils.plancheck import plan_facts
+
+    f = plan_facts(
+        all_queries()["x95_header_line_reconciliation"](
+            spark, SF_SMOKE
+        )
+    )
+    assert f.n_scans == 2
+    assert f.n_exchanges <= 3
+    assert not f.has_cartesian and not f.has_python_row_udf
+
+
+def test_t70_archive_probe_plan_pinned(spark):
+    """t70's decontamination must touch the corpus only through the
+    stored band index: the benchmark side is bounded, every join is
+    band-key equi or candidate-sized, and the plan stays within its
+    recorded scan/shuffle budget — a corpus rescan regression (the
+    thing the stored index exists to prevent) fails here."""
+    from dislib_spark.utils.plancheck import plan_facts
+
+    f = plan_facts(
+        all_queries()["t70_archive_decontamination"](spark, SF_SMOKE)
+    )
+    assert f.n_scans <= 4
+    assert f.n_exchanges <= 6
     assert not f.has_cartesian and not f.has_python_row_udf

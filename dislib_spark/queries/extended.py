@@ -3472,6 +3472,83 @@ def s15_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x103_forgotten_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure audit (``sources.merge
+    .erase_keys_path``): the event mart is persisted
+    partitionBy(day), one GDPR batch (user_id ≡ 0 mod 97) is erased
+    with PARTITION-SCOPED copy-on-write — only the days holding an
+    erased user's rows are rewritten; the table is never fully
+    rewritten (the 100 TB erasure contract, same shape as
+    v24/v29's index maintenance) — and the report proves it from
+    the STORED table: per-type before/after/erased counts, the
+    erased-user cardinality, the residual-row count (the compliance
+    invariant, value-checked at 0 — the x99 prove-the-property
+    pattern), and the rewritten-partition count (= the erased keys'
+    day fan-out, which the oracle replays exactly)."""
+    import tempfile
+
+    from dislib_spark.sources.merge import erase_keys_path
+
+    ev = load_table(spark, sf_dir, "events")
+    mart = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="gdpr_mart_")
+    path = f"{tmp}/events_mart"
+    mart.write.partitionBy("day").mode("overwrite").parquet(path)
+    erased = ev.where(F.col("user_id") % 97 == 0).select(
+        "user_id"
+    ).distinct()
+    n_parts = erase_keys_path(spark, path, erased, "user_id", "day")
+    stored = spark.read.parquet(path)
+
+    before = mart.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    after = stored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_after")
+    )
+    residual = stored.join(
+        F.broadcast(erased), "user_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_residual_rows"))
+    totals = erased.agg(
+        F.count(F.lit(1)).alias("n_users_erased")
+    )
+    return (
+        before.join(after, "event_type", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(residual))
+        .select(
+            "event_type",
+            F.col("n_before").cast("bigint").alias("n_before"),
+            F.coalesce(F.col("n_after"), F.lit(0))
+            .cast("bigint")
+            .alias("n_after"),
+            (
+                F.col("n_before")
+                - F.coalesce(F.col("n_after"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_erased"),
+            F.col("n_users_erased").cast("bigint").alias(
+                "n_users_erased"
+            ),
+            F.col("n_residual_rows").cast("bigint").alias(
+                "n_residual_rows"
+            ),
+            F.lit(n_parts).cast("bigint").alias(
+                "n_parts_rewritten"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -3577,6 +3654,7 @@ QUERIES = {
     "x101_hll_union_report": x101_hll_union_report,
     "x102_late_arrival_audit": x102_late_arrival_audit,
     "s15_stream_sessions": s15_stream_sessions,
+    "x103_forgotten_users": x103_forgotten_users,
 }
 
 ORACLE = {
@@ -6069,3 +6147,42 @@ def _x101_oracle() -> str:
 
 
 ORACLE["x101_hll_union_report"] = _x101_oracle()
+
+# x103: the erasure replayed logically — before/after per type,
+# erased-user cardinality, residual 0 by construction, partition
+# fan-out of the erased keys; the copy-on-write rewrite is a value
+# no-op.
+ORACLE["x103_forgotten_users"] = """
+    WITH erased AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    ),
+    before AS (
+        SELECT event_type, COUNT(*) AS n_before
+        FROM events GROUP BY event_type
+    ),
+    after AS (
+        SELECT event_type, COUNT(*) AS n_after
+        FROM events
+        WHERE user_id NOT IN (SELECT user_id FROM erased)
+        GROUP BY event_type
+    ),
+    t AS (SELECT COUNT(*) AS n_users_erased FROM erased),
+    p AS (
+        SELECT COUNT(DISTINCT strftime(date_trunc('day', ts),
+                                       '%Y-%m-%d'))
+                   AS n_parts
+        FROM events
+        WHERE user_id IN (SELECT user_id FROM erased)
+    )
+    SELECT b.event_type,
+           CAST(b.n_before AS BIGINT) AS n_before,
+           CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+           CAST(b.n_before - COALESCE(a.n_after, 0) AS BIGINT)
+               AS n_erased,
+           CAST(t.n_users_erased AS BIGINT) AS n_users_erased,
+           CAST(0 AS BIGINT) AS n_residual_rows,
+           CAST(p.n_parts AS BIGINT) AS n_parts_rewritten
+    FROM before b LEFT JOIN after a ON b.event_type = a.event_type,
+         t, p
+    ORDER BY b.event_type
+"""

@@ -2795,6 +2795,134 @@ def m64_siegel_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m65_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's α internal-consistency reliability over the
+    (quantity, discount, tax) item triple — the feature-QA question
+    m16's pairwise correlations stop short of: do these k columns
+    measure ONE construct (α = k/(k−1)·(1 − Σvarᵢ/var(Σitems)))?
+    Read before averaging features into a composite score. ONE
+    map-side-combined scan folds the exact DECIMAL sufficient
+    statistics (the m55 recipe: sums, squares, cross-products); every
+    variance/covariance is population-form scalar algebra on those
+    exact operands, mirrored operation-for-operation. Also reports
+    the average inter-item correlation (the standardized-α
+    ingredient). Returns (n, k, alpha, avg_inter_item_corr)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    xs = [F.col(c).cast("decimal(18,6)") for c in cols]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, x in enumerate(xs):
+        aggs.append(F.sum(x).alias(f"s{i}"))
+        aggs.append(F.sum(x * x).alias(f"q{i}"))
+    for i in range(3):
+        for j in range(i + 1, 3):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"p{i}{j}"))
+    s = li.agg(*aggs)
+    nn = F.col("n").cast("double")
+
+    def dd(c):
+        return F.col(c).cast("double")
+
+    def var(i):
+        return dd(f"q{i}") / nn - (dd(f"s{i}") / nn) ** 2
+
+    def cov(i, j):
+        return dd(f"p{i}{j}") / nn - (dd(f"s{i}") / nn) * (
+            dd(f"s{j}") / nn
+        )
+
+    sum_var = var(0) + var(1) + var(2)
+    sum_cov = cov(0, 1) + cov(0, 2) + cov(1, 2)
+    var_total = sum_var + 2.0 * sum_cov
+    k = 3.0
+    alpha = (k / (k - 1.0)) * (1.0 - sum_var / var_total)
+    rbar = (
+        cov(0, 1) / F.sqrt(var(0) * var(1))
+        + cov(0, 2) / F.sqrt(var(0) * var(2))
+        + cov(1, 2) / F.sqrt(var(1) * var(2))
+    ) / 3.0
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(3).cast("int").alias("k"),
+        F.when(var_total > 0, F.round(alpha, 6)).alias("alpha"),
+        F.round(rbar, 6).alias("avg_inter_item_corr"),
+    )
+
+
+def m66_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 most influential lineitems by Cook's distance under
+    m01's price-on-quantity OLS — the per-ROW influence diagnostic
+    that closes the m44–m49 regression-audit family (those test the
+    residuals in aggregate; this names the observations that, if
+    dropped, move the fit most: Dᵢ = eᵢ²hᵢ / (p·s²·(1−hᵢ)²) with the
+    closed-form simple-regression leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx).
+    The m44 two-scan shape: one exact-DECIMAL sufficient-stats scan
+    folds fit + s² + Sxx into a 1-row broadcast, one residual scan
+    scores every row; top-15 by (D desc, key) is a rank-k orderBy —
+    never a full sort at the driver. Returns (l_orderkey,
+    l_linenumber, x, y, leverage, cooks_d)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,6)")
+    y = F.col("l_extendedprice").cast("decimal(18,6)")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    nn = F.col("n").cast("double")
+
+    def dd(c):
+        return F.col(c).cast("double")
+
+    sxx_c = dd("sxx") - dd("sx") * dd("sx") / nn
+    sxy_c = dd("sxy") - dd("sx") * dd("sy") / nn
+    syy_c = dd("syy") - dd("sy") * dd("sy") / nn
+    slope = sxy_c / sxx_c
+    fit = s.select(
+        F.col("n").cast("double").alias("fn"),
+        (dd("sx") / nn).alias("xbar"),
+        slope.alias("b"),
+        (dd("sy") / nn - slope * (dd("sx") / nn)).alias("a"),
+        sxx_c.alias("sxx_c"),
+        # s² = SSE/(n−2) with SSE = Syy_c − b·Sxy_c (all centered
+        # moments from the same exact-decimal operands)
+        ((syy_c - slope * sxy_c) / (nn - 2.0)).alias("s2"),
+    )
+    xd = F.col("l_quantity").cast("double")
+    yd = F.col("l_extendedprice").cast("double")
+    e = yd - (F.col("a") + F.col("b") * xd)
+    h = 1.0 / F.col("fn") + (xd - F.col("xbar")) ** 2 / F.col("sxx_c")
+    d = (e * e * h) / (
+        2.0 * F.col("s2") * (1.0 - h) * (1.0 - h)
+    )
+    return (
+        li.crossJoin(F.broadcast(fit))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            xd.alias("x"),
+            yd.alias("y"),
+            h.alias("_h"),
+            d.alias("_d"),
+        )
+        .orderBy(
+            F.col("_d").desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(15)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "x",
+            "y",
+            F.round(F.col("_h"), 6).alias("leverage"),
+            F.round(F.col("_d"), 6).alias("cooks_d"),
+        )
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -2860,6 +2988,8 @@ QUERIES = {
     "m62_theil_sen": m62_theil_sen,
     "m63_hodges_lehmann": m63_hodges_lehmann,
     "m64_siegel_slope": m64_siegel_slope,
+    "m65_cronbach_alpha": m65_cronbach_alpha,
+    "m66_cooks_distance": m66_cooks_distance,
 }
 
 
@@ -5384,4 +5514,128 @@ ORACLE["m64_siegel_slope"] = """
            ROUND(sm.beta, 6) + 0.0 AS slope,
            ROUND(im.intercept, 6) + 0.0 AS intercept
     FROM sm, im
+"""
+
+# m65: one exact-decimal sufficient-stats scan; population
+# variance/covariance and the alpha algebra mirrored
+# operation-for-operation.
+ORACLE["m65_cronbach_alpha"] = """
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS s0,
+               SUM(CAST(l_discount AS DECIMAL(18,6))) AS s1,
+               SUM(CAST(l_tax AS DECIMAL(18,6))) AS s2,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_quantity AS DECIMAL(28,6))) AS q0,
+               SUM(CAST(l_discount AS DECIMAL(28,6))
+                   * CAST(l_discount AS DECIMAL(28,6))) AS q1,
+               SUM(CAST(l_tax AS DECIMAL(28,6))
+                   * CAST(l_tax AS DECIMAL(28,6))) AS q2,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_discount AS DECIMAL(28,6))) AS p01,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_tax AS DECIMAL(28,6))) AS p02,
+               SUM(CAST(l_discount AS DECIMAL(28,6))
+                   * CAST(l_tax AS DECIMAL(28,6))) AS p12
+        FROM lineitem
+    ),
+    v AS (
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(q0 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - POW(CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE), 2)
+                   AS v0,
+               CAST(q1 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - POW(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 2)
+                   AS v1,
+               CAST(q2 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - POW(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 2)
+                   AS v2,
+               CAST(p01 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS c01,
+               CAST(p02 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) AS c02,
+               CAST(p12 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) AS c12
+        FROM s
+    )
+    SELECT n,
+           CAST(3 AS INTEGER) AS k,
+           CASE WHEN (v0 + v1 + v2) + 2.0 * (c01 + c02 + c12) > 0
+                THEN ROUND((3.0 / 2.0)
+                           * (1.0 - (v0 + v1 + v2)
+                              / ((v0 + v1 + v2)
+                                 + 2.0 * (c01 + c02 + c12))), 6)
+           END AS alpha,
+           ROUND((c01 / SQRT(v0 * v1) + c02 / SQRT(v0 * v2)
+                  + c12 / SQRT(v1 * v2)) / 3.0, 6)
+               AS avg_inter_item_corr
+    FROM v
+"""
+
+# m66: the m44 two-scan shape — exact-decimal fit + per-row
+# residual/leverage scoring; the top-15 selection orders by the
+# UNROUNDED D (identical IEEE expression both engines) with key
+# tiebreaks.
+ORACLE["m66_cooks_distance"] = """
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_quantity AS DECIMAL(28,6))) AS sxx,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_extendedprice AS DECIMAL(28,6))) AS sxy,
+               SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                   * CAST(l_extendedprice AS DECIMAL(28,6))) AS syy
+        FROM lineitem
+    ),
+    fit AS (
+        SELECT CAST(n AS DOUBLE) AS fn,
+               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+               (CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               / (CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                    / CAST(n AS DOUBLE)) AS b,
+               CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS sxx_c,
+               CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS sxy_c,
+               CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS syy_c,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar
+        FROM s
+    ),
+    f2 AS (
+        SELECT fn, xbar, b, sxx_c,
+               ybar - b * xbar AS a,
+               (syy_c - b * sxy_c) / (fn - 2.0) AS s2
+        FROM fit
+    ),
+    scored AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS DOUBLE) AS x,
+               CAST(l_extendedprice AS DOUBLE) AS y,
+               1.0 / fn + POW(CAST(l_quantity AS DOUBLE) - xbar, 2)
+                          / sxx_c AS h,
+               CAST(l_extendedprice AS DOUBLE)
+                 - (a + b * CAST(l_quantity AS DOUBLE)) AS e,
+               s2
+        FROM lineitem, f2
+    )
+    SELECT l_orderkey, l_linenumber, x, y,
+           ROUND(h, 6) AS leverage,
+           ROUND((e * e * h) / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6)
+               AS cooks_d
+    FROM scored
+    ORDER BY (e * e * h) / (2.0 * s2 * (1.0 - h) * (1.0 - h)) DESC,
+             l_orderkey, l_linenumber
+    LIMIT 15
 """

@@ -1836,6 +1836,25 @@ def t71_length_quality_calibration(
     )
 
 
+def t72_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-CONTAINMENT audit (``text.dedup
+    .containment_pairs``): every pair where one document's shingle
+    set is ≥60% contained in the other's, flagged by whether t04's
+    symmetric Jaccard pass at 0.3 would ALSO catch it — a short doc
+    embedded in a long one has Jaccard ≈ |short|/|long| but
+    containment ≈ 1, the quote-expansion / template-wrapping gap
+    every Jaccard- or MinHash-based dedup (t04/t05) structurally
+    misses (caught_by_jaccard = 0 rows are that gap, measured). Same
+    inverted-index kernel and caps as t04; one extra LEAST() per
+    candidate."""
+    from dislib_spark.text.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        d, c_threshold=0.6, j_max=0.3
+    ).orderBy("a_id", "b_id")
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -1908,6 +1927,7 @@ QUERIES = {
     "t69_quality_lm_agreement": t69_quality_lm_agreement,
     "t70_archive_decontamination": t70_archive_decontamination,
     "t71_length_quality_calibration": t71_length_quality_calibration,
+    "t72_containment_dedup": t72_containment_dedup,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -4102,4 +4122,46 @@ ORACLE["t71_length_quality_calibration"] = f"""
         FROM documents
     )
     GROUP BY decile ORDER BY decile
+"""
+
+# t72: the t04 inverted-index replay with the containment ratio
+# added; both scores are exact integer divisions rounded to 6.
+ORACLE["t72_containment_dedup"] = """
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([concat_ws(' ', toks[i], toks[i+1],
+                                        toks[i+2])
+                              for i in range(1, len(toks) - 1)])
+                   AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents)
+    ),
+    inv AS (
+        SELECT doc_id, len(shingles) AS set_size,
+               UNNEST(shingles) AS shingle
+        FROM sh
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               ANY_VALUE(a.set_size) AS a_size,
+               ANY_VALUE(b.set_size) AS b_size,
+               COUNT(*) AS n_inter
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id, jaccard, containment,
+           CAST(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END
+                AS INTEGER) AS caught_by_jaccard
+    FROM (
+        SELECT a_id, b_id,
+               ROUND(n_inter::DOUBLE
+                     / (a_size + b_size - n_inter)::DOUBLE, 6)
+                   AS jaccard,
+               ROUND(n_inter::DOUBLE
+                     / LEAST(a_size, b_size)::DOUBLE, 6)
+                   AS containment
+        FROM pairs
+    ) WHERE containment >= 0.6
+    ORDER BY a_id, b_id
 """

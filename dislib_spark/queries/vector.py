@@ -976,6 +976,76 @@ def v29_pq_index_maintenance(
     )
 
 
+def v30_maintained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality regression gate for index MAINTENANCE — the
+    question v24 (does the index serve the right rows?) and v18
+    (recall of a fresh index) leave open: after an upsert/delete
+    batch lands on STALE centers, how much recall does the SERVING
+    index still deliver? The exact v24 maintenance (update ids ≡4
+    mod 10 reversed, insert odds < 40, delete ids ≡0 mod 10,
+    cell-scoped copy-on-write) is applied, the maintained STORED
+    index is probed (k=5, n_probe=4, stale centers), and each probe
+    list is scored against the brute-force exact cosine top-5 over
+    the logical post-maintenance corpus. recall@5 per query is an
+    exact hit-count division — the number an operator alerts on
+    before scheduling the quantizer rebuild v29's drift metric
+    motivates."""
+    import tempfile
+
+    from dislib_spark.vector.search import (
+        cosine_topk,
+        ivf_index,
+        ivf_index_maintain,
+        ivf_query_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    corpus = e.where(vid % 2 == 0)
+    centers, assigned = ivf_index(corpus, n_cells=16, centers="seed")
+    tmp = tempfile.mkdtemp(prefix="ivf_recall_")
+    path = f"{tmp}/assignments"
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    updates = e.where((vid % 2 == 0) & (vid % 10 == 4)).select(
+        "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+    )
+    inserts = e.where((vid % 2 == 1) & (vid < 40)).select(
+        "vec_id", "embedding"
+    )
+    deletes = e.where((vid % 2 == 0) & (vid % 10 == 0)).select(
+        "vec_id"
+    )
+    ivf_index_maintain(
+        spark, path, centers, updates.unionByName(inserts), deletes
+    )
+    stored = spark.read.parquet(path)
+    queries = e.where((vid % 2 == 1) & (vid >= 41) & (vid < 50))
+    got = ivf_query_index(
+        queries, centers, stored, k=5, n_probe=4
+    ).select("q_id", F.col("c_id").alias("i_id"))
+    post = (
+        e.where((vid % 2 == 0) & (vid % 10 != 0) & (vid % 10 != 4))
+        .select("vec_id", "embedding")
+        .unionByName(updates)
+        .unionByName(inserts)
+    )
+    exact = cosine_topk(queries, post, k=5).select("q_id", "c_id")
+    return (
+        exact.join(
+            got,
+            (exact["q_id"] == got["q_id"])
+            & (exact["c_id"] == got["i_id"]),
+            "left",
+        )
+        .groupBy(exact["q_id"].alias("q_id"))
+        .agg(
+            F.count("i_id").cast("bigint").alias("n_hits"),
+            F.round(F.count("i_id") / 5.0, 6).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -1006,6 +1076,7 @@ QUERIES = {
     "v27_label_separability": v27_label_separability,
     "v28_pq_distortion": v28_pq_distortion,
     "v29_pq_index_maintenance": v29_pq_index_maintenance,
+    "v30_maintained_recall": v30_maintained_recall,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -2421,3 +2492,56 @@ ORACLE["v29_pq_index_maintenance"] = f"""
     FROM bef_mse b JOIN aft_mse a ON b.m = a.m
     ORDER BY m
 """
+
+# v30: the full v24 CTE chain (same maintenance, same stale-center
+# probe) reused verbatim by splitting its oracle before the final
+# SELECT, plus an exact brute-force top-5 over the post corpus and a
+# per-query hit fold; both rankings order by the ROUNDED sim with
+# c_id tiebreaks (the cosine_topk contract).
+_V24_CTES = ORACLE["v24_ivf_index_maintenance"].split(
+    "    SELECT q_id, c_id, sim, CAST(rank AS INT) AS rank FROM ("
+)[0]
+
+ORACLE["v30_maintained_recall"] = (
+    _V24_CTES
+    + """,
+    idx AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, c_id
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    ),
+    exact_dots AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               SUM(a.v * b.v) AS dot
+        FROM orig a JOIN cur b ON a.k = b.k
+        WHERE a.vec_id % 2 = 1 AND a.vec_id >= 41 AND a.vec_id < 50
+        GROUP BY 1, 2
+    ),
+    exact_scored AS (
+        SELECT d.q_id, d.c_id,
+               ROUND(d.dot / (nq.nrm * nc.nrm), 6) AS sim
+        FROM exact_dots d
+        JOIN norms_q nq ON nq.vec_id = d.q_id
+        JOIN norms_c nc ON nc.vec_id = d.c_id
+    ),
+    exact_top AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, c_id
+                   ) AS r
+            FROM exact_scored
+        ) WHERE r <= 5
+    )
+    SELECT e.q_id,
+           CAST(COUNT(i.c_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(i.c_id) / 5.0, 6) AS recall_at_5
+    FROM exact_top e
+    LEFT JOIN idx i ON i.q_id = e.q_id AND i.c_id = e.c_id
+    GROUP BY e.q_id ORDER BY e.q_id
+"""
+)

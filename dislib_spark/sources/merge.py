@@ -127,3 +127,59 @@ def merge_into_path(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+
+
+def erase_keys_path(
+    spark,
+    path: str,
+    keys: DataFrame,
+    key_col: str,
+    partition_col: str,
+) -> int:
+    """Right-to-be-forgotten DELETE against a parquet table
+    partitioned by ``partition_col``: every row whose ``key_col``
+    appears in ``keys`` is removed, rewriting ONLY the partitions
+    that actually hold such rows (dynamic partition overwrite — the
+    GDPR-erasure shape at 100 TB: cost proportional to the erased
+    keys' partition fan-out, never the table). A partition left
+    empty has its directory removed (dynamic overwrite cannot emit
+    an empty partition). Returns the number of partitions rewritten
+    or removed.
+
+    Same copy-on-write contract as ``vector.search.ivf_index_maintain``
+    / ``pq_index_maintain``; the :func:`merge_into_path` swap protocol
+    is the whole-table alternative when the table has no partition
+    column to scope by."""
+    import os
+    import shutil
+
+    stored = spark.read.parquet(path)
+    k = F.broadcast(keys.select(F.col(key_col).alias("__k")).distinct())
+    affected = (
+        stored.join(k, stored[key_col] == F.col("__k"), "left_semi")
+        .select(partition_col)
+        .distinct()
+    )
+    parts = [r[partition_col] for r in affected.collect()]
+    if not parts:
+        return 0
+    kept = stored.where(F.col(partition_col).isin(parts)).join(
+        k, stored[key_col] == F.col("__k"), "left_anti"
+    )
+    kept = kept.localCheckpoint(eager=True)
+    out_parts = {
+        r[partition_col]
+        for r in kept.select(partition_col).distinct().collect()
+    }
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    for p in parts:
+        if p not in out_parts:
+            d = os.path.join(path, f"{partition_col}={p}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    return len(parts)

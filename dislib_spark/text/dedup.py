@@ -196,6 +196,109 @@ def jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    c_threshold: float = 0.6,
+    j_max: float = 0.3,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_posting: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-CONTAINMENT pair audit: every pair with containment
+    |A∩B| / min(|A|,|B|) ≥ ``c_threshold``, flagged by whether a
+    symmetric Jaccard pass at ``j_max`` would ALSO catch it — a
+    short document embedded verbatim in a long one scores Jaccard ≈
+    |A|/|B| (arbitrarily low) but containment ≈ 1, so t04/t05-style
+    symmetric dedup structurally misses it (caught_by_jaccard = 0);
+    quote-expansion and template-wrapping dups live in that gap.
+    Same inverted-shingle-index kernel, caps and scale story as
+    :func:`jaccard_pairs` (one shuffle on the shingle key, pairs
+    exploded inside bounded buckets, never a corpus self-join).
+    Returns (a_id, b_id, jaccard, containment, caught_by_jaccard)
+    with a_id < b_id."""
+    sh = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("id"),
+            tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            "id", shingles_from_tokens(F.col("_toks"), n).alias("shingles")
+        )
+        .select(
+            "id",
+            F.transform(
+                F.col("shingles"), lambda s: F.xxhash64(s)
+            ).alias("hashes"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    inv = sh.select(
+        "id",
+        F.size("hashes").alias("set_size"),
+        F.explode("hashes").alias("shingle"),
+    )
+    buckets = inv.groupBy("shingle").agg(
+        F.sort_array(
+            F.collect_list(F.struct("id", "set_size"))
+        ).alias("ds")
+    )
+    if max_df is not None:
+        buckets = buckets.where(F.size("ds") <= max_df)
+    if max_posting is not None:
+        buckets = buckets.select(
+            F.slice("ds", 1, max_posting).alias("ds")
+        )
+    pair_col = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x: F.transform(
+                    F.col("ds"),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        ),
+        lambda p: p["a"]["id"] < p["b"]["id"],
+    )
+    pairs = buckets.select(F.explode(pair_col).alias("p")).select(
+        F.col("p.a.id").alias("a_id"),
+        F.col("p.a.set_size").alias("a_size"),
+        F.col("p.b.id").alias("b_id"),
+        F.col("p.b.set_size").alias("b_size"),
+    )
+    inter = pairs.groupBy("a_id", "b_id", "a_size", "b_size").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
+    scored = inter.select(
+        "a_id",
+        "b_id",
+        F.round(
+            F.col("n_inter").cast("double")
+            / (
+                F.col("a_size") + F.col("b_size") - F.col("n_inter")
+            ).cast("double"),
+            6,
+        ).alias("jaccard"),
+        F.round(
+            F.col("n_inter").cast("double")
+            / F.least("a_size", "b_size").cast("double"),
+            6,
+        ).alias("containment"),
+    )
+    return scored.where(F.col("containment") >= c_threshold).select(
+        "a_id",
+        "b_id",
+        "jaccard",
+        "containment",
+        (F.col("jaccard") >= j_max).cast("int").alias(
+            "caught_by_jaccard"
+        ),
+    )
+
+
 def _minhash_signature(base_hashes: Column, num_hashes: int, seed: int = 7) -> Column:
     """H affine permutations over pre-hashed shingles:
     min((a_i * h + b_i) mod M) — one JVM expression per permutation.

@@ -88,6 +88,9 @@ _BNLJ_OK = {
     "m64_siegel_slope",  # same bounded grid pair join as m62, twice-medianed
     "t71_length_quality_calibration",  # 1-row broadcast of n (the x19/m36 shape)
     "x100_bitemporal_audit",  # 3-row broadcast probe interval join (x65 shape)
+    "m66_cooks_distance",  # 1-row broadcast of the fitted (a, b, s2) stats
+    "x103_forgotten_users",  # 1-row broadcasts of the erased/residual totals
+    "v30_maintained_recall",  # broadcast centers/probes/queries, the v04/v24 shape
 }
 
 

@@ -112,6 +112,37 @@ def main():
         stride_sketch_item,
     )
 
+    def running_max_item():
+        from dislib_spark.utils.base import with_running_max
+
+        vals = x.df.select(
+            "row_id", F.element_at("features", 1).alias("v")
+        )
+        return (
+            with_running_max(
+                vals, "v", ["row_id"], "rm", inclusive=False
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    timed("running max (distributed prefix, 1M)", running_max_item)
+
+    def md5_hll_item():
+        from dislib_spark.sketches import (
+            md5_hll_estimate,
+            md5_hll_partials,
+        )
+
+        vals = x.df.select(
+            "row_id", (F.col("row_id") % 16).alias("g")
+        )
+        parts = md5_hll_partials(vals, "row_id", ["g"])
+        return md5_hll_estimate(parts, ["g"]).count()
+
+    timed("md5-HLL partials+estimate (16 groups, 1M)", md5_hll_item)
+
     spark.stop()
 
 

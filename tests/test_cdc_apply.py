@@ -91,3 +91,54 @@ def test_apply_changes_upsert_then_delete(spark, tmp_path):
     )
     apply_changes(spark, path, second, ["k"], "ts", F.col("op") == "D")
     assert _final_state(spark, path) == {2: "y", 3: "z"}
+
+
+def test_erase_keys_partition_scoped(spark, tmp_path):
+    """x103's erasure kernel: (a) erased keys leave zero residual
+    rows; (b) only partitions holding erased rows are rewritten —
+    untouched partition files stay byte-identical; (c) a partition
+    whose every row is erased has its directory removed; (d) the
+    returned count equals the touched-partition fan-out."""
+    import os
+
+    from dislib_spark.sources.merge import erase_keys_path
+
+    rows = [
+        # part p0: users 1,2; p1: user 1 only; p2: user 3 only
+        (10, 1, "p0"), (11, 2, "p0"),
+        (12, 1, "p1"),
+        (13, 3, "p2"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, day string")
+    path = str(tmp_path / "mart")
+    df.write.partitionBy("day").parquet(path)
+
+    def files(p):
+        out = {}
+        for root, _, names in os.walk(p):
+            for n in names:
+                if n.endswith(".parquet"):
+                    f = os.path.join(root, n)
+                    out[f] = os.path.getmtime(f)
+        return out
+
+    before = files(path)
+    keys = spark.createDataFrame([(1,)], "user_id long")
+    n = erase_keys_path(spark, path, keys, "user_id", "day")
+    assert n == 2  # p0 and p1 touched
+    got = spark.read.parquet(path)
+    assert got.where(F.col("user_id") == 1).count() == 0
+    assert got.count() == 2  # user 2 and user 3 survive
+    # (b) untouched p2 files byte-identical
+    after = files(path)
+    for f, mtime in before.items():
+        if "day=p2" in f:
+            assert f in after and after[f] == mtime
+    # (c) p1 (all rows erased) directory removed
+    assert not os.path.isdir(os.path.join(path, "day=p1"))
+    assert os.path.isdir(os.path.join(path, "day=p0"))
+    # no-op erase returns 0 and changes nothing
+    assert erase_keys_path(
+        spark, path, spark.createDataFrame([(99,)], "user_id long"),
+        "user_id", "day",
+    ) == 0

@@ -3549,6 +3549,71 @@ def x103_forgotten_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x104_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version DIFF — the lakehouse audit between two snapshots
+    of the same keyed table (what Delta/Iceberg's time travel is FOR,
+    expressed engine-agnostically): snapshot A is the on-time feed
+    (event_id % 7 ≠ 0), snapshot B the next version (late rows
+    landed, ids ≡ 0 mod 13 purged, values of ids ≡ 0 mod 11 restated
+    +1). ONE full-outer equi-join on the key classifies every row as
+    added / deleted / changed / unchanged; per-type counts are exact
+    longs. This is the x51-MERGE's read-side complement: MERGE writes
+    a new version, this quantifies what changed between two — the
+    reconciliation report every backfill/restatement review starts
+    from."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    a = ev.where(F.col("event_id") % 7 != 0)
+    b = ev.where(F.col("event_id") % 13 != 0).select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.when(
+            F.col("event_id") % 11 == 0, F.col("value") + 1.0
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    j = a.select(
+        F.col("event_id").alias("k"),
+        F.col("event_type").alias("ta"),
+        F.col("value").alias("va"),
+    ).join(
+        b.select(
+            F.col("event_id").alias("k"),
+            F.col("event_type").alias("tb"),
+            F.col("value").alias("vb"),
+        ),
+        "k",
+        "full_outer",
+    )
+    et = F.coalesce(F.col("tb"), F.col("ta"))
+    return (
+        j.groupBy(et.alias("event_type"))
+        .agg(
+            F.sum(F.col("ta").isNotNull().cast("long")).alias("n_a"),
+            F.sum(F.col("tb").isNotNull().cast("long")).alias("n_b"),
+            F.sum(
+                (F.col("ta").isNull() & F.col("tb").isNotNull())
+                .cast("long")
+            ).alias("n_added"),
+            F.sum(
+                (F.col("ta").isNotNull() & F.col("tb").isNull())
+                .cast("long")
+            ).alias("n_deleted"),
+            F.sum(
+                (
+                    F.col("ta").isNotNull()
+                    & F.col("tb").isNotNull()
+                    & (F.col("va") != F.col("vb"))
+                ).cast("long")
+            ).alias("n_changed"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -3655,6 +3720,7 @@ QUERIES = {
     "x102_late_arrival_audit": x102_late_arrival_audit,
     "s15_stream_sessions": s15_stream_sessions,
     "x103_forgotten_users": x103_forgotten_users,
+    "x104_snapshot_diff": x104_snapshot_diff,
 }
 
 ORACLE = {
@@ -6185,4 +6251,37 @@ ORACLE["x103_forgotten_users"] = """
     FROM before b LEFT JOIN after a ON b.event_type = a.event_type,
          t, p
     ORDER BY b.event_type
+"""
+
+# x104: one full-outer join classified into add/delete/change legs;
+# all counts exact longs.
+ORACLE["x104_snapshot_diff"] = """
+    WITH a AS (
+        SELECT event_id AS k, event_type AS ta, value AS va
+        FROM events WHERE event_id % 7 <> 0
+    ),
+    b AS (
+        SELECT event_id AS k, event_type AS tb,
+               CASE WHEN event_id % 11 = 0 THEN value + 1.0
+                    ELSE value END AS vb
+        FROM events WHERE event_id % 13 <> 0
+    ),
+    j AS (
+        SELECT COALESCE(b.tb, a.ta) AS event_type,
+               a.ta, b.tb, a.va, b.vb
+        FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN tb IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN ta IS NULL AND tb IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN ta IS NOT NULL AND tb IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+           CAST(SUM(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL
+                              AND va <> vb
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+    FROM j GROUP BY event_type ORDER BY event_type
 """

@@ -2923,6 +2923,94 @@ def m66_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m67_mahalanobis_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-15 multivariate outliers by Mahalanobis D² over the
+    (quantity, extendedprice, discount) triple — what m50's
+    univariate Grubbs screen cannot see: a row whose coordinates are
+    individually unremarkable but jointly inconsistent with the
+    covariance structure. The 3×3 population covariance comes from
+    the same ONE exact-DECIMAL sufficient-stats scan as m55; its
+    inverse is the closed-form adjugate/determinant (nine scalar
+    expressions — no linear-algebra library, fully SQL-replayable),
+    broadcast onto a second scoring scan; top-15 by (D² desc, key)
+    is a rank-k orderBy. Returns (l_orderkey, l_linenumber, x1, x2,
+    x3, d2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    xs = [F.col(c).cast("decimal(18,6)") for c in cols]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, x in enumerate(xs):
+        aggs.append(F.sum(x).alias(f"s{i}"))
+    for i in range(3):
+        for j in range(i, 3):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"p{i}{j}"))
+    s = li.agg(*aggs)
+    nn = F.col("n").cast("double")
+
+    def dd(c):
+        return F.col(c).cast("double")
+
+    def mu(i):
+        return dd(f"s{i}") / nn
+
+    def cv(i, j):
+        a, b = min(i, j), max(i, j)
+        return dd(f"p{a}{b}") / nn - mu(i) * mu(j)
+
+    # adjugate / determinant of the symmetric 3x3 covariance
+    det = (
+        cv(0, 0) * (cv(1, 1) * cv(2, 2) - cv(1, 2) * cv(1, 2))
+        - cv(0, 1) * (cv(0, 1) * cv(2, 2) - cv(1, 2) * cv(0, 2))
+        + cv(0, 2) * (cv(0, 1) * cv(1, 2) - cv(1, 1) * cv(0, 2))
+    )
+    inv = {
+        (0, 0): (cv(1, 1) * cv(2, 2) - cv(1, 2) * cv(1, 2)) / det,
+        (0, 1): (cv(0, 2) * cv(1, 2) - cv(0, 1) * cv(2, 2)) / det,
+        (0, 2): (cv(0, 1) * cv(1, 2) - cv(0, 2) * cv(1, 1)) / det,
+        (1, 1): (cv(0, 0) * cv(2, 2) - cv(0, 2) * cv(0, 2)) / det,
+        (1, 2): (cv(0, 2) * cv(0, 1) - cv(0, 0) * cv(1, 2)) / det,
+        (2, 2): (cv(0, 0) * cv(1, 1) - cv(0, 1) * cv(0, 1)) / det,
+    }
+    fit_cols = [F.col("n")]
+    for i in range(3):
+        fit_cols.append(mu(i).alias(f"m{i}"))
+    for (i, j), e in inv.items():
+        fit_cols.append(e.alias(f"i{i}{j}"))
+    fit = s.select(*fit_cols)
+    d = [F.col(c).cast("double") - F.col(f"m{i}") for i, c in enumerate(cols)]
+    d2 = (
+        d[0] * d[0] * F.col("i00")
+        + d[1] * d[1] * F.col("i11")
+        + d[2] * d[2] * F.col("i22")
+        + 2.0 * d[0] * d[1] * F.col("i01")
+        + 2.0 * d[0] * d[2] * F.col("i02")
+        + 2.0 * d[1] * d[2] * F.col("i12")
+    )
+    return (
+        li.crossJoin(F.broadcast(fit))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col(cols[0]).cast("double").alias("x1"),
+            F.col(cols[1]).cast("double").alias("x2"),
+            F.col(cols[2]).cast("double").alias("x3"),
+            d2.alias("_d2"),
+        )
+        .orderBy(F.col("_d2").desc(), "l_orderkey", "l_linenumber")
+        .limit(15)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "x1",
+            "x2",
+            "x3",
+            F.round(F.col("_d2"), 6).alias("d2"),
+        )
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -2990,6 +3078,7 @@ QUERIES = {
     "m64_siegel_slope": m64_siegel_slope,
     "m65_cronbach_alpha": m65_cronbach_alpha,
     "m66_cooks_distance": m66_cooks_distance,
+    "m67_mahalanobis_outliers": m67_mahalanobis_outliers,
 }
 
 
@@ -5637,5 +5726,98 @@ ORACLE["m66_cooks_distance"] = """
     FROM scored
     ORDER BY (e * e * h) / (2.0 * s2 * (1.0 - h) * (1.0 - h)) DESC,
              l_orderkey, l_linenumber
+    LIMIT 15
+"""
+
+# m67: one exact-decimal sufficient-stats scan; the 3x3 covariance
+# inverse via adjugate/det and the quadratic form mirrored term-for-
+# term (same left-to-right sum order); top-15 ordered by the
+# UNROUNDED d2 with key tiebreaks.
+ORACLE["m67_mahalanobis_outliers"] = """
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS s0,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS s1,
+               SUM(CAST(l_discount AS DECIMAL(18,6))) AS s2,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_quantity AS DECIMAL(28,6))) AS p00,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_extendedprice AS DECIMAL(28,6))) AS p01,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))
+                   * CAST(l_discount AS DECIMAL(28,6))) AS p02,
+               SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                   * CAST(l_extendedprice AS DECIMAL(28,6))) AS p11,
+               SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                   * CAST(l_discount AS DECIMAL(28,6))) AS p12,
+               SUM(CAST(l_discount AS DECIMAL(28,6))
+                   * CAST(l_discount AS DECIMAL(28,6))) AS p22
+        FROM lineitem
+    ),
+    c AS (
+        SELECT CAST(n AS DOUBLE) AS fn,
+               CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE) AS m0,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+               CAST(p00 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE)) AS c00,
+               CAST(p01 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS c01,
+               CAST(p02 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) AS c02,
+               CAST(p11 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS c11,
+               CAST(p12 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) AS c12,
+               CAST(p22 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) AS c22
+        FROM s
+    ),
+    dt AS (
+        SELECT *,
+               c00 * (c11 * c22 - c12 * c12)
+               - c01 * (c01 * c22 - c12 * c02)
+               + c02 * (c01 * c12 - c11 * c02) AS det
+        FROM c
+    ),
+    inv AS (
+        SELECT fn, m0, m1, m2,
+               (c11 * c22 - c12 * c12) / det AS i00,
+               (c02 * c12 - c01 * c22) / det AS i01,
+               (c01 * c12 - c02 * c11) / det AS i02,
+               (c00 * c22 - c02 * c02) / det AS i11,
+               (c02 * c01 - c00 * c12) / det AS i12,
+               (c00 * c11 - c01 * c01) / det AS i22
+        FROM dt
+    ),
+    scored AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS DOUBLE) AS x1,
+               CAST(l_extendedprice AS DOUBLE) AS x2,
+               CAST(l_discount AS DOUBLE) AS x3,
+               (CAST(l_quantity AS DOUBLE) - m0)
+                 * (CAST(l_quantity AS DOUBLE) - m0) * i00
+               + (CAST(l_extendedprice AS DOUBLE) - m1)
+                 * (CAST(l_extendedprice AS DOUBLE) - m1) * i11
+               + (CAST(l_discount AS DOUBLE) - m2)
+                 * (CAST(l_discount AS DOUBLE) - m2) * i22
+               + 2.0 * (CAST(l_quantity AS DOUBLE) - m0)
+                 * (CAST(l_extendedprice AS DOUBLE) - m1) * i01
+               + 2.0 * (CAST(l_quantity AS DOUBLE) - m0)
+                 * (CAST(l_discount AS DOUBLE) - m2) * i02
+               + 2.0 * (CAST(l_extendedprice AS DOUBLE) - m1)
+                 * (CAST(l_discount AS DOUBLE) - m2) * i12
+                   AS d2
+        FROM lineitem, inv
+    )
+    SELECT l_orderkey, l_linenumber, x1, x2, x3,
+           ROUND(d2, 6) AS d2
+    FROM scored
+    ORDER BY d2 DESC, l_orderkey, l_linenumber
     LIMIT 15
 """

@@ -1855,6 +1855,69 @@ def t72_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+def t73_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIELD-LEVEL survivorship (golden-record construction) per
+    near-dup cluster — the MDM step after t14's clustering that t15's
+    keep-min-id rule skips: the surviving record's fields come from
+    DIFFERENT members (id from the earliest member, text from the
+    LONGEST one, language by majority vote, provenance = distinct
+    source count), because the earliest copy is rarely the most
+    complete one. Per-cluster windows run over member-cardinality
+    rows (clusters, not corpus); every rule is deterministic
+    (length/count ties break on doc_id / lang order). Returns one
+    row per multi-member cluster."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = jaccard_pairs(d, threshold=0.3)
+    cc = connected_components(edges)
+    m = cc.join(d, cc["node"] == d["doc_id"]).select(
+        "component", "doc_id", "lang", "source", "n_chars"
+    )
+    base = m.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("keep_id"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    wl = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    longest = (
+        m.withColumn("_rn", F.row_number().over(wl))
+        .where(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("longest_doc_id"),
+            F.col("n_chars").alias("longest_chars"),
+        )
+    )
+    lc = m.groupBy("component", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("component").orderBy(
+        F.col("c").desc(), F.col("lang")
+    )
+    majority = (
+        lc.withColumn("_rn", F.row_number().over(wv))
+        .where(F.col("_rn") == 1)
+        .select("component", F.col("lang").alias("majority_lang"))
+    )
+    return (
+        base.join(longest, "component")
+        .join(majority, "component")
+        .select(
+            F.col("component").alias("comp_id"),
+            "n_members",
+            "keep_id",
+            "longest_doc_id",
+            "longest_chars",
+            "majority_lang",
+            F.col("n_sources").cast("bigint").alias("n_sources"),
+        )
+        .orderBy("comp_id")
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -1928,6 +1991,7 @@ QUERIES = {
     "t70_archive_decontamination": t70_archive_decontamination,
     "t71_length_quality_calibration": t71_length_quality_calibration,
     "t72_containment_dedup": t72_containment_dedup,
+    "t73_golden_record": t73_golden_record,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -4165,3 +4229,51 @@ ORACLE["t72_containment_dedup"] = """
     ) WHERE containment >= 0.6
     ORDER BY a_id, b_id
 """
+
+# t73: the shared t14 recursive-closure prefix + member joins; every
+# survivorship rule replayed with the same deterministic tiebreaks.
+ORACLE["t73_golden_record"] = (
+    _CLUSTER_CTE
+    + """,
+        m AS (
+            SELECT c.comp AS component, d.doc_id, d.lang, d.source,
+                   d.n_chars
+            FROM comp c JOIN documents d ON c.n = d.doc_id
+        ),
+        base AS (
+            SELECT component, COUNT(*) AS n_members,
+                   MIN(doc_id) AS keep_id,
+                   COUNT(DISTINCT source) AS n_sources
+            FROM m GROUP BY component
+        ),
+        longest AS (
+            SELECT component, doc_id AS longest_doc_id,
+                   n_chars AS longest_chars
+            FROM (
+                SELECT component, doc_id, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY component
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rn
+                FROM m
+            ) WHERE rn = 1
+        ),
+        majority AS (
+            SELECT component, lang AS majority_lang FROM (
+                SELECT component, lang,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY component
+                           ORDER BY COUNT(*) DESC, lang
+                       ) AS rn
+                FROM m GROUP BY component, lang
+            ) WHERE rn = 1
+        )
+        SELECT b.component AS comp_id, b.n_members, b.keep_id,
+               l.longest_doc_id, l.longest_chars, j.majority_lang,
+               CAST(b.n_sources AS BIGINT) AS n_sources
+        FROM base b
+        JOIN longest l ON l.component = b.component
+        JOIN majority j ON j.component = b.component
+        ORDER BY comp_id
+    """
+)

@@ -89,6 +89,7 @@ _BNLJ_OK = {
     "t71_length_quality_calibration",  # 1-row broadcast of n (the x19/m36 shape)
     "x100_bitemporal_audit",  # 3-row broadcast probe interval join (x65 shape)
     "m66_cooks_distance",  # 1-row broadcast of the fitted (a, b, s2) stats
+    "m67_mahalanobis_outliers",  # 1-row broadcast of the (mu, Sigma^-1) stats
     "x103_forgotten_users",  # 1-row broadcasts of the erased/residual totals
     "v30_maintained_recall",  # broadcast centers/probes/queries, the v04/v24 shape
 }

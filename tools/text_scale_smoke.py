@@ -98,6 +98,17 @@ def main():
         "MinHash-LSH pair gen (32 perms, 8 bands)",
         lambda: minhash_lsh_pairs(docs, threshold=0.5).count(),
     )
+    def containment_item():
+        from dislib_spark.text.dedup import containment_pairs
+
+        # the t72 kernel at scale runs with the same posting caps as
+        # jaccard_pairs' documented 100 TB setting
+        return containment_pairs(
+            docs, c_threshold=0.6, j_max=0.3,
+            max_posting=10_000, max_df=N // 10,
+        ).count()
+
+    timed("containment pairs (inverted index, capped)", containment_item)
     timed(
         "repetition metrics (per-row folds)",
         lambda: with_repetition_features(docs)

@@ -6121,11 +6121,12 @@ ORACLE["s15_stream_sessions"] = """
 
 def _x101_oracle() -> str:
     """DuckDB replay of the md5-HLL register pipeline: identical
-    register/rank derivation (exact string arithmetic on md5 hex),
-    identical Python-computed alpha*m^2 constant, identical
-    small-range correction branch; the parquet round-trip of the
-    partials is a value no-op. The `wh || '0'` pad keeps the nibble
-    cast total (the lz=8 branch never reads it)."""
+    64-bit register/rank derivation (exact string arithmetic on the
+    16 md5 hex chars after the register byte), identical
+    Python-computed alpha*m^2 constant, identical small-range
+    correction branch; the parquet round-trip of the partials is a
+    value no-op. The `wh || '0'` pad keeps the nibble cast total
+    (the lz=16 branch never reads it)."""
     m = 256
     amm = 0.7213 / (1.0 + 1.079 / m) * m * m
     return f"""
@@ -6137,12 +6138,12 @@ def _x101_oracle() -> str:
     reg AS (
         SELECT scope,
                CAST(('0x' || substr(h, 1, 2)) AS INTEGER) AS reg,
-               substr(h, 3, 8) AS wh
+               substr(h, 3, 16) AS wh
         FROM h
     ),
     rho AS (
         SELECT scope, reg,
-               CASE WHEN lz = 8 THEN 33
+               CASE WHEN lz = 16 THEN 65
                     ELSE lz * 4
                          + CASE WHEN nib >= 8 THEN 0
                                 WHEN nib >= 4 THEN 1

@@ -2102,8 +2102,10 @@ ORACLE["v23_probe_recall_curve"] = """
 # maintenance corpus — survivors (even, not deleted/updated) ∪
 # reversed updates (≡4 mod 10) ∪ inserted odds < 40 — with STALE
 # centers (16 lowest even ids, ORIGINAL vectors) and odd 41..49
-# queries. Storage mechanics are value no-ops.
-ORACLE["v24_ivf_index_maintenance"] = """
+# queries. Storage mechanics are value no-ops. The CTE chain (ending
+# at `scored`) is a named constant because v30's recall oracle reuses
+# it verbatim and appends its own exact-top-5 comparison.
+_V24_CTE_CHAIN = """
     WITH orig AS (
         SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS k,
                CAST(UNNEST(embedding) AS DOUBLE) AS v
@@ -2189,7 +2191,11 @@ ORACLE["v24_ivf_index_maintenance"] = """
         FROM dots d
         JOIN norms_q nq ON nq.vec_id = d.q_id
         JOIN norms_c nc ON nc.vec_id = d.c_id
-    )
+    )"""
+
+ORACLE["v24_ivf_index_maintenance"] = (
+    _V24_CTE_CHAIN
+    + """
     SELECT q_id, c_id, sim, CAST(rank AS INT) AS rank FROM (
         SELECT q_id, c_id, sim,
                ROW_NUMBER() OVER (
@@ -2198,6 +2204,7 @@ ORACLE["v24_ivf_index_maintenance"] = """
         FROM scored
     ) WHERE rank <= 5 ORDER BY q_id, rank
 """
+)
 
 
 # v25: v01's cells/norms recipe on the <100 slice, rank<=11 with the
@@ -2494,16 +2501,12 @@ ORACLE["v29_pq_index_maintenance"] = f"""
 """
 
 # v30: the full v24 CTE chain (same maintenance, same stale-center
-# probe) reused verbatim by splitting its oracle before the final
-# SELECT, plus an exact brute-force top-5 over the post corpus and a
-# per-query hit fold; both rankings order by the ROUNDED sim with
-# c_id tiebreaks (the cosine_topk contract).
-_V24_CTES = ORACLE["v24_ivf_index_maintenance"].split(
-    "    SELECT q_id, c_id, sim, CAST(rank AS INT) AS rank FROM ("
-)[0]
-
+# probe — the shared `_V24_CTE_CHAIN` constant), plus an exact
+# brute-force top-5 over the post corpus and a per-query hit fold;
+# both rankings order by the ROUNDED sim with c_id tiebreaks (the
+# cosine_topk contract).
 ORACLE["v30_maintained_recall"] = (
-    _V24_CTES
+    _V24_CTE_CHAIN
     + """,
     idx AS (
         SELECT q_id, c_id FROM (

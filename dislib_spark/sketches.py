@@ -805,10 +805,15 @@ def merged_stride_quantiles(
 
 
 def _md5_hll_rho(word_hex: Column) -> Column:
-    """Position of the first set bit (1-based) of the 32-bit value
-    written as 8 hex chars — 33 when zero. Exact string/CASE
+    """Position of the first set bit (1-based) of the 64-bit value
+    written as 16 hex chars — 65 when zero. Exact string/CASE
     arithmetic (no float log2), so the register state replays
-    bit-identically in any engine with md5 + regexp."""
+    bit-identically in any engine with md5 + regexp. 64 rank bits
+    keep the sketch unbiased past ~2³² distincts (a 32-bit rank
+    saturates around 10⁸–10⁹, too small for 100 TB user/url
+    cardinalities); the register stays the first md5 byte and the
+    MAX merge law is unchanged, so stored 64-bit partials merge
+    exactly like the 32-bit ones did."""
     lz_hex = F.length(F.regexp_extract(word_hex, "^0*", 0))
     nib = F.conv(F.substring(word_hex, lz_hex + 1, 1), 16, 10).cast(
         "int"
@@ -819,7 +824,7 @@ def _md5_hll_rho(word_hex: Column) -> Column:
         .when(nib >= 2, 2)
         .otherwise(3)
     )
-    return F.when(lz_hex == 8, F.lit(33)).otherwise(
+    return F.when(lz_hex == 16, F.lit(65)).otherwise(
         lz_hex * 4 + nib_clz + 1
     )
 
@@ -835,7 +840,9 @@ def md5_hll_partials(
     the sketch state itself value-auditable (DataSketches binaries
     aren't ANSI-replayable; these registers are): register index =
     first byte of md5(value), rank = leading-zero count of the next
-    32 md5 bits + 1. Output is one (group…, reg, max_rho) row per
+    64 md5 bits + 1 (64-bit rank source, so the estimate holds past
+    2³² distincts — the 100 TB stored-sketch regime). Output is one
+    (group…, reg, max_rho) row per
     NON-ZERO register — ≤ ``m`` rows per group regardless of input
     size, mergeable downstream by plain MAX (union of sketches ≡
     max per register, the HLL merge law). Store partitionBy(group)
@@ -847,7 +854,7 @@ def md5_hll_partials(
         )
     h = F.md5(F.col(col).cast("string"))
     reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("reg")
-    rho = _md5_hll_rho(F.substring(h, 3, 8))
+    rho = _md5_hll_rho(F.substring(h, 3, 16))
     keys = [F.col(c) for c in (group_cols or [])] + [reg]
     return df.groupBy(*keys).agg(F.max(rho).alias("max_rho"))
 
@@ -863,6 +870,10 @@ def md5_hll_estimate(
     Flajolet's E = α·m²/Σ2^(−M_j) with empty registers contributing
     2⁰, and the linear-counting small-range correction
     E = m·ln(m/V) when E ≤ 2.5m and V > 0 empty registers remain.
+    With the 64-bit rank source there is no large-range correction
+    branch (that was a 32-bit-hash artifact); linear counting stays
+    because it fixes register-collision bias at LOW cardinality,
+    which is independent of rank width.
     Returns (group…, hll_estimate, n_nonzero_regs); the scalar
     algebra is plain IEEE, replayable to the rounding digit."""
     gcols = list(group_cols or [])

@@ -129,6 +129,151 @@ def merge_into_path(
     shutil.rmtree(old)
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_value_str(v) -> str:
+    """The decoded string form a partition value takes in an on-disk
+    ``col=value`` directory name (dates/ints/strings; NULL maps to
+    Hive's sentinel directory)."""
+    return _HIVE_NULL if v is None else str(v)
+
+
+def _partition_dirs(root: str, partition_col: str) -> dict[str, str]:
+    """Map DECODED partition value -> on-disk directory name under
+    ``root``. Spark percent-escapes special characters (space, colon,
+    slash, …) when writing ``col=value`` directories, so matching must
+    decode the on-disk name rather than string-assemble ``col=value``
+    — a value containing a space would otherwise never match."""
+    import os
+    from urllib.parse import unquote
+
+    prefix = partition_col + "="
+    out: dict[str, str] = {}
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            if name.startswith(prefix) and os.path.isdir(
+                os.path.join(root, name)
+            ):
+                out[unquote(name[len(prefix):])] = name
+    return out
+
+
+def _apply_swap_manifest(path: str, tmp: str, old: str) -> None:
+    """Execute (or idempotently re-execute) the rename plan journaled
+    in ``old/_MANIFEST.json``: per entry, move the original partition
+    directory out to ``old`` (skipped if already moved), then move
+    the replacement in from ``tmp`` (skipped if already landed or the
+    partition was emptied). Every rename is guarded by existence
+    checks and each rename is atomic, so replaying after a crash at
+    ANY point completes the same end state."""
+    import json
+    import os
+
+    with open(os.path.join(old, _MANIFEST)) as fh:
+        plan = json.load(fh)
+    for e in plan:
+        s, t, dest = e["src"], e["tmp"], e["dest"]
+        if s is not None:
+            sp = os.path.join(path, s)
+            op = os.path.join(old, s)
+            if os.path.isdir(sp) and not os.path.isdir(op):
+                os.rename(sp, op)
+        if t is not None:
+            tp = os.path.join(tmp, t)
+            dp = os.path.join(path, dest)
+            if os.path.isdir(tp) and not os.path.isdir(dp):
+                os.rename(tp, dp)
+
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def _recover_partition_swap(path: str, partition_col: str) -> None:
+    """Complete (forward) an interrupted :func:`replace_partitions_path`
+    swap. ``.__pold__`` containing a manifest means the swap phase
+    began — replay the journaled rename plan to completion (always
+    safe: the ``.__ptmp__`` sibling is written in full before the
+    manifest, and the manifest before any rename). ``.__pold__``
+    without a manifest, or a bare ``.__ptmp__``, means no table
+    directory was ever touched — plain leftovers, delete them."""
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + ".__ptmp__"
+    old = path.rstrip("/") + ".__pold__"
+    if os.path.isfile(os.path.join(old, _MANIFEST)):
+        _apply_swap_manifest(path, tmp, old)
+    for leftover in (tmp, old):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
+
+
+def replace_partitions_path(
+    path: str,
+    partition_col: str,
+    values: list,
+    frame: DataFrame,
+) -> int:
+    """Crash-safe copy-on-write replacement of the ``values``
+    partitions of the parquet table at ``path`` with ``frame``'s rows
+    (which must contain only those partition values; a value absent
+    from ``frame`` removes the partition — the emptied-partition case
+    dynamic overwrite cannot express — and a value with no existing
+    directory creates a brand-new partition).
+
+    Protocol (the partition-scoped form of :func:`merge_into_path`'s
+    swap): the replacement rows are written IN FULL to a ``.__ptmp__``
+    sibling; the rename plan is journaled to
+    ``.__pold__/_MANIFEST.json``; then each affected partition
+    directory is renamed out to ``.__pold__`` and its replacement
+    renamed in. A crash before the manifest lands leaves the table
+    untouched (leftovers are swept); a crash after is rolled FORWARD
+    by :func:`_recover_partition_swap` replaying the manifest — the
+    in-place dynamic-overwrite alternative can be half-rewritten with
+    the survivors lost, unacceptable for a GDPR-erasure primitive.
+
+    On-disk directories are matched by DECODING their names (Spark
+    percent-escapes special characters in partition values), never by
+    assembling ``col=value`` strings — a value containing a space
+    would otherwise never match. Returns the number of partitions
+    replaced, removed, or created."""
+    import json
+    import os
+    import shutil
+
+    if not values:
+        return 0
+    tmp = path.rstrip("/") + ".__ptmp__"
+    old = path.rstrip("/") + ".__pold__"
+    frame.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    want = {_partition_value_str(v) for v in values}
+    src = _partition_dirs(path, partition_col)
+    tmp_dirs = _partition_dirs(tmp, partition_col)
+    orphan = want - set(src) - set(tmp_dirs)
+    if orphan:
+        raise FileNotFoundError(
+            f"partitions {sorted(orphan)} neither exist on disk under "
+            f"{path!r} nor appear in the replacement frame (decoded "
+            f"{partition_col}= directory names)"
+        )
+    plan = []
+    for val in sorted(want):
+        s = src.get(val)
+        t = tmp_dirs.get(val)
+        # keep the table's original directory name when replacing so
+        # a reader mid-recovery sees a stable layout; new partitions
+        # take Spark's canonical escaped name from tmp
+        plan.append({"src": s, "tmp": t, "dest": s if s else t})
+    os.makedirs(old, exist_ok=True)
+    with open(os.path.join(old, _MANIFEST), "w") as fh:
+        json.dump(plan, fh)
+    _apply_swap_manifest(path, tmp, old)
+    shutil.rmtree(tmp)
+    shutil.rmtree(old)
+    return len(want)
+
+
 def erase_keys_path(
     spark,
     path: str,
@@ -139,20 +284,19 @@ def erase_keys_path(
     """Right-to-be-forgotten DELETE against a parquet table
     partitioned by ``partition_col``: every row whose ``key_col``
     appears in ``keys`` is removed, rewriting ONLY the partitions
-    that actually hold such rows (dynamic partition overwrite — the
-    GDPR-erasure shape at 100 TB: cost proportional to the erased
-    keys' partition fan-out, never the table). A partition left
-    empty has its directory removed (dynamic overwrite cannot emit
-    an empty partition). Returns the number of partitions rewritten
-    or removed.
+    that actually hold such rows (copy-on-write via
+    :func:`replace_partitions_path` — the GDPR-erasure shape at
+    100 TB: cost proportional to the erased keys' partition fan-out,
+    never the table; crash-safe tmp+rename swap, so a failed erase
+    never corrupts untouched data). A partition left empty has its
+    directory removed. Returns the number of partitions rewritten or
+    removed.
 
     Same copy-on-write contract as ``vector.search.ivf_index_maintain``
     / ``pq_index_maintain``; the :func:`merge_into_path` swap protocol
     is the whole-table alternative when the table has no partition
     column to scope by."""
-    import os
-    import shutil
-
+    _recover_partition_swap(path, partition_col)
     stored = spark.read.parquet(path)
     k = F.broadcast(keys.select(F.col(key_col).alias("__k")).distinct())
     affected = (
@@ -163,23 +307,13 @@ def erase_keys_path(
     parts = [r[partition_col] for r in affected.collect()]
     if not parts:
         return 0
-    kept = stored.where(F.col(partition_col).isin(parts)).join(
+    # isin() never matches NULL — select a NULL partition explicitly
+    # or its kept rows would be dropped from the rewrite
+    non_null = [p for p in parts if p is not None]
+    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if len(non_null) != len(parts):
+        cond = cond | F.col(partition_col).isNull()
+    kept = stored.where(cond).join(
         k, stored[key_col] == F.col("__k"), "left_anti"
     )
-    kept = kept.localCheckpoint(eager=True)
-    out_parts = {
-        r[partition_col]
-        for r in kept.select(partition_col).distinct().collect()
-    }
-    (
-        kept.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(path)
-    )
-    for p in parts:
-        if p not in out_parts:
-            d = os.path.join(path, f"{partition_col}={p}")
-            if os.path.isdir(d):
-                shutil.rmtree(d)
-    return len(parts)
+    return replace_partitions_path(path, partition_col, parts, kept)

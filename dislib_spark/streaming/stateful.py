@@ -144,23 +144,43 @@ def running_user_stats_v2(events: DataFrame, ts_col: str = "ts") -> DataFrame:
 
 
 class _SessionProcessor(StatefulProcessor):
-    """Per-user timeout sessionization with EVENT-TIME TIMERS: state
-    is the open session (start_s, last_s, n); a gap-exceeding event
-    closes it and emits; one timer per key at last_s+gap closes idle
-    sessions when the watermark passes — real session windows, not
-    batch-boundary artifacts. Within a micro-batch rows are sorted by
-    event time; a late row inside the open session only counts (it
-    cannot extend the gap horizon), matching the ordered-arrival
-    batch replay."""
+    """Per-user timeout sessionization with EVENT-TIME TIMERS,
+    ARRIVAL-ORDER INDEPENDENT: state is the LIST of open candidate
+    sessions (start_s, last_s, n); every input row is merged into
+    that set (a late row — earlier event time, still inside the
+    watermark — can extend a buffered session backward or BRIDGE two
+    previously-separate sessions, exactly as the batch
+    gaps-and-islands replay would), and sessions are emitted ONLY
+    from expired event-time timers, once the watermark passes
+    last_s+gap and no in-watermark row can still change them. Nothing
+    is emitted eagerly on a gap seen inside a micro-batch — eager
+    emission would bake the arrival order into the output (a later
+    bridging row could have merged the halves). State per key is the
+    open-session list, bounded by (watermark horizon / gap)."""
 
     def __init__(self, gap_s: int) -> None:
         self._gap = gap_s
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._h = handle
-        self._state = handle.getValueState(
-            "sess", "start_s long, last_s long, n long"
+        self._sessions = handle.getListState(
+            "sessions", "start_s long, last_s long, n long"
         )
+
+    def _load(self) -> list[tuple[int, int, int]]:
+        if not self._sessions.exists():
+            return []
+        return [
+            (int(s[0]), int(s[1]), int(s[2]))
+            for s in self._sessions.get()
+        ]
+
+    def _arm_timer(self, sessions) -> None:
+        for tmr in self._h.listTimers():
+            self._h.deleteTimer(tmr)
+        if sessions:
+            horizon = min(last for _, last, _ in sessions) + self._gap
+            self._h.registerTimer(horizon * 1000)
 
     def _emit(self, key, start, last, n):
         import pandas as pd
@@ -178,29 +198,39 @@ class _SessionProcessor(StatefulProcessor):
         ts: list[int] = []
         for pdf in rows:
             ts.extend(int(x) for x in pdf["t"])
-        ts.sort()
-        if self._state.exists():
-            start, last, n = self._state.get()
-        else:
-            start = last = n = None
-        for t in ts:
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last > self._gap:
-                yield self._emit(key, start, last, n)
-                start, last, n = t, t, 1
-            else:
-                last, n = max(last, t), n + 1
-        self._state.update((start, last, n))
-        for tmr in self._h.listTimers():
-            self._h.deleteTimer(tmr)
-        self._h.registerTimer((last + self._gap) * 1000)
+        if ts:
+            sessions = self._load()
+            sessions.extend((t, t, 1) for t in ts)
+            sessions.sort()
+            merged: list[tuple[int, int, int]] = []
+            for s in sessions:
+                if merged and s[0] - merged[-1][1] <= self._gap:
+                    m = merged[-1]
+                    merged[-1] = (m[0], max(m[1], s[1]), m[2] + s[2])
+                else:
+                    merged.append(s)
+            self._sessions.put(merged)
+            self._arm_timer(merged)
+        return iter(())
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        if self._state.exists():
-            start, last, n = self._state.get()
-            self._state.clear()
-            yield self._emit(key, start, last, n)
+        # close every session the watermark has passed (the expired
+        # timer's own horizon is the floor; the watermark may have
+        # jumped past several sessions at once)
+        wm = timerValues.getCurrentWatermarkInMs()
+        horizon = max(wm, expiredTimerInfo.getExpiryTimeInMs())
+        sessions = self._load()
+        keep = []
+        for start, last, n in sessions:
+            if (last + self._gap) * 1000 <= horizon:
+                yield self._emit(key, start, last, n)
+            else:
+                keep.append((start, last, n))
+        if keep:
+            self._sessions.put(keep)
+        else:
+            self._sessions.clear()
+        self._arm_timer(keep)
 
     def close(self) -> None:
         pass
@@ -215,11 +245,14 @@ def stream_sessions(
 ) -> DataFrame:
     """Timeout-based sessionization returning ONE ROW PER CLOSED
     SESSION (key, start_s, end_s, n_events): streaming inputs run the
-    transformWithState processor above (timeMode=EventTime — idle
-    sessions close via per-key timers when the watermark passes
-    start+gap); batch inputs replay the identical gaps-and-islands
-    semantics through ``temporal.sessionize`` so batch ≡ streaming is
-    testable (pinned in tests/test_io_streaming_multimodal.py).
+    transformWithState processor above (timeMode=EventTime — EVERY
+    session closes via per-key timers once the watermark passes
+    last+gap, never eagerly, so the output is independent of arrival
+    order for any event inside the watermark); batch inputs replay
+    the identical gaps-and-islands semantics through
+    ``temporal.sessionize`` so batch ≡ streaming is testable (pinned
+    in tests/test_io_streaming_multimodal.py, including a
+    deliberately DISORDERED feed).
     Epoch-second session bounds keep the output timezone-free."""
     from dislib_spark.temporal import _epoch_seconds, sessionize
 

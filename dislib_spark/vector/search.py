@@ -993,25 +993,30 @@ def ivf_index_maintain(
 
     Cell-scoped copy-on-write: only the cell partitions that hold an
     old version of a touched id, or receive a new/updated vector, are
-    rewritten (dynamic partition overwrite); every other inverted
+    rewritten (crash-safe tmp+rename swap via
+    ``sources.merge.replace_partitions_path``); every other inverted
     list's files are untouched — at 100 TB the rewrite cost is
     proportional to the maintenance batch's cell fan-out, never the
     index. An update that moves a vector between cells rewrites both
     its old and new cell; a cell whose last vectors are deleted has
-    its directory removed (dynamic overwrite cannot emit an empty
-    partition). The survivors+upserts frame is eagerly
-    localCheckpointed before the write so the self-overwrite of the
-    partitions being read is safe.
+    its directory removed, and a brand-new cell's directory is
+    created. A crash mid-maintenance never corrupts untouched cells:
+    the replacement partitions are durable in a sibling directory
+    before any rename, and an interrupted swap rolls forward on the
+    next call.
 
     Upserts are assigned with the STORED (stale) centers — the IVF
     maintenance contract: the coarse quantizer is retrained on
     rebuild, never on append (matching ``assign_to_cells``).
     """
-    import os
-    import shutil
+    from dislib_spark.sources.merge import (
+        _recover_partition_swap,
+        replace_partitions_path,
+    )
 
     if upserts is None and deletes is None:
         return
+    _recover_partition_swap(index_path, "cell")
     stored = spark.read.parquet(index_path)
     parts = []
     if upserts is not None:
@@ -1041,19 +1046,7 @@ def ivf_index_maintain(
         F.broadcast(touched), "c_id", "left_anti"
     )
     out = kept if new_assign is None else kept.unionByName(new_assign)
-    out = out.localCheckpoint(eager=True)
-    out_cells = {r["cell"] for r in out.select("cell").distinct().collect()}
-    (
-        out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell")
-        .parquet(index_path)
-    )
-    for cell in cells:
-        if cell not in out_cells:
-            d = os.path.join(index_path, f"cell={cell}")
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+    replace_partitions_path(index_path, "cell", cells, out)
 
 
 def pq_distortion(
@@ -1144,15 +1137,20 @@ def pq_index_maintain(
     upserts are encoded with the STORED (stale) codebooks (codebooks
     retrain on rebuild, never on append — the drift that v29's
     distortion audit measures), and the rewrite is cell-scoped
-    copy-on-write: only partitions holding an old version of a
-    touched id or receiving a new code are rewritten; a cell left
-    empty has its directory removed (dynamic overwrite cannot emit
-    an empty partition)."""
-    import os
-    import shutil
+    copy-on-write via the crash-safe
+    ``sources.merge.replace_partitions_path`` swap: only partitions
+    holding an old version of a touched id or receiving a new code
+    are rewritten; a cell left empty has its directory removed, a
+    new first-code cell is created, and an interrupted maintenance
+    rolls forward on the next call."""
+    from dislib_spark.sources.merge import (
+        _recover_partition_swap,
+        replace_partitions_path,
+    )
 
     if upserts is None and deletes is None:
         return
+    _recover_partition_swap(index_path, "cell")
     stored = spark.read.parquet(index_path)
     parts = []
     if upserts is not None:
@@ -1183,21 +1181,7 @@ def pq_index_maintain(
         F.broadcast(touched), "id", "left_anti"
     )
     out = kept if new_codes is None else kept.unionByName(new_codes)
-    out = out.localCheckpoint(eager=True)
-    out_cells = {
-        r["cell"] for r in out.select("cell").distinct().collect()
-    }
-    (
-        out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell")
-        .parquet(index_path)
-    )
-    for cell in cells:
-        if cell not in out_cells:
-            d = os.path.join(index_path, f"cell={cell}")
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+    replace_partitions_path(index_path, "cell", cells, out)
 
 
 def pq_stored_residuals(

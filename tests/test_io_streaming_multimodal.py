@@ -938,3 +938,102 @@ def test_stream_sessions_timer_parity(spark, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_sessions_disordered_feed_parity(spark, tmp_path):
+    """The ADVICE scenario: a LATE round (earlier event times, still
+    inside the watermark) arrives after a round that already showed a
+    gap between two clusters of events — the late row BRIDGES them
+    into one session. Eager emit-on-gap would have split it; the
+    buffered, timer-only processor must produce exactly the batch
+    gaps-and-islands result regardless of arrival order."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dislib_spark.streaming.stateful import (
+        ensure_protobuf,
+        stream_sessions,
+    )
+
+    if not ensure_protobuf(spark):
+        pytest.skip("no protobuf runtime (wheel or vendored)")
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def at(s):
+        return base + datetime.timedelta(seconds=s)
+
+    # gap = 15 min = 900 s. user 1: 0 and 1600 look like two sessions
+    # until the late 800 bridges them; user 2: 0 and 5000 stay two
+    # sessions (the late 3000 is > gap from both sides... 3000-0 >
+    # 900 and 5000-3000 > 900, so it forms its OWN middle session);
+    # user 3: in-order control.
+    round1 = [(1, at(0)), (1, at(1600)), (2, at(0)), (2, at(5000)),
+              (3, at(100)), (3, at(200))]
+    late = [(1, at(800)), (2, at(3000))]
+
+    schema = "user_id long, ts timestamp"
+    ev = spark.createDataFrame(round1 + late, schema)
+    batch = {
+        tuple(r) for r in stream_sessions(ev, gap="15 minutes").collect()
+    }
+    # sanity: the bridge merged user 1 into ONE session of 3 events
+    u1 = {t for t in batch if t[0] == 1}
+    assert u1 == {(1, int(at(0).timestamp()), int(at(1600).timestamp()), 3)}
+    u2 = {t for t in batch if t[0] == 2}
+    assert len(u2) == 3
+
+    src = str(tmp_path / "dis_src")
+    out = str(tmp_path / "dis_out")
+    ckpt = str(tmp_path / "dis_ckpt")
+    spark.createDataFrame(round1, schema).write.parquet(src)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_sessions(stream, gap="15 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    try:
+        run_once()
+        # the LATE round: event times BEFORE what round 1 already saw
+        # (within the 2h watermark — max seen is at(5000), wm lags 2h)
+        spark.createDataFrame(late, schema).write.mode(
+            "append"
+        ).parquet(src)
+        run_once()
+        for hours in (10, 20):
+            st = at(5000) + datetime.timedelta(hours=hours)
+            spark.createDataFrame(
+                [(-1, st)], schema
+            ).write.mode("append").parquet(src)
+            run_once()
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .where(F.col("user_id") >= 0)
+        .collect()
+    }
+    assert got == batch

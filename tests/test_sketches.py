@@ -442,3 +442,52 @@ def test_md5_hll_small_range_correction(spark):
     est = md5_hll_estimate(md5_hll_partials(df, "id")).first()
     assert est["n_nonzero_regs"] <= 30
     assert abs(est["hll_estimate"] - 30) < 5
+
+
+def test_md5_hll_rho_is_64_bit(spark):
+    """The rank source is the 64 md5 bits after the register byte
+    (16 hex chars): the Spark kernel's (reg, rho) must equal a
+    hashlib-computed reference for a sample of values, and the
+    max observable rho is 65 (all-zero word), not 33. A 32-bit
+    rank saturates above ~10⁹ distincts — too small for the
+    100 TB stored-sketch path x101 advertises."""
+    import hashlib
+
+    from dislib_spark.sketches import md5_hll_partials
+
+    def ref(v: str) -> tuple[int, int]:
+        h = hashlib.md5(v.encode()).hexdigest()
+        reg = int(h[:2], 16)
+        word = int(h[2:18], 16)
+        rho = 65 if word == 0 else 64 - word.bit_length() + 1
+        return reg, rho
+
+    vals = [str(i) for i in range(500)]
+    expect = {}
+    for v in vals:
+        r, p = ref(v)
+        expect[r] = max(expect.get(r, 0), p)
+    df = spark.createDataFrame([(v,) for v in vals], ["id"])
+    got = {
+        r["reg"]: r["max_rho"]
+        for r in md5_hll_partials(df, "id").collect()
+    }
+    assert got == expect
+    # 500 uniform values land some rho > 33's 32-bit range rarely;
+    # at minimum the kernel must never exceed 65 and the reference
+    # agreement above pins the 64-bit derivation exactly.
+    assert max(got.values()) <= 65
+
+
+def test_md5_hll_large_cardinality_band(spark):
+    """>10⁶ distincts: rel_err stays inside the m=256 HLL band
+    (1.04/sqrt(256) = 6.5% typical std; assert < 4 sigma). This is
+    the regime the 64-bit rank exists for — with enough distincts
+    that deep rho values matter, the estimate must not saturate."""
+    from dislib_spark.sketches import md5_hll_estimate, md5_hll_partials
+
+    n = 1_500_000
+    df = spark.range(n).selectExpr("id")
+    est = md5_hll_estimate(md5_hll_partials(df, "id")).first()
+    assert est["n_nonzero_regs"] == 256
+    assert abs(est["hll_estimate"] - n) / n < 0.26

@@ -10,7 +10,7 @@ in tests/ instead (SURVEY.md §5.2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dislib_spark.cluster.kmeans import assign_to_centers
@@ -3011,6 +3011,110 @@ def m67_mahalanobis_outliers(
     )
 
 
+def m68_pinball_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile (pinball-loss) regression of quantity on discount at
+    τ ∈ {0.25, 0.5, 0.75} — the loss-based member that completes the
+    m62/m63/m64 robust family (τ=0.5 is LAD; the outer rows are the
+    conditional-quantile bands OLS cannot give). Exact, not iterative:
+    the profiled objective f(b) = min_a Σ w·ρ_τ(y − b·x − a) is
+    convex piecewise-linear with breakpoints at pairwise data slopes,
+    so the minimizer is one of the ≤ |Δy|·|Δx| ≈ 990 DISTINCT slope
+    values of the 11×50 (discount, quantity) cell grid — m62's
+    bounded-grid trick applied to candidate enumeration instead of
+    multiplicity counting. Everything is INTEGER arithmetic (x scaled
+    ×100, slopes and residuals ×2520 = lcm(1..10), loss ×4), so the
+    per-candidate objective and the final argmin are bit-identical in
+    any engine — no float-tie hazard in the winner selection.
+    Corpus-size-independent after the one groupBy scan: candidates ×
+    grid ≈ 0.5M tiny rows. Returns one row per τ: (tau, n, slope,
+    intercept, avg_pinball)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    scale = 2520  # lcm of the possible x-gaps 1..10 (x = discount·100)
+    cells = (
+        li.groupBy(
+            F.round(F.col("l_discount") * 100).cast("int").alias("x"),
+            F.col("l_quantity").cast("int").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    xv = cells.select("x").distinct()
+    yv = cells.select("y").distinct()
+    dx = (
+        xv.alias("a")
+        .join(xv.alias("b"), F.col("a.x") < F.col("b.x"))
+        .select((F.col("b.x") - F.col("a.x")).alias("dx"))
+        .distinct()
+    )
+    dy = (
+        yv.alias("a")
+        .join(yv.alias("b"), F.lit(True))
+        .select((F.col("b.y") - F.col("a.y")).alias("dy"))
+        .distinct()
+    )
+    # integer candidate slopes S = scale·Δy/Δx (Δx divides scale)
+    cand = (
+        dy.crossJoin(F.broadcast(dx))
+        .selectExpr(f"CAST(dy AS BIGINT) * {scale} DIV dx AS s")
+        .distinct()
+    )
+    # exact integer residual per (candidate, cell), collapsed by value
+    # so the cumulative-weight quantile has unique order keys
+    r = (
+        cand.crossJoin(F.broadcast(cells))
+        .select(
+            "s",
+            (F.col("y").cast("long") * scale
+             - F.col("s") * F.col("x")).alias("resid"),
+            "cnt",
+        )
+        .groupBy("s", "resid")
+        .agg(F.sum("cnt").alias("w"))
+    )
+    wtot = cells.agg(F.sum("cnt").alias("w_all"))
+    wr = Window.partitionBy("s").orderBy("resid")
+    cum = r.select(
+        "s", "resid", "w", F.sum("w").over(wr).alias("cumw")
+    ).crossJoin(F.broadcast(wtot))
+    taus = spark.range(1, 4).select(F.col("id").cast("int").alias("q4"))
+    # optimal intercept per (s, τ): lower weighted τ-quantile of the
+    # residuals — min resid with cumw ≥ ceil(q4·W/4), all integers
+    thresh = F.expr("(q4 * w_all + 3) DIV 4")
+    a_star = (
+        cum.crossJoin(F.broadcast(taus))
+        .where(F.col("cumw") >= thresh)
+        .groupBy("s", "q4")
+        .agg(F.min("resid").alias("a4"))
+    )
+    # 4×pinball objective per (s, τ): exact integer sum
+    pin4 = F.when(
+        F.col("resid") > F.col("a4"),
+        F.col("q4") * (F.col("resid") - F.col("a4")),
+    ).otherwise((4 - F.col("q4")) * (F.col("a4") - F.col("resid")))
+    obj = (
+        r.join(a_star, "s")
+        .groupBy("s", "q4", "a4")
+        .agg(F.sum(F.col("w") * pin4).alias("obj4"))
+    )
+    wbest = Window.partitionBy("q4").orderBy("obj4", "s")
+    best = (
+        obj.withColumn("_rn", F.row_number().over(wbest))
+        .where(F.col("_rn") == 1)
+        .crossJoin(F.broadcast(wtot))
+    )
+    return best.select(
+        (F.col("q4") / 4.0).alias("tau"),
+        F.col("w_all").cast("bigint").alias("n"),
+        F.round(F.col("s") * 100.0 / scale, 6).alias("slope"),
+        F.round(F.col("a4") / float(scale), 6).alias("intercept"),
+        F.round(
+            F.col("obj4") / (4.0 * scale * F.col("w_all")), 6
+        ).alias("avg_pinball"),
+    ).orderBy("tau")
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -3079,6 +3183,7 @@ QUERIES = {
     "m65_cronbach_alpha": m65_cronbach_alpha,
     "m66_cooks_distance": m66_cooks_distance,
     "m67_mahalanobis_outliers": m67_mahalanobis_outliers,
+    "m68_pinball_regression": m68_pinball_regression,
 }
 
 
@@ -5820,4 +5925,79 @@ ORACLE["m67_mahalanobis_outliers"] = """
     FROM scored
     ORDER BY d2 DESC, l_orderkey, l_linenumber
     LIMIT 15
+"""
+
+# m68: identical integer-exact pipeline — x scaled x100, slopes and
+# residuals x2520 (lcm of the x-gaps), pinball x4 — so the candidate
+# objectives and the (obj4, s) argmin replay bit-identically; the only
+# doubles are the final display divisions.
+ORACLE["m68_pinball_regression"] = """
+    WITH cells AS (
+        SELECT CAST(ROUND(l_discount * 100) AS INT) AS x,
+               CAST(l_quantity AS INT) AS y,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    wtot AS (SELECT SUM(cnt) AS w_all FROM cells),
+    dx AS (
+        SELECT DISTINCT b.x - a.x AS dx
+        FROM (SELECT DISTINCT x FROM cells) a
+        JOIN (SELECT DISTINCT x FROM cells) b ON a.x < b.x
+    ),
+    dy AS (
+        SELECT DISTINCT b.y - a.y AS dy
+        FROM (SELECT DISTINCT y FROM cells) a
+        JOIN (SELECT DISTINCT y FROM cells) b ON TRUE
+    ),
+    cand AS (
+        SELECT DISTINCT CAST(dy AS BIGINT) * 2520 // dx AS s
+        FROM dy CROSS JOIN dx
+    ),
+    r AS (
+        SELECT s, CAST(y AS BIGINT) * 2520 - s * x AS resid,
+               SUM(cnt) AS w
+        FROM cand CROSS JOIN cells
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT s, resid, w,
+               SUM(w) OVER (
+                   PARTITION BY s ORDER BY resid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cumw
+        FROM r
+    ),
+    a_star AS (
+        SELECT c.s, t.q4, MIN(c.resid) AS a4
+        FROM cum c
+        CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS q4) t
+        CROSS JOIN wtot
+        WHERE c.cumw >= (t.q4 * w_all + 3) // 4
+        GROUP BY c.s, t.q4
+    ),
+    obj AS (
+        SELECT a.s, a.q4, a.a4,
+               SUM(r.w * CASE WHEN r.resid > a.a4
+                              THEN a.q4 * (r.resid - a.a4)
+                              ELSE (4 - a.q4) * (a.a4 - r.resid)
+                         END) AS obj4
+        FROM a_star a JOIN r ON r.s = a.s
+        GROUP BY a.s, a.q4, a.a4
+    ),
+    best AS (
+        SELECT s, q4, a4, obj4 FROM (
+            SELECT s, q4, a4, obj4,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q4 ORDER BY obj4, s
+                   ) AS rn
+            FROM obj
+        ) WHERE rn = 1
+    )
+    SELECT q4 / 4.0 AS tau,
+           CAST(w_all AS BIGINT) AS n,
+           ROUND(s * 100.0 / 2520, 6) AS slope,
+           ROUND(a4 / 2520.0, 6) AS intercept,
+           ROUND(obj4 / (4.0 * 2520 * w_all), 6) AS avg_pinball
+    FROM best CROSS JOIN wtot
+    ORDER BY tau
 """

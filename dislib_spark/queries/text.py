@@ -1918,6 +1918,150 @@ def t73_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t74_containment_golden_record(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """t73's field-level survivorship run over the UNION of the
+    symmetric Jaccard edges (t04/t14) and the asymmetric containment
+    edges (t72) — merging the quote-expansion / template-wrap dups
+    t73 never merges because Jaccard structurally misses them. Each
+    output row also carries ``n_jaccard_subclusters``: how many
+    previously-separate Jaccard components (singletons included) the
+    containment edges fused into this cluster — >1 rows are exactly
+    the merges only the asymmetric pass finds. Same bounded-candidate
+    kernels (one inverted-index scan feeds both edge sets) and
+    member-cardinality windows as t73."""
+    from dislib_spark.text.dedup import containment_pairs
+
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ej = jaccard_pairs(d, threshold=0.3).select("a_id", "b_id")
+    ec = containment_pairs(d, c_threshold=0.6, j_max=0.3).select(
+        "a_id", "b_id"
+    )
+    edges = ej.unionByName(ec).distinct()
+    cc = connected_components(edges)
+    jcc = connected_components(ej).select(
+        F.col("node").alias("jnode"), F.col("component").alias("jcomp")
+    )
+    m = (
+        cc.join(d, cc["node"] == d["doc_id"])
+        .join(jcc, cc["node"] == F.col("jnode"), "left")
+        .select(
+            "component",
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            # a member with no Jaccard edge is its own subcluster
+            F.coalesce("jcomp", "doc_id").alias("jsub"),
+        )
+    )
+    base = m.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("keep_id"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("jsub").alias("n_jaccard_subclusters"),
+    )
+    wl = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    longest = (
+        m.withColumn("_rn", F.row_number().over(wl))
+        .where(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("longest_doc_id"),
+            F.col("n_chars").alias("longest_chars"),
+        )
+    )
+    lc = m.groupBy("component", "lang").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.partitionBy("component").orderBy(
+        F.col("c").desc(), F.col("lang")
+    )
+    majority = (
+        lc.withColumn("_rn", F.row_number().over(wv))
+        .where(F.col("_rn") == 1)
+        .select("component", F.col("lang").alias("majority_lang"))
+    )
+    return (
+        base.join(longest, "component")
+        .join(majority, "component")
+        .select(
+            F.col("component").alias("comp_id"),
+            "n_members",
+            "keep_id",
+            "longest_doc_id",
+            "longest_chars",
+            "majority_lang",
+            F.col("n_sources").cast("bigint").alias("n_sources"),
+            F.col("n_jaccard_subclusters")
+            .cast("bigint")
+            .alias("n_jaccard_subclusters"),
+        )
+        .orderBy("comp_id")
+    )
+
+
+def t75_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall GRADE for the MinHash+LSH banding (the quality metric
+    t67 sweeps parameters for but never scores): t04's exact
+    inverted-index Jaccard pairs at ≥0.3 are the ground truth, and
+    TWO banding configurations of the same 32-hash signature are
+    graded per true-Jaccard decile — the production 8 bands × 4 rows
+    (P(candidate) ≈ 1−(1−s⁴)⁸, near-1 on real dups) and the cheaper
+    4 bands × 8 rows (≈ 1−(1−s⁸)⁴ ≈ 0.9 at s=0.9 — measurably lossy
+    on this corpus), so the empirical S-curve tradeoff t67 sweeps is
+    value-graded, not just parameterized. Pair volume is
+    candidate-bounded on both sides; the grade joins are
+    truth-set-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    truth = jaccard_pairs(d, threshold=0.3)
+
+    def caught(bands, name):
+        return (
+            minhash_lsh_pairs(
+                d, threshold=0.3, bands=bands, hash_fn="md5"
+            )
+            .select("a_id", "b_id")
+            .withColumn(name, F.lit(1))
+        )
+
+    j = truth.join(caught(8, "hit8"), ["a_id", "b_id"], "left").join(
+        caught(4, "hit4"), ["a_id", "b_id"], "left"
+    )
+    return (
+        j.groupBy(
+            F.floor(F.col("jaccard") * 10)
+            .cast("int")
+            .alias("jacc_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.coalesce(F.sum("hit8"), F.lit(0))
+            .cast("bigint")
+            .alias("n_caught_8x4"),
+            F.coalesce(F.sum("hit4"), F.lit(0))
+            .cast("bigint")
+            .alias("n_caught_4x8"),
+        )
+        .select(
+            "jacc_decile",
+            "n_true_pairs",
+            "n_caught_8x4",
+            F.round(
+                F.col("n_caught_8x4") / F.col("n_true_pairs"), 6
+            ).alias("recall_8x4"),
+            "n_caught_4x8",
+            F.round(
+                F.col("n_caught_4x8") / F.col("n_true_pairs"), 6
+            ).alias("recall_4x8"),
+        )
+        .orderBy("jacc_decile")
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -1992,6 +2136,8 @@ QUERIES = {
     "t71_length_quality_calibration": t71_length_quality_calibration,
     "t72_containment_dedup": t72_containment_dedup,
     "t73_golden_record": t73_golden_record,
+    "t74_containment_golden_record": t74_containment_golden_record,
+    "t75_minhash_recall": t75_minhash_recall,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -3123,13 +3269,15 @@ ORACLE["t48_char_entropy"] = """
 """
 
 
-def _t05_oracle(with_est: bool = False) -> str:
+def _t05_oracle(with_est: bool = False, tail_sql: str | None = None) -> str:
     """DuckDB replay of t05's md5-mode MinHash+LSH: identical affine
     constants (shared ``minhash_perms``), md5-prefix shingle hashes,
     md5 band keys — pure integer arithmetic, so the candidate set and
     the exact-Jaccard verify are both bit-deterministic.
     ``with_est=True`` adds the signature-match estimator column
-    (t59's estimator-quality audit); default output is unchanged."""
+    (t59's estimator-quality audit); default output is unchanged.
+    ``tail_sql`` replaces the final SELECT (and may append further
+    CTEs before it) — t75's recall grade reuses the whole chain."""
     from dislib_spark.text.dedup import _MERSENNE as M, minhash_perms
 
     sig_items = ",\n               ".join(
@@ -3152,12 +3300,15 @@ def _t05_oracle(with_est: bool = False) -> str:
         if with_est
         else ""
     )
-    tail = (
-        "SELECT a_id, b_id, jaccard, minhash_est FROM scored"
-        if with_est
-        else "SELECT a_id, b_id, jaccard FROM scored\n"
-        "    WHERE jaccard >= 0.3 ORDER BY a_id, b_id"
-    )
+    if tail_sql is not None:
+        tail = tail_sql
+    elif with_est:
+        tail = "SELECT a_id, b_id, jaccard, minhash_est FROM scored"
+    else:
+        tail = (
+            "SELECT a_id, b_id, jaccard FROM scored\n"
+            "    WHERE jaccard >= 0.3 ORDER BY a_id, b_id"
+        )
     return f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     sh AS (
@@ -4277,3 +4428,164 @@ ORACLE["t73_golden_record"] = (
         ORDER BY comp_id
     """
 )
+
+# t74: the shared t14 recursive closure (Jaccard comp) EXTENDED with a
+# second closure over Jaccard ∪ containment edges (both edge sets read
+# off the same `pr` pair counts); survivorship rules identical to t73;
+# n_jaccard_subclusters counts distinct Jaccard components (members
+# with no Jaccard edge are their own) fused per union-component.
+ORACLE["t74_containment_golden_record"] = (
+    _CLUSTER_CTE
+    + """,
+        pc AS (
+            SELECT a_id, b_id FROM pr
+            WHERE ROUND(n_inter::DOUBLE
+                        / LEAST(a_size, b_size)::DOUBLE, 6) >= 0.6
+        ),
+        uedges AS (
+            SELECT a_id AS u, b_id AS v FROM p
+            UNION
+            SELECT b_id, a_id FROM p
+            UNION
+            SELECT a_id, b_id FROM pc
+            UNION
+            SELECT b_id, a_id FROM pc
+        ),
+        ureach(n, r) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM uedges)
+            UNION
+            SELECT ureach.n, e.v FROM ureach JOIN uedges e
+              ON ureach.r = e.u
+        ),
+        ucomp AS (SELECT n, MIN(r) AS comp FROM ureach GROUP BY n),
+        m AS (
+            SELECT uc.comp AS component, d.doc_id, d.lang, d.source,
+                   d.n_chars,
+                   COALESCE(c.comp, d.doc_id) AS jsub
+            FROM ucomp uc
+            JOIN documents d ON uc.n = d.doc_id
+            LEFT JOIN comp c ON c.n = d.doc_id
+        ),
+        base AS (
+            SELECT component, COUNT(*) AS n_members,
+                   MIN(doc_id) AS keep_id,
+                   COUNT(DISTINCT source) AS n_sources,
+                   COUNT(DISTINCT jsub) AS n_jaccard_subclusters
+            FROM m GROUP BY component
+        ),
+        longest AS (
+            SELECT component, doc_id AS longest_doc_id,
+                   n_chars AS longest_chars
+            FROM (
+                SELECT component, doc_id, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY component
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rn
+                FROM m
+            ) WHERE rn = 1
+        ),
+        majority AS (
+            SELECT component, lang AS majority_lang FROM (
+                SELECT component, lang,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY component
+                           ORDER BY COUNT(*) DESC, lang
+                       ) AS rn
+                FROM m GROUP BY component, lang
+            ) WHERE rn = 1
+        )
+        SELECT b.component AS comp_id, b.n_members, b.keep_id,
+               l.longest_doc_id, l.longest_chars, j.majority_lang,
+               CAST(b.n_sources AS BIGINT) AS n_sources,
+               CAST(b.n_jaccard_subclusters AS BIGINT)
+                   AS n_jaccard_subclusters
+        FROM base b
+        JOIN longest l ON l.component = b.component
+        JOIN majority j ON j.component = b.component
+        ORDER BY comp_id
+    """
+)
+
+# t75: the full t05 chain (8×4 candidates + exact verify) graded
+# against the t04-style exhaustive inverted-index truth, per true-
+# Jaccard decile, alongside a second 4×8 banding of the SAME 32-hash
+# signature (its band keys assembled the same way); counts are exact
+# integers, recalls /n divisions.
+def _t75_oracle() -> str:
+    band4 = ",\n                   ".join(
+        "{'bi': %d, 'bh': md5(concat_ws(',', %s))}"
+        % (
+            b,
+            ", ".join(
+                f"CAST(sig[{b * 8 + j + 1}] AS VARCHAR)" for j in range(8)
+            ),
+        )
+        for b in range(4)
+    )
+    return _t05_oracle(
+        tail_sql=f"""
+    , banded4 AS (
+        SELECT doc_id, u.bi AS band_idx, u.bh AS band_hash FROM (
+            SELECT doc_id,
+                   UNNEST([{band4}]) AS u
+            FROM sig
+        )
+    ),
+    cand4 AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM banded4 a JOIN banded4 b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    caught4 AS (
+        SELECT c.a_id, c.b_id
+        FROM cand4 c
+        JOIN sig x ON x.doc_id = c.a_id
+        JOIN sig y ON y.doc_id = c.b_id
+        WHERE ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE
+                    / (len(x.sh) + len(y.sh)
+                       - len(list_intersect(x.sh, y.sh)))::DOUBLE,
+                    6) >= 0.3
+    ),
+    inv AS (
+        SELECT doc_id, len(sh) AS set_size, UNNEST(sh) AS shingle
+        FROM sh
+    ),
+    truth AS (
+        SELECT a_id, b_id, jaccard FROM (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   ROUND(COUNT(*)::DOUBLE
+                         / (ANY_VALUE(a.set_size) + ANY_VALUE(b.set_size)
+                            - COUNT(*))::DOUBLE, 6) AS jaccard
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ) WHERE jaccard >= 0.3
+    ),
+    caught AS (
+        SELECT a_id, b_id FROM scored WHERE jaccard >= 0.3
+    ),
+    binned AS (
+        SELECT CAST(FLOOR(t.jaccard * 10) AS INT) AS jacc_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+               CAST(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_caught_8x4,
+               CAST(SUM(CASE WHEN c4.a_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_caught_4x8
+        FROM truth t
+        LEFT JOIN caught c ON t.a_id = c.a_id AND t.b_id = c.b_id
+        LEFT JOIN caught4 c4 ON t.a_id = c4.a_id AND t.b_id = c4.b_id
+        GROUP BY 1
+    )
+    SELECT jacc_decile, n_true_pairs,
+           n_caught_8x4,
+           ROUND(n_caught_8x4::DOUBLE / n_true_pairs, 6) AS recall_8x4,
+           n_caught_4x8,
+           ROUND(n_caught_4x8::DOUBLE / n_true_pairs, 6) AS recall_4x8
+    FROM binned ORDER BY jacc_decile
+    """
+    )
+
+
+ORACLE["t75_minhash_recall"] = _t75_oracle()

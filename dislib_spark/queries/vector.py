@@ -1046,6 +1046,60 @@ def v30_maintained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v31_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (``vector.search.ivfpq_topk``) — the
+    production FAISS IVFPQ shape v04 (IVF pruning, exact scoring) and
+    v06 (PQ scoring, full corpus) each cover half of: candidates come
+    only from the query's 4 probed cells, are scored by 8 ADC table
+    lookups on the compressed codes, and exact cosine touches only
+    the top-50 shortlist. Deterministic seed quantizers end to end
+    (cells = 16 lowest-id raw vectors, codebooks = the same vectors
+    unit-normalized and sliced), so assignment, probing, encode, ADC
+    and re-rank are all value-replayed by the DuckDB oracle."""
+    from dislib_spark.vector.search import ivfpq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return ivfpq_topk(
+        q, e, k=10, n_cells=16, n_probe=4, n_subvectors=8,
+        n_centroids=16, rerank=50, centers="seed", codebooks="seed",
+    ).orderBy("q_id", "rank")
+
+
+def v32_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the COMPOSED IVF-PQ index (v30's harness
+    applied to v31): recall@10 of the ivfpq pipeline against the
+    brute-force exact cosine top-10 per query — quantifying the
+    compounded loss of cell pruning (v18 measures it alone) plus
+    code quantization (v19 measures it alone). Exact-integer hit
+    counts over /10.0, bit-replayable."""
+    from dislib_spark.vector.search import cosine_topk, ivfpq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    exact = cosine_topk(q, e, k=10).select("q_id", "c_id")
+    ap = ivfpq_topk(
+        q, e, k=10, n_cells=16, n_probe=4, n_subvectors=8,
+        n_centroids=16, rerank=50, centers="seed", codebooks="seed",
+    ).select("q_id", "c_id")
+    base = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        exact.join(ap, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        base.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / 10.0).alias("recall_at_10"),
+        )
+        .orderBy("q_id")
+    )
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -1077,6 +1131,8 @@ QUERIES = {
     "v28_pq_distortion": v28_pq_distortion,
     "v29_pq_index_maintenance": v29_pq_index_maintenance,
     "v30_maintained_recall": v30_maintained_recall,
+    "v31_ivfpq_topk": v31_ivfpq_topk,
+    "v32_ivfpq_recall": v32_ivfpq_recall,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -2498,6 +2554,140 @@ ORACLE["v29_pq_index_maintenance"] = f"""
            ROUND(a.mse / b.mse, 6) AS mse_drift
     FROM bef_mse b JOIN aft_mse a ON b.m = a.m
     ORDER BY m
+"""
+
+# v31: v04's seed-cell assignment/probe chain (RAW vectors, `cd2`)
+# composed with v06's seed-codebook encode/ADC chain (UNIT vectors,
+# `sd2`): ADC runs only on candidates from the probed cells, the
+# shortlist is the 50 lowest (adc, c_id), and the exact cosine top-10
+# re-rank runs on the shortlist alone — each stage value-identical to
+# its parent oracle.
+ORACLE["v31_ivfpq_topk"] = f"""
+    WITH cells AS ({_CELLS}),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM cells GROUP BY vec_id
+    ),
+    ctr AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+               vec_id AS cvid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    cd2 AS (
+        SELECT a.vec_id AS vid, ctr.cell,
+               SUM((a.v - b.v) * (a.v - b.v)) AS d2
+        FROM cells a
+        JOIN ctr ON TRUE
+        JOIN cells b ON b.vec_id = ctr.cvid AND b.k = a.k
+        GROUP BY a.vec_id, ctr.cell
+    ),
+    assigned AS (
+        SELECT vid, cell FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cell)
+                       AS rn
+            FROM cd2
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vid AS q_id, cell FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cell)
+                       AS pr
+            FROM cd2 WHERE vid < 5
+        ) WHERE pr <= 4
+    ),
+    cand AS (
+        SELECT p.q_id, a.vid AS c_id
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+    ),
+    unit AS (
+        SELECT c.vec_id, c.k,
+               c.v / CASE WHEN n.nrm = 0 THEN 1 ELSE n.nrm END AS u
+        FROM cells c JOIN norms n USING (vec_id)
+    ),
+    ctrids AS (
+        SELECT vec_id AS cvid,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    book AS (
+        SELECT ct.c, CAST((u.k - 1) // 8 AS INT) AS m, (u.k - 1) % 8 AS j,
+               u.u AS w
+        FROM unit u JOIN ctrids ct ON u.vec_id = ct.cvid
+    ),
+    sub AS (
+        SELECT vec_id, CAST((k - 1) // 8 AS INT) AS m, (k - 1) % 8 AS j, u
+        FROM unit
+    ),
+    sd2 AS (
+        SELECT s.vec_id, s.m, b.c, SUM((s.u - b.w) * (s.u - b.w)) AS d2
+        FROM sub s JOIN book b ON b.m = s.m AND b.j = s.j
+        GROUP BY s.vec_id, s.m, b.c
+    ),
+    codes AS (
+        SELECT vec_id, m, c FROM (
+            SELECT vec_id, m, c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, m ORDER BY d2, c
+                   ) AS rn
+            FROM sd2
+        ) WHERE rn = 1
+    ),
+    adc AS (
+        SELECT ca.q_id, ca.c_id, SUM(q.d2) AS adc
+        FROM cand ca
+        JOIN codes cd ON cd.vec_id = ca.c_id
+        JOIN sd2 q ON q.vec_id = ca.q_id AND q.m = cd.m AND q.c = cd.c
+        GROUP BY ca.q_id, ca.c_id
+    ),
+    short AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY adc, c_id
+                   ) AS r
+            FROM adc
+        ) WHERE r <= 50
+    ),
+    dots AS (
+        SELECT sh.q_id, sh.c_id, SUM(a.v * b.v) AS dot
+        FROM short sh
+        JOIN cells a ON a.vec_id = sh.q_id
+        JOIN cells b ON b.vec_id = sh.c_id AND a.k = b.k
+        GROUP BY sh.q_id, sh.c_id
+    ),
+    scored AS (
+        SELECT d.q_id, d.c_id,
+               ROUND(d.dot / (na.nrm * nb.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.q_id
+        JOIN norms nb ON nb.vec_id = d.c_id
+    )
+    SELECT q_id, c_id, sim, CAST(rank AS INT) AS rank FROM (
+        SELECT q_id, c_id, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY sim DESC, c_id
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+# v32 composes the value-replayed v01 and v31 oracles; recall math is
+# exact-int counts over /10.0.
+ORACLE["v32_ivfpq_recall"] = f"""
+    WITH exact AS ({ORACLE["v01_cosine_topk"]}),
+    ivfpq AS ({ORACLE["v31_ivfpq_topk"]}),
+    base AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY q_id),
+    h AS (
+        SELECT e.q_id, COUNT(*) AS n_hits
+        FROM exact e JOIN ivfpq i ON e.q_id = i.q_id AND e.c_id = i.c_id
+        GROUP BY e.q_id
+    )
+    SELECT b.q_id, b.n_exact,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) / 10.0 AS recall_at_10
+    FROM base b LEFT JOIN h ON b.q_id = h.q_id
+    ORDER BY b.q_id
 """
 
 # v30: the full v24 CTE chain (same maintenance, same stale-center

@@ -800,6 +800,146 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_subvectors: int = 8,
+    n_centroids: int = 16,
+    rerank: int = 50,
+    seed: int = 17,
+    pq_seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centers: str = "kmeans",
+    codebooks: str = "kmeans",
+) -> DataFrame:
+    """IVF-PQ composed ANN — the production FAISS ``IVFPQ`` shape:
+    candidate GENERATION is IVF cell pruning (each query probes its
+    ``n_probe`` nearest coarse cells and touches only those inverted
+    lists), candidate SCORING is PQ asymmetric-distance lookups on
+    the compressed codes (``n_subvectors`` array lookups per
+    candidate, never the raw floats), and EXACT cosine runs only on
+    the top ``rerank`` ADC candidates per query. Codes quantize the
+    full unit vector (flat PQ, matching ``pq_topk``/``pq_encode``),
+    not the cell residual — the variant the v29/v28 maintenance and
+    distortion kernels already audit.
+
+    Scale story at 100 TB: the probed-cell equi-join partition-prunes
+    a ``partitionBy("cell")`` stored index to n_probe lists per
+    query; within a list the per-candidate cost is ADC lookups on
+    codes ~96× smaller than the raw vectors (d=64 float32 → 8 bytes);
+    raw vectors are fetched for ``rerank`` rows per query only. No
+    stage is corpus-broadcast or corpus-crossJoin.
+
+    ``centers``/``codebooks``: "kmeans" (MLlib-trained) or "seed"
+    (lowest-id deterministic — DuckDB-replayable end to end, the v31
+    oracle). Returns (q_id, c_id, sim, rank)."""
+    ctrs, assigned = ivf_index(
+        corpus, n_cells, seed, id_col, vec_col, centers=centers
+    )
+    books = pq_codebooks(
+        corpus, n_subvectors, n_centroids, pq_seed, vec_col=vec_col,
+        method=codebooks, id_col=id_col,
+    )
+    codes = pq_encode(corpus, books, id_col, vec_col)
+    # the stored-index layout: one row per corpus vector carrying its
+    # cell AND its PQ codes (this is what partitionBy("cell") persists)
+    cell_codes = assigned.select("c_id", "cell").join(
+        codes.withColumnRenamed("id", "c_id"), "c_id"
+    )
+    sub = len(books[0][0])
+
+    # per-query: nearest n_probe cells (broadcast coarse centers) and
+    # the ADC distance table on the UNIT query vector, built JVM-side
+    qv = F.transform(F.col("_qraw"), lambda x: x / F.col("_qnrm"))
+    table_cols = []
+    for m, book in enumerate(books):
+        sl = F.slice(qv, m * sub + 1, sub)
+        table_cols.append(
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            sl,
+                            F.array(*[F.lit(float(x)) for x in ctr]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for ctr in book
+                ]
+            )
+        )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(vec_col).cast("array<double>").alias("_qraw"),
+        _norm(F.col(vec_col)).alias("_qnrm"),
+    ).select("q_id", "q_vec", "_qraw", F.array(*table_cols).alias("dt"))
+    qc = q.crossJoin(F.broadcast(ctrs)).select(
+        "q_id",
+        "q_vec",
+        "dt",
+        "cell",
+        F.aggregate(
+            F.zip_with(
+                F.col("_qraw"),
+                F.col("center"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    wp = Window.partitionBy("q_id").orderBy("d2", "cell")
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= n_probe)
+        .select("q_id", "q_vec", "dt", "cell")
+    )
+
+    # ADC over the probed lists only: equi-join on cell (partition-
+    # pruning on a stored index), score = sum of table lookups
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("dt"),
+            F.col("codes"),
+            lambda t, c: F.element_at(t, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = F.broadcast(probes).join(cell_codes, "cell").select(
+        "q_id", "q_vec", "c_id", adc.alias("adc")
+    )
+    wq = Window.partitionBy("q_id").orderBy("adc", "c_id")
+    short = (
+        cand.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= rerank)
+        .select("q_id", "q_vec", "c_id")
+    )
+    exact = short.join(
+        corpus.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_id",
+    ).select(
+        "q_id",
+        "c_id",
+        F.round(
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "c_id")
+    return exact.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def rrf_fuse(
     ranked_lists: list[DataFrame],
     k: int = 60,

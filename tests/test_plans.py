@@ -92,6 +92,9 @@ _BNLJ_OK = {
     "m67_mahalanobis_outliers",  # 1-row broadcast of the (mu, Sigma^-1) stats
     "x103_forgotten_users",  # 1-row broadcasts of the erased/residual totals
     "v30_maintained_recall",  # broadcast centers/probes/queries, the v04/v24 shape
+    "v31_ivfpq_topk",  # broadcast 16-row centers + 5-query probe/ADC tables
+    "v32_ivfpq_recall",  # v31's broadcasts + v01's broadcast query set
+    "m68_pinball_regression",  # <=990 candidate slopes x bounded 11x50 grid (m62 shape)
 }
 
 

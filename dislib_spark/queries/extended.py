@@ -3614,6 +3614,351 @@ def x104_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x105_erasure_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GDPR erasure PROPAGATED into a downstream aggregate — the hard
+    half of right-to-be-forgotten that x103 leaves open: deleting the
+    fact rows is not enough while a derived rollup still embeds the
+    erased users' contributions. The mart is persisted
+    partitionBy(day) alongside a (day, event_type) rollup table
+    derived from it (the x47 incremental-view shape, also stored
+    partitionBy(day)); the erasure batch rewrites only its fan-out
+    day partitions (``erase_keys_path``), and the rollup is repaired
+    INCREMENTALLY: only the touched days' groups are recomputed from
+    the post-erase mart and swapped into the stored rollup with the
+    same crash-safe ``replace_partitions_path`` — history partials
+    are never rescanned, so propagation cost tracks the erasure
+    fan-out, never the mart or the rollup. The audit proves the
+    propagated rollup equals a FULL recompute from the erased mart
+    (n_stale_groups, value-checked at 0 — the x99
+    prove-the-property pattern) and reports the per-type forgotten
+    row and value totals (DECIMAL-exact)."""
+    import tempfile
+
+    from dislib_spark.sources.merge import (
+        erase_keys_path,
+        replace_partitions_path,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    mart = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="gdpr_prop_")
+    mpath = f"{tmp}/mart"
+    rpath = f"{tmp}/rollup"
+    mart.write.partitionBy("day").mode("overwrite").parquet(mpath)
+
+    def rollup_of(side: DataFrame) -> DataFrame:
+        return side.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+
+    stored_mart = spark.read.parquet(mpath)
+    rollup_of(stored_mart).write.partitionBy("day").mode(
+        "overwrite"
+    ).parquet(rpath)
+    before = spark.read.parquet(rpath).localCheckpoint(eager=True)
+
+    erased = (
+        ev.where(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    )
+    # the erasure's day fan-out, read BEFORE the rewrite — this scopes
+    # both the mart erasure and the rollup repair
+    touched = [
+        r["day"]
+        for r in stored_mart.join(
+            F.broadcast(erased), "user_id", "left_semi"
+        )
+        .select("day")
+        .distinct()
+        .collect()
+    ]
+    erase_keys_path(spark, mpath, erased, "user_id", "day")
+    post_mart = spark.read.parquet(mpath)
+    repaired = rollup_of(post_mart.where(F.col("day").isin(touched)))
+    replace_partitions_path(rpath, "day", touched, repaired)
+
+    propagated = spark.read.parquet(rpath)
+    recomputed = rollup_of(post_mart)
+    stale = (
+        propagated.select("day", "event_type", "n", "sv")
+        .exceptAll(recomputed.select("day", "event_type", "n", "sv"))
+        .unionAll(
+            recomputed.select("day", "event_type", "n", "sv").exceptAll(
+                propagated.select("day", "event_type", "n", "sv")
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_stale_groups"))
+    )
+    b = before.groupBy("event_type").agg(
+        F.sum("n").alias("rows_before"), F.sum("sv").alias("val_before")
+    )
+    a = propagated.groupBy("event_type").agg(
+        F.sum("n").alias("rows_after"), F.sum("sv").alias("val_after")
+    )
+    return (
+        b.join(a, "event_type", "left")
+        .crossJoin(F.broadcast(stale))
+        .select(
+            "event_type",
+            F.col("rows_before").cast("bigint").alias("rows_before"),
+            F.coalesce("rows_after", F.lit(0))
+            .cast("bigint")
+            .alias("rows_after"),
+            (
+                F.col("rows_before")
+                - F.coalesce("rows_after", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("rows_forgotten"),
+            F.round(
+                (
+                    F.col("val_before")
+                    - F.coalesce(F.col("val_after"), F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("value_forgotten"),
+            F.col("n_stale_groups").cast("bigint").alias(
+                "n_stale_groups"
+            ),
+            F.lit(len(touched)).cast("bigint").alias("n_days_repaired"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def s16_streaming_erasure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x103's forget-me key feed consumed as a STREAM
+    (``streaming.cdc.erasure_sink``): erasure requests arrive in
+    micro-batches and each batch is applied to the partitionBy(day)
+    mart with the same partition-scoped crash-safe
+    ``erase_keys_path`` — the operational GDPR shape (requests
+    trickle in; the table forgets continuously, not in quarterly
+    rewrites). The feed is drained availableNow with
+    maxFilesPerTrigger=1 so a REAL batch boundary crosses the key set
+    (users ≡0 mod 194 land before the other half of the ≡0 mod 97
+    set); erasure is idempotent and batch-associative, so the batched
+    replay must equal the one-shot logical erase — which is exactly
+    what the oracle replays, plus the per-round partition fan-outs
+    the two micro-batches each rewrote."""
+    import tempfile
+
+    from dislib_spark.streaming.cdc import erasure_sink
+
+    ev = load_table(spark, sf_dir, "events")
+    mart = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="gdpr_stream_")
+    mpath = f"{tmp}/mart"
+    feed = f"{tmp}/feed"
+    ckpt = f"{tmp}/ckpt"
+    mart.write.partitionBy("day").mode("overwrite").parquet(mpath)
+    uid = F.col("user_id")
+    r1 = ev.where(uid % 194 == 0).select("user_id").distinct()
+    r2 = (
+        ev.where((uid % 97 == 0) & (uid % 194 != 0))
+        .select("user_id")
+        .distinct()
+    )
+    r1.coalesce(1).write.mode("overwrite").parquet(feed)
+    r2.coalesce(1).write.mode("append").parquet(feed)
+
+    counts: list[int] = []
+    q = erasure_sink(
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed),
+        mpath,
+        ckpt,
+        "user_id",
+        "day",
+        counts=counts,
+        availableNow=True,
+    )
+    q.awaitTermination(300)
+
+    stored = spark.read.parquet(mpath)
+    erased = ev.where(uid % 97 == 0).select("user_id").distinct()
+    before = mart.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    after = stored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_after")
+    )
+    residual = stored.join(
+        F.broadcast(erased), "user_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_residual_rows"))
+    totals = erased.agg(F.count(F.lit(1)).alias("n_users_erased"))
+    return (
+        before.join(after, "event_type", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(residual))
+        .select(
+            "event_type",
+            F.col("n_before").cast("bigint").alias("n_before"),
+            F.coalesce("n_after", F.lit(0))
+            .cast("bigint")
+            .alias("n_after"),
+            (F.col("n_before") - F.coalesce("n_after", F.lit(0)))
+            .cast("bigint")
+            .alias("n_erased"),
+            F.col("n_users_erased").cast("bigint").alias(
+                "n_users_erased"
+            ),
+            F.col("n_residual_rows").cast("bigint").alias(
+                "n_residual_rows"
+            ),
+            F.lit(sum(counts)).cast("bigint").alias(
+                "n_parts_rewritten_total"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def x106_erasure_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user erasure CERTIFICATE — the evidence record a data-
+    protection officer files per forget-me request (x103 proves the
+    table-level invariant; regulators ask for per-subject receipts):
+    for each erased user, the rows removed, the day span their data
+    covered, the distinct partitions touched, and a post-erase
+    residual count value-checked at 0 per user. Snapshot stats are
+    taken BEFORE the erase (one scan, grouped per user), the erase
+    runs partition-scoped as in x103, and the residual probe runs
+    against the stored post-erase table. Output bounded to the 20
+    lowest erased user ids — certificate volume tracks the request
+    batch, never the corpus."""
+    import tempfile
+
+    from dislib_spark.sources.merge import erase_keys_path
+
+    ev = load_table(spark, sf_dir, "events")
+    mart = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="gdpr_cert_")
+    path = f"{tmp}/mart"
+    mart.write.partitionBy("day").mode("overwrite").parquet(path)
+    erased = (
+        ev.where(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    )
+    cert = (
+        mart.join(F.broadcast(erased), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_erased"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+            F.count_distinct("day").alias("n_days_touched"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    erase_keys_path(spark, path, erased, "user_id", "day")
+    stored = spark.read.parquet(path)
+    residual = stored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_res")
+    )
+    return (
+        cert.join(residual, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("n_rows_erased").cast("bigint").alias("n_rows_erased"),
+            "first_day",
+            "last_day",
+            F.col("n_days_touched").cast("bigint").alias(
+                "n_days_touched"
+            ),
+            F.coalesce("n_res", F.lit(0))
+            .cast("bigint")
+            .alias("n_residual_rows"),
+        )
+        .orderBy("user_id")
+        .limit(20)
+    )
+
+
+def x107_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy (TTL) enforcement PLAN over the partitioned
+    mart — the triage that makes data expiry affordable at 100 TB:
+    per day partition, classify against PER-TYPE TTLs anchored at the
+    corpus watermark (error logs keep 10 days, clicks 20, everything
+    else 25): DROP when every row in the day is past its class TTL
+    (delete the directory, zero rows read), KEEP when nothing expired
+    (untouched), REWRITE only when expired and surviving rows share a
+    partition — the only class that costs a copy-on-write. Reports
+    per-class partition counts, row volumes, and the reclaim ratio;
+    the classification reads ONLY per-partition aggregates (one
+    grouped scan + a 1-row watermark broadcast), never a row-level
+    delete plan."""
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        F.max(F.date_trunc("day", "ts")).alias("max_day")
+    )
+    mart = ev.crossJoin(F.broadcast(wm)).select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        F.datediff(
+            F.col("max_day"), F.date_trunc("day", "ts")
+        ).alias("age"),
+        "event_type",
+    )
+    ttl = (
+        F.when(F.col("event_type") == "error", 10)
+        .when(F.col("event_type") == "click", 20)
+        .otherwise(25)
+    )
+    expired = F.col("age") > ttl
+    per_day = mart.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(expired.cast("long")).alias("n_expired"),
+    )
+    action = (
+        F.when(F.col("n_expired") == 0, "KEEP")
+        .when(F.col("n_expired") == F.col("n_rows"), "DROP")
+        .otherwise("REWRITE")
+    )
+    return (
+        per_day.select(
+            action.alias("action"), "n_rows", "n_expired"
+        )
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("n_expired").cast("bigint").alias("n_rows_expired"),
+            F.round(
+                F.sum("n_expired") / F.sum("n_rows"), 6
+            ).alias("reclaim_ratio"),
+        )
+        .orderBy("action")
+    )
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -3721,6 +4066,10 @@ QUERIES = {
     "s15_stream_sessions": s15_stream_sessions,
     "x103_forgotten_users": x103_forgotten_users,
     "x104_snapshot_diff": x104_snapshot_diff,
+    "x105_erasure_propagation": x105_erasure_propagation,
+    "s16_streaming_erasure": s16_streaming_erasure,
+    "x106_erasure_certificate": x106_erasure_certificate,
+    "x107_retention_plan": x107_retention_plan,
 }
 
 ORACLE = {
@@ -6252,6 +6601,139 @@ ORACLE["x103_forgotten_users"] = """
     FROM before b LEFT JOIN after a ON b.event_type = a.event_type,
          t, p
     ORDER BY b.event_type
+"""
+
+# x105: the erasure + incremental rollup repair replayed logically —
+# before-rollup over all events, after-rollup over the non-erased
+# rows; the incremental repair is a value no-op versus recompute
+# (that IS the property the Spark side checks, so n_stale_groups is
+# the literal 0 the audit must produce); value sums DECIMAL-exact.
+ORACLE["x105_erasure_propagation"] = """
+    WITH erased AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    ),
+    b AS (
+        SELECT event_type, COUNT(*) AS rows_before,
+               SUM(CAST(value AS DECIMAL(18,2))) AS val_before
+        FROM events GROUP BY event_type
+    ),
+    a AS (
+        SELECT event_type, COUNT(*) AS rows_after,
+               SUM(CAST(value AS DECIMAL(18,2))) AS val_after
+        FROM events
+        WHERE user_id NOT IN (SELECT user_id FROM erased)
+        GROUP BY event_type
+    ),
+    d AS (
+        SELECT COUNT(DISTINCT strftime(date_trunc('day', ts),
+                                       '%Y-%m-%d')) AS n_days
+        FROM events
+        WHERE user_id IN (SELECT user_id FROM erased)
+    )
+    SELECT b.event_type,
+           CAST(b.rows_before AS BIGINT) AS rows_before,
+           CAST(COALESCE(a.rows_after, 0) AS BIGINT) AS rows_after,
+           CAST(b.rows_before - COALESCE(a.rows_after, 0) AS BIGINT)
+               AS rows_forgotten,
+           ROUND(CAST(b.val_before - COALESCE(a.val_after, 0)
+                      AS DOUBLE), 6) AS value_forgotten,
+           CAST(0 AS BIGINT) AS n_stale_groups,
+           CAST(d.n_days AS BIGINT) AS n_days_repaired
+    FROM b LEFT JOIN a ON b.event_type = a.event_type, d
+    ORDER BY b.event_type
+"""
+
+# s16: the streamed two-round erasure is idempotent and batch-
+# associative, so the logical one-shot erase replays it; the total
+# rewritten-partition count is round 1's day fan-out plus round 2's
+# (round 1 removes only round-1 users' rows, so round-2 users' day
+# memberships are unchanged when batch 2 lands).
+ORACLE["s16_streaming_erasure"] = """
+    WITH erased AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    ),
+    before AS (
+        SELECT event_type, COUNT(*) AS n_before
+        FROM events GROUP BY event_type
+    ),
+    after AS (
+        SELECT event_type, COUNT(*) AS n_after
+        FROM events
+        WHERE user_id NOT IN (SELECT user_id FROM erased)
+        GROUP BY event_type
+    ),
+    t AS (SELECT COUNT(*) AS n_users_erased FROM erased),
+    p1 AS (
+        SELECT COUNT(DISTINCT strftime(date_trunc('day', ts),
+                                       '%Y-%m-%d')) AS n
+        FROM events WHERE user_id % 194 = 0
+    ),
+    p2 AS (
+        SELECT COUNT(DISTINCT strftime(date_trunc('day', ts),
+                                       '%Y-%m-%d')) AS n
+        FROM events WHERE user_id % 97 = 0 AND user_id % 194 <> 0
+    )
+    SELECT b.event_type,
+           CAST(b.n_before AS BIGINT) AS n_before,
+           CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+           CAST(b.n_before - COALESCE(a.n_after, 0) AS BIGINT)
+               AS n_erased,
+           CAST(t.n_users_erased AS BIGINT) AS n_users_erased,
+           CAST(0 AS BIGINT) AS n_residual_rows,
+           CAST(p1.n + p2.n AS BIGINT) AS n_parts_rewritten_total
+    FROM before b LEFT JOIN after a ON b.event_type = a.event_type,
+         t, p1, p2
+    ORDER BY b.event_type
+"""
+
+# x106: the per-user certificate replayed logically — pre-erase
+# grouped stats per erased user, residual 0 by construction; the
+# storage mechanics are value no-ops.
+ORACLE["x106_erasure_certificate"] = """
+    WITH e AS (
+        SELECT user_id,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        FROM events WHERE user_id % 97 = 0
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_erased,
+           MIN(day) AS first_day,
+           MAX(day) AS last_day,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days_touched,
+           CAST(0 AS BIGINT) AS n_residual_rows
+    FROM e GROUP BY user_id
+    ORDER BY user_id LIMIT 20
+"""
+
+# x107: pure per-partition aggregate classification; all counts exact
+# longs, ratio an int/int division.
+ORACLE["x107_retention_plan"] = """
+    WITH wm AS (SELECT MAX(date_trunc('day', ts)) AS max_day FROM events),
+    per_day AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_rows,
+               SUM(CASE WHEN date_diff('day', date_trunc('day', ts),
+                                       max_day)
+                             > (CASE WHEN event_type = 'error' THEN 10
+                                     WHEN event_type = 'click' THEN 20
+                                     ELSE 25 END)
+                        THEN 1 ELSE 0 END) AS n_expired
+        FROM events, wm GROUP BY 1
+    )
+    SELECT action,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(n_expired) AS BIGINT) AS n_rows_expired,
+           ROUND(SUM(n_expired)::DOUBLE / SUM(n_rows), 6)
+               AS reclaim_ratio
+    FROM (
+        SELECT CASE WHEN n_expired = 0 THEN 'KEEP'
+                    WHEN n_expired = n_rows THEN 'DROP'
+                    ELSE 'REWRITE' END AS action,
+               n_rows, n_expired
+        FROM per_day
+    )
+    GROUP BY action ORDER BY action
 """
 
 # x104: one full-outer join classified into add/delete/change legs;

@@ -2062,6 +2062,58 @@ def t75_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t76_dedup_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How aggressive should the dedup pass be? The cluster-structure
+    curve across Jaccard thresholds {0.3, 0.95, 0.98}: the candidate
+    pairs are computed ONCE (the t04 inverted-index kernel at the
+    loosest threshold — higher-threshold edge sets are subsets, so no
+    re-scan), then each threshold's transitive clusters are labeled
+    and summarized (components, clustered docs, largest component,
+    surviving edge count). The curve is the evidence for choosing
+    t14/t15's production threshold: too loose chains unrelated docs
+    into mega-components (largest_component explodes), too tight
+    leaves near-dups unmerged (n_clustered_docs collapses)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, threshold=0.3).localCheckpoint(eager=True)
+    outs = []
+    for thr in (0.3, 0.95, 0.98):
+        e = pairs.where(F.col("jaccard") >= thr)
+        sizes = connected_components(e).groupBy("component").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        outs.append(
+            sizes.agg(
+                F.count(F.lit(1)).alias("_nc"),
+                F.sum("sz").alias("_nd"),
+                F.max("sz").alias("_lg"),
+            )
+            .crossJoin(
+                e.agg(F.count(F.lit(1)).alias("_ne"))
+            )
+            .select(
+                F.lit(thr).alias("threshold"),
+                F.coalesce("_ne", F.lit(0))
+                .cast("bigint")
+                .alias("n_edges"),
+                F.coalesce("_nc", F.lit(0))
+                .cast("bigint")
+                .alias("n_components"),
+                F.coalesce("_nd", F.lit(0))
+                .cast("bigint")
+                .alias("n_clustered_docs"),
+                F.coalesce("_lg", F.lit(0))
+                .cast("bigint")
+                .alias("largest_component"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("threshold")
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -2138,6 +2190,7 @@ QUERIES = {
     "t73_golden_record": t73_golden_record,
     "t74_containment_golden_record": t74_containment_golden_record,
     "t75_minhash_recall": t75_minhash_recall,
+    "t76_dedup_threshold_curve": t76_dedup_threshold_curve,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -4504,6 +4557,73 @@ ORACLE["t74_containment_golden_record"] = (
         JOIN longest l ON l.component = b.component
         JOIN majority j ON j.component = b.component
         ORDER BY comp_id
+    """
+)
+
+# t76: the shared t14 recursive closure evaluated at three thresholds
+# (the ≥0.5/≥0.7 pair sets filter the same `pr` counts; one closure
+# per threshold); per-threshold aggregates are exact integer counts.
+ORACLE["t76_dedup_threshold_curve"] = (
+    _CLUSTER_CTE
+    + """,
+        p5 AS (
+            SELECT a_id, b_id FROM pr
+            WHERE ROUND(n_inter::DOUBLE
+                        / (a_size + b_size - n_inter)::DOUBLE, 6) >= 0.95
+        ),
+        p7 AS (
+            SELECT a_id, b_id FROM pr
+            WHERE ROUND(n_inter::DOUBLE
+                        / (a_size + b_size - n_inter)::DOUBLE, 6) >= 0.98
+        ),
+        e5 AS (
+            SELECT a_id AS u, b_id AS v FROM p5
+            UNION SELECT b_id, a_id FROM p5
+        ),
+        e7 AS (
+            SELECT a_id AS u, b_id AS v FROM p7
+            UNION SELECT b_id, a_id FROM p7
+        ),
+        reach5(n, r) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM e5)
+            UNION
+            SELECT reach5.n, e.v FROM reach5 JOIN e5 e ON reach5.r = e.u
+        ),
+        comp5 AS (SELECT n, MIN(r) AS comp FROM reach5 GROUP BY n),
+        reach7(n, r) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM e7)
+            UNION
+            SELECT reach7.n, e.v FROM reach7 JOIN e7 e ON reach7.r = e.u
+        ),
+        comp7 AS (SELECT n, MIN(r) AS comp FROM reach7 GROUP BY n),
+        s3 AS (SELECT comp, COUNT(*) AS sz FROM comp GROUP BY comp),
+        s5 AS (SELECT comp, COUNT(*) AS sz FROM comp5 GROUP BY comp),
+        s7 AS (SELECT comp, COUNT(*) AS sz FROM comp7 GROUP BY comp)
+        SELECT * FROM (
+            SELECT 0.3 AS threshold,
+                   CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_edges,
+                   CAST(COALESCE(COUNT(*), 0) AS BIGINT)
+                       AS n_components,
+                   CAST(COALESCE(SUM(sz), 0) AS BIGINT)
+                       AS n_clustered_docs,
+                   CAST(COALESCE(MAX(sz), 0) AS BIGINT)
+                       AS largest_component
+            FROM s3
+            UNION ALL
+            SELECT 0.95,
+                   CAST((SELECT COUNT(*) FROM p5) AS BIGINT),
+                   CAST(COALESCE(COUNT(*), 0) AS BIGINT),
+                   CAST(COALESCE(SUM(sz), 0) AS BIGINT),
+                   CAST(COALESCE(MAX(sz), 0) AS BIGINT)
+            FROM s5
+            UNION ALL
+            SELECT 0.98,
+                   CAST((SELECT COUNT(*) FROM p7) AS BIGINT),
+                   CAST(COALESCE(COUNT(*), 0) AS BIGINT),
+                   CAST(COALESCE(SUM(sz), 0) AS BIGINT),
+                   CAST(COALESCE(MAX(sz), 0) AS BIGINT)
+            FROM s7
+        ) ORDER BY threshold
     """
 )
 

@@ -96,3 +96,41 @@ def cdc_apply_sink(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def erasure_sink(
+    keys_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str,
+    partition_col: str,
+    counts: list | None = None,
+    **trigger,
+):
+    """Start a foreachBatch GDPR-erasure sink: each micro-batch of
+    forget-me keys is applied to the parquet table at ``path`` with
+    the partition-scoped crash-safe ``sources.merge.erase_keys_path``
+    (only the partitions holding an erased key's rows are rewritten,
+    via the journaled tmp+rename swap). Erasure is idempotent and
+    batch-associative — any micro-batching of the same key set yields
+    the same table — so checkpoint replays of unacknowledged batches
+    are safe, the same effectively-once argument as ``cdc_apply_sink``.
+    ``counts``, if a list, collects each batch's rewritten-partition
+    count. Returns the started StreamingQuery."""
+    from dislib_spark.sources.merge import erase_keys_path
+
+    spark = keys_stream.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        n = erase_keys_path(
+            spark, path, batch_df, key_col, partition_col
+        )
+        if counts is not None:
+            counts.append(n)
+
+    return (
+        keys_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -91,6 +91,10 @@ _BNLJ_OK = {
     "m66_cooks_distance",  # 1-row broadcast of the fitted (a, b, s2) stats
     "m67_mahalanobis_outliers",  # 1-row broadcast of the (mu, Sigma^-1) stats
     "x103_forgotten_users",  # 1-row broadcasts of the erased/residual totals
+    "s16_streaming_erasure",  # same 1-row erased/residual total broadcasts as x103
+    "x105_erasure_propagation",  # 1-row broadcast of the stale-group count
+    "x107_retention_plan",  # 1-row broadcast of the watermark (max day)
+    "t76_dedup_threshold_curve",  # 1-row broadcasts of per-threshold summary aggs
     "v30_maintained_recall",  # broadcast centers/probes/queries, the v04/v24 shape
     "v31_ivfpq_topk",  # broadcast 16-row centers + 5-query probe/ADC tables
     "v32_ivfpq_recall",  # v31's broadcasts + v01's broadcast query set

@@ -272,3 +272,43 @@ def test_jaccard_hot_shingle_posting_capped(spark):
         df, threshold=0.4, max_posting=None, max_df=50
     ).collect()
     assert (900, 901) in {(r["a_id"], r["b_id"]) for r in pruned}
+
+
+def test_ivfpq_recall_kmeans_mode(spark):
+    """The composed IVF-PQ path (v31's kernel) on its PRODUCTION
+    quantizers (MLlib KMeans cells + KMeans codebooks — the non-seed
+    path no oracle covers): k rows per query, exact re-ranked sims
+    match brute force on the intersection, and recall clears the IVF
+    gate's floor (ADC shortlisting of cell-pruned candidates must not
+    destroy what pruning alone preserves)."""
+    from dislib_spark.vector.search import ivfpq_topk
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    exact = _topk_sets(cosine_topk(q, e, k=10))
+    got = ivfpq_topk(
+        q, e, k=10, n_cells=8, n_probe=4, n_subvectors=8,
+        n_centroids=16, rerank=100,
+    )
+    rows = got.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+    assert set(per_q) == set(exact)
+    for qid, rs in per_q.items():
+        assert len(rs) == 10
+        assert sorted(r["rank"] for r in rs) == list(range(1, 11))
+    # sims are EXACT cosine (re-rank contract): spot-check vs numpy
+    vecs = {
+        r["vec_id"]: np.asarray(list(r["embedding"]), dtype=float)
+        for r in e.where(F.col("vec_id") < 400).collect()
+    }
+    for r in rows[:25]:
+        if r["q_id"] in vecs and r["c_id"] in vecs:
+            a, b = vecs[r["q_id"]], vecs[r["c_id"]]
+            sim = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert abs(r["sim"] - round(sim, 6)) < 1e-6
+    approx = _topk_sets(got)
+    hit = sum(len(exact[qid] & approx.get(qid, set())) for qid in exact)
+    tot = sum(len(v) for v in exact.values())
+    assert hit / tot > 0.4, f"IVF-PQ recall {hit / tot}"

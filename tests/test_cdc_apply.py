@@ -295,3 +295,53 @@ def test_partition_swap_crash_recovery(spark, tmp_path):
     M._recover_partition_swap(str(leftover), "day")
     assert not os.path.isdir(str(leftover) + ".__ptmp__")
     assert spark.read.parquet(str(leftover)).count() == 4
+
+
+def test_erasure_sink_stream_equals_batch(spark, tmp_path):
+    """s16's kernel: forget-me keys drained as TWO micro-batches
+    (maxFilesPerTrigger=1) through the foreachBatch erasure sink must
+    leave exactly the table a one-shot batch erase leaves — erasure is
+    idempotent and batch-associative — and the per-batch rewritten-
+    partition counts are collected."""
+    from dislib_spark.sources.merge import erase_keys_path
+    from dislib_spark.streaming.cdc import erasure_sink
+
+    rows = [
+        (1, 7, "d1"), (2, 8, "d1"), (3, 9, "d2"),
+        (4, 7, "d2"), (5, 10, "d3"),
+    ]
+    df = spark.createDataFrame(rows, "id long, user_id long, day string")
+
+    streamed = str(tmp_path / "streamed")
+    batch = str(tmp_path / "batch")
+    df.write.partitionBy("day").parquet(streamed)
+    df.write.partitionBy("day").parquet(batch)
+
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame([(7,)], "user_id long").coalesce(1).write.parquet(feed)
+    spark.createDataFrame([(10,)], "user_id long").coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    counts: list[int] = []
+    q = erasure_sink(
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed),
+        streamed,
+        str(tmp_path / "ckpt"),
+        "user_id",
+        "day",
+        counts=counts,
+        availableNow=True,
+    )
+    q.awaitTermination(120)
+
+    keys = spark.createDataFrame([(7,), (10,)], "user_id long")
+    erase_keys_path(spark, batch, keys, "user_id", "day")
+
+    got = {tuple(r) for r in spark.read.parquet(streamed).collect()}
+    want = {tuple(r) for r in spark.read.parquet(batch).collect()}
+    assert got == want
+    assert {r[1] for r in got} == {8, 9}
+    assert len(counts) == 2 and sum(counts) == 3  # d1+d2, then d3

@@ -481,6 +481,30 @@ def test_x95_header_line_reconciliation_plan_pinned(spark):
     assert not f.has_cartesian and not f.has_python_row_udf
 
 
+def test_v29_v30_maintenance_plan_pinned(spark):
+    """The stored-index maintenance queries must stay within their
+    recorded scan/shuffle budgets (the t70 stored-index discipline
+    applied to the vector indexes): v29's report reads the maintained
+    PQ codes table plus the bounded before/after distortion probes —
+    a regression that rescans the logical corpus per maintenance step
+    blows the scan budget; v30's recall gate adds the brute-force
+    exact side (two extra bounded scans). v31's composed IVF-PQ is
+    pinned too: cell-pruned candidates + code lookups + shortlist
+    re-rank, never a corpus-wide exact scoring pass."""
+    from dislib_spark.utils.plancheck import plan_facts
+
+    budgets = {
+        "v29_pq_index_maintenance": (5, 6),
+        "v30_maintained_recall": (9, 10),
+        "v31_ivfpq_topk": (6, 7),
+    }
+    for name, (scans, exchanges) in budgets.items():
+        f = plan_facts(all_queries()[name](spark, SF_SMOKE))
+        assert f.n_scans <= scans, (name, f.n_scans)
+        assert f.n_exchanges <= exchanges, (name, f.n_exchanges)
+        assert not f.has_cartesian and not f.has_python_row_udf, name
+
+
 def test_t70_archive_probe_plan_pinned(spark):
     """t70's decontamination must touch the corpus only through the
     stored band index: the benchmark side is bounded, every join is

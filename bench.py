@@ -23,6 +23,17 @@ Modes:
   TWICE and reports the second timing: a fresh JVM's first execution
   is cold-JIT-dominated (measured 2-4x the warm number), and the
   ledger values being compared against are warm in-batch timings.
+- ``--floor-probe [N] --ledger FILE``: steady-state latency-floor
+  probe for the N (default 20) smallest positive ledger items: each
+  runs once warm-up then 4 consecutive timed runs in ONE warm
+  session; the per-item MIN is written to
+  ``.benchmarks/floor_sf{sf}.json``. Rationale (PLANS.md round-8
+  adjudication): sub-second items track the HOST's per-action
+  latency floor, which drifts between rounds — comparing them
+  against a stale ledger re-flags the same latency-bound items every
+  round. ``--isolate`` therefore compares each item against
+  ``factor x max(ledger[n], floor[n])`` when a committed floor file
+  for the scale exists.
 """
 
 from __future__ import annotations
@@ -182,6 +193,49 @@ def main() -> None:
         print(json.dumps(timings))
         return
 
+    ledger_dir_ = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".benchmarks"
+    )
+    floor_file = os.path.join(ledger_dir_, f"floor_sf{sf}.json")
+
+    if "--floor-probe" in args:
+        i = args.index("--floor-probe")
+        n_items = (
+            int(args[i + 1])
+            if i + 1 < len(args) and args[i + 1].isdigit()
+            else 20
+        )
+        ledger_path = args[args.index("--ledger") + 1]
+        with open(ledger_path) as fh:
+            ledger = json.load(fh).get("queries", {})
+        names = [
+            n
+            for _, n in sorted(
+                (v, n) for n, v in ledger.items() if v > 0
+            )[:n_items]
+        ]
+        spark = get_spark(app_name="dislib-spark-floor-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        _run_items(spark, sf_dir, names=names)  # warm-up pass
+        runs = [_run_items(spark, sf_dir, names=names) for _ in range(4)]
+        floors = {
+            n: round(min(r[n] for r in runs if r[n] > 0), 3)
+            for n in names
+            if all(r.get(n, -1) > 0 for r in runs)
+        }
+        os.makedirs(ledger_dir_, exist_ok=True)
+        with open(floor_file, "w") as fh:
+            json.dump(
+                {"sf": sf, "runs": 4, "floors": floors},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+        print(json.dumps({"metric": "floor_probe", "sf": sf,
+                          "floors": floors}))
+        return
+
     spark = get_spark(app_name="dislib-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     timings = _run_items(spark, sf_dir)
@@ -199,12 +253,16 @@ def main() -> None:
         if ledger_path and os.path.exists(ledger_path):
             with open(ledger_path) as fh:
                 ledger = json.load(fh).get("queries", {})
+        floors: dict[str, float] = {}
+        if os.path.exists(floor_file):
+            with open(floor_file) as fh:
+                floors = json.load(fh).get("floors", {})
         flagged = [
             n
             for n, v in timings.items()
             if v > 0
             and ledger.get(n, 0) > 0
-            and v > factor * ledger[n]
+            and v > factor * max(ledger[n], floors.get(n, 0.0))
         ]
         if flagged:
             print(

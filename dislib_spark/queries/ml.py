@@ -3115,6 +3115,111 @@ def m68_pinball_regression(
     ).orderBy("tau")
 
 
+def m69_passing_bablok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passing–Bablok method-comparison regression — the robust fit
+    for 'do two measurements of the same quantity agree?' that m62's
+    Theil–Sen is not (PB is symmetric in x/y and tests proportional
+    plus constant bias): method A = the order header's total, method
+    B = the sum of its line items, both binned to exact-integer
+    $20k buckets (cent-level BIGINT sums, so the binning is immune to
+    float summation order). Slopes collapse onto the bounded
+    (x, y) cell grid (m62's trick); the PB estimator is the
+    K-SHIFTED median of pairwise slopes — K = the weight of slopes
+    < −1, slopes = −1 excluded — with the arithmetic lower/upper
+    mid-mean convention (the 1983 paper's geometric mean is undefined
+    for sign-mixed middle slopes; arithmetic replays exactly in both
+    engines). Intercept = weighted median of y − b·x. A slope near 1
+    and intercept near 0 is the 'methods agree' verdict. Returns
+    (n, n_pairs, k_shift, slope, intercept)."""
+    dec = "decimal(38,0)"
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    width = 2_000_000  # $20k in cents
+    osums = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("_cents")
+    )
+    pts = (
+        orders.join(osums, orders["o_orderkey"] == osums["l_orderkey"])
+        .selectExpr(
+            f"CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV {width} AS x",
+            f"_cents DIV {width} AS y",
+        )
+    )
+    cells = (
+        pts.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.col("cnt").alias("an"),
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.col("cnt").alias("bn"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("ax") < F.col("bx"))
+        .select(
+            # try_divide: Catalyst may push the s != -1 filter into the
+            # join condition and evaluate it on ax == bx candidate rows
+            # before the ax < bx conjunct prunes them — a plain ANSI
+            # division would throw there; NULL s rows are impossible on
+            # real matches (bx > ax) and drop at the filter anyway
+            F.try_divide(
+                F.col("by") - F.col("ay"),
+                (F.col("bx") - F.col("ax")).cast("double"),
+            ).alias("s"),
+            (F.col("an") * F.col("bn")).cast(dec).alias("w"),
+        )
+        .where(F.col("s") != -1.0)
+    )
+    tot = pairs.agg(
+        F.sum("w").alias("npair"),
+        F.sum(F.when(F.col("s") < -1.0, F.col("w")).otherwise(0)).alias(
+            "kshift"
+        ),
+    )
+    sv = pairs.groupBy("s").agg(F.sum("w").alias("w"))
+    from pyspark.sql import Window as W
+
+    cum = sv.select(
+        "s",
+        F.sum("w")
+        .over(W.orderBy("s").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+    ).crossJoin(F.broadcast(tot))
+    half = (F.col("npair") - F.col("npair") % 2) / 2
+    lo_idx = half + F.col("kshift") + F.col("npair") % 2
+    hi_idx = half + F.col("kshift") + 1
+    picked = cum.agg(
+        F.min(F.when(F.col("cum") >= lo_idx, F.col("s"))).alias("_lo"),
+        F.min(F.when(F.col("cum") >= hi_idx, F.col("s"))).alias("_hi"),
+    ).select(((F.col("_lo") + F.col("_hi")) / 2.0).alias("beta"))
+    resid = cells.crossJoin(F.broadcast(picked)).select(
+        (F.col("y") - F.col("beta") * F.col("x")).alias("r"),
+        F.col("cnt").cast(dec).alias("w"),
+    )
+    inter = _grid_weighted_median(resid, "r", "w").select(
+        F.col("med").alias("intercept")
+    )
+    n_row = cells.agg(F.sum("cnt").cast("bigint").alias("n"))
+    return (
+        n_row.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(picked))
+        .crossJoin(F.broadcast(inter))
+        .select(
+            "n",
+            F.col("npair").cast("double").alias("n_pairs"),
+            F.col("kshift").cast("double").alias("k_shift"),
+            F.round(F.col("beta"), 6).alias("slope"),
+            F.round(F.col("intercept"), 6).alias("intercept"),
+        )
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -3184,6 +3289,7 @@ QUERIES = {
     "m66_cooks_distance": m66_cooks_distance,
     "m67_mahalanobis_outliers": m67_mahalanobis_outliers,
     "m68_pinball_regression": m68_pinball_regression,
+    "m69_passing_bablok": m69_passing_bablok,
 }
 
 
@@ -6000,4 +6106,84 @@ ORACLE["m68_pinball_regression"] = """
            ROUND(obj4 / (4.0 * 2520 * w_all), 6) AS avg_pinball
     FROM best CROSS JOIN wtot
     ORDER BY tau
+"""
+
+# m69: identical exact pipeline — integer-cent bins, grid pair slopes
+# as doubles (same IEEE ops both engines), DECIMAL pair weights, the
+# K-shifted lower/upper order statistics picked by cumulative-weight
+# thresholds, arithmetic mid-mean convention; intercept = the shared
+# lower/upper weighted-median rule on y - b*x.
+ORACLE["m69_passing_bablok"] = """
+    WITH osums AS (
+        SELECT l_orderkey,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                   AS cents
+        FROM lineitem GROUP BY 1
+    ),
+    pts AS (
+        SELECT CAST(ROUND(o.o_totalprice * 100) AS BIGINT) // 2000000
+                   AS x,
+               s.cents // 2000000 AS y
+        FROM orders o JOIN osums s ON o.o_orderkey = s.l_orderkey
+    ),
+    cells AS (
+        SELECT x, y, COUNT(*) AS cnt FROM pts GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS s,
+               CAST(a.cnt AS DECIMAL(38,0))
+                   * CAST(b.cnt AS DECIMAL(38,0)) AS w
+        FROM cells a JOIN cells b ON a.x < b.x
+    ),
+    kept AS (SELECT s, w FROM pairs WHERE s <> -1.0),
+    tot AS (
+        SELECT SUM(w) AS n_pairs,
+               SUM(CASE WHEN s < -1.0 THEN w
+                        ELSE CAST(0 AS DECIMAL(38,0)) END) AS k
+        FROM kept
+    ),
+    sv AS (SELECT s, SUM(w) AS w FROM kept GROUP BY s),
+    cum AS (
+        SELECT s,
+               SUM(w) OVER (ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM sv
+    ),
+    beta AS (
+        SELECT (MIN(CASE WHEN cum >= (n_pairs - n_pairs % 2) / 2
+                                      + k + n_pairs % 2
+                         THEN s END)
+                + MIN(CASE WHEN cum >= (n_pairs - n_pairs % 2) / 2
+                                        + k + 1
+                           THEN s END)) / 2.0 AS beta
+        FROM cum, tot
+    ),
+    resid AS (
+        SELECT c.y - b.beta * c.x AS r,
+               CAST(c.cnt AS DECIMAL(38,0)) AS w
+        FROM cells c, beta b
+    ),
+    rv AS (SELECT r, SUM(w) AS w FROM resid GROUP BY r),
+    rcum AS (
+        SELECT r,
+               SUM(w) OVER (ORDER BY r
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(w) OVER () AS t
+        FROM rv
+    ),
+    inter AS (
+        SELECT (MIN(CASE WHEN 2 * cum >= t + t % 2 THEN r END)
+                + MIN(CASE WHEN 2 * cum >= t + 2 - t % 2 THEN r END))
+               / 2.0 AS intercept
+        FROM rcum
+    ),
+    nrow AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells)
+    SELECT n,
+           CAST(n_pairs AS DOUBLE) AS n_pairs,
+           CAST(k AS DOUBLE) AS k_shift,
+           ROUND(beta, 6) AS slope,
+           ROUND(intercept, 6) AS intercept
+    FROM nrow, tot, beta, inter
 """

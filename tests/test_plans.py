@@ -99,6 +99,7 @@ _BNLJ_OK = {
     "v31_ivfpq_topk",  # broadcast 16-row centers + 5-query probe/ADC tables
     "v32_ivfpq_recall",  # v31's broadcasts + v01's broadcast query set
     "m68_pinball_regression",  # <=990 candidate slopes x bounded 11x50 grid (m62 shape)
+    "m69_passing_bablok",  # cell-pair join over the bounded $20k-bin grid (m62 shape)
 }
 
 

@@ -231,6 +231,16 @@ def main():
         return pq_topk(queries, vecs, k=10).count()
 
     timed("PQ ANN top-10 (ADC scoring + re-rank)", pq_item)
+
+    def ivfpq_item():
+        from dislib_spark.vector.search import ivfpq_topk
+
+        return ivfpq_topk(
+            queries, vecs, k=10, n_cells=64, n_probe=4,
+            n_subvectors=8, n_centroids=16, rerank=100,
+        ).count()
+
+    timed("IVF-PQ ANN top-10 (cell-pruned ADC + re-rank)", ivfpq_item)
     timed(
         "semantic dedup (256 cells, 5-iter kmeans)",
         lambda: semantic_dedup_pairs(

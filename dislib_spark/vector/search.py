@@ -800,43 +800,27 @@ def pq_topk(
     )
 
 
-def ivfpq_topk(
-    queries: DataFrame,
+def ivfpq_index(
     corpus: DataFrame,
-    k: int = 10,
     n_cells: int = 16,
-    n_probe: int = 4,
     n_subvectors: int = 8,
     n_centroids: int = 16,
-    rerank: int = 50,
     seed: int = 17,
     pq_seed: int = 29,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centers: str = "kmeans",
     codebooks: str = "kmeans",
-) -> DataFrame:
-    """IVF-PQ composed ANN — the production FAISS ``IVFPQ`` shape:
-    candidate GENERATION is IVF cell pruning (each query probes its
-    ``n_probe`` nearest coarse cells and touches only those inverted
-    lists), candidate SCORING is PQ asymmetric-distance lookups on
-    the compressed codes (``n_subvectors`` array lookups per
-    candidate, never the raw floats), and EXACT cosine runs only on
-    the top ``rerank`` ADC candidates per query. Codes quantize the
-    full unit vector (flat PQ, matching ``pq_topk``/``pq_encode``),
-    not the cell residual — the variant the v29/v28 maintenance and
-    distortion kernels already audit.
-
-    Scale story at 100 TB: the probed-cell equi-join partition-prunes
-    a ``partitionBy("cell")`` stored index to n_probe lists per
-    query; within a list the per-candidate cost is ADC lookups on
-    codes ~96× smaller than the raw vectors (d=64 float32 → 8 bytes);
-    raw vectors are fetched for ``rerank`` rows per query only. No
-    stage is corpus-broadcast or corpus-crossJoin.
-
-    ``centers``/``codebooks``: "kmeans" (MLlib-trained) or "seed"
-    (lowest-id deterministic — DuckDB-replayable end to end, the v31
-    oracle). Returns (q_id, c_id, sim, rank)."""
+) -> tuple[DataFrame, list[list[list[float]]], DataFrame]:
+    """Build the composed IVF-PQ index: ``(coarse_centers, codebooks,
+    cell_codes)``. ``cell_codes`` is the persistable stored-index
+    table — one row per corpus vector carrying its cell AND its PQ
+    codes; write it ``partitionBy("cell")`` (centers + codebooks
+    alongside, both driver-small) and probe batches touch only their
+    n_probe lists without rescanning or re-clustering the corpus.
+    Build cost (two quantizer trainings + one encode pass + one
+    id-equi join) is paid ONCE per index lifetime — the per-query
+    economics live in :func:`ivfpq_query_index`."""
     ctrs, assigned = ivf_index(
         corpus, n_cells, seed, id_col, vec_col, centers=centers
     )
@@ -845,11 +829,35 @@ def ivfpq_topk(
         method=codebooks, id_col=id_col,
     )
     codes = pq_encode(corpus, books, id_col, vec_col)
-    # the stored-index layout: one row per corpus vector carrying its
-    # cell AND its PQ codes (this is what partitionBy("cell") persists)
     cell_codes = assigned.select("c_id", "cell").join(
         codes.withColumnRenamed("id", "c_id"), "c_id"
     )
+    return ctrs, books, cell_codes
+
+
+def ivfpq_query_index(
+    queries: DataFrame,
+    centers: DataFrame,
+    books: list[list[list[float]]],
+    cell_codes: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a (possibly parquet-stored) IVF-PQ index: candidate
+    GENERATION is IVF cell pruning (each query probes its ``n_probe``
+    nearest coarse cells — the cell equi-join partition-prunes a
+    ``partitionBy("cell")`` stored index to those lists), candidate
+    SCORING is PQ asymmetric-distance lookups on the compressed codes
+    (``n_subvectors`` array lookups per candidate, never the raw
+    floats), and EXACT cosine runs only on the top ``rerank`` ADC
+    candidates per query, fetched from ``vectors`` (the raw
+    (id, vec) table — touched for rerank·|Q| rows only). No stage is
+    corpus-broadcast or corpus-crossJoin. Returns
+    (q_id, c_id, sim, rank)."""
     sub = len(books[0][0])
 
     # per-query: nearest n_probe cells (broadcast coarse centers) and
@@ -880,7 +888,7 @@ def ivfpq_topk(
         F.col(vec_col).cast("array<double>").alias("_qraw"),
         _norm(F.col(vec_col)).alias("_qnrm"),
     ).select("q_id", "q_vec", "_qraw", F.array(*table_cols).alias("dt"))
-    qc = q.crossJoin(F.broadcast(ctrs)).select(
+    qc = q.crossJoin(F.broadcast(centers)).select(
         "q_id",
         "q_vec",
         "dt",
@@ -923,7 +931,7 @@ def ivfpq_topk(
         .select("q_id", "q_vec", "c_id")
     )
     exact = short.join(
-        corpus.select(
+        vectors.select(
             F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
         ),
         "c_id",
@@ -937,6 +945,45 @@ def ivfpq_topk(
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "c_id")
     return exact.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_subvectors: int = 8,
+    n_centroids: int = 16,
+    rerank: int = 50,
+    seed: int = 17,
+    pq_seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centers: str = "kmeans",
+    codebooks: str = "kmeans",
+) -> DataFrame:
+    """IVF-PQ composed ANN — the production FAISS ``IVFPQ`` shape:
+    :func:`ivfpq_index` (build once, persist when the corpus outlives
+    the query batch) composed with :func:`ivfpq_query_index` (cell-
+    pruned candidates, ADC scoring on compressed codes, exact cosine
+    re-rank on the ``rerank`` shortlist only). Codes quantize the
+    full unit vector (flat PQ, matching ``pq_topk``/``pq_encode``),
+    not the cell residual — the variant the v29/v28 maintenance and
+    distortion kernels already audit.
+
+    ``centers``/``codebooks``: "kmeans" (MLlib-trained) or "seed"
+    (lowest-id deterministic — DuckDB-replayable end to end, the v31
+    oracle). Returns (q_id, c_id, sim, rank)."""
+    ctrs, books, cell_codes = ivfpq_index(
+        corpus, n_cells, n_subvectors, n_centroids, seed, pq_seed,
+        id_col, vec_col, centers, codebooks,
+    )
+    return ivfpq_query_index(
+        queries, ctrs, books, cell_codes, corpus,
+        k=k, n_probe=n_probe, rerank=rerank,
+        id_col=id_col, vec_col=vec_col,
     )
 
 

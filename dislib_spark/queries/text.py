@@ -4600,7 +4600,7 @@ ORACLE["t76_dedup_threshold_curve"] = (
         s5 AS (SELECT comp, COUNT(*) AS sz FROM comp5 GROUP BY comp),
         s7 AS (SELECT comp, COUNT(*) AS sz FROM comp7 GROUP BY comp)
         SELECT * FROM (
-            SELECT 0.3 AS threshold,
+            SELECT CAST(0.3 AS DOUBLE) AS threshold,
                    CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_edges,
                    CAST(COALESCE(COUNT(*), 0) AS BIGINT)
                        AS n_components,
@@ -4610,14 +4610,14 @@ ORACLE["t76_dedup_threshold_curve"] = (
                        AS largest_component
             FROM s3
             UNION ALL
-            SELECT 0.95,
+            SELECT CAST(0.95 AS DOUBLE),
                    CAST((SELECT COUNT(*) FROM p5) AS BIGINT),
                    CAST(COALESCE(COUNT(*), 0) AS BIGINT),
                    CAST(COALESCE(SUM(sz), 0) AS BIGINT),
                    CAST(COALESCE(MAX(sz), 0) AS BIGINT)
             FROM s5
             UNION ALL
-            SELECT 0.98,
+            SELECT CAST(0.98 AS DOUBLE),
                    CAST((SELECT COUNT(*) FROM p7) AS BIGINT),
                    CAST(COALESCE(COUNT(*), 0) AS BIGINT),
                    CAST(COALESCE(SUM(sz), 0) AS BIGINT),

@@ -244,6 +244,11 @@ def replace_partitions_path(
 
     if not values:
         return 0
+    # complete any interrupted prior swap FIRST (callers like
+    # erase_keys_path also recover on entry, but a direct caller —
+    # e.g. an incremental-rollup repair — must be safe on its own:
+    # a crashed swap's survivors live in .__pold__ until replayed)
+    _recover_partition_swap(path, partition_col)
     tmp = path.rstrip("/") + ".__ptmp__"
     old = path.rstrip("/") + ".__pold__"
     frame.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)

@@ -308,6 +308,27 @@ def main() -> None:
             }
         )
     )
+    # the driver snapshots only the LAST ~2000 bytes of stdout; the
+    # full line above (~8 KB at 300+ items) gets front-truncated there
+    # and fails to parse. Emit a compact LAST line that always fits:
+    # headline metric + the slowest items + a pointer to the committed
+    # ledger that carries the complete per-item map.
+    slow = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_batch_seconds",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "slowest": slow,
+                "queries_full": f".benchmarks/last_full_sf{sf}.json",
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

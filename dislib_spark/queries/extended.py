@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dislib_spark.streaming import await_drain
 from dislib_spark.streaming.windows import (
     dedup_within_watermark,
     session_windows,
@@ -3792,8 +3793,7 @@ def s16_streaming_erasure(
         counts=counts,
         availableNow=True,
     )
-    q.awaitTermination(300)
-
+    await_drain(q, 300)
     stored = spark.read.parquet(mpath)
     erased = ev.where(uid % 97 == 0).select("user_id").distinct()
     before = mart.groupBy("event_type").agg(
@@ -3959,6 +3959,311 @@ def x107_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x108_retention_execute(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x107's retention plan EXECUTED — the TTL twin of x105: the
+    mart is persisted partitionBy(day), classified against the same
+    per-type TTLs (error 10 / click 20 / other 25 days, anchored at
+    the corpus watermark), and enforced with
+    ``sources.merge.enforce_retention_path``: DROP days removed as
+    whole directories (zero rows read), REWRITE days rebuilt
+    copy-on-write through the journaled crash-safe
+    ``replace_partitions_path`` swap, KEEP days never touched. The
+    audit then proves post-state ≡ plan FROM DISK: per action class,
+    the partitions still present, the surviving rows, and a stale-row
+    count (rows on disk that the policy says should be gone) —
+    value-checked at 0 — plus the executed drop/rewrite counts, which
+    must equal the plan's class sizes."""
+    import tempfile
+
+    from dislib_spark.sources.merge import enforce_retention_path
+
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        F.max(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        ).alias("d")
+    ).first()["d"]
+    mart = ev.select(
+        "event_id",
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="ttl_exec_")
+    mpath = f"{tmp}/mart"
+    mart.write.partitionBy("day").mode("overwrite").parquet(mpath)
+
+    ttl = (
+        F.when(F.col("event_type") == "error", 10)
+        .when(F.col("event_type") == "click", 20)
+        .otherwise(25)
+    )
+    age = F.datediff(
+        F.lit(wm).cast("date"), F.col("day").cast("date")
+    )
+    expired = age > ttl
+
+    stored = spark.read.parquet(mpath)
+    plan = (
+        stored.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(expired.cast("long")).alias("n_expired"),
+        )
+        .select(
+            "day",
+            "n_rows",
+            "n_expired",
+            F.when(F.col("n_expired") == 0, "KEEP")
+            .when(F.col("n_expired") == F.col("n_rows"), "DROP")
+            .otherwise("REWRITE")
+            .alias("action"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_drop, n_rewrite = enforce_retention_path(
+        spark, mpath, "day", ttl, wm
+    )
+    post = (
+        spark.read.parquet(mpath)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_after"),
+            F.sum(expired.cast("long")).alias("n_stale"),
+        )
+    )
+    return (
+        plan.join(post, "day", "left")
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+            F.sum(
+                F.col("n_after").isNotNull().cast("long")
+            ).cast("bigint").alias("n_parts_after"),
+            F.sum("n_rows").cast("bigint").alias("n_rows_before"),
+            F.sum("n_expired").cast("bigint").alias("n_rows_expired"),
+            F.sum(F.coalesce("n_after", F.lit(0)))
+            .cast("bigint")
+            .alias("n_rows_after"),
+            F.sum(F.coalesce("n_stale", F.lit(0)))
+            .cast("bigint")
+            .alias("n_stale_rows"),
+        )
+        .select(
+            "*",
+            F.lit(n_drop).cast("bigint").alias("n_dropped_exec"),
+            F.lit(n_rewrite).cast("bigint").alias("n_rewritten_exec"),
+        )
+        .orderBy("action")
+    )
+
+
+def x109_retention_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-PARTITION retention receipt — the x106 evidence-record twin
+    for TTL expiry (a data officer files per-partition receipts for
+    what expiry removed, not just x108's class totals): for each day
+    the enforcement touched (DROP or REWRITE — KEEP days produce no
+    receipt), the rows before, the rows the policy expired, the rows
+    actually on disk after, whether the directory itself was removed,
+    and a post-state stale count value-checked at 0. Snapshot stats
+    are taken from the stored mart BEFORE enforcement; the post
+    columns are read back FROM DISK after ``enforce_retention_path``
+    runs. Output bounded to the 20 earliest touched days —
+    certificate volume tracks the touched set, never the table."""
+    import tempfile
+
+    from dislib_spark.sources.merge import enforce_retention_path
+
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        F.max(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        ).alias("d")
+    ).first()["d"]
+    mart = ev.select(
+        "event_id",
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="ttl_cert_")
+    mpath = f"{tmp}/mart"
+    mart.write.partitionBy("day").mode("overwrite").parquet(mpath)
+
+    ttl = (
+        F.when(F.col("event_type") == "error", 10)
+        .when(F.col("event_type") == "click", 20)
+        .otherwise(25)
+    )
+    expired = (
+        F.datediff(F.lit(wm).cast("date"), F.col("day").cast("date"))
+        > ttl
+    )
+    stored = spark.read.parquet(mpath)
+    plan = (
+        stored.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_before"),
+            F.sum(expired.cast("long")).alias("n_rows_expired"),
+        )
+        .where(F.col("n_rows_expired") > 0)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_rows_before",
+            "n_rows_expired",
+            F.when(
+                F.col("n_rows_expired") == F.col("n_rows_before"),
+                "DROP",
+            )
+            .otherwise("REWRITE")
+            .alias("action"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    enforce_retention_path(spark, mpath, "day", ttl, wm)
+    post = (
+        spark.read.parquet(mpath)
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_after"),
+            F.sum(expired.cast("long")).alias("n_stale"),
+        )
+    )
+    return (
+        plan.join(post, "day", "left")
+        .select(
+            "day",
+            "action",
+            F.col("n_rows_before").cast("bigint").alias(
+                "n_rows_before"
+            ),
+            F.col("n_rows_expired").cast("bigint").alias(
+                "n_rows_expired"
+            ),
+            F.coalesce("n_after", F.lit(0))
+            .cast("bigint")
+            .alias("n_rows_after"),
+            F.col("n_after").isNull().cast("int").alias("dir_removed"),
+            F.coalesce("n_stale", F.lit(0))
+            .cast("bigint")
+            .alias("n_stale_rows"),
+        )
+        .orderBy("day")
+        .limit(20)
+    )
+
+
+def s17_streaming_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x108's TTL enforcement driven from a STREAM of watermark ticks
+    (``streaming.cdc.retention_sink``) — the operational shape where
+    a scheduler emits "now = d" ticks and the table expires
+    continuously instead of in quarterly rewrites. Two ticks drained
+    availableNow with maxFilesPerTrigger=1 (a REAL micro-batch
+    boundary): first at watermark−3 days, then at the watermark;
+    retention is idempotent and watermark-monotone, so the ticked
+    replay must leave exactly the one-shot enforcement's table —
+    which the oracle replays logically — and the per-tick touched-
+    partition counts decompose as (days with any row expired at
+    wm−3) + (days with a row that survives wm−3 but expires at wm)."""
+    import datetime
+    import tempfile
+
+    from dislib_spark.streaming.cdc import retention_sink
+
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        F.max(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        ).alias("d")
+    ).first()["d"]
+    wm_early = (
+        datetime.date.fromisoformat(wm) - datetime.timedelta(days=3)
+    ).isoformat()
+    mart = ev.select(
+        "event_id",
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="ttl_stream_")
+    mpath = f"{tmp}/mart"
+    feed = f"{tmp}/ticks"
+    ckpt = f"{tmp}/ckpt"
+    mart.write.partitionBy("day").mode("overwrite").parquet(mpath)
+    spark.createDataFrame([(wm_early,)], "as_of string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(feed)
+    spark.createDataFrame([(wm,)], "as_of string").coalesce(
+        1
+    ).write.mode("append").parquet(feed)
+
+    ttl = (
+        F.when(F.col("event_type") == "error", 10)
+        .when(F.col("event_type") == "click", 20)
+        .otherwise(25)
+    )
+    counts: list[tuple[int, int]] = []
+    q = retention_sink(
+        spark.readStream.schema("as_of string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed),
+        mpath,
+        ckpt,
+        "day",
+        ttl,
+        counts=counts,
+        availableNow=True,
+    )
+    await_drain(q, 300)
+
+    expired_final = (
+        F.datediff(F.lit(wm).cast("date"), F.col("day").cast("date"))
+        > ttl
+    )
+    post = spark.read.parquet(mpath)
+    before = mart.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    after = post.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_after")
+    )
+    residual = post.where(expired_final).agg(
+        F.count(F.lit(1)).alias("n_residual_expired")
+    )
+    touched = sum(d + r for d, r in counts)
+    return (
+        before.join(after, "event_type", "left")
+        .crossJoin(F.broadcast(residual))
+        .select(
+            "event_type",
+            F.col("n_before").cast("bigint").alias("n_before"),
+            F.coalesce("n_after", F.lit(0))
+            .cast("bigint")
+            .alias("n_after"),
+            (F.col("n_before") - F.coalesce("n_after", F.lit(0)))
+            .cast("bigint")
+            .alias("n_expired"),
+            F.col("n_residual_expired").cast("bigint").alias(
+                "n_residual_expired"
+            ),
+            F.lit(len(counts)).cast("bigint").alias("n_ticks"),
+            F.lit(touched).cast("bigint").alias(
+                "n_parts_touched_total"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -4070,6 +4375,9 @@ QUERIES = {
     "s16_streaming_erasure": s16_streaming_erasure,
     "x106_erasure_certificate": x106_erasure_certificate,
     "x107_retention_plan": x107_retention_plan,
+    "x108_retention_execute": x108_retention_execute,
+    "x109_retention_certificate": x109_retention_certificate,
+    "s17_streaming_retention": s17_streaming_retention,
 }
 
 ORACLE = {
@@ -6767,4 +7075,130 @@ ORACLE["x104_snapshot_diff"] = """
                               AND va <> vb
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
     FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+# x108: the x107 classification replayed logically, with the post-
+# state columns derived analytically (execution is exact, so
+# n_parts_after = 0 for DROP / n_partitions otherwise, rows_after =
+# rows_before − rows_expired, stale = 0) and the executed counts
+# equal to the plan's class sizes.
+ORACLE["x108_retention_execute"] = """
+    WITH wm AS (SELECT MAX(date_trunc('day', ts)) AS max_day FROM events),
+    per_day AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_rows,
+               SUM(CASE WHEN date_diff('day', date_trunc('day', ts),
+                                       max_day)
+                             > (CASE WHEN event_type = 'error' THEN 10
+                                     WHEN event_type = 'click' THEN 20
+                                     ELSE 25 END)
+                        THEN 1 ELSE 0 END) AS n_expired
+        FROM events, wm GROUP BY 1
+    ),
+    classed AS (
+        SELECT CASE WHEN n_expired = 0 THEN 'KEEP'
+                    WHEN n_expired = n_rows THEN 'DROP'
+                    ELSE 'REWRITE' END AS action,
+               n_rows, n_expired
+        FROM per_day
+    ),
+    exec_n AS (
+        SELECT SUM(CASE WHEN action = 'DROP' THEN 1 ELSE 0 END)
+                   AS n_drop,
+               SUM(CASE WHEN action = 'REWRITE' THEN 1 ELSE 0 END)
+                   AS n_rewrite
+        FROM classed
+    )
+    SELECT action,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(CASE WHEN action = 'DROP' THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_parts_after,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows_before,
+           CAST(SUM(n_expired) AS BIGINT) AS n_rows_expired,
+           CAST(SUM(n_rows - n_expired) AS BIGINT) AS n_rows_after,
+           CAST(0 AS BIGINT) AS n_stale_rows,
+           CAST(exec_n.n_drop AS BIGINT) AS n_dropped_exec,
+           CAST(exec_n.n_rewrite AS BIGINT) AS n_rewritten_exec
+    FROM classed CROSS JOIN exec_n
+    GROUP BY action, exec_n.n_drop, exec_n.n_rewrite
+    ORDER BY action
+"""
+
+# s17: the ticked enforcement replayed as its one-shot equivalent
+# (retention is idempotent + watermark-monotone); the touched-
+# partition total decomposes as tick 1 (days with any row expired at
+# wm−3) plus tick 2 (days with a row surviving wm−3 but expired at
+# wm) — the feed's ticks land in write order (mtime-ordered file
+# source), the same two-batch argument s16 relies on.
+ORACLE["s17_streaming_retention"] = """
+    WITH wm AS (SELECT MAX(date_trunc('day', ts)) AS max_day FROM events),
+    rows_c AS (
+        SELECT event_type,
+               date_diff('day', date_trunc('day', ts), max_day)
+                   AS age,
+               (CASE WHEN event_type = 'error' THEN 10
+                     WHEN event_type = 'click' THEN 20
+                     ELSE 25 END) AS ttl,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        FROM events, wm
+    ),
+    before AS (
+        SELECT event_type, COUNT(*) AS n_before
+        FROM rows_c GROUP BY event_type
+    ),
+    after AS (
+        SELECT event_type, COUNT(*) AS n_after
+        FROM rows_c WHERE age <= ttl GROUP BY event_type
+    ),
+    t1 AS (
+        SELECT COUNT(DISTINCT day) AS n FROM rows_c
+        WHERE age - 3 > ttl
+    ),
+    t2 AS (
+        SELECT COUNT(DISTINCT day) AS n FROM rows_c
+        WHERE age - 3 <= ttl AND age > ttl
+    )
+    SELECT b.event_type,
+           CAST(b.n_before AS BIGINT) AS n_before,
+           CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+           CAST(b.n_before - COALESCE(a.n_after, 0) AS BIGINT)
+               AS n_expired,
+           CAST(0 AS BIGINT) AS n_residual_expired,
+           CAST(2 AS BIGINT) AS n_ticks,
+           CAST(t1.n + t2.n AS BIGINT) AS n_parts_touched_total
+    FROM before b LEFT JOIN after a ON b.event_type = a.event_type,
+         t1, t2
+    ORDER BY b.event_type
+"""
+
+# x109: the per-day x108 classification replayed logically for the
+# touched days (n_expired > 0); post columns analytic (execution is
+# exact): DROP days read back absent (dir_removed=1, 0 rows), REWRITE
+# days keep exactly the unexpired rows; stale = 0.
+ORACLE["x109_retention_certificate"] = """
+    WITH wm AS (SELECT MAX(date_trunc('day', ts)) AS max_day FROM events),
+    per_day AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_rows,
+               SUM(CASE WHEN date_diff('day', date_trunc('day', ts),
+                                       max_day)
+                             > (CASE WHEN event_type = 'error' THEN 10
+                                     WHEN event_type = 'click' THEN 20
+                                     ELSE 25 END)
+                        THEN 1 ELSE 0 END) AS n_expired
+        FROM events, wm GROUP BY 1
+    )
+    SELECT day,
+           CASE WHEN n_expired = n_rows THEN 'DROP'
+                ELSE 'REWRITE' END AS action,
+           CAST(n_rows AS BIGINT) AS n_rows_before,
+           CAST(n_expired AS BIGINT) AS n_rows_expired,
+           CAST(n_rows - n_expired AS BIGINT) AS n_rows_after,
+           CAST(CASE WHEN n_expired = n_rows THEN 1 ELSE 0 END
+                AS INTEGER) AS dir_removed,
+           CAST(0 AS BIGINT) AS n_stale_rows
+    FROM per_day
+    WHERE n_expired > 0
+    ORDER BY day
+    LIMIT 20
 """

@@ -3220,6 +3220,149 @@ def m69_passing_bablok(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m70_generalized_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD (Rosner) multi-outlier screen on order
+    totalprice — the r-outlier extension of m50's single-point Grubbs
+    test: iteration i removes the point with the largest studentized
+    deviation R_i = max|x−x̄|/s from the CURRENT sample and
+    recomputes (x̄, s) exactly from the updated sufficient statistics
+    (n, Σx, Σx² as exact decimals — subtract the removed value, never
+    rescan). The removed extreme is always the current max or min, so
+    at r = 3 iterations the candidate pool is the global top-3 ∪
+    bottom-3 (two 3-row sort-limits — TakeOrderedAndProject, never a
+    full sort); everything after the ONE stats scan is 1-row algebra.
+    Ordering ties break (dev DESC, value DESC, side, rank) —
+    deterministic. Returns one row per iteration with R_i, the
+    removed value and its side."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    xdec = F.col("o_totalprice").cast("decimal(18,6)")
+    s0 = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xdec).alias("sx"),
+        F.sum(xdec * xdec).alias("sxx"),
+    )
+    base = o.select(
+        xdec.alias("x"), F.col("o_totalprice").cast("double").alias("xd")
+    )
+    w_hi = Window.orderBy(F.desc("xd"))
+    w_lo = Window.orderBy(F.asc("xd"))
+    hi = (
+        base.orderBy(F.desc("xd"))
+        .limit(3)
+        .select(
+            "x", "xd", F.lit("hi").alias("side"),
+            F.row_number().over(w_hi).alias("rn"),
+        )
+    )
+    lo = (
+        base.orderBy(F.asc("xd"))
+        .limit(3)
+        .select(
+            "x", "xd", F.lit("lo").alias("side"),
+            F.row_number().over(w_lo).alias("rn"),
+        )
+    )
+    ext = hi.unionByName(lo).localCheckpoint(eager=True)
+
+    nn = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    mean = sxd / nn
+    var = (sxxd - sxd * sxd / nn) / (nn - 1.0)
+    sd = F.sqrt(var)
+    dev = F.abs(F.col("xd") - mean) / sd
+
+    state = s0
+    excluded = None
+    out = []
+    for i in (1, 2, 3):
+        cand = (
+            ext
+            if excluded is None
+            else ext.join(excluded, ["side", "rn"], "left_anti")
+        )
+        pick = (
+            cand.crossJoin(F.broadcast(state))
+            .select(
+                "x", "xd", "side", "rn", "n", "sx", "sxx",
+                mean.alias("mean"), sd.alias("sd"), dev.alias("dev"),
+            )
+            .orderBy(F.desc("dev"), F.desc("xd"), "side", "rn")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            pick.select(
+                F.lit(i).alias("iter"),
+                F.col("n").cast("bigint").alias("n_used"),
+                F.round("mean", 6).alias("mean"),
+                F.round("sd", 6).alias("sd"),
+                F.round("dev", 6).alias("r_stat"),
+                F.round("xd", 6).alias("removed_value"),
+                "side",
+            )
+        )
+        state = pick.select(
+            (F.col("n") - 1).alias("n"),
+            (F.col("sx") - F.col("x")).alias("sx"),
+            (F.col("sxx") - F.col("x") * F.col("x")).alias("sxx"),
+        )
+        sel = pick.select("side", "rn")
+        excluded = sel if excluded is None else excluded.unionByName(sel)
+    return out[0].unionByName(out[1]).unionByName(out[2]).orderBy("iter")
+
+
+def m71_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dixon's Q gap-ratio outlier screen on order totalprice — the
+    order-statistic complement of m50/m70's moment-based tests:
+    Q_max = (x₍ₙ₎ − x₍ₙ₋₁₎)/(x₍ₙ₎ − x₍₁₎) and Q_min = (x₍₂₎ −
+    x₍₁₎)/range ask whether either extreme is ISOLATED from its
+    neighbor relative to the spread (a huge Grubbs G with a tiny Q
+    means a heavy tail, not a rogue point). Two 2-row sort-limits
+    (TakeOrderedAndProject — no full sort, no moments) + 1-row
+    algebra; pure subtract/divide on parquet doubles, bit-replayable.
+    Degenerate zero range returns NULL ratios."""
+    o = load_table(spark, sf_dir, "orders")
+    xd = F.col("o_totalprice").cast("double")
+    n = F.broadcast(o.agg(F.count(F.lit(1)).alias("n")))
+    hi = (
+        o.select(xd.alias("x"))
+        .orderBy(F.desc("x"))
+        .limit(2)
+        .agg(F.max("x").alias("x_max"), F.min("x").alias("x2_max"))
+    )
+    lo = (
+        o.select(xd.alias("x"))
+        .orderBy(F.asc("x"))
+        .limit(2)
+        .agg(F.min("x").alias("x_min"), F.max("x").alias("x2_min"))
+    )
+    rng = F.col("x_max") - F.col("x_min")
+    q_max = (F.col("x_max") - F.col("x2_max")) / rng
+    q_min = (F.col("x2_min") - F.col("x_min")) / rng
+    return (
+        hi.crossJoin(lo)
+        .crossJoin(n)
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.round("x_min", 6).alias("x_min"),
+            F.round("x2_min", 6).alias("x2_min"),
+            F.round("x2_max", 6).alias("x2_max"),
+            F.round("x_max", 6).alias("x_max"),
+            F.when(rng > 0, F.round(q_min, 6)).alias("q_min"),
+            F.when(rng > 0, F.round(q_max, 6)).alias("q_max"),
+            F.when(
+                rng > 0,
+                F.when(q_max >= q_min, F.lit("max")).otherwise(
+                    F.lit("min")
+                ),
+            ).alias("flagged_side"),
+        )
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -3290,6 +3433,8 @@ QUERIES = {
     "m67_mahalanobis_outliers": m67_mahalanobis_outliers,
     "m68_pinball_regression": m68_pinball_regression,
     "m69_passing_bablok": m69_passing_bablok,
+    "m70_generalized_esd": m70_generalized_esd,
+    "m71_dixon_q": m71_dixon_q,
 }
 
 
@@ -6186,4 +6331,156 @@ ORACLE["m69_passing_bablok"] = """
            ROUND(beta, 6) AS slope,
            ROUND(intercept, 6) AS intercept
     FROM nrow, tot, beta, inter
+"""
+
+# m70: the m50 exact-decimal sufficient-stat algebra unrolled for
+# r = 3 removals — each iteration's (mean, sd) comes from the updated
+# (n, Σx, Σx²), the argmax is picked from the top-3 ∪ bottom-3
+# candidate pool with the same (dev DESC, value DESC, side, rank)
+# tiebreaks, and the removed value is subtracted exactly.
+ORACLE["m70_generalized_esd"] = """
+    WITH s0 AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS sx,
+               SUM(CAST(o_totalprice AS DECIMAL(28,6))
+                   * CAST(o_totalprice AS DECIMAL(28,6))) AS sxx
+        FROM orders
+    ),
+    hi AS (
+        SELECT CAST(o_totalprice AS DECIMAL(18,6)) AS x,
+               CAST(o_totalprice AS DOUBLE) AS xd,
+               'hi' AS side,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice DESC) AS rn
+        FROM orders ORDER BY o_totalprice DESC LIMIT 3
+    ),
+    lo AS (
+        SELECT CAST(o_totalprice AS DECIMAL(18,6)) AS x,
+               CAST(o_totalprice AS DOUBLE) AS xd,
+               'lo' AS side,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice ASC) AS rn
+        FROM orders ORDER BY o_totalprice ASC LIMIT 3
+    ),
+    ext AS (SELECT * FROM hi UNION ALL SELECT * FROM lo),
+    p1 AS (
+        SELECT e.*, s0.n, s0.sx, s0.sxx,
+               CAST(s0.sx AS DOUBLE) / CAST(s0.n AS DOUBLE) AS mean,
+               SQRT((CAST(s0.sxx AS DOUBLE)
+                     - CAST(s0.sx AS DOUBLE) * CAST(s0.sx AS DOUBLE)
+                       / CAST(s0.n AS DOUBLE))
+                    / (CAST(s0.n AS DOUBLE) - 1.0)) AS sd
+        FROM ext e, s0
+        ORDER BY ABS(e.xd - CAST(s0.sx AS DOUBLE)
+                     / CAST(s0.n AS DOUBLE))
+                 / SQRT((CAST(s0.sxx AS DOUBLE)
+                         - CAST(s0.sx AS DOUBLE)
+                           * CAST(s0.sx AS DOUBLE)
+                           / CAST(s0.n AS DOUBLE))
+                        / (CAST(s0.n AS DOUBLE) - 1.0)) DESC,
+                 e.xd DESC, e.side, e.rn
+        LIMIT 1
+    ),
+    s1 AS (
+        SELECT s0.n - 1 AS n, s0.sx - p1.x AS sx,
+               s0.sxx - CAST(p1.x AS DECIMAL(28,6))
+                        * CAST(p1.x AS DECIMAL(28,6)) AS sxx
+        FROM s0, p1
+    ),
+    p2 AS (
+        SELECT e.*, s1.n, s1.sx, s1.sxx,
+               CAST(s1.sx AS DOUBLE) / CAST(s1.n AS DOUBLE) AS mean,
+               SQRT((CAST(s1.sxx AS DOUBLE)
+                     - CAST(s1.sx AS DOUBLE) * CAST(s1.sx AS DOUBLE)
+                       / CAST(s1.n AS DOUBLE))
+                    / (CAST(s1.n AS DOUBLE) - 1.0)) AS sd
+        FROM ext e, s1, p1
+        WHERE NOT (e.side = p1.side AND e.rn = p1.rn)
+        ORDER BY ABS(e.xd - CAST(s1.sx AS DOUBLE)
+                     / CAST(s1.n AS DOUBLE))
+                 / SQRT((CAST(s1.sxx AS DOUBLE)
+                         - CAST(s1.sx AS DOUBLE)
+                           * CAST(s1.sx AS DOUBLE)
+                           / CAST(s1.n AS DOUBLE))
+                        / (CAST(s1.n AS DOUBLE) - 1.0)) DESC,
+                 e.xd DESC, e.side, e.rn
+        LIMIT 1
+    ),
+    s2 AS (
+        SELECT s1.n - 1 AS n, s1.sx - p2.x AS sx,
+               s1.sxx - CAST(p2.x AS DECIMAL(28,6))
+                        * CAST(p2.x AS DECIMAL(28,6)) AS sxx
+        FROM s1, p2
+    ),
+    p3 AS (
+        SELECT e.*, s2.n, s2.sx, s2.sxx,
+               CAST(s2.sx AS DOUBLE) / CAST(s2.n AS DOUBLE) AS mean,
+               SQRT((CAST(s2.sxx AS DOUBLE)
+                     - CAST(s2.sx AS DOUBLE) * CAST(s2.sx AS DOUBLE)
+                       / CAST(s2.n AS DOUBLE))
+                    / (CAST(s2.n AS DOUBLE) - 1.0)) AS sd
+        FROM ext e, s2, p1, p2
+        WHERE NOT (e.side = p1.side AND e.rn = p1.rn)
+          AND NOT (e.side = p2.side AND e.rn = p2.rn)
+        ORDER BY ABS(e.xd - CAST(s2.sx AS DOUBLE)
+                     / CAST(s2.n AS DOUBLE))
+                 / SQRT((CAST(s2.sxx AS DOUBLE)
+                         - CAST(s2.sx AS DOUBLE)
+                           * CAST(s2.sx AS DOUBLE)
+                           / CAST(s2.n AS DOUBLE))
+                        / (CAST(s2.n AS DOUBLE) - 1.0)) DESC,
+                 e.xd DESC, e.side, e.rn
+        LIMIT 1
+    )
+    SELECT CAST(1 AS INTEGER) AS iter, CAST(n AS BIGINT) AS n_used,
+           ROUND(mean, 6) AS mean, ROUND(sd, 6) AS sd,
+           ROUND(ABS(xd - mean) / sd, 6) AS r_stat,
+           ROUND(xd, 6) AS removed_value, side
+    FROM p1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), CAST(n AS BIGINT),
+           ROUND(mean, 6), ROUND(sd, 6),
+           ROUND(ABS(xd - mean) / sd, 6), ROUND(xd, 6), side
+    FROM p2
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), CAST(n AS BIGINT),
+           ROUND(mean, 6), ROUND(sd, 6),
+           ROUND(ABS(xd - mean) / sd, 6), ROUND(xd, 6), side
+    FROM p3
+    ORDER BY iter
+"""
+
+# m71: order-statistic gap ratios from two 2-row sort-limits; pure
+# double subtract/divide, bit-replayable; zero range -> NULL.
+ORACLE["m71_dixon_q"] = """
+    WITH nn AS (SELECT COUNT(*) AS n FROM orders),
+    hi AS (
+        SELECT MAX(x) AS x_max, MIN(x) AS x2_max FROM (
+            SELECT CAST(o_totalprice AS DOUBLE) AS x
+            FROM orders ORDER BY x DESC LIMIT 2
+        )
+    ),
+    lo AS (
+        SELECT MIN(x) AS x_min, MAX(x) AS x2_min FROM (
+            SELECT CAST(o_totalprice AS DOUBLE) AS x
+            FROM orders ORDER BY x ASC LIMIT 2
+        )
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n,
+           ROUND(lo.x_min, 6) AS x_min,
+           ROUND(lo.x2_min, 6) AS x2_min,
+           ROUND(hi.x2_max, 6) AS x2_max,
+           ROUND(hi.x_max, 6) AS x_max,
+           CASE WHEN hi.x_max - lo.x_min > 0
+                THEN ROUND((lo.x2_min - lo.x_min)
+                           / (hi.x_max - lo.x_min), 6) END AS q_min,
+           CASE WHEN hi.x_max - lo.x_min > 0
+                THEN ROUND((hi.x_max - hi.x2_max)
+                           / (hi.x_max - lo.x_min), 6) END AS q_max,
+           CASE WHEN hi.x_max - lo.x_min > 0
+                THEN CASE WHEN (hi.x_max - hi.x2_max)
+                               / (hi.x_max - lo.x_min)
+                              >= (lo.x2_min - lo.x_min)
+                                 / (hi.x_max - lo.x_min)
+                          THEN 'max' ELSE 'min' END
+           END AS flagged_side
+    FROM hi, lo, nn
 """

@@ -2114,6 +2114,134 @@ def t76_dedup_threshold_curve(
     return out.orderBy("threshold")
 
 
+def t77_containment_direction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Containment DIRECTION matrix — who quotes whom, the directed
+    complement of t68's symmetric cross-source dup counts: t72's
+    asymmetric edges oriented by shingle-set size (the smaller set is
+    the contained side, the larger the container; equal-size pairs
+    are symmetric dups with no direction and are excluded), then
+    aggregated by (container_source, contained_source). Each cell
+    reports the pair count, how many of them symmetric Jaccard at
+    0.3 is BLIND to (the quote-expansion gap, per direction), the
+    mean containment strength, and the distinct quoted documents.
+    Same bounded inverted-index kernel as t72 (`with_sizes=True`
+    only forwards two columns already in the pair fold); the source
+    joins are edge-bounded broadcast lookups."""
+    from dislib_spark.text.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = containment_pairs(
+        d, c_threshold=0.6, j_max=0.3, with_sizes=True
+    )
+    bigger_a = F.col("a_size") > F.col("b_size")
+    directed = edges.where(F.col("a_size") != F.col("b_size")).select(
+        F.when(bigger_a, F.col("a_id"))
+        .otherwise(F.col("b_id"))
+        .alias("container_id"),
+        F.when(bigger_a, F.col("b_id"))
+        .otherwise(F.col("a_id"))
+        .alias("contained_id"),
+        "containment",
+        "caught_by_jaccard",
+    )
+    src = d.select("doc_id", "source")
+    j = directed.join(
+        F.broadcast(
+            src.select(
+                F.col("doc_id").alias("container_id"),
+                F.col("source").alias("container_source"),
+            )
+        ),
+        "container_id",
+    ).join(
+        F.broadcast(
+            src.select(
+                F.col("doc_id").alias("contained_id"),
+                F.col("source").alias("contained_source"),
+            )
+        ),
+        "contained_id",
+    )
+    return (
+        j.groupBy("container_source", "contained_source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum((F.col("caught_by_jaccard") == 0).cast("long"))
+            .cast("bigint")
+            .alias("n_jaccard_blind"),
+            F.round(F.avg("containment"), 6).alias("avg_containment"),
+            F.countDistinct("contained_id")
+            .cast("bigint")
+            .alias("n_contained_docs"),
+        )
+        .orderBy("container_source", "contained_source")
+    )
+
+
+def t78_quote_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote-graph HUB report: per document, its degrees in t77's
+    containment digraph — how many other documents it CONTAINS
+    (out-degree: templates, aggregator pages) and how many documents
+    it is CONTAINED IN (in-degree: the viral quote / boilerplate
+    block every crawler keeps re-ingesting). The top-20 by total
+    degree is the review queue a dedup operator actually reads:
+    hubs are where one curation decision (keep the template once,
+    drop the wrappers) removes the most redundancy. Degrees fold
+    over the edge set (edge-bounded, never corpus-sized); ordering
+    is (degree DESC, doc_id) — deterministic."""
+    from dislib_spark.text.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = containment_pairs(
+        d, c_threshold=0.6, j_max=0.3, with_sizes=True
+    )
+    bigger_a = F.col("a_size") > F.col("b_size")
+    directed = edges.where(F.col("a_size") != F.col("b_size")).select(
+        F.when(bigger_a, F.col("a_id"))
+        .otherwise(F.col("b_id"))
+        .alias("container_id"),
+        F.when(bigger_a, F.col("b_id"))
+        .otherwise(F.col("a_id"))
+        .alias("contained_id"),
+    )
+    out_deg = directed.groupBy(
+        F.col("container_id").alias("doc_id")
+    ).agg(F.count(F.lit(1)).alias("n_contains"))
+    in_deg = directed.groupBy(
+        F.col("contained_id").alias("doc_id")
+    ).agg(F.count(F.lit(1)).alias("n_contained_in"))
+    deg = (
+        out_deg.join(in_deg, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_contains", F.lit(0)).alias("n_contains"),
+            F.coalesce("n_contained_in", F.lit(0)).alias(
+                "n_contained_in"
+            ),
+        )
+    )
+    src = d.select("doc_id", "source", "n_chars")
+    return (
+        deg.join(F.broadcast(src), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("n_contains").cast("bigint").alias("n_contains"),
+            F.col("n_contained_in")
+            .cast("bigint")
+            .alias("n_contained_in"),
+            (F.col("n_contains") + F.col("n_contained_in"))
+            .cast("bigint")
+            .alias("degree"),
+        )
+        .orderBy(F.desc("degree"), "doc_id")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "t01_text_stats": t01_text_stats,
     "t02_lang_predict": t02_lang_predict,
@@ -2191,6 +2319,8 @@ QUERIES = {
     "t74_containment_golden_record": t74_containment_golden_record,
     "t75_minhash_recall": t75_minhash_recall,
     "t76_dedup_threshold_curve": t76_dedup_threshold_curve,
+    "t77_containment_direction": t77_containment_direction,
+    "t78_quote_hubs": t78_quote_hubs,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -4709,3 +4839,101 @@ def _t75_oracle() -> str:
 
 
 ORACLE["t75_minhash_recall"] = _t75_oracle()
+
+# t77/t78: the t72 inverted-index chain with sizes kept, edges
+# oriented by strict size inequality (smaller set = contained side;
+# equal-size pairs are direction-less symmetric dups, excluded),
+# then folded to the source matrix / per-doc degrees.
+_T77_DIRECTED_CTE = """
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([concat_ws(' ', toks[i], toks[i+1],
+                                        toks[i+2])
+                              for i in range(1, len(toks) - 1)])
+                   AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents)
+    ),
+    inv AS (
+        SELECT doc_id, len(shingles) AS set_size,
+               UNNEST(shingles) AS shingle
+        FROM sh
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               ANY_VALUE(a.set_size) AS a_size,
+               ANY_VALUE(b.set_size) AS b_size,
+               COUNT(*) AS n_inter
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+        SELECT a_id, b_id, a_size, b_size,
+               ROUND(n_inter::DOUBLE
+                     / (a_size + b_size - n_inter)::DOUBLE, 6)
+                   AS jaccard,
+               ROUND(n_inter::DOUBLE
+                     / LEAST(a_size, b_size)::DOUBLE, 6)
+                   AS containment
+        FROM pairs
+    ),
+    directed AS (
+        SELECT CASE WHEN a_size > b_size THEN a_id ELSE b_id END
+                   AS container_id,
+               CASE WHEN a_size > b_size THEN b_id ELSE a_id END
+                   AS contained_id,
+               containment,
+               CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END
+                   AS caught_by_jaccard
+        FROM scored
+        WHERE containment >= 0.6 AND a_size <> b_size
+    )"""
+
+ORACLE["t77_containment_direction"] = (
+    _T77_DIRECTED_CTE
+    + """
+    SELECT dc.source AS container_source,
+           dd.source AS contained_source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN e.caught_by_jaccard = 0 THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_jaccard_blind,
+           ROUND(AVG(e.containment), 6) AS avg_containment,
+           CAST(COUNT(DISTINCT e.contained_id) AS BIGINT)
+               AS n_contained_docs
+    FROM directed e
+    JOIN documents dc ON dc.doc_id = e.container_id
+    JOIN documents dd ON dd.doc_id = e.contained_id
+    GROUP BY dc.source, dd.source
+    ORDER BY container_source, contained_source
+"""
+)
+
+ORACLE["t78_quote_hubs"] = (
+    _T77_DIRECTED_CTE
+    + """,
+    od AS (
+        SELECT container_id AS doc_id, COUNT(*) AS n_contains
+        FROM directed GROUP BY container_id
+    ),
+    idg AS (
+        SELECT contained_id AS doc_id, COUNT(*) AS n_contained_in
+        FROM directed GROUP BY contained_id
+    ),
+    deg AS (
+        SELECT COALESCE(od.doc_id, idg.doc_id) AS doc_id,
+               COALESCE(od.n_contains, 0) AS n_contains,
+               COALESCE(idg.n_contained_in, 0) AS n_contained_in
+        FROM od FULL OUTER JOIN idg ON od.doc_id = idg.doc_id
+    )
+    SELECT deg.doc_id, d.source,
+           CAST(d.n_chars AS BIGINT) AS n_chars,
+           CAST(deg.n_contains AS BIGINT) AS n_contains,
+           CAST(deg.n_contained_in AS BIGINT) AS n_contained_in,
+           CAST(deg.n_contains + deg.n_contained_in AS BIGINT)
+               AS degree
+    FROM deg JOIN documents d ON d.doc_id = deg.doc_id
+    ORDER BY degree DESC, deg.doc_id
+    LIMIT 20
+"""
+)

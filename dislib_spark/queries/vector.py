@@ -1100,6 +1100,186 @@ def v32_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v33_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 composed ANN (``vector.search.ivfsq_topk``) — the FAISS
+    ``IVF,SQ8`` shape: candidates come only from the query's 4 probed
+    cells (v04's pruning), are scored by cosine against the int8
+    scalar-quantized RECONSTRUCTION (v14's grid — asymmetric distance
+    on 4×-compressed codes, never the raw floats), and exact cosine
+    touches only the top-50 shortlist. Deterministic end to end (seed
+    cells = 16 lowest-id vectors; the SQ8 grid is per-dimension
+    min/max — no trained state at all), so assignment, probing,
+    encode, decode, asymmetric scoring and re-rank are all
+    value-replayed by the DuckDB oracle."""
+    from dislib_spark.vector.search import ivfsq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return ivfsq_topk(
+        q, e, k=10, n_cells=16, n_probe=4, rerank=50, centers="seed"
+    ).orderBy("q_id", "rank")
+
+
+def v35_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the composed IVF-SQ8 index (v32's harness
+    applied to v33): recall@10 of the ivfsq pipeline against the
+    brute-force exact cosine top-10 per query — quantifying the
+    compounded loss of cell pruning plus scalar quantization, the
+    acceptance number that decides whether the 4× code compression
+    is free at this corpus shape (compare with v32's IVF-PQ recall
+    at 8× to pick the storage/recall operating point). Exact-integer
+    hit counts over /10.0, bit-replayable."""
+    from dislib_spark.vector.search import cosine_topk, ivfsq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    exact = cosine_topk(q, e, k=10).select("q_id", "c_id")
+    ap = ivfsq_topk(
+        q, e, k=10, n_cells=16, n_probe=4, rerank=50, centers="seed"
+    ).select("q_id", "c_id")
+    base = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        exact.join(ap, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        base.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / 10.0).alias("recall_at_10"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def v34_ann_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving-cost frontier: per probe budget (n_probe = 1, 2,
+    4, 8), the COST of a query — coarse cells read, candidate codes
+    scanned (Σ probed-list sizes over the query batch, v22's sizes),
+    exact-rerank rows (min(50, candidates) per query) and the scan
+    fraction of the corpus — joined with the RECALL@10 that budget
+    buys (v23's rung harness). The capacity-planning table an ANN
+    service reads to pick its operating point: at 100 TB the
+    codes_scanned column IS the per-query IO bill. One widest-rung
+    probe pass, candidate lists scored once, every narrower rung a
+    filter — the sweep costs one probe pass, not one per rung."""
+    from pyspark.sql import Window
+
+    from dislib_spark.vector.search import (
+        cosine_similarity,
+        cosine_topk,
+        ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    ctrs, assigned = ivf_index(e, centers="seed")
+    sizes = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    qd = q.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("center"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("q_id").orderBy("d2", "cell")
+    probes = (
+        qd.crossJoin(F.broadcast(ctrs))
+        .select("q_id", "q_vec", "cell", d2.alias("d2"))
+        .withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= 8)
+        .select("q_id", "q_vec", "cell", "pr")
+    )
+    rung = F.explode(F.array(*[F.lit(n) for n in (1, 2, 4, 8)])).alias(
+        "n_probe"
+    )
+    # cost side: probed-list sizes only — never touches the vectors
+    per_q = (
+        probes.select("q_id", "cell", "pr", rung)
+        .where(F.col("pr") <= F.col("n_probe"))
+        .join(F.broadcast(sizes), "cell")
+        .groupBy("n_probe", "q_id")
+        .agg(F.sum("n_vecs").alias("cand"))
+    )
+    corpus_n = F.broadcast(e.agg(F.count(F.lit(1)).alias("_n")))
+    cost = (
+        per_q.groupBy("n_probe")
+        .agg(
+            F.count(F.lit(1)).alias("_nq"),
+            F.sum("cand").alias("codes_scanned"),
+            F.sum(F.least(F.col("cand"), F.lit(50))).alias(
+                "rerank_rows"
+            ),
+        )
+        .crossJoin(corpus_n)
+    )
+    # recall side: v23's shared scored set, filtered per rung
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .select(
+            "q_id",
+            "pr",
+            "c_id",
+            F.round(
+                cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6
+            ).alias("sim"),
+        )
+    )
+    rungs = scored.select("q_id", "pr", "c_id", "sim", rung).where(
+        F.col("pr") <= F.col("n_probe")
+    )
+    wr = Window.partitionBy("n_probe", "q_id").orderBy(
+        F.desc("sim"), "c_id"
+    )
+    topk = (
+        rungs.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 10)
+        .select("n_probe", "q_id", "c_id")
+    )
+    exact = cosine_topk(q, e, k=10).select("q_id", "c_id")
+    nq = F.broadcast(exact.agg(F.countDistinct("q_id").alias("_tq")))
+    hits = topk.join(exact, ["q_id", "c_id"]).groupBy("n_probe").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        cost.join(hits, "n_probe", "left")
+        .crossJoin(nq)
+        .select(
+            F.col("n_probe").cast("int").alias("n_probe"),
+            F.col("n_probe").cast("bigint").alias("cells_read_per_q"),
+            F.col("codes_scanned").cast("bigint").alias(
+                "codes_scanned"
+            ),
+            F.col("rerank_rows").cast("bigint").alias("rerank_rows"),
+            F.round(
+                F.col("codes_scanned")
+                / (F.col("_nq") * F.col("_n").cast("double")),
+                6,
+            ).alias("scan_frac"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias(
+                "n_hits"
+            ),
+            F.round(
+                F.coalesce("n_hits", F.lit(0))
+                / (10.0 * F.col("_tq")),
+                6,
+            ).alias("recall_at_10"),
+        )
+        .orderBy("n_probe")
+    )
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -1133,6 +1313,9 @@ QUERIES = {
     "v30_maintained_recall": v30_maintained_recall,
     "v31_ivfpq_topk": v31_ivfpq_topk,
     "v32_ivfpq_recall": v32_ivfpq_recall,
+    "v33_ivfsq_topk": v33_ivfsq_topk,
+    "v34_ann_cost_frontier": v34_ann_cost_frontier,
+    "v35_ivfsq_recall": v35_ivfsq_recall,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -2738,3 +2921,258 @@ ORACLE["v30_maintained_recall"] = (
     GROUP BY e.q_id ORDER BY e.q_id
 """
 )
+
+# v33: v04's seed-cell assignment/probe chain (RAW vectors) composed
+# with v14's SQ8 grid: candidates decode to `mn + code·(mx−mn)/255`
+# per dimension, are ranked by the 9-dp-rounded cosine(q, recon) with
+# c_id tiebreaks (engine-stable shortlist cut), and the exact cosine
+# top-10 re-rank runs on the 50-candidate shortlist alone — each
+# stage value-identical to its parent oracle.
+ORACLE["v33_ivfsq_topk"] = f"""
+    WITH cells AS ({_CELLS}),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM cells GROUP BY vec_id
+    ),
+    ctr AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+               vec_id AS cvid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    cd2 AS (
+        SELECT a.vec_id AS vid, ctr.cell,
+               SUM((a.v - b.v) * (a.v - b.v)) AS d2
+        FROM cells a
+        JOIN ctr ON TRUE
+        JOIN cells b ON b.vec_id = ctr.cvid AND b.k = a.k
+        GROUP BY a.vec_id, ctr.cell
+    ),
+    assigned AS (
+        SELECT vid, cell FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cell)
+                       AS rn
+            FROM cd2
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vid AS q_id, cell FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cell)
+                       AS pr
+            FROM cd2 WHERE vid < 5
+        ) WHERE pr <= 4
+    ),
+    stats AS (SELECT k, MIN(v) AS mn, MAX(v) AS mx FROM cells GROUP BY k),
+    recon AS (
+        SELECT c.vec_id, c.k,
+               CASE WHEN s.mx = s.mn THEN s.mn
+                    ELSE s.mn + FLOOR((c.v - s.mn) * 255.0
+                                      / (s.mx - s.mn) + 0.5)
+                                * (s.mx - s.mn) / 255.0
+               END AS rv
+        FROM cells c JOIN stats s USING (k)
+    ),
+    rnorms AS (
+        SELECT vec_id, SQRT(SUM(rv * rv)) AS rnrm
+        FROM recon GROUP BY vec_id
+    ),
+    cand AS (
+        SELECT p.q_id, a.vid AS c_id
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+    ),
+    qdots AS (
+        SELECT ca.q_id, ca.c_id, SUM(q.v * r.rv) AS dot
+        FROM cand ca
+        JOIN cells q ON q.vec_id = ca.q_id
+        JOIN recon r ON r.vec_id = ca.c_id AND r.k = q.k
+        GROUP BY ca.q_id, ca.c_id
+    ),
+    qsims AS (
+        SELECT d.q_id, d.c_id,
+               ROUND(d.dot / (nq.nrm * nr.rnrm), 9) AS sim_q
+        FROM qdots d
+        JOIN norms nq ON nq.vec_id = d.q_id
+        JOIN rnorms nr ON nr.vec_id = d.c_id
+    ),
+    short AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY sim_q DESC, c_id
+                   ) AS r
+            FROM qsims
+        ) WHERE r <= 50
+    ),
+    dots AS (
+        SELECT sh.q_id, sh.c_id, SUM(a.v * b.v) AS dot
+        FROM short sh
+        JOIN cells a ON a.vec_id = sh.q_id
+        JOIN cells b ON b.vec_id = sh.c_id AND a.k = b.k
+        GROUP BY sh.q_id, sh.c_id
+    ),
+    scored AS (
+        SELECT d.q_id, d.c_id,
+               ROUND(d.dot / (na.nrm * nb.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.q_id
+        JOIN norms nb ON nb.vec_id = d.c_id
+    )
+    SELECT q_id, c_id, sim, CAST(rank AS INT) AS rank FROM (
+        SELECT q_id, c_id, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY sim DESC, c_id
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+# v34: v22's list sizes × v23's rung recall composed into one
+# frontier — cost columns are exact integer sums over the probed
+# lists; recall reuses v23's scored-once chain; scan_frac is an
+# int-over-int division rounded at 6 dp.
+ORACLE["v34_ann_cost_frontier"] = """
+    WITH cells AS (
+        SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS k,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM cells GROUP BY vec_id
+    ),
+    ctr AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS cell,
+               vec_id AS cvid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    d2 AS (
+        SELECT a.vec_id AS vid, ctr.cell,
+               SUM((a.v - b.v) * (a.v - b.v)) AS d2
+        FROM cells a
+        JOIN ctr ON TRUE
+        JOIN cells b ON b.vec_id = ctr.cvid AND b.k = a.k
+        GROUP BY a.vec_id, ctr.cell
+    ),
+    assigned AS (
+        SELECT vid, cell FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vid ORDER BY d2, cell) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    sizes AS (SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY cell),
+    corpus AS (SELECT COUNT(*) AS n FROM embeddings),
+    probes AS (
+        SELECT vid AS q_id, cell, pr FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vid ORDER BY d2, cell) AS pr
+            FROM d2 WHERE vid < 5
+        ) WHERE pr <= 8
+    ),
+    per_q AS (
+        SELECT CAST(np AS INTEGER) AS n_probe, p.q_id,
+               SUM(s.n_vecs) AS cand
+        FROM probes p
+        JOIN sizes s ON s.cell = p.cell,
+        UNNEST([1, 2, 4, 8]) AS t(np)
+        WHERE p.pr <= np
+        GROUP BY np, p.q_id
+    ),
+    cost AS (
+        SELECT n_probe, COUNT(*) AS nq, SUM(cand) AS codes_scanned,
+               SUM(LEAST(cand, 50)) AS rerank_rows
+        FROM per_q GROUP BY n_probe
+    ),
+    cand AS (
+        SELECT p.q_id, p.pr, a.vid AS c_id
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+    ),
+    dots AS (
+        SELECT cd.q_id, cd.pr, cd.c_id, SUM(a.v * b.v) AS dot
+        FROM cand cd
+        JOIN cells a ON a.vec_id = cd.q_id
+        JOIN cells b ON b.vec_id = cd.c_id AND a.k = b.k
+        GROUP BY cd.q_id, cd.pr, cd.c_id
+    ),
+    scored AS (
+        SELECT d.q_id, d.pr, d.c_id,
+               ROUND(d.dot / (na.nrm * nb.nrm), 6) AS sim
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.q_id
+        JOIN norms nb ON nb.vec_id = d.c_id
+    ),
+    rungs AS (
+        SELECT q_id, c_id, sim, CAST(np AS INTEGER) AS np
+        FROM scored, UNNEST([1, 2, 4, 8]) AS t(np)
+        WHERE pr <= np
+    ),
+    topk AS (
+        SELECT np, q_id, c_id FROM (
+            SELECT np, q_id, c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY np, q_id
+                       ORDER BY sim DESC, c_id) AS rank
+            FROM rungs
+        ) WHERE rank <= 10
+    ),
+    dots_e AS (
+        SELECT qq.vec_id AS q_id, cells.vec_id AS c_id,
+               SUM(qq.v * cells.v) AS dot
+        FROM (SELECT * FROM cells WHERE vec_id < 5) qq
+        JOIN cells ON qq.k = cells.k
+        GROUP BY qq.vec_id, cells.vec_id
+    ),
+    exact AS (
+        SELECT q_id, c_id FROM (
+            SELECT d.q_id, d.c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.q_id
+                       ORDER BY ROUND(d.dot / (na.nrm * nb.nrm), 6)
+                                DESC, d.c_id
+                   ) AS rank
+            FROM dots_e d
+            JOIN norms na ON na.vec_id = d.q_id
+            JOIN norms nb ON nb.vec_id = d.c_id
+        ) WHERE rank <= 10
+    ),
+    hits AS (
+        SELECT t.np, COUNT(*) AS n_hits
+        FROM topk t JOIN exact e
+          ON t.q_id = e.q_id AND t.c_id = e.c_id
+        GROUP BY t.np
+    ),
+    nq_t AS (SELECT COUNT(DISTINCT q_id) AS tq FROM exact)
+    SELECT c.n_probe,
+           CAST(c.n_probe AS BIGINT) AS cells_read_per_q,
+           CAST(c.codes_scanned AS BIGINT) AS codes_scanned,
+           CAST(c.rerank_rows AS BIGINT) AS rerank_rows,
+           ROUND(c.codes_scanned
+                 / (c.nq * CAST(corpus.n AS DOUBLE)), 6) AS scan_frac,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / (10.0 * nq_t.tq), 6)
+               AS recall_at_10
+    FROM cost c
+    LEFT JOIN hits h ON h.np = c.n_probe
+    CROSS JOIN corpus CROSS JOIN nq_t
+    ORDER BY c.n_probe
+"""
+
+# v35 composes the value-replayed v01 and v33 oracles; recall math is
+# exact-int counts over /10.0.
+ORACLE["v35_ivfsq_recall"] = f"""
+    WITH exact AS ({ORACLE["v01_cosine_topk"]}),
+    ivfsq AS ({ORACLE["v33_ivfsq_topk"]}),
+    base AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY q_id),
+    h AS (
+        SELECT e.q_id, COUNT(*) AS n_hits
+        FROM exact e JOIN ivfsq i ON e.q_id = i.q_id AND e.c_id = i.c_id
+        GROUP BY e.q_id
+    )
+    SELECT b.q_id, b.n_exact,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) / 10.0 AS recall_at_10
+    FROM base b LEFT JOIN h ON b.q_id = h.q_id
+    ORDER BY b.q_id
+"""

@@ -804,6 +804,11 @@ def merged_stride_quantiles(
     )
 
 
+# rank-source width of the current md5-HLL partial format; stamped on
+# every stored partial row and enforced on merge (see md5_hll_estimate)
+_MD5_HLL_RHO_BITS = 64
+
+
 def _md5_hll_rho(word_hex: Column) -> Column:
     """Position of the first set bit (1-based) of the 64-bit value
     written as 16 hex chars — 65 when zero. Exact string/CASE
@@ -856,7 +861,16 @@ def md5_hll_partials(
     reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("reg")
     rho = _md5_hll_rho(F.substring(h, 3, 16))
     keys = [F.col(c) for c in (group_cols or [])] + [reg]
-    return df.groupBy(*keys).agg(F.max(rho).alias("max_rho"))
+    return (
+        df.groupBy(*keys)
+        .agg(F.max(rho).alias("max_rho"))
+        # format marker: the rank-source width is part of the stored
+        # partial's FORMAT (ranks from a 32-bit source cap at 33, from
+        # the current 64-bit source at 65 — MAX-merging the two widths
+        # silently understates ranks and biases the estimate), so every
+        # stored row carries it and the estimator refuses mixed widths
+        .withColumn("rho_bits", F.lit(_MD5_HLL_RHO_BITS))
+    )
 
 
 def md5_hll_estimate(
@@ -875,8 +889,44 @@ def md5_hll_estimate(
     because it fixes register-collision bias at LOW cardinality,
     which is independent of rank width.
     Returns (group…, hll_estimate, n_nonzero_regs); the scalar
-    algebra is plain IEEE, replayable to the rounding digit."""
+    algebra is plain IEEE, replayable to the rounding digit.
+
+    Format guard: stored partials carry a ``rho_bits`` marker (the
+    rank-source width — see :func:`md5_hll_partials`). Partials
+    WITHOUT the column predate the 64-bit widening and must be rebuilt
+    (a ValueError says so up front); rows whose marker differs from
+    the current width raise at execution time instead of MAX-merging
+    two incompatible register encodings into a silently biased
+    estimate."""
     gcols = list(group_cols or [])
+    if "rho_bits" not in partials.columns:
+        raise ValueError(
+            "md5_hll partials have no rho_bits format marker: they "
+            "were stored by the pre-64-bit-rank format and cannot be "
+            "merged with current partials — rebuild them with "
+            "md5_hll_partials()"
+        )
+    partials = partials.withColumn(
+        "max_rho",
+        F.when(
+            F.col("rho_bits") == _MD5_HLL_RHO_BITS, F.col("max_rho")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "md5_hll partials format mismatch: stored "
+                        "rho_bits="
+                    ),
+                    F.col("rho_bits").cast("string"),
+                    F.lit(
+                        f", estimator expects {_MD5_HLL_RHO_BITS} — "
+                        "mixed-width register merges are biased; "
+                        "rebuild the older sketches"
+                    ),
+                )
+            ).cast("int")
+        ),
+    ).drop("rho_bits")
     merged = partials.groupBy(
         *[F.col(c) for c in gcols], F.col("reg")
     ).agg(F.max("max_rho").alias("max_rho"))

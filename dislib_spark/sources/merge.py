@@ -166,7 +166,17 @@ def _apply_swap_manifest(path: str, tmp: str, old: str) -> None:
     the replacement in from ``tmp`` (skipped if already landed or the
     partition was emptied). Every rename is guarded by existence
     checks and each rename is atomic, so replaying after a crash at
-    ANY point completes the same end state."""
+    ANY point completes the same end state.
+
+    Removing the manifest is the COMMIT point: it happens here,
+    immediately after the last rename and before any caller deletes
+    ``tmp``/``old``. A ``.__pold__`` that still holds a manifest is
+    therefore always an IN-PROGRESS swap (safe to replay); one without
+    a manifest is a COMPLETED swap's leftover (safe to sweep). Without
+    this ordering, a crash midway through deleting ``old`` could
+    remove some ``old/<part>`` dirs while the manifest survived, and
+    a replay would then rename the already-landed replacement back
+    out — losing the partition's surviving rows."""
     import json
     import os
 
@@ -184,6 +194,10 @@ def _apply_swap_manifest(path: str, tmp: str, old: str) -> None:
             dp = os.path.join(path, dest)
             if os.path.isdir(tp) and not os.path.isdir(dp):
                 os.rename(tp, dp)
+    # commit: once the manifest is gone, .__pold__/.__ptmp__ are inert
+    # leftovers and any later crash in their cleanup cannot trigger a
+    # destructive replay
+    os.remove(os.path.join(old, _MANIFEST))
 
 
 _MANIFEST = "_MANIFEST.json"
@@ -271,8 +285,17 @@ def replace_partitions_path(
         # take Spark's canonical escaped name from tmp
         plan.append({"src": s, "tmp": t, "dest": s if s else t})
     os.makedirs(old, exist_ok=True)
-    with open(os.path.join(old, _MANIFEST), "w") as fh:
+    # the manifest must appear ATOMICALLY: a crash mid-write must not
+    # leave truncated JSON under the final name (recovery would then
+    # raise on every entry, wedging the erase/maintain path), so write
+    # to a temp name, fsync, and rename into place — a manifest that
+    # exists is always parseable and complete
+    mtmp = os.path.join(old, _MANIFEST + ".tmp")
+    with open(mtmp, "w") as fh:
         json.dump(plan, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(mtmp, os.path.join(old, _MANIFEST))
     _apply_swap_manifest(path, tmp, old)
     shutil.rmtree(tmp)
     shutil.rmtree(old)
@@ -322,3 +345,57 @@ def erase_keys_path(
         k, stored[key_col] == F.col("__k"), "left_anti"
     )
     return replace_partitions_path(path, partition_col, parts, kept)
+
+
+def enforce_retention_path(
+    spark,
+    path: str,
+    partition_col: str,
+    ttl_days,
+    as_of: str,
+) -> tuple[int, int]:
+    """Retention-policy (TTL) ENFORCEMENT against a parquet table
+    partitioned by a day-string ``partition_col`` — the execution of
+    the x107 plan, and the TTL twin of :func:`erase_keys_path`: rows
+    whose partition day is more than ``ttl_days`` (a per-row Column,
+    e.g. a per-event-type CASE) days older than ``as_of`` are
+    expired. Days where EVERYTHING expired are dropped (directory
+    removed, zero rows read); days where nothing expired are never
+    touched; mixed days are rewritten copy-on-write — all through the
+    same journaled crash-safe :func:`replace_partitions_path` swap,
+    so a failed enforcement never corrupts surviving data. Cost
+    tracks the expired days' fan-out, never the table (the 100 TB
+    expiry shape: the DROP class is O(1) per partition). Returns
+    ``(n_dropped, n_rewritten)``.
+
+    Retention is idempotent and watermark-monotone: enforcing at
+    ``as_of₁`` then ``as_of₂ ≥ as_of₁`` leaves exactly the table a
+    one-shot enforcement at ``as_of₂`` leaves (expired-at-1 ⊆
+    expired-at-2), which is what lets it run continuously from a
+    stream of watermark ticks (``streaming.cdc.retention_sink``)."""
+    _recover_partition_swap(path, partition_col)
+    stored = spark.read.parquet(path)
+    age = F.datediff(
+        F.lit(as_of).cast("date"), F.col(partition_col).cast("date")
+    )
+    expired = age > ttl_days
+    per_day = (
+        stored.groupBy(partition_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(expired.cast("long")).alias("_e"),
+        )
+        .where(F.col("_e") > 0)
+        .collect()
+    )
+    drop = [r[partition_col] for r in per_day if r["_e"] == r["_n"]]
+    rewrite = [r[partition_col] for r in per_day if r["_e"] < r["_n"]]
+    if not drop and not rewrite:
+        return 0, 0
+    survivors = stored.where(
+        F.col(partition_col).isin(rewrite) if rewrite else F.lit(False)
+    ).where(~expired)
+    replace_partitions_path(
+        path, partition_col, drop + rewrite, survivors
+    )
+    return len(drop), len(rewrite)

@@ -134,3 +134,48 @@ def erasure_sink(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def retention_sink(
+    ticks_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_col: str,
+    ttl_days,
+    as_of_col: str = "as_of",
+    counts: list | None = None,
+    **trigger,
+):
+    """Start a foreachBatch RETENTION sink: each micro-batch is a
+    watermark TICK (rows carrying an ``as_of`` day string — the
+    operational shape where a scheduler emits one tick per day/hour),
+    and each tick enforces the TTL policy against the parquet table
+    at ``path`` with the partition-scoped crash-safe
+    ``sources.merge.enforce_retention_path`` (whole-expired days
+    dropped O(1), mixed days rewritten copy-on-write). Retention is
+    idempotent and watermark-monotone — enforcing at ticks t₁ ≤ t₂
+    equals one enforcement at t₂ — so checkpoint replays of
+    unacknowledged ticks are safe (the s16 effectively-once
+    argument). ``counts``, if a list, collects each batch's
+    (n_dropped, n_rewritten). Returns the started StreamingQuery."""
+    from dislib_spark.sources.merge import enforce_retention_path
+
+    spark = ticks_stream.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        ticks = [r[as_of_col] for r in batch_df.collect()]
+        if not ticks:
+            return
+        # monotonicity: only the newest tick in the batch matters
+        n = enforce_retention_path(
+            spark, path, partition_col, ttl_days, max(ticks)
+        )
+        if counts is not None:
+            counts.append(n)
+
+    return (
+        ticks_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

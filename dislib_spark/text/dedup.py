@@ -205,6 +205,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     max_posting: int | None = None,
     max_df: int | None = None,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """Near-CONTAINMENT pair audit: every pair with containment
     |A∩B| / min(|A|,|B|) ≥ ``c_threshold``, flagged by whether a
@@ -217,7 +218,10 @@ def containment_pairs(
     :func:`jaccard_pairs` (one shuffle on the shingle key, pairs
     exploded inside bounded buckets, never a corpus self-join).
     Returns (a_id, b_id, jaccard, containment, caught_by_jaccard)
-    with a_id < b_id."""
+    with a_id < b_id; ``with_sizes=True`` appends the shingle-set
+    sizes (a_size, b_size) so downstream can DIRECT the edge — the
+    smaller set is the contained side, the larger the container
+    (the t77 quote-direction matrix)."""
     sh = (
         fan_out(df)
         .select(
@@ -287,7 +291,10 @@ def containment_pairs(
             / F.least("a_size", "b_size").cast("double"),
             6,
         ).alias("containment"),
+        "a_size",
+        "b_size",
     )
+    extra = ["a_size", "b_size"] if with_sizes else []
     return scored.where(F.col("containment") >= c_threshold).select(
         "a_id",
         "b_id",
@@ -296,6 +303,7 @@ def containment_pairs(
         (F.col("jaccard") >= j_max).cast("int").alias(
             "caught_by_jaccard"
         ),
+        *extra,
     )
 
 

@@ -1448,3 +1448,172 @@ def pq_stored_residuals(
             )
 
     return staged.mapInArrow(fn, out_schema)
+
+
+def ivfsq_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centers: str = "kmeans",
+    dim: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the composed IVF-SQ8 index (the FAISS ``IVF,SQ8`` shape):
+    ``(coarse_centers, sq8_stats, cell_codes)``. Candidate GENERATION
+    is IVF cell pruning exactly as :func:`ivf_index`; candidate
+    STORAGE is int8 scalar-quantized codes (``vector.quantize`` —
+    per-dimension min/max grid over the corpus, 4× smaller than raw
+    float32 and, unlike PQ, decodable per dimension without a trained
+    codebook). ``cell_codes`` is the persistable stored-index table —
+    one row per corpus vector carrying its cell AND its SQ8 codes;
+    write it ``partitionBy("cell")`` (centers + the 1-row stats frame
+    alongside, both driver-small) and probe batches touch only their
+    n_probe lists. Build cost (one quantizer pass + one min/max
+    aggregation + one encode pass + one id-equi join) is paid once
+    per index lifetime."""
+    from dislib_spark.vector.quantize import sq8_encode, sq8_stats
+
+    d = dim if dim is not None else _infer_dim(corpus, vec_col)
+    ctrs, assigned = ivf_index(
+        corpus, n_cells, seed, id_col, vec_col, centers=centers
+    )
+    stats = sq8_stats(corpus, vec_col, d)
+    codes = sq8_encode(corpus, vec_col, d).select(
+        F.col(id_col).alias("c_id"), "codes"
+    )
+    cell_codes = assigned.select("c_id", "cell").join(codes, "c_id")
+    return ctrs, stats, cell_codes
+
+
+def _sq8_reconstruct(codes: Column) -> Column:
+    """Decode SQ8 codes back to doubles against broadcast ``mins``/
+    ``maxs`` array columns (in scope via crossJoin of the 1-row stats
+    frame): ``mn + code·(mx−mn)/255``; constant dimensions decode to
+    ``mn`` exactly (their code is 0 by :func:`~dislib_spark.vector.
+    quantize.sq8_encode`'s contract)."""
+
+    def recon(c: Column, i: Column) -> Column:
+        mn = F.element_at("mins", i + F.lit(1))
+        mx = F.element_at("maxs", i + F.lit(1))
+        return F.when(mx == mn, mn).otherwise(
+            mn + c.cast("double") * (mx - mn) / F.lit(255.0)
+        )
+
+    return F.transform(codes, recon)
+
+
+def ivfsq_query_index(
+    queries: DataFrame,
+    centers: DataFrame,
+    stats: DataFrame,
+    cell_codes: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a (possibly parquet-stored) IVF-SQ8 index: each query
+    finds its ``n_probe`` nearest coarse cells via the broadcast
+    centers (the cell equi-join partition-prunes a
+    ``partitionBy("cell")`` stored index to those lists), candidates
+    are scored by cosine against the SQ8-RECONSTRUCTED vector
+    (asymmetric distance: query exact, corpus decoded from its 8-bit
+    codes — never the raw floats), and exact cosine runs only on the
+    top ``rerank`` candidates per query, fetched from ``vectors``
+    (rerank·|Q| rows). The reconstruction is JVM array arithmetic
+    against the broadcast 1-row stats frame — no Python, no extra
+    shuffle. Returns (q_id, c_id, sim, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(vec_col).cast("array<double>").alias("_qraw"),
+    )
+    qc = q.crossJoin(F.broadcast(centers)).select(
+        "q_id",
+        "q_vec",
+        "_qraw",
+        "cell",
+        F.aggregate(
+            F.zip_with(
+                F.col("_qraw"),
+                F.col("center"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    wp = Window.partitionBy("q_id").orderBy("d2", "cell")
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= n_probe)
+        .select("q_id", "q_vec", "_qraw", "cell")
+    )
+    # asymmetric scoring on the probed lists: decode each candidate's
+    # codes against the broadcast grid, rank by ROUNDED cosine (9 dp,
+    # c_id tiebreak) so the shortlist cut is engine-stable
+    withstats = cell_codes.crossJoin(F.broadcast(stats)).select(
+        "cell", "c_id", _sq8_reconstruct(F.col("codes")).alias("_recon")
+    )
+    cand = F.broadcast(probes).join(withstats, "cell").select(
+        "q_id",
+        "q_vec",
+        "c_id",
+        F.round(
+            cosine_similarity(F.col("_qraw"), F.col("_recon")), 9
+        ).alias("sim_q"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("sim_q"), "c_id")
+    short = (
+        cand.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= rerank)
+        .select("q_id", "q_vec", "c_id")
+    )
+    exact = short.join(
+        vectors.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_id",
+    ).select(
+        "q_id",
+        "c_id",
+        F.round(
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "c_id")
+    return exact.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def ivfsq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    rerank: int = 50,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centers: str = "kmeans",
+) -> DataFrame:
+    """IVF-SQ8 composed ANN: :func:`ivfsq_index` (build once, persist
+    when the corpus outlives the query batch) composed with
+    :func:`ivfsq_query_index`. ``centers`` as in :func:`ivf_index` —
+    "seed" makes every stage (assignment, probing, SQ8 encode/decode,
+    asymmetric scoring, exact re-rank) deterministic and
+    DuckDB-replayable (the v33 oracle). Returns
+    (q_id, c_id, sim, rank)."""
+    ctrs, stats, cell_codes = ivfsq_index(
+        corpus, n_cells, seed, id_col, vec_col, centers=centers
+    )
+    return ivfsq_query_index(
+        queries, ctrs, stats, cell_codes, corpus,
+        k=k, n_probe=n_probe, rerank=rerank,
+        id_col=id_col, vec_col=vec_col,
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dislib_spark.streaming.cdc import apply_changes, cdc_apply_sink, compact_changes
+from dislib_spark.streaming import await_drain
 
 
 def _changes(spark):
@@ -68,8 +69,7 @@ def test_stream_apply_equals_batch_apply(spark, tmp_path):
         delete_condition=F.col("op") == "D",
         availableNow=True,
     )
-    q.awaitTermination(180)
-
+    await_drain(q, 180)
     tgt_batch = str(tmp_path / "tgt_batch")
     apply_changes(
         spark, tgt_batch, ch, ["k"], "ts",
@@ -296,6 +296,32 @@ def test_partition_swap_crash_recovery(spark, tmp_path):
     assert not os.path.isdir(str(leftover) + ".__ptmp__")
     assert spark.read.parquet(str(leftover)).count() == 4
 
+    # crash point D: swap COMMITTED (all renames done, manifest
+    # removed) but the old/tmp cleanup rmtree was interrupted midway —
+    # old still exists and has already lost some <part> subdirs. The
+    # manifest-less .__pold__ must be treated as an inert leftover and
+    # swept; before manifest-removal-as-commit, a surviving manifest
+    # here would have renamed the landed replacement back OUT and
+    # deleted it (silent loss of the partition's surviving rows).
+    snapD = tmp_path / "D"
+    shutil.copytree(str(snapB), str(snapD))  # snapB already recovered
+    os.makedirs(str(snapD) + ".__pold__/day=d1")  # partial old remains
+    os.makedirs(str(snapD) + ".__ptmp__", exist_ok=True)
+    _recover_partition_swap(str(snapD), "day")
+    check_final(snapD)
+
+    # a crash DURING the journal write leaves only a truncated
+    # _MANIFEST.json.tmp (the atomic-rename never ran): no renames can
+    # have happened, so the whole .__pold__ is swept without parsing
+    trunc = tmp_path / "trunc"
+    build(trunc)
+    os.makedirs(str(trunc) + ".__pold__", exist_ok=True)
+    with open(str(trunc) + ".__pold__/" + _MANIFEST + ".tmp", "w") as fh:
+        fh.write('[{"src": "day=d1", "tm')  # truncated mid-write
+    M._recover_partition_swap(str(trunc), "day")
+    assert not os.path.isdir(str(trunc) + ".__pold__")
+    assert spark.read.parquet(str(trunc)).count() == 4
+
 
 def test_erasure_sink_stream_equals_batch(spark, tmp_path):
     """s16's kernel: forget-me keys drained as TWO micro-batches
@@ -335,8 +361,7 @@ def test_erasure_sink_stream_equals_batch(spark, tmp_path):
         counts=counts,
         availableNow=True,
     )
-    q.awaitTermination(120)
-
+    await_drain(q, 120)
     keys = spark.createDataFrame([(7,), (10,)], "user_id long")
     erase_keys_path(spark, batch, keys, "user_id", "day")
 
@@ -345,3 +370,129 @@ def test_erasure_sink_stream_equals_batch(spark, tmp_path):
     assert got == want
     assert {r[1] for r in got} == {8, 9}
     assert len(counts) == 2 and sum(counts) == 3  # d1+d2, then d3
+
+
+def test_enforce_retention_path(spark, tmp_path):
+    """enforce_retention_path classifies and executes in one pass:
+    whole-expired days dropped (directory gone), mixed days rewritten
+    to survivors only, clean days byte-untouched; returns the
+    (n_dropped, n_rewritten) counts; a second enforcement at the same
+    watermark is a no-op; and enforcement is watermark-monotone
+    (tick at t1 then t2 ≡ one-shot at t2)."""
+    import os
+
+    from dislib_spark.sources.merge import enforce_retention_path
+
+    # per-type TTL: 'a' keeps 5 days, others 10
+    ttl = F.when(F.col("typ") == "a", 5).otherwise(10)
+    rows = [
+        # day d-12: all rows past both TTLs -> DROP
+        (1, "a", "2024-01-01"), (2, "b", "2024-01-01"),
+        # day d-7: 'a' expired (age 7 > 5), 'b' kept -> REWRITE
+        (3, "a", "2024-01-06"), (4, "b", "2024-01-06"),
+        # day d-1: nothing expired -> KEEP
+        (5, "a", "2024-01-12"), (6, "b", "2024-01-12"),
+    ]
+    df = spark.createDataFrame(rows, "id long, typ string, day string")
+    path = str(tmp_path / "mart")
+    df.write.partitionBy("day").parquet(path)
+
+    def files(p):
+        out = {}
+        for root, _, names in os.walk(p):
+            for n in names:
+                if n.endswith(".parquet"):
+                    f = os.path.join(root, n)
+                    out[f] = os.path.getmtime(f)
+        return out
+
+    before = files(path)
+    assert enforce_retention_path(
+        spark, path, "day", ttl, "2024-01-13"
+    ) == (1, 1)
+    got = spark.read.parquet(path)
+    assert {(r["id"],) for r in got.select("id").collect()} == {
+        (4,), (5,), (6,)
+    }
+    assert not os.path.isdir(os.path.join(path, "day=2024-01-01"))
+    # KEEP day files byte-identical
+    after = files(path)
+    for f, mtime in before.items():
+        if "day=2024-01-12" in f:
+            assert f in after and after[f] == mtime
+    # idempotent at the same watermark
+    assert enforce_retention_path(
+        spark, path, "day", ttl, "2024-01-13"
+    ) == (0, 0)
+
+    # monotonicity: t1 then t2 == one-shot at t2
+    p2 = str(tmp_path / "ticked")
+    p3 = str(tmp_path / "oneshot")
+    df.write.partitionBy("day").parquet(p2)
+    df.write.partitionBy("day").parquet(p3)
+    enforce_retention_path(spark, p2, "day", ttl, "2024-01-08")
+    enforce_retention_path(spark, p2, "day", ttl, "2024-01-13")
+    enforce_retention_path(spark, p3, "day", ttl, "2024-01-13")
+    a = {tuple(r) for r in spark.read.parquet(p2).collect()}
+    b = {tuple(r) for r in spark.read.parquet(p3).collect()}
+    assert a == b
+
+
+def test_retention_sink_stream_equals_batch(spark, tmp_path):
+    """s17's kernel: watermark ticks drained as TWO micro-batches
+    (maxFilesPerTrigger=1) through the foreachBatch retention sink
+    must leave exactly the table a one-shot enforcement at the final
+    watermark leaves, and the per-batch (dropped, rewritten) counts
+    are collected per tick."""
+    from dislib_spark.sources.merge import enforce_retention_path
+    from dislib_spark.streaming.cdc import retention_sink
+
+    ttl = F.when(F.col("typ") == "a", 5).otherwise(10)
+    rows = [
+        (1, "a", "2024-01-01"), (2, "b", "2024-01-01"),
+        (3, "a", "2024-01-06"), (4, "b", "2024-01-06"),
+        (5, "a", "2024-01-12"), (6, "b", "2024-01-12"),
+    ]
+    df = spark.createDataFrame(rows, "id long, typ string, day string")
+    mpath = str(tmp_path / "mart")
+    feed = str(tmp_path / "ticks")
+    df.write.partitionBy("day").parquet(mpath)
+    spark.createDataFrame(
+        [("2024-01-08",)], "as_of string"
+    ).coalesce(1).write.mode("overwrite").parquet(feed)
+    spark.createDataFrame(
+        [("2024-01-13",)], "as_of string"
+    ).coalesce(1).write.mode("append").parquet(feed)
+
+    counts: list[tuple[int, int]] = []
+    q = retention_sink(
+        spark.readStream.schema("as_of string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed),
+        mpath,
+        str(tmp_path / "ckpt"),
+        "day",
+        ttl,
+        counts=counts,
+        availableNow=True,
+    )
+    await_drain(q, 180)
+    assert len(counts) == 2
+
+    ref = str(tmp_path / "ref")
+    df.write.partitionBy("day").parquet(ref)
+    enforce_retention_path(spark, ref, "day", ttl, "2024-01-13")
+
+    def state(p):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(p)
+            .select("id", "typ", F.col("day").cast("string"))
+            .collect()
+        }
+
+    assert state(mpath) == state(ref) == {
+        (4, "b", "2024-01-06"),
+        (5, "a", "2024-01-12"),
+        (6, "b", "2024-01-12"),
+    }

@@ -7,6 +7,7 @@ import datetime
 
 from pyspark.sql import functions as F
 
+from dislib_spark.streaming import await_drain
 from dislib_spark.streaming.decay import (
     decayed_counts,
     decayed_hitters_sink,
@@ -34,8 +35,7 @@ def test_decayed_hitters_stream_equals_batch(spark, tmp_path):
     q = decayed_hitters_sink(
         stream, sink, str(tmp_path / "ckpt"), "user_id"
     ).trigger(availableNow=True).start()
-    q.awaitTermination(180)
-
+    await_drain(q, 180)
     # multi-batch appends: more partial rows than distinct (key, hour)
     partials = spark.read.parquet(sink)
     merged = partials.groupBy("key", "hour").count()

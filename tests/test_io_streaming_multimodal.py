@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 import dislib_spark as ds
+from dislib_spark.streaming import await_drain
 from dislib_spark.sources import (
     load_npy_file,
     load_npy_files,
@@ -117,7 +118,7 @@ def test_streaming_real_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_drain(q, 120)
     # append mode only emits closed windows (watermark passed), so
     # just assert the stream ran and the table exists
     spark.sql("SELECT * FROM t_counts").collect()
@@ -227,8 +228,7 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
-
+        await_drain(q, 120)
     # batch 1: events up to 12:00 — watermark advances to 11:00
     write_batch(
         [
@@ -287,7 +287,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_drain(q, 120)
     got = spark.sql("SELECT COUNT(*) AS n FROM ss_join").first()["n"]
     expect = interval_join(
         c, p, on="user_id", left_time="ts", right_time="p_ts",
@@ -346,7 +346,7 @@ def test_transform_with_state_v2(spark, tmp_path):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            await_drain(q, 120)
             rows = spark.sql(
                 f"SELECT user_id, n, total, vmax FROM tws_{name}"
             ).collect()
@@ -416,7 +416,7 @@ def test_stream_static_enrich_parity(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_drain(q, 120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM t_enrich").collect()}
     assert got == batch
 
@@ -465,7 +465,7 @@ def test_incremental_rollup_stream_equals_batch(spark, tmp_path):
     q = incremental_rollup_sink(
         stream, sink, str(tmp_path / "ckpt"), availableNow=True
     )
-    q.awaitTermination(180)
+    await_drain(q, 180)
     assert q.lastProgress is not None
     # > 1 partial row per (bucket, type) proves multi-batch appends
     n_partials = spark.read.parquet(sink).count()
@@ -654,7 +654,7 @@ def test_stream_stream_join_parity(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_drain(q, 120)
     got = {
         tuple(r) for r in spark.sql("SELECT * FROM t_ssj").collect()
     }
@@ -711,8 +711,7 @@ def test_stream_stream_left_join_parity(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-
+        await_drain(q, 180)
     run_once()
     # sentinel rounds: each advances both sides' watermarks; round 2
     # runs with round 1's watermark already past every real click, so
@@ -784,7 +783,7 @@ def test_stream_dedup_archive_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_drain(q, 180)
     assert len(n_batches) >= 3  # genuinely multi-micro-batch
     got = sorted(
         (r["new_id"], r["index_id"], r["jaccard"])
@@ -831,8 +830,7 @@ def test_dedup_then_window_chained_stateful_parity(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-
+        await_drain(q, 180)
     run_once()
     for hours in (10, 20):
         st = max_ts + datetime.timedelta(hours=hours)
@@ -913,8 +911,7 @@ def test_stream_sessions_timer_parity(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-
+        await_drain(q, 180)
     try:
         run_once()
         ev.where(F.col("ts") > mid).write.mode("append").parquet(src)
@@ -1008,8 +1005,7 @@ def test_stream_sessions_disordered_feed_parity(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-
+        await_drain(q, 180)
     try:
         run_once()
         # the LATE round: event times BEFORE what round 1 already saw

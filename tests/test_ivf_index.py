@@ -300,3 +300,71 @@ def test_pq_index_maintain_currency_and_scoped_rewrite(
     assert spark.read.parquet(path2).where(
         F.col("id") == 999_999
     ).count() == 0
+
+
+def test_ivfsq_stored_index_equals_in_memory(
+    spark, emb, tmp_path_factory
+):
+    """IVF-SQ8 (the v33 kernel): the parquet-round-tripped index
+    (partitionBy(cell) codes + 1-row stats + centers) probes to
+    exactly the in-memory composition's results, and ivfsq_topk IS
+    the build+probe composition."""
+    from dislib_spark.vector.search import (
+        ivfsq_index,
+        ivfsq_query_index,
+        ivfsq_topk,
+    )
+
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    queries = emb.where(
+        (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 10)
+    )
+    ctrs, stats, codes = ivfsq_index(corpus, n_cells=8, centers="seed")
+    mem = ivfsq_query_index(
+        queries, ctrs, stats, codes, corpus, k=5, n_probe=3
+    )
+    direct = ivfsq_topk(
+        queries, corpus, k=5, n_cells=8, n_probe=3, centers="seed"
+    )
+    assert _key_rows(direct) == _key_rows(mem)
+
+    tmp = str(tmp_path_factory.mktemp("ivfsqidx"))
+    codes.write.partitionBy("cell").parquet(f"{tmp}/codes")
+    stats.write.parquet(f"{tmp}/stats")
+    ctrs.write.parquet(f"{tmp}/ctrs")
+    stored = ivfsq_query_index(
+        queries,
+        spark.read.parquet(f"{tmp}/ctrs"),
+        spark.read.parquet(f"{tmp}/stats"),
+        spark.read.parquet(f"{tmp}/codes"),
+        corpus,
+        k=5,
+        n_probe=3,
+    )
+    assert _key_rows(stored) == _key_rows(mem)
+
+
+def test_ivfsq_recall_gate_kmeans(spark, emb):
+    """The MLlib-KMeans-trained IVF-SQ8 variant (the production path
+    the seed oracle can't value-check) must hit recall@5 ≥ 0.6
+    against brute-force exact cosine on a 10-query batch — cell
+    pruning plus 8-bit scalar quantization, with exact rerank, keeps
+    most of the true top-k. Self-match must survive: every query
+    vector IS in the corpus, so rank-1 is itself at sim 1."""
+    from dislib_spark.vector.search import cosine_topk, ivfsq_topk
+
+    q = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(q, emb, k=5).select("q_id", "c_id")
+    approx = ivfsq_topk(
+        q, emb, k=5, n_cells=8, n_probe=3, centers="kmeans"
+    )
+    hits = exact.join(
+        approx.select("q_id", "c_id"), ["q_id", "c_id"]
+    ).count()
+    assert hits / 50.0 >= 0.6, hits
+    top1 = {
+        r["q_id"]: (r["c_id"], r["sim"])
+        for r in approx.where(F.col("rank") == 1).collect()
+    }
+    for qid, (cid, sim) in top1.items():
+        assert cid == qid and sim == pytest.approx(1.0, abs=1e-6)

@@ -100,6 +100,12 @@ _BNLJ_OK = {
     "v32_ivfpq_recall",  # v31's broadcasts + v01's broadcast query set
     "m68_pinball_regression",  # <=990 candidate slopes x bounded 11x50 grid (m62 shape)
     "m69_passing_bablok",  # cell-pair join over the bounded $20k-bin grid (m62 shape)
+    "v33_ivfsq_topk",  # broadcast 16-row centers + 1-row SQ8 stats (v31 shape)
+    "v34_ann_cost_frontier",  # broadcast centers/sizes + 1-row corpus/nq totals (v23 shape)
+    "v35_ivfsq_recall",  # v33's broadcasts + v01's broadcast query set (v32 shape)
+    "s17_streaming_retention",  # 1-row broadcast of the residual-expired total (s16 shape)
+    "m70_generalized_esd",  # 1-row sufficient-stats broadcast onto the 6-row extremes pool
+    "m71_dixon_q",  # 1-row (n, hi-pair, lo-pair) scalar crossjoins
 }
 
 
@@ -504,6 +510,81 @@ def test_v29_v30_maintenance_plan_pinned(spark):
         assert f.n_scans <= scans, (name, f.n_scans)
         assert f.n_exchanges <= exchanges, (name, f.n_exchanges)
         assert not f.has_cartesian and not f.has_python_row_udf, name
+
+
+def test_stored_ivfpq_and_ivfsq_probe_plan_pinned(
+    spark, tmp_path_factory
+):
+    """The STORED-table probe paths (the v10/t70 discipline applied
+    to the composed indexes): ivfpq_query_index / ivfsq_query_index
+    against a parquet-round-tripped ``partitionBy("cell")`` codes
+    table must stay within their recorded scan/shuffle budgets — the
+    probe reads the codes table (cell equi-join against the broadcast
+    probes → only the probed lists' partitions matter), the raw-vector
+    table only for the shortlist re-rank, and never re-derives the
+    index from the corpus. A regression that re-encodes or re-assigns
+    the corpus per query batch blows the scan budget; a corpus-wide
+    scoring pass shows up as a cartesian/extra exchange."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dislib_spark.tables import load_table
+    from dislib_spark.utils.plancheck import plan_facts
+    from dislib_spark.vector.search import (
+        ivfpq_index,
+        ivfpq_query_index,
+        ivfsq_index,
+        ivfsq_query_index,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    tmp = str(tmp_path_factory.mktemp("storedprobe"))
+    e.select("vec_id", "embedding").write.parquet(f"{tmp}/vecs")
+    vecs = spark.read.parquet(f"{tmp}/vecs")
+
+    ctrs, books, cc = ivfpq_index(
+        e, centers="seed", codebooks="seed", n_centroids=16
+    )
+    cc.write.partitionBy("cell").parquet(f"{tmp}/pq_codes")
+    ctrs.write.parquet(f"{tmp}/pq_ctrs")
+    pq = ivfpq_query_index(
+        q,
+        spark.read.parquet(f"{tmp}/pq_ctrs"),
+        books,
+        spark.read.parquet(f"{tmp}/pq_codes"),
+        vecs,
+        k=10,
+        n_probe=4,
+        rerank=50,
+    )
+    f = plan_facts(pq)
+    # queries + centers + codes + vectors (+ window-stage reuse):
+    # measured 6 scans / 3 exchanges; headroom of 1
+    assert f.n_scans <= 7, f.n_scans
+    assert f.n_exchanges <= 4, f.n_exchanges
+    assert not f.has_cartesian and not f.has_python_row_udf
+
+    sctrs, stats, scc = ivfsq_index(e, centers="seed")
+    scc.write.partitionBy("cell").parquet(f"{tmp}/sq_codes")
+    stats.write.parquet(f"{tmp}/sq_stats")
+    sctrs.write.parquet(f"{tmp}/sq_ctrs")
+    sq = ivfsq_query_index(
+        q,
+        spark.read.parquet(f"{tmp}/sq_ctrs"),
+        spark.read.parquet(f"{tmp}/sq_stats"),
+        spark.read.parquet(f"{tmp}/sq_codes"),
+        vecs,
+        k=10,
+        n_probe=4,
+        rerank=50,
+    )
+    f2 = plan_facts(sq)
+    # + the 1-row stats scan: measured 7 scans / 3 exchanges
+    assert f2.n_scans <= 8, f2.n_scans
+    assert f2.n_exchanges <= 4, f2.n_exchanges
+    assert not f2.has_cartesian and not f2.has_python_row_udf
 
 
 def test_t70_archive_probe_plan_pinned(spark):

@@ -479,6 +479,37 @@ def test_md5_hll_rho_is_64_bit(spark):
     assert max(got.values()) <= 65
 
 
+def test_md5_hll_format_marker_guard(spark):
+    """Stored partials carry rho_bits=64; the estimator refuses (a)
+    marker-less legacy partials with an up-front ValueError and (b)
+    mixed-width unions with an execution-time error — MAX-merging
+    32-bit-rank registers (rho ≤ 33) into 64-bit ones silently
+    understates deep ranks, the exact hazard the marker exists for."""
+    import pytest
+
+    from dislib_spark.sketches import md5_hll_estimate, md5_hll_partials
+
+    df = spark.range(1000).selectExpr("id")
+    parts = md5_hll_partials(df, "id")
+    assert parts.columns == ["reg", "max_rho", "rho_bits"]
+    assert parts.select(F.min("rho_bits"), F.max("rho_bits")).first() \
+        == (64, 64)
+
+    # (a) legacy partials: no marker column at all
+    with pytest.raises(ValueError, match="rho_bits"):
+        md5_hll_estimate(parts.drop("rho_bits"))
+
+    # (b) a union of current partials with ones marked rho_bits=32
+    legacy = parts.withColumn("rho_bits", F.lit(32))
+    mixed = parts.unionByName(legacy)
+    with pytest.raises(Exception, match="format mismatch"):
+        md5_hll_estimate(mixed).collect()
+
+    # homogeneous current-format partials still estimate normally
+    est = md5_hll_estimate(parts).first()["hll_estimate"]
+    assert abs(est - 1000) / 1000 < 0.26
+
+
 def test_md5_hll_large_cardinality_band(spark):
     """>10⁶ distincts: rel_err stays inside the m=256 HLL band
     (1.04/sqrt(256) = 6.5% typical std; assert < 4 sigma). This is

@@ -10,6 +10,7 @@ import datetime as dt
 import pandas as pd
 
 from dislib_spark.temporal import asof_join, interval_join
+from dislib_spark.streaming import await_drain
 
 
 def _ts(minute: int) -> dt.datetime:
@@ -141,7 +142,7 @@ def test_interval_join_stream_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_drain(q, 120)
     rows = spark.sql("SELECT lid, rid FROM t_ssjoin").collect()
     assert sorted((r.lid, r.rid) for r in rows) == [
         (1, 101), (2, 101), (2, 102), (3, 103), (3, 104),

@@ -148,6 +148,46 @@ def main():
         index_probe_item,
     )
 
+    def recall_grade_item():
+        # t75/t76's dedup-grading shape at scale: a capped truth set
+        # (inverted-index Jaccard, the 100 TB posting caps) joined
+        # against TWO banding configurations of the same signature —
+        # three full signature/pair builds, the priciest thing the
+        # self-grading dedup pass adds. Grade joins are truth-sized.
+        from dislib_spark.text.dedup import jaccard_pairs
+
+        truth = jaccard_pairs(
+            docs, threshold=0.3,
+            max_posting=10_000, max_df=N // 10,
+        ).select("a_id", "b_id", "jaccard")
+
+        def caught(bands, name):
+            return (
+                minhash_lsh_pairs(docs, threshold=0.3, bands=bands)
+                .select("a_id", "b_id")
+                .withColumn(name, F.lit(1))
+            )
+
+        j = truth.join(
+            caught(8, "hit8"), ["a_id", "b_id"], "left"
+        ).join(caught(4, "hit4"), ["a_id", "b_id"], "left")
+        return (
+            j.groupBy(
+                F.floor(F.col("jaccard") * 10).cast("int").alias("d")
+            )
+            .agg(
+                F.count(F.lit(1)),
+                F.sum(F.coalesce("hit8", F.lit(0))),
+                F.sum(F.coalesce("hit4", F.lit(0))),
+            )
+            .collect()
+        )
+
+    timed(
+        "banding recall grade (truth + 2 configs, t75/t76 shape)",
+        recall_grade_item,
+    )
+
     def k_core_item():
         from dislib_spark.graph import k_core
 

@@ -4159,6 +4159,166 @@ def x109_retention_certificate(
     )
 
 
+def x110_erasure_then_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The two partition-scoped mutations COMPOSED on one mart —
+    the operational reality where GDPR erasure (x103) and TTL expiry
+    (x108) run against the same table: erase the ≡0 mod 97 users
+    first, then enforce retention at the corpus watermark, both
+    through the same crash-safe swap. Row-level predicates commute,
+    so the disk post-state must equal the one-shot logical filter
+    (NOT erased AND NOT expired) — the oracle replays that — while
+    the phase partition-touch counts are order-specific and reported
+    for this order: the erase fan-out over the original mart, then
+    DROP/REWRITE classes over the post-erase state. Residual probes
+    (erased rows left, expired rows left) are value-checked at 0."""
+    import tempfile
+
+    from dislib_spark.sources.merge import (
+        enforce_retention_path,
+        erase_keys_path,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        F.max(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        ).alias("d")
+    ).first()["d"]
+    mart = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="gdpr_ttl_")
+    mpath = f"{tmp}/mart"
+    mart.write.partitionBy("day").mode("overwrite").parquet(mpath)
+
+    erased = (
+        ev.where(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    )
+    n_parts_erase = erase_keys_path(
+        spark, mpath, erased, "user_id", "day"
+    )
+    ttl = (
+        F.when(F.col("event_type") == "error", 10)
+        .when(F.col("event_type") == "click", 20)
+        .otherwise(25)
+    )
+    n_drop, n_rewrite = enforce_retention_path(
+        spark, mpath, "day", ttl, wm
+    )
+
+    expired = (
+        F.datediff(F.lit(wm).cast("date"), F.col("day").cast("date"))
+        > ttl
+    )
+    post = spark.read.parquet(mpath)
+    before = mart.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    after = post.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_after")
+    )
+    res_erased = post.join(
+        F.broadcast(erased), "user_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_residual_erased"))
+    res_expired = post.where(expired).agg(
+        F.count(F.lit(1)).alias("n_residual_expired")
+    )
+    return (
+        before.join(after, "event_type", "left")
+        .crossJoin(F.broadcast(res_erased))
+        .crossJoin(F.broadcast(res_expired))
+        .select(
+            "event_type",
+            F.col("n_before").cast("bigint").alias("n_before"),
+            F.coalesce("n_after", F.lit(0))
+            .cast("bigint")
+            .alias("n_after"),
+            F.col("n_residual_erased").cast("bigint").alias(
+                "n_residual_erased"
+            ),
+            F.col("n_residual_expired").cast("bigint").alias(
+                "n_residual_expired"
+            ),
+            F.lit(n_parts_erase).cast("bigint").alias("n_parts_erase"),
+            F.lit(n_drop).cast("bigint").alias("n_parts_dropped"),
+            F.lit(n_rewrite).cast("bigint").alias("n_parts_rewritten"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def x111_retention_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retention TRANSITION forecast — the capacity-planning
+    complement of x107's point-in-time plan: classify every day
+    partition at the current watermark AND at watermark+7 days, and
+    report the transition matrix (action_now → action_next_week)
+    with partition counts, row volumes, and the rows that newly
+    expire inside the window. The DROP-bound cells are next week's
+    reclaim bill; KEEP→REWRITE cells are the partitions that start
+    costing copy-on-write. Pure per-partition aggregate
+    classification (ONE grouped scan + a 1-row watermark broadcast),
+    no execution, exact integer counts."""
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        F.max(F.date_trunc("day", "ts")).alias("max_day")
+    )
+    ttl = (
+        F.when(F.col("event_type") == "error", 10)
+        .when(F.col("event_type") == "click", 20)
+        .otherwise(25)
+    )
+    age = F.datediff(F.col("max_day"), F.date_trunc("day", "ts"))
+    per_day = (
+        ev.crossJoin(F.broadcast(wm))
+        .select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+            .alias("day"),
+            (age > ttl).cast("long").alias("exp_now"),
+            ((age + 7) > ttl).cast("long").alias("exp_next"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("exp_now").alias("e_now"),
+            F.sum("exp_next").alias("e_next"),
+        )
+    )
+
+    def action(e):
+        return (
+            F.when(F.col(e) == 0, "KEEP")
+            .when(F.col(e) == F.col("n_rows"), "DROP")
+            .otherwise("REWRITE")
+        )
+
+    return (
+        per_day.select(
+            action("e_now").alias("action_now"),
+            action("e_next").alias("action_next"),
+            "n_rows",
+            (F.col("e_next") - F.col("e_now")).alias("newly_exp"),
+        )
+        .groupBy("action_now", "action_next")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("newly_exp").cast("bigint").alias(
+                "n_rows_newly_expiring"
+            ),
+        )
+        .orderBy("action_now", "action_next")
+    )
+
+
 def s17_streaming_retention(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4377,6 +4537,8 @@ QUERIES = {
     "x107_retention_plan": x107_retention_plan,
     "x108_retention_execute": x108_retention_execute,
     "x109_retention_certificate": x109_retention_certificate,
+    "x110_erasure_then_retention": x110_erasure_then_retention,
+    "x111_retention_forecast": x111_retention_forecast,
     "s17_streaming_retention": s17_streaming_retention,
 }
 
@@ -7201,4 +7363,99 @@ ORACLE["x109_retention_certificate"] = """
     WHERE n_expired > 0
     ORDER BY day
     LIMIT 20
+"""
+
+# x110: the composed mutations replayed as the one-shot logical
+# filter (row predicates commute); the order-specific phase counts
+# replayed analytically: erase fan-out over the original mart, then
+# DROP/REWRITE classes over the post-erase rows.
+ORACLE["x110_erasure_then_retention"] = """
+    WITH wm AS (SELECT MAX(date_trunc('day', ts)) AS max_day FROM events),
+    erased AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    ),
+    rows_c AS (
+        SELECT event_id, user_id, event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               date_diff('day', date_trunc('day', ts), max_day)
+                   > (CASE WHEN event_type = 'error' THEN 10
+                           WHEN event_type = 'click' THEN 20
+                           ELSE 25 END) AS expired,
+               user_id % 97 = 0 AS is_erased
+        FROM events, wm
+    ),
+    before AS (
+        SELECT event_type, COUNT(*) AS n_before
+        FROM rows_c GROUP BY event_type
+    ),
+    after AS (
+        SELECT event_type, COUNT(*) AS n_after
+        FROM rows_c WHERE NOT is_erased AND NOT expired
+        GROUP BY event_type
+    ),
+    pe AS (
+        SELECT COUNT(DISTINCT day) AS n FROM rows_c WHERE is_erased
+    ),
+    ret AS (
+        SELECT day, COUNT(*) AS n, SUM(CASE WHEN expired THEN 1 ELSE 0
+                                       END) AS e
+        FROM rows_c WHERE NOT is_erased GROUP BY day
+    ),
+    rc AS (
+        SELECT SUM(CASE WHEN e = n THEN 1 ELSE 0 END) AS n_drop,
+               SUM(CASE WHEN e > 0 AND e < n THEN 1 ELSE 0 END)
+                   AS n_rewrite
+        FROM ret
+    )
+    SELECT b.event_type,
+           CAST(b.n_before AS BIGINT) AS n_before,
+           CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+           CAST(0 AS BIGINT) AS n_residual_erased,
+           CAST(0 AS BIGINT) AS n_residual_expired,
+           CAST(pe.n AS BIGINT) AS n_parts_erase,
+           CAST(rc.n_drop AS BIGINT) AS n_parts_dropped,
+           CAST(rc.n_rewrite AS BIGINT) AS n_parts_rewritten
+    FROM before b LEFT JOIN after a ON b.event_type = a.event_type,
+         pe, rc
+    ORDER BY b.event_type
+"""
+
+# x111: both classifications from one per-day aggregate; all counts
+# exact longs.
+ORACLE["x111_retention_forecast"] = """
+    WITH wm AS (SELECT MAX(date_trunc('day', ts)) AS max_day FROM events),
+    per_day AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_rows,
+               SUM(CASE WHEN date_diff('day', date_trunc('day', ts),
+                                       max_day)
+                             > (CASE WHEN event_type = 'error' THEN 10
+                                     WHEN event_type = 'click' THEN 20
+                                     ELSE 25 END)
+                        THEN 1 ELSE 0 END) AS e_now,
+               SUM(CASE WHEN date_diff('day', date_trunc('day', ts),
+                                       max_day) + 7
+                             > (CASE WHEN event_type = 'error' THEN 10
+                                     WHEN event_type = 'click' THEN 20
+                                     ELSE 25 END)
+                        THEN 1 ELSE 0 END) AS e_next
+        FROM events, wm GROUP BY 1
+    ),
+    classed AS (
+        SELECT CASE WHEN e_now = 0 THEN 'KEEP'
+                    WHEN e_now = n_rows THEN 'DROP'
+                    ELSE 'REWRITE' END AS action_now,
+               CASE WHEN e_next = 0 THEN 'KEEP'
+                    WHEN e_next = n_rows THEN 'DROP'
+                    ELSE 'REWRITE' END AS action_next,
+               n_rows, e_next - e_now AS newly_exp
+        FROM per_day
+    )
+    SELECT action_now, action_next,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(newly_exp) AS BIGINT) AS n_rows_newly_expiring
+    FROM classed
+    GROUP BY action_now, action_next
+    ORDER BY action_now, action_next
 """

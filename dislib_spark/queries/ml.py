@@ -3314,6 +3314,73 @@ def m70_generalized_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out[0].unionByName(out[1]).unionByName(out[2]).orderBy("iter")
 
 
+def m72_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized and trimmed robust moments on order totalprice —
+    what the m50/m70 screens lead to when outliers are found: clamp
+    (winsorize) at the 3rd order statistic from each end and report
+    the robust mean/sd next to the raw mean, plus the 2-each-end
+    TRIMMED mean computed exactly from the raw sum minus the four
+    extreme order statistics. TWO scans (the classic robust-stats
+    shape): two 3-row sort-limits fix the bounds, then one clamped
+    fold with exact decimal sums; on 3 rows the middle order
+    statistic is total − min − max, so no window is ever needed.
+    All algebra on exact-decimal operands, mirrored by the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    xdec = F.col("o_totalprice").cast("decimal(18,6)")
+    lo3 = (
+        o.select(xdec.alias("x"))
+        .orderBy(F.asc("x"))
+        .limit(3)
+        .agg(
+            F.min("x").alias("x1"),
+            (F.sum("x") - F.min("x") - F.max("x")).alias("x2"),
+            F.max("x").alias("lo_b"),
+        )
+    )
+    hi3 = (
+        o.select(xdec.alias("x"))
+        .orderBy(F.desc("x"))
+        .limit(3)
+        .agg(
+            F.max("x").alias("xn"),
+            (F.sum("x") - F.min("x") - F.max("x")).alias("xn1"),
+            F.min("x").alias("hi_b"),
+        )
+    )
+    bounds = F.broadcast(lo3.crossJoin(hi3))
+    clamped = F.least(F.greatest(xdec, F.col("lo_b")), F.col("hi_b"))
+    s = o.crossJoin(bounds).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xdec).alias("sx"),
+        F.sum(clamped).alias("sw"),
+        F.sum(clamped * clamped).alias("sww"),
+        F.first("x1").alias("x1"),
+        F.first("x2").alias("x2"),
+        F.first("xn1").alias("xn1"),
+        F.first("xn").alias("xn"),
+        F.first("lo_b").alias("lo_b"),
+        F.first("hi_b").alias("hi_b"),
+    )
+    nn = F.col("n").cast("double")
+    swd = F.col("sw").cast("double")
+    swwd = F.col("sww").cast("double")
+    wmean = swd / nn
+    wvar = (swwd - swd * swd / nn) / (nn - 1.0)
+    trim_sum = (
+        F.col("sx") - F.col("x1") - F.col("x2") - F.col("xn1")
+        - F.col("xn")
+    ).cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("lo_b").cast("double"), 6).alias("lo_bound"),
+        F.round(F.col("hi_b").cast("double"), 6).alias("hi_bound"),
+        F.round(F.col("sx").cast("double") / nn, 6).alias("raw_mean"),
+        F.round(wmean, 6).alias("winsor_mean"),
+        F.round(F.sqrt(wvar), 6).alias("winsor_sd"),
+        F.round(trim_sum / (nn - 4.0), 6).alias("trimmed_mean"),
+    )
+
+
 def m71_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dixon's Q gap-ratio outlier screen on order totalprice — the
     order-statistic complement of m50/m70's moment-based tests:
@@ -3435,6 +3502,7 @@ QUERIES = {
     "m69_passing_bablok": m69_passing_bablok,
     "m70_generalized_esd": m70_generalized_esd,
     "m71_dixon_q": m71_dixon_q,
+    "m72_winsorized_stats": m72_winsorized_stats,
 }
 
 
@@ -6483,4 +6551,53 @@ ORACLE["m71_dixon_q"] = """
                           THEN 'max' ELSE 'min' END
            END AS flagged_side
     FROM hi, lo, nn
+"""
+
+# m72: bounds from two 3-row sort-limits (middle of 3 = sum − min −
+# max), then one clamped exact-decimal fold; every operand mirrored.
+ORACLE["m72_winsorized_stats"] = """
+    WITH lo3 AS (
+        SELECT MIN(x) AS x1, SUM(x) - MIN(x) - MAX(x) AS x2,
+               MAX(x) AS lo_b
+        FROM (SELECT CAST(o_totalprice AS DECIMAL(18,6)) AS x
+              FROM orders ORDER BY x ASC LIMIT 3)
+    ),
+    hi3 AS (
+        SELECT MAX(x) AS xn, SUM(x) - MIN(x) - MAX(x) AS xn1,
+               MIN(x) AS hi_b
+        FROM (SELECT CAST(o_totalprice AS DECIMAL(18,6)) AS x
+              FROM orders ORDER BY x DESC LIMIT 3)
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS sx,
+               SUM(LEAST(GREATEST(
+                   CAST(o_totalprice AS DECIMAL(18,6)), lo3.lo_b),
+                   hi3.hi_b)) AS sw,
+               SUM(CAST(LEAST(GREATEST(
+                       CAST(o_totalprice AS DECIMAL(18,6)), lo3.lo_b),
+                       hi3.hi_b) AS DECIMAL(28,6))
+                   * CAST(LEAST(GREATEST(
+                       CAST(o_totalprice AS DECIMAL(18,6)), lo3.lo_b),
+                       hi3.hi_b) AS DECIMAL(28,6))) AS sww,
+               ANY_VALUE(lo3.x1) AS x1, ANY_VALUE(lo3.x2) AS x2,
+               ANY_VALUE(hi3.xn1) AS xn1, ANY_VALUE(hi3.xn) AS xn,
+               ANY_VALUE(lo3.lo_b) AS lo_b,
+               ANY_VALUE(hi3.hi_b) AS hi_b
+        FROM orders, lo3, hi3
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(CAST(lo_b AS DOUBLE), 6) AS lo_bound,
+           ROUND(CAST(hi_b AS DOUBLE), 6) AS hi_bound,
+           ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS raw_mean,
+           ROUND(CAST(sw AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS winsor_mean,
+           ROUND(SQRT((CAST(sww AS DOUBLE)
+                       - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0)), 6) AS winsor_sd,
+           ROUND(CAST(sx - x1 - x2 - xn1 - xn AS DOUBLE)
+                 / (CAST(n AS DOUBLE) - 4.0), 6) AS trimmed_mean
+    FROM s
 """

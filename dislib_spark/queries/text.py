@@ -2180,6 +2180,68 @@ def t77_containment_direction(
     )
 
 
+def t79_containment_chains(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWO-HOP quote chains in t77's containment digraph — A contains
+    B contains C (sizes strictly decrease along an edge, so chains
+    are acyclic and the three documents distinct): the transitive
+    structure a pairwise dedup report hides, with
+    ``has_direct_edge`` flagging whether the A⊃C relation was ALSO
+    found directly (0 rows are transitive-only relations — C's text
+    survives in A through B, invisible to every pairwise pass at
+    these thresholds). The chain join is edge-on-edge (edge-bounded,
+    never corpus-sized); output is the 20 lexicographically first
+    chains — deterministic."""
+    from dislib_spark.text.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = containment_pairs(
+        d, c_threshold=0.6, j_max=0.3, with_sizes=True
+    )
+    bigger_a = F.col("a_size") > F.col("b_size")
+    directed = edges.where(F.col("a_size") != F.col("b_size")).select(
+        F.when(bigger_a, F.col("a_id"))
+        .otherwise(F.col("b_id"))
+        .alias("container_id"),
+        F.when(bigger_a, F.col("b_id"))
+        .otherwise(F.col("a_id"))
+        .alias("contained_id"),
+        "containment",
+    )
+    e1 = directed.select(
+        F.col("container_id").alias("top_id"),
+        F.col("contained_id").alias("mid_id"),
+        F.col("containment").alias("c_top_mid"),
+    )
+    e2 = directed.select(
+        F.col("container_id").alias("mid_id"),
+        F.col("contained_id").alias("bottom_id"),
+        F.col("containment").alias("c_mid_bottom"),
+    )
+    direct = directed.select(
+        F.col("container_id").alias("top_id"),
+        F.col("contained_id").alias("bottom_id"),
+        F.lit(1).alias("has_direct_edge"),
+    )
+    return (
+        e1.join(e2, "mid_id")
+        .join(direct, ["top_id", "bottom_id"], "left")
+        .select(
+            "top_id",
+            "mid_id",
+            "bottom_id",
+            "c_top_mid",
+            "c_mid_bottom",
+            F.coalesce("has_direct_edge", F.lit(0))
+            .cast("int")
+            .alias("has_direct_edge"),
+        )
+        .orderBy("top_id", "mid_id", "bottom_id")
+        .limit(20)
+    )
+
+
 def t78_quote_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quote-graph HUB report: per document, its degrees in t77's
     containment digraph — how many other documents it CONTAINS
@@ -2321,6 +2383,7 @@ QUERIES = {
     "t76_dedup_threshold_curve": t76_dedup_threshold_curve,
     "t77_containment_direction": t77_containment_direction,
     "t78_quote_hubs": t78_quote_hubs,
+    "t79_containment_chains": t79_containment_chains,
 }
 
 # DuckDB fragments mirroring dislib_spark.text.analysis exactly.
@@ -4934,6 +4997,28 @@ ORACLE["t78_quote_hubs"] = (
                AS degree
     FROM deg JOIN documents d ON d.doc_id = deg.doc_id
     ORDER BY degree DESC, deg.doc_id
+    LIMIT 20
+"""
+)
+
+# t79: the shared directed CTE self-joined edge-on-edge; sizes
+# strictly decrease along an edge so chains are acyclic.
+ORACLE["t79_containment_chains"] = (
+    _T77_DIRECTED_CTE
+    + """
+    SELECT e1.container_id AS top_id,
+           e1.contained_id AS mid_id,
+           e2.contained_id AS bottom_id,
+           e1.containment AS c_top_mid,
+           e2.containment AS c_mid_bottom,
+           CAST(CASE WHEN d.container_id IS NOT NULL THEN 1 ELSE 0
+                END AS INTEGER) AS has_direct_edge
+    FROM directed e1
+    JOIN directed e2 ON e2.container_id = e1.contained_id
+    LEFT JOIN directed d
+      ON d.container_id = e1.container_id
+     AND d.contained_id = e2.contained_id
+    ORDER BY top_id, mid_id, bottom_id
     LIMIT 20
 """
 )

@@ -1280,6 +1280,93 @@ def v34_ann_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v36_ivfsq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 stored-index MAINTENANCE audit (the v24/v29 discipline
+    on the quantized index): build the index on the even half (seed
+    cells, even-half SQ8 grid), persist partitionBy(cell), apply the
+    standard maintenance batch (updates = reversed embeddings of
+    ≡4 mod 10, inserts = odds < 40, deletes = ≡0 mod 10) with
+    ``ivfsq_index_maintain`` — upserts assigned with STALE centers
+    and encoded against the STALE grid (both are index format) — and
+    report per cell of the STORED post-index: membership count and
+    the exact-decimal SQ8 reconstruction error of the stored codes
+    against the logical post-corpus raw vectors. Currency is the
+    check: stored codes ≡ encode(logical vectors, stale grid) per
+    cell, or the MSE diverges. The audit join is index-sized; the
+    rewrite itself was cell-scoped copy-on-write."""
+    import tempfile
+
+    from dislib_spark.vector.search import (
+        ivfsq_index,
+        ivfsq_index_maintain,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    corpus = e.where(vid % 2 == 0)
+    ctrs, stats, codes = ivfsq_index(corpus, n_cells=16, centers="seed")
+    tmp = tempfile.mkdtemp(prefix="ivfsq_maint_")
+    path = f"{tmp}/codes"
+    codes.write.partitionBy("cell").parquet(path)
+
+    updates = e.where((vid % 2 == 0) & (vid % 10 == 4)).select(
+        "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+    )
+    inserts = e.where((vid % 2 == 1) & (vid < 40)).select(
+        "vec_id", "embedding"
+    )
+    deletes = e.where((vid % 2 == 0) & (vid % 10 == 0)).select(
+        "vec_id"
+    )
+    ivfsq_index_maintain(
+        spark, path, ctrs, stats, updates.unionByName(inserts), deletes
+    )
+    stored = spark.read.parquet(path)
+
+    survivors = corpus.where((vid % 10 != 0) & (vid % 10 != 4)).select(
+        "vec_id", "embedding"
+    )
+    logical = survivors.unionByName(updates).unionByName(inserts)
+    joined = stored.join(
+        logical.select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").cast("array<double>").alias("_raw"),
+        ),
+        "c_id",
+    ).crossJoin(F.broadcast(stats))
+
+    def term(c: "F.Column", i: "F.Column"):
+        mn = F.element_at("mins", i + F.lit(1))
+        mx = F.element_at("maxs", i + F.lit(1))
+        x = F.element_at("_raw", i + F.lit(1))
+        recon = F.when(mx == mn, mn).otherwise(
+            mn + c.cast("double") * (mx - mn) / F.lit(255.0)
+        )
+        return ((x - recon) * (x - recon)).cast("decimal(28,15)")
+
+    err = F.aggregate(
+        F.transform(F.col("codes"), term),
+        F.lit(0).cast("decimal(28,15)"),
+        lambda a, t: (a + t).cast("decimal(28,15)"),
+    )
+    per_vec = joined.select("cell", err.alias("err"))
+    return (
+        per_vec.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum("err").cast("double")
+                / (F.count(F.lit(1)) * F.lit(64)),
+                6,
+            ).alias("mse"),
+            F.round(F.max("err").cast("double"), 6).alias("max_err"),
+        )
+        .select(F.col("cell").cast("int").alias("cell"), "n_vecs",
+                "mse", "max_err")
+        .orderBy("cell")
+    )
+
+
 QUERIES = {
     "v01_cosine_topk": v01_cosine_topk,
     "v02_neardup_pairs": v02_neardup_pairs,
@@ -1316,6 +1403,7 @@ QUERIES = {
     "v33_ivfsq_topk": v33_ivfsq_topk,
     "v34_ann_cost_frontier": v34_ann_cost_frontier,
     "v35_ivfsq_recall": v35_ivfsq_recall,
+    "v36_ivfsq_maintenance": v36_ivfsq_maintenance,
 }
 
 # cells CTE: (vec_id, k, v) in double; norms CTE: per-vector L2 norm.
@@ -3175,4 +3263,90 @@ ORACLE["v35_ivfsq_recall"] = f"""
            COALESCE(h.n_hits, 0) / 10.0 AS recall_at_10
     FROM base b LEFT JOIN h ON b.q_id = h.q_id
     ORDER BY b.q_id
+"""
+
+# v36: the v24 logical-post-corpus recipe with the SQ8 layer — stats
+# (the grid) from the even-half BUILD corpus only, assignment of the
+# logical rows against STALE original center vectors, codes from the
+# stale grid WITH edge clamping (out-of-grid update/insert values),
+# per-cell exact-decimal reconstruction error (the v14 term form).
+ORACLE["v36_ivfsq_maintenance"] = """
+    WITH orig AS (
+        SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS k,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT k, MIN(v) AS mn, MAX(v) AS mx
+        FROM orig WHERE vec_id % 2 = 0 GROUP BY k
+    ),
+    cur_rows AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 2 = 0 AND vec_id % 10 NOT IN (0, 4)
+        UNION ALL
+        SELECT vec_id, list_reverse(embedding) FROM embeddings
+        WHERE vec_id % 2 = 0 AND vec_id % 10 = 4
+        UNION ALL
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 2 = 1 AND vec_id < 40
+    ),
+    cur AS (
+        SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS k,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM cur_rows
+    ),
+    ctr AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS cell,
+               vec_id AS cvid
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+              ORDER BY vec_id LIMIT 16)
+    ),
+    d2a AS (
+        SELECT a.vec_id AS vid, ctr.cell,
+               SUM((a.v - b.v) * (a.v - b.v)) AS d2
+        FROM cur a
+        JOIN ctr ON TRUE
+        JOIN orig b ON b.vec_id = ctr.cvid AND b.k = a.k
+        GROUP BY a.vec_id, ctr.cell
+    ),
+    assigned AS (
+        SELECT vid, cell FROM (
+            SELECT vid, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vid ORDER BY d2, cell) AS rn
+            FROM d2a
+        ) WHERE rn = 1
+    ),
+    terms AS (
+        SELECT c.vec_id,
+               CAST(CASE WHEN s.mx = s.mn
+                    THEN (c.v - s.mn) * (c.v - s.mn)
+                    ELSE
+                        (c.v - (s.mn
+                                + LEAST(GREATEST(
+                                      FLOOR((c.v - s.mn) * 255.0
+                                            / (s.mx - s.mn) + 0.5),
+                                      0.0), 255.0)
+                                  * (s.mx - s.mn) / 255.0))
+                        * (c.v - (s.mn
+                                  + LEAST(GREATEST(
+                                        FLOOR((c.v - s.mn) * 255.0
+                                              / (s.mx - s.mn) + 0.5),
+                                        0.0), 255.0)
+                                    * (s.mx - s.mn) / 255.0))
+               END AS DECIMAL(28,15)) AS t
+        FROM cur c JOIN stats s USING (k)
+    ),
+    per_vec AS (
+        SELECT vec_id, SUM(t) AS err FROM terms GROUP BY vec_id
+    )
+    SELECT CAST(a.cell AS INTEGER) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(p.err) AS DOUBLE) / (COUNT(*) * 64), 6)
+               AS mse,
+           ROUND(CAST(MAX(p.err) AS DOUBLE), 6) AS max_err
+    FROM per_vec p JOIN assigned a ON a.vid = p.vec_id
+    GROUP BY a.cell
+    ORDER BY cell
 """

@@ -46,16 +46,29 @@ def sq8_stats(df: DataFrame, col: str, dim: int) -> DataFrame:
 def sq8_encode(df: DataFrame, col: str, dim: int) -> DataFrame:
     """Adds a ``codes`` array<int> column (0..255 per dimension) from
     a broadcast ``sq8_stats`` pass; constant dimensions map to 0."""
-    stats = F.broadcast(sq8_stats(df, col, dim))
+    return sq8_encode_with_stats(df, col, sq8_stats(df, col, dim))
+
+
+def sq8_encode_with_stats(
+    df: DataFrame, col: str, stats: DataFrame
+) -> DataFrame:
+    """:func:`sq8_encode` against a GIVEN 1-row ``mins``/``maxs``
+    stats frame — the append/maintenance form: the grid is part of
+    the stored index's FORMAT (fixed at build, like an IVF coarse
+    quantizer), so new batches encode against the stored grid, never
+    a re-derived one (re-deriving would silently shift every stored
+    code's meaning). Values outside the build-time grid clamp to the
+    0/255 edge codes."""
     emb = F.col(col).cast("array<double>")
 
     def code(x: Column, i: Column) -> Column:
         mn = F.element_at("mins", i + F.lit(1))
         mx = F.element_at("maxs", i + F.lit(1))
         q = F.floor((x - mn) * F.lit(255.0) / (mx - mn) + F.lit(0.5))
-        return F.when(mx == mn, F.lit(0)).otherwise(q).cast("int")
+        clamped = F.least(F.greatest(q, F.lit(0.0)), F.lit(255.0))
+        return F.when(mx == mn, F.lit(0)).otherwise(clamped).cast("int")
 
-    return df.crossJoin(stats).withColumn(
+    return df.crossJoin(F.broadcast(stats)).withColumn(
         "codes", F.transform(emb, code)
     ).drop("mins", "maxs")
 

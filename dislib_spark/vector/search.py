@@ -1617,3 +1617,70 @@ def ivfsq_topk(
         k=k, n_probe=n_probe, rerank=rerank,
         id_col=id_col, vec_col=vec_col,
     )
+
+
+def ivfsq_index_maintain(
+    spark,
+    index_path: str,
+    centers: DataFrame,
+    stats: DataFrame,
+    upserts: DataFrame | None = None,
+    deletes: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """UPSERT/DELETE maintenance against a ``partitionBy("cell")``
+    stored IVF-SQ8 codes table (:func:`ivfsq_index`'s ``cell_codes``)
+    — :func:`ivf_index_maintain`'s discipline applied to the
+    quantized index: upserts are assigned with the STORED (stale)
+    coarse centers AND encoded against the STORED SQ8 grid
+    (``stats``) — both quantizers are part of the index format,
+    retrained on rebuild, never on append (out-of-grid values clamp
+    to the edge codes). Cell-scoped copy-on-write through the same
+    journaled crash-safe ``replace_partitions_path`` swap: rewrite
+    cost tracks the maintenance batch's cell fan-out, never the
+    index; untouched inverted lists stay byte-identical."""
+    from dislib_spark.sources.merge import (
+        _recover_partition_swap,
+        replace_partitions_path,
+    )
+    from dislib_spark.vector.quantize import sq8_encode_with_stats
+
+    if upserts is None and deletes is None:
+        return
+    _recover_partition_swap(index_path, "cell")
+    stored = spark.read.parquet(index_path)
+    parts = []
+    if upserts is not None:
+        parts.append(upserts.select(F.col(id_col).alias("c_id")))
+    if deletes is not None:
+        parts.append(deletes.select(F.col(id_col).alias("c_id")))
+    touched = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+    touched = touched.distinct()
+    new_rows = None
+    if upserts is not None:
+        assigned = assign_to_cells(upserts, centers, id_col, vec_col)
+        codes = sq8_encode_with_stats(
+            assigned.select(
+                F.col("c_id").alias(id_col),
+                F.col("c_vec").alias(vec_col),
+            ),
+            vec_col,
+            stats,
+        ).select(F.col(id_col).alias("c_id"), "codes")
+        new_rows = assigned.select("c_id", "cell").join(codes, "c_id")
+    affected = (
+        stored.join(F.broadcast(touched), "c_id", "left_semi")
+        .select("cell")
+        .distinct()
+    )
+    if new_rows is not None:
+        affected = affected.union(new_rows.select("cell")).distinct()
+    cells = [r["cell"] for r in affected.collect()]
+    if not cells:
+        return
+    kept = stored.where(F.col("cell").isin(cells)).join(
+        F.broadcast(touched), "c_id", "left_anti"
+    )
+    out = kept if new_rows is None else kept.unionByName(new_rows)
+    replace_partitions_path(index_path, "cell", cells, out)

@@ -368,3 +368,99 @@ def test_ivfsq_recall_gate_kmeans(spark, emb):
     }
     for qid, (cid, sim) in top1.items():
         assert cid == qid and sim == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ivfsq_index_maintain_currency_and_scoped_rewrite(
+    spark, emb, tmp_path_factory
+):
+    """The SQ8 twin of ivf_index_maintain's gates: (a) currency —
+    the maintained stored codes equal encoding the logical
+    post-maintenance corpus with the STALE grid + STALE centers from
+    scratch; (b) cell-scoped copy-on-write — untouched cell partition
+    files byte-identical; (c) a cell emptied by deletes disappears."""
+    import os
+
+    from dislib_spark.vector.quantize import sq8_encode_with_stats
+    from dislib_spark.vector.search import (
+        assign_to_cells,
+        ivfsq_index,
+        ivfsq_index_maintain,
+    )
+
+    vid = F.col("vec_id")
+    corpus = emb.where(vid % 2 == 0)
+    centers, stats, codes = ivfsq_index(corpus, n_cells=8, centers="seed")
+    tmp = str(tmp_path_factory.mktemp("ivfsqmaint"))
+    path = f"{tmp}/codes"
+    codes.write.partitionBy("cell").parquet(path)
+
+    def files(p):
+        out = {}
+        for root, _, names in os.walk(p):
+            for n in names:
+                if n.endswith(".parquet"):
+                    f = os.path.join(root, n)
+                    out[f] = os.path.getmtime(f)
+        return out
+
+    before = files(path)
+    updates = emb.where((vid % 2 == 0) & (vid % 10 == 4)).select(
+        "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+    )
+    inserts = emb.where((vid % 2 == 1) & (vid < 40)).select(
+        "vec_id", "embedding"
+    )
+    deletes = emb.where((vid % 2 == 0) & (vid % 10 == 0)).select(
+        "vec_id"
+    )
+    ivfsq_index_maintain(
+        spark, path, centers, stats,
+        updates.unionByName(inserts), deletes,
+    )
+    stored = spark.read.parquet(path)
+
+    survivors = corpus.where((vid % 10 != 0) & (vid % 10 != 4)).select(
+        "vec_id", "embedding"
+    )
+    logical = survivors.unionByName(updates).unionByName(inserts)
+    want_assign = assign_to_cells(logical, centers)
+    want_codes = sq8_encode_with_stats(
+        want_assign.select(
+            F.col("c_id").alias("vec_id"),
+            F.col("c_vec").alias("embedding"),
+        ),
+        "embedding",
+        stats,
+    ).select(F.col("vec_id").alias("c_id"), "codes")
+    want = {
+        (r["c_id"], r["cell"], tuple(r["codes"]))
+        for r in want_assign.select("c_id", "cell")
+        .join(want_codes, "c_id")
+        .collect()
+    }
+    got = {
+        (r["c_id"], int(r["cell"]), tuple(r["codes"]))
+        for r in stored.collect()
+    }
+    assert got == want
+
+    # (b) untouched cells' files byte-identical
+    touched_ids = updates.select("vec_id").unionByName(
+        inserts.select("vec_id")
+    )
+    touched_cells = {
+        int(r["cell"])
+        for r in stored.join(
+            touched_ids,
+            stored["c_id"] == touched_ids["vec_id"],
+            "left_semi",
+        )
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    after = files(path)
+    for f, mtime in before.items():
+        cell = int(f.split("cell=")[1].split("/")[0])
+        if cell not in touched_cells and f in after:
+            assert after[f] == mtime, f

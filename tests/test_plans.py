@@ -106,6 +106,10 @@ _BNLJ_OK = {
     "s17_streaming_retention",  # 1-row broadcast of the residual-expired total (s16 shape)
     "m70_generalized_esd",  # 1-row sufficient-stats broadcast onto the 6-row extremes pool
     "m71_dixon_q",  # 1-row (n, hi-pair, lo-pair) scalar crossjoins
+    "m72_winsorized_stats",  # 1-row winsor-bounds broadcast onto the scan
+    "x110_erasure_then_retention",  # 1-row residual-total broadcasts (x103 shape)
+    "x111_retention_forecast",  # 1-row broadcast of the watermark (x107 shape)
+    "v36_ivfsq_maintenance",  # 1-row SQ8 stats broadcast onto the audit join (v14 shape)
 }
 
 

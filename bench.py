@@ -324,7 +324,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
-                "slowest": slow,
+                "queries": slow,
                 "queries_full": f".benchmarks/last_full_sf{sf}.json",
             }
         )

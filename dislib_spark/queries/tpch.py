@@ -5,7 +5,11 @@ x18/x21/x22/x23). This module completes the suite: every remaining
 TPC-H query whose shape survives the synthetic schema (TESTDATA.md —
 no partsupp table, no comment/phone/address/shipmode/commitdate
 columns) runs here, adapted to the columns that exist but keeping the
-operator shape that makes each query a benchmark classic.
+operator shape that makes each query a benchmark classic. With
+x112 (Q2, partsupp-free min-cost supplier) and x113 (Q11,
+partsupp-free important stock) the suite is COMPLETE: all 22 TPC-H
+queries run (Q5/Q13/Q21/Q22 live as x18/x21/x22/x23 in
+queries/extended.py, the rest here).
 
 Each query is ONE ANSI-SQL string executed verbatim by BOTH engines:
 ``spark.sql`` over ``tables.register_views`` temp views, and DuckDB
@@ -317,6 +321,76 @@ _X39_SQL = """
             AND l_quantity BETWEEN 20 AND 30))
 """
 
+# --- x112: Q2 minimum-cost supplier ---------------------------------
+# (no partsupp/ps_supplycost: the part-supplier relation is derived
+# from lineitem, supply cost = the MIN unit price that supplier ever
+# charged for the part — exact MIN over identical IEEE doubles in
+# both engines. The correlated scalar-MIN subquery over the
+# region-filtered supplier set is the query's signature shape;
+# Catalyst plans it as a per-part aggregate + join, the region/size/
+# type filters broadcast-prune before the fact scan.)
+_X112_SQL = """
+    WITH supply AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               MIN(l_extendedprice / l_quantity) AS supply_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+           p_partkey, p_brand,
+           CAST(supply_cost AS DOUBLE) AS supply_cost
+    FROM part, supplier, supply, nation, region
+    WHERE p_partkey = partkey
+      AND s_suppkey = suppkey
+      AND p_size IN (5, 15, 25, 35, 45)
+      AND p_type = 'LARGE'
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND supply_cost = (
+          SELECT MIN(s2.supply_cost)
+          FROM supply s2, supplier sp2, nation n2, region r2
+          WHERE s2.partkey = p_partkey
+            AND s2.suppkey = sp2.s_suppkey
+            AND sp2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+# --- x113: Q11 important stock identification ------------------------
+# (no partsupp/ps_availqty: part value = the region's suppliers'
+# discounted revenue on the part; the global-total scalar subquery
+# against the same CTE is the shape. TPC-H's single nation and 1/SF
+# fraction become a region filter and a scale-free 1.5x-mean
+# threshold so the result is non-trivial at every SF (a lone nation
+# has zero suppliers at sf0.001). All threshold arithmetic runs on the
+# EXACT decimal sums — the double casts happen on already-exact
+# values, so group membership can never flip with partial-agg
+# order.)
+_X113_SQL = """
+    WITH partvalue AS (
+        SELECT l_partkey AS partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))) AS value_dec
+        FROM lineitem, supplier, nation, region
+        WHERE l_suppkey = s_suppkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+        GROUP BY l_partkey
+    )
+    SELECT partkey AS p_partkey,
+           CAST(value_dec AS DOUBLE) AS part_value
+    FROM partvalue
+    WHERE CAST(value_dec AS DOUBLE) >
+          (SELECT CAST(1.5 AS DOUBLE)
+                  * CAST(SUM(value_dec) AS DOUBLE) / COUNT(*)
+           FROM partvalue)
+    ORDER BY part_value DESC, p_partkey
+"""
+
 # --- x40: Q20 suppliers with excess shipments -----------------------
 # (no partsupp/ps_availqty: a supplier qualifies when it shipped more
 # than 100 units of some part of the target type — the nested
@@ -354,6 +428,8 @@ _SQL = {
     "x38_tpch_q18": _X38_SQL,
     "x39_tpch_q19": _X39_SQL,
     "x40_tpch_q20": _X40_SQL,
+    "x112_tpch_q2": _X112_SQL,
+    "x113_tpch_q11": _X113_SQL,
 }
 
 

@@ -296,6 +296,28 @@ def main():
             built["cell_codes"], vecs, k=10, n_probe=4, rerank=100,
         ).count(),
     )
+    # IVF-SQ8 (v33): same build/probe split — the build pays the
+    # coarse assignment + one stats scan + the SQ8 encode; a probe
+    # decodes only n_probe lists' codes (dim multiply-adds per
+    # candidate, no trained codebook) + the rerank-row exact fetch.
+    from dislib_spark.vector.search import ivfsq_index, ivfsq_query_index
+
+    sq_built = {}
+
+    def ivfsq_build_item():
+        ctrs, stats, codes = ivfsq_index(vecs, n_cells=64)
+        codes = codes.localCheckpoint(eager=True)
+        sq_built.update(ctrs=ctrs, stats=stats, codes=codes)
+        return codes.count()
+
+    timed("IVF-SQ8 index build (64 cells, 8-bit grid)", ivfsq_build_item)
+    timed(
+        "IVF-SQ8 probe top-10 (10 queries, cell-pruned ADC + re-rank)",
+        lambda: ivfsq_query_index(
+            queries, sq_built["ctrs"], sq_built["stats"],
+            sq_built["codes"], vecs, k=10, n_probe=4,
+        ).count(),
+    )
     timed(
         "semantic dedup (256 cells, 5-iter kmeans)",
         lambda: semantic_dedup_pairs(

@@ -4424,6 +4424,85 @@ def s17_streaming_retention(
     )
 
 
+def s18_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 dimension maintenance — the streaming twin of
+    x65's batch build, completing the warehouse-sink family (s12
+    upserts, s16 erasure, s17 retention): a two-batch change feed
+    (split by event parity, so the SECOND batch carries events that
+    predate the first — the out-of-order case) folds into a
+    bucket-partitioned dimension via ``streaming.cdc.scd2_sink``.
+    Each batch rewrites only the buckets its keys hash into
+    (copy-on-write through the journaled swap); affected keys'
+    intervals decompose back to events and rebuild, so late arrivals
+    splice into history EXACTLY where a full replay puts them. The
+    build is a pure function of the deduplicated event set —
+    batch ≡ stream by construction — which is what the oracle
+    replays: the one-shot window build over the whole feed, plus the
+    per-batch bucket fan-out decomposition and the batch count.
+    Buckets here are ``user_id % 8`` (uniform integer key) so the
+    rewrite accounting is SQL-replayable; production string keys use
+    the default xxhash64 bucketing."""
+    import tempfile
+
+    from dislib_spark.streaming.cdc import scd2_sink
+    from dislib_spark.temporal import _epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % 7 == 0
+    )
+    feed_rows = ev.select(
+        "user_id",
+        "event_type",
+        _epoch_seconds(ev, "ts").alias("ts_s"),
+        "event_id",
+    )
+    tmp = tempfile.mkdtemp(prefix="scd2_stream_")
+    feed, ckpt, dim = f"{tmp}/feed", f"{tmp}/ckpt", f"{tmp}/dim"
+    feed_rows.where(F.col("event_id") % 2 == 0).drop(
+        "event_id"
+    ).coalesce(1).write.mode("overwrite").parquet(feed)
+    feed_rows.where(F.col("event_id") % 2 == 1).drop(
+        "event_id"
+    ).coalesce(1).write.mode("append").parquet(feed)
+    counts: list[int] = []
+    q = scd2_sink(
+        spark.readStream.schema(
+            "user_id long, event_type string, ts_s long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed),
+        dim,
+        ckpt,
+        "user_id",
+        ["event_type"],
+        "ts_s",
+        n_buckets=8,
+        counts=counts,
+        bucket_expr=F.pmod(F.col("user_id"), F.lit(8)),
+        availableNow=True,
+    )
+    await_drain(q, 300)
+    d = spark.read.parquet(dim)
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+            F.sum((F.col("valid_to") == 2**62).cast("long"))
+            .cast("bigint")
+            .alias("n_open"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("version").cast("bigint").alias("version_sum"),
+        )
+        .withColumn(
+            "n_batches", F.lit(len(counts)).cast("bigint")
+        )
+        .withColumn(
+            "n_bucket_rewrites", F.lit(sum(counts)).cast("bigint")
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "x01_rollup": x01_rollup,
     "x02_set_ops": x02_set_ops,
@@ -4540,6 +4619,7 @@ QUERIES = {
     "x110_erasure_then_retention": x110_erasure_then_retention,
     "x111_retention_forecast": x111_retention_forecast,
     "s17_streaming_retention": s17_streaming_retention,
+    "s18_streaming_scd2": s18_streaming_scd2,
 }
 
 ORACLE = {
@@ -7331,6 +7411,46 @@ ORACLE["s17_streaming_retention"] = """
     FROM before b LEFT JOIN after a ON b.event_type = a.event_type,
          t1, t2
     ORDER BY b.event_type
+"""
+
+# s18: the streaming fold is a pure function of the deduplicated
+# event set, so the oracle replays the ONE-SHOT SCD2 window build
+# over the whole feed (the x65 kernel) plus the mechanical
+# accounting: 2 batches (two feed files, one per trigger), and the
+# bucket fan-out = distinct (user_id % 8) among each parity class's
+# users.
+ORACLE["s18_streaming_scd2"] = """
+    WITH ev AS (
+        SELECT DISTINCT user_id, event_type,
+               CAST(EPOCH(date_trunc('second', ts)) AS BIGINT) AS ts_s
+        FROM events WHERE user_id % 7 = 0
+    ),
+    dim AS (
+        SELECT user_id, event_type,
+               ts_s AS valid_from,
+               COALESCE(LEAD(ts_s) OVER w, 4611686018427387904)
+                   AS valid_to,
+               CAST(ROW_NUMBER() OVER w AS INT) AS version
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_type)
+    ),
+    rew AS (
+        SELECT (SELECT COUNT(DISTINCT user_id % 8) FROM events
+                WHERE user_id % 7 = 0 AND event_id % 2 = 0)
+             + (SELECT COUNT(DISTINCT user_id % 8) FROM events
+                WHERE user_id % 7 = 0 AND event_id % 2 = 1) AS n
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(SUM(CASE WHEN valid_to = 4611686018427387904
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(version) AS BIGINT) AS version_sum,
+           CAST(2 AS BIGINT) AS n_batches,
+           CAST(rew.n AS BIGINT) AS n_bucket_rewrites
+    FROM dim, rew
+    GROUP BY event_type, rew.n
+    ORDER BY event_type
 """
 
 # x109: the per-day x108 classification replayed logically for the

@@ -179,3 +179,154 @@ def retention_sink(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+_SCD2_OPEN = 4611686018427387904  # 2**62, the open-interval sentinel
+
+
+def scd2_build(
+    events: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str = "ts_s",
+) -> DataFrame:
+    """SCD2 dimension from an event set (the x65 build as a reusable
+    kernel): one per-key lead window over the DEDUPLICATED events
+    turns each (key, attrs, ts) into a validity interval
+    ``[valid_from, valid_to)`` with ``valid_to = 2**62`` on the open
+    (current) version and a dense per-key ``version`` number. Ties
+    on ts order by the attribute columns — with the event identity
+    being (key, attrs, ts) after the dedup, the build is a pure
+    function of the event SET, which is what makes the incremental
+    maintainer's replay exact."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in attr_cols]
+    )
+    return (
+        events.select(key_col, *attr_cols, ts_col)
+        .distinct()
+        .select(
+            key_col,
+            *attr_cols,
+            F.col(ts_col).alias("valid_from"),
+            F.coalesce(
+                F.lead(ts_col).over(w), F.lit(_SCD2_OPEN)
+            ).alias("valid_to"),
+            F.row_number().over(w).alias("version"),
+        )
+    )
+
+
+def scd2_apply(
+    spark,
+    path: str,
+    changes: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str = "ts_s",
+    n_buckets: int = 32,
+    bucket_expr: Column | None = None,
+) -> int:
+    """Incrementally maintain a bucket-partitioned SCD2 dimension at
+    ``path`` from a batch of change events — the streaming twin of
+    the x65 batch build. The dimension is stored
+    ``partitionBy("bucket")`` (``pmod(xxhash64(key), n_buckets)``),
+    and a batch rewrites ONLY the buckets its keys hash into, through
+    the same journaled crash-safe ``replace_partitions_path`` swap as
+    erasure/retention/index maintenance — cost tracks the batch's
+    bucket fan-out, never the dimension.
+
+    Out-of-order arrivals are exact, not approximated: affected keys'
+    stored intervals decompose losslessly back to events
+    (``valid_from`` IS the event ts), union the batch, and rebuild
+    per key — so a change older than the current open version splices
+    into history exactly where a full replay would put it, instead of
+    the close-the-open-row shortcut that silently corrupts late
+    feeds. Because the build is a pure function of the deduplicated
+    event set, re-applying a batch is a no-op (checkpoint-replay
+    safe) and any micro-batching of the same events yields the same
+    dimension — batch ≡ stream by construction. Returns the number
+    of buckets rewritten.
+
+    ``bucket_expr`` overrides the default skew-safe
+    ``pmod(xxhash64(key), n_buckets)`` bucketing (e.g. a plain
+    ``key % n`` for uniform integer keys, which a SQL oracle can
+    replay)."""
+    from dislib_spark.sources.merge import (
+        _recover_partition_swap,
+        replace_partitions_path,
+    )
+
+    bucket = (
+        bucket_expr
+        if bucket_expr is not None
+        else F.pmod(
+            F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets)
+        )
+    ).cast("int")
+    ev = changes.select(key_col, *attr_cols, ts_col).withColumn(
+        "bucket", bucket
+    )
+    if not os.path.exists(path):
+        out = scd2_build(ev, key_col, attr_cols, ts_col).withColumn(
+            "bucket", bucket
+        )
+        out.write.partitionBy("bucket").parquet(path)
+        return out.select("bucket").distinct().count()
+    _recover_partition_swap(path, "bucket")
+    stored = spark.read.parquet(path)
+    buckets = [r["bucket"] for r in ev.select("bucket").distinct().collect()]
+    if not buckets:
+        return 0
+    affected = stored.where(F.col("bucket").isin(buckets))
+    keys = ev.select(key_col).distinct()
+    hit = affected.join(F.broadcast(keys), key_col, "left_semi")
+    keep = affected.join(F.broadcast(keys), key_col, "left_anti")
+    old_events = hit.select(
+        key_col, *attr_cols, F.col("valid_from").alias(ts_col), "bucket"
+    )
+    rebuilt = scd2_build(
+        old_events.unionByName(ev), key_col, attr_cols, ts_col
+    ).withColumn("bucket", bucket)
+    out = keep.select(rebuilt.columns).unionByName(rebuilt)
+    replace_partitions_path(path, "bucket", buckets, out)
+    return len(buckets)
+
+
+def scd2_sink(
+    changes_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str = "ts_s",
+    n_buckets: int = 32,
+    counts: list | None = None,
+    bucket_expr: Column | None = None,
+    **trigger,
+):
+    """Start a foreachBatch streaming-SCD2 sink: each micro-batch of
+    change events is folded into the bucket-partitioned dimension at
+    ``path`` with :func:`scd2_apply`. Effectively-once for a single
+    writer: the build is a pure function of the deduplicated event
+    set, so checkpoint replays of unacknowledged batches re-derive
+    the same buckets (the s16/s17 idempotence argument), and the
+    partition swap is journaled crash-safe. ``counts``, if a list,
+    collects each batch's rewritten-bucket count. Returns the
+    started StreamingQuery."""
+    spark = changes_stream.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        n = scd2_apply(
+            spark, path, batch_df, key_col, attr_cols, ts_col,
+            n_buckets, bucket_expr,
+        )
+        if counts is not None:
+            counts.append(n)
+
+    return (
+        changes_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

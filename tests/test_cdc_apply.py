@@ -496,3 +496,76 @@ def test_retention_sink_stream_equals_batch(spark, tmp_path):
         (5, "a", "2024-01-12"),
         (6, "b", "2024-01-12"),
     }
+
+
+def test_scd2_apply_stream_equals_batch_and_scoped(spark, tmp_path):
+    """scd2_apply: (a) multi-batch fold (with OUT-OF-ORDER second
+    batch) equals the one-shot scd2_build over the union; (b) a
+    follow-up single-key batch rewrites only that key's bucket —
+    every other bucket's files stay byte-identical; (c) re-applying
+    an already-applied batch is a content no-op (checkpoint-replay
+    idempotence)."""
+    import os
+
+    from dislib_spark.streaming.cdc import scd2_apply, scd2_build
+
+    rows = [
+        (u, t, s)
+        for u in range(40)
+        for s, t in [(100 + u, "a"), (200 + u, "b"), (300 + u, "a")]
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, et string, ts_s long")
+    # batch 1 = the LATER half of events, batch 2 = the earlier half:
+    # the second apply must splice history, not just close open rows
+    b1 = ev.where(F.col("ts_s") >= 200)
+    b2 = ev.where(F.col("ts_s") < 200)
+    path = str(tmp_path / "dim")
+    scd2_apply(spark, path, b1, "user_id", ["et"], "ts_s", n_buckets=8)
+    scd2_apply(spark, path, b2, "user_id", ["et"], "ts_s", n_buckets=8)
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], r["et"], r["valid_from"], r["valid_to"],
+             r["version"])
+            for r in df.collect()
+        )
+
+    got = canon(spark.read.parquet(path))
+    want = canon(scd2_build(ev, "user_id", ["et"], "ts_s"))
+    assert got == want
+
+    def files(p):
+        out = {}
+        for root, _, names in os.walk(p):
+            for n in names:
+                if n.endswith(".parquet"):
+                    f = os.path.join(root, n)
+                    out[f] = os.path.getmtime(f)
+        return out
+
+    before = files(path)
+    one = spark.createDataFrame(
+        [(7, "c", 400)], "user_id long, et string, ts_s long"
+    )
+    n = scd2_apply(spark, path, one, "user_id", ["et"], "ts_s", n_buckets=8)
+    assert n == 1
+    after = files(path)
+    hit_bucket = spark.read.parquet(path).where(
+        (F.col("user_id") == 7) & (F.col("et") == "c")
+    ).select("bucket").first()["bucket"]
+    untouched = 0
+    for f, mtime in before.items():
+        bk = int(f.split("bucket=")[1].split(os.sep)[0])
+        if bk != hit_bucket:
+            assert f in after and after[f] == mtime, f
+            untouched += 1
+    assert untouched > 0
+    # user 7 now has 4 versions, the new one open
+    u7 = spark.read.parquet(path).where(F.col("user_id") == 7)
+    assert u7.count() == 4
+    assert u7.where(F.col("valid_to") == 2**62).count() == 1
+
+    # (c) replaying an already-folded batch changes nothing
+    st = canon(spark.read.parquet(path))
+    scd2_apply(spark, path, b2, "user_id", ["et"], "ts_s", n_buckets=8)
+    assert canon(spark.read.parquet(path)) == st

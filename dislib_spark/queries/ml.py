@@ -3430,6 +3430,144 @@ def m71_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m73_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across event types on value — the
+    nonparametric k-sample location test that needs NO ranks (the
+    scale-friendly sibling of m33/m39's rank machinery): counts above
+    vs not-above the GRAND median per group, then the 2×k chi-square.
+    One exact interpolated-median pass (``percentile`` ≡ DuckDB
+    MEDIAN), one grouped count scan against the 1-row broadcast
+    median, 1-row algebra after — no window, no rank shuffle, the
+    k-sample location screen that still runs in two scans at 100 TB.
+    Ties AT the median land in the not-above arm (documented
+    convention, replayed identically). Returns one row per group
+    plus the shared (chi2, df)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("value") > F.col("med")).cast("long")
+            ).alias("n_above"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_above",
+            (F.col("n") - F.col("n_above")).alias("n_not_above"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n").alias("tot_n"),
+        F.sum("n_above").alias("tot_a"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    nn = F.col("tot_n").cast("double")
+    pa = F.col("tot_a").cast("double") / nn
+    e_above = F.col("n").cast("double") * pa
+    e_not = F.col("n").cast("double") * (1.0 - pa)
+    da = F.col("n_above").cast("double") - e_above
+    dn = F.col("n_not_above").cast("double") - e_not
+    term = da * da / e_above + dn * dn / e_not
+    with_tot = cells.crossJoin(F.broadcast(tot))
+    chi = with_tot.agg(
+        F.round(F.sum(term), 4).alias("chi2"),
+        (F.max("k") - 1).cast("bigint").alias("df"),
+    )
+    return (
+        with_tot.select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_above").cast("bigint").alias("n_above"),
+            F.col("n_not_above").cast("bigint").alias("n_not_above"),
+            F.round(e_above, 6).alias("expected_above"),
+        )
+        .crossJoin(F.broadcast(chi))
+        .orderBy("event_type")
+    )
+
+
+def m74_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland–Altman agreement analysis on m69's method pairing
+    (method A = the order header's total, method B = the sum of its
+    line items, both in exact cents) — the companion plot statistic
+    to Passing–Bablok regression: bias = mean difference, limits of
+    agreement = bias ± 1.96·sd, and the fraction of pairs inside
+    them. TWO scans (the m50 discipline): one exact-decimal
+    sufficient-stats pass (n, Σd, Σd² over BIGINT cent differences),
+    then one count scan against the 1-row broadcast double bounds —
+    reduce state O(1), every input to the doubles exact, so both
+    engines compute bit-identical bounds."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    osums = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("_cents")
+    )
+    pairs = orders.join(
+        osums, orders["o_orderkey"] == osums["l_orderkey"]
+    ).select(
+        (
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+            - F.col("_cents")
+        ).alias("d")
+    )
+    ddec = F.col("d").cast("decimal(28,0)")
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ddec).alias("sd_"),
+        F.sum(ddec * ddec).alias("sdd"),
+    )
+    nn = F.col("n").cast("double")
+    bias = F.col("sd_").cast("double") / nn
+    var = (
+        F.col("sdd").cast("double")
+        - F.col("sd_").cast("double") * F.col("sd_").cast("double") / nn
+    ) / (nn - 1.0)
+    sd = F.sqrt(var)
+    bounds = s.select(
+        "n",
+        bias.alias("bias"),
+        sd.alias("sd"),
+        (bias - 1.96 * sd).alias("lo"),
+        (bias + 1.96 * sd).alias("hi"),
+    )
+    within = (
+        pairs.crossJoin(F.broadcast(bounds))
+        .agg(
+            F.sum(
+                (
+                    (F.col("d").cast("double") >= F.col("lo"))
+                    & (F.col("d").cast("double") <= F.col("hi"))
+                ).cast("long")
+            ).alias("n_within"),
+            F.max("n").alias("n"),
+            F.max("bias").alias("bias"),
+            F.max("sd").alias("sd"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )
+    return within.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round("bias", 6).alias("bias_cents"),
+        F.round("sd", 6).alias("sd_cents"),
+        F.round("lo", 6).alias("loa_low"),
+        F.round("hi", 6).alias("loa_high"),
+        F.col("n_within").cast("bigint").alias("n_within"),
+        F.round(
+            F.col("n_within").cast("double") / F.col("n").cast("double"),
+            6,
+        ).alias("frac_within"),
+    )
+
+
 QUERIES = {
     "m01_ols_normal_eq": m01_ols_normal_eq,
     "m02_scaler_stats": m02_scaler_stats,
@@ -3503,6 +3641,8 @@ QUERIES = {
     "m70_generalized_esd": m70_generalized_esd,
     "m71_dixon_q": m71_dixon_q,
     "m72_winsorized_stats": m72_winsorized_stats,
+    "m73_moods_median": m73_moods_median,
+    "m74_bland_altman": m74_bland_altman,
 }
 
 
@@ -6600,4 +6740,100 @@ ORACLE["m72_winsorized_stats"] = """
            ROUND(CAST(sx - x1 - x2 - xn1 - xn AS DOUBLE)
                  / (CAST(n AS DOUBLE) - 4.0), 6) AS trimmed_mean
     FROM s
+"""
+
+# m73: the 2xk chi-square replayed from the same two scans — DuckDB
+# MEDIAN is the interpolated percentile(0.5); ties at the median land
+# in the not-above arm in both engines (strict > above).
+ORACLE["m73_moods_median"] = """
+    WITH med AS (SELECT MEDIAN(value) AS med FROM events),
+    cells AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CASE WHEN value > med THEN 1 ELSE 0 END) AS n_above
+        FROM events, med GROUP BY event_type
+    ),
+    tot AS (
+        SELECT SUM(n) AS tn, SUM(n_above) AS ta, COUNT(*) AS k
+        FROM cells
+    ),
+    terms AS (
+        SELECT c.event_type, c.n, c.n_above, t.k,
+               CAST(c.n AS DOUBLE)
+                   * (CAST(t.ta AS DOUBLE) / CAST(t.tn AS DOUBLE))
+                   AS e_above,
+               CAST(c.n AS DOUBLE)
+                   * (1.0 - CAST(t.ta AS DOUBLE) / CAST(t.tn AS DOUBLE))
+                   AS e_not
+        FROM cells c, tot t
+    ),
+    chi AS (
+        SELECT ROUND(SUM(
+                   (CAST(n_above AS DOUBLE) - e_above)
+                   * (CAST(n_above AS DOUBLE) - e_above) / e_above
+                 + (CAST(n - n_above AS DOUBLE) - e_not)
+                   * (CAST(n - n_above AS DOUBLE) - e_not) / e_not
+               ), 4) AS chi2,
+               CAST(MAX(k) - 1 AS BIGINT) AS df
+        FROM terms
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_above AS BIGINT) AS n_above,
+           CAST(n - n_above AS BIGINT) AS n_not_above,
+           ROUND(e_above, 6) AS expected_above,
+           chi.chi2 AS chi2, chi.df AS df
+    FROM terms, chi ORDER BY event_type
+"""
+
+# m74: the exact-decimal sufficient stats and the double algebra
+# mirrored term-for-term; the within-LoA count compares the same
+# exact integer differences to the same bit-identical double bounds.
+ORACLE["m74_bland_altman"] = """
+    WITH pairs AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               - s._cents AS d
+        FROM orders
+        JOIN (SELECT l_orderkey,
+                     SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                         AS _cents
+              FROM lineitem GROUP BY l_orderkey) s
+          ON o_orderkey = s.l_orderkey
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(d AS DECIMAL(28,0))) AS sd_,
+               SUM(CAST(d AS DECIMAL(28,0))
+                   * CAST(d AS DECIMAL(28,0))) AS sdd
+        FROM pairs
+    ),
+    b AS (
+        SELECT n,
+               CAST(sd_ AS DOUBLE) / CAST(n AS DOUBLE) AS bias,
+               SQRT((CAST(sdd AS DOUBLE)
+                     - CAST(sd_ AS DOUBLE) * CAST(sd_ AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0)) AS sd
+        FROM s
+    ),
+    bounds AS (
+        SELECT n, bias, sd,
+               bias - 1.96 * sd AS lo,
+               bias + 1.96 * sd AS hi
+        FROM b
+    ),
+    w AS (
+        SELECT SUM(CASE WHEN CAST(d AS DOUBLE) >= lo
+                         AND CAST(d AS DOUBLE) <= hi
+                        THEN 1 ELSE 0 END) AS n_within
+        FROM pairs, bounds
+    )
+    SELECT CAST(bounds.n AS BIGINT) AS n_pairs,
+           ROUND(bias, 6) AS bias_cents,
+           ROUND(sd, 6) AS sd_cents,
+           ROUND(lo, 6) AS loa_low,
+           ROUND(hi, 6) AS loa_high,
+           CAST(n_within AS BIGINT) AS n_within,
+           ROUND(CAST(n_within AS DOUBLE)
+                 / CAST(bounds.n AS DOUBLE), 6) AS frac_within
+    FROM bounds, w
 """

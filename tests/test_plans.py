@@ -107,6 +107,8 @@ _BNLJ_OK = {
     "m70_generalized_esd",  # 1-row sufficient-stats broadcast onto the 6-row extremes pool
     "m71_dixon_q",  # 1-row (n, hi-pair, lo-pair) scalar crossjoins
     "m72_winsorized_stats",  # 1-row winsor-bounds broadcast onto the scan
+    "m73_moods_median",  # 1-row grand-median broadcast onto the count scan
+    "m74_bland_altman",  # 1-row LoA-bounds broadcast onto the within count
     "x110_erasure_then_retention",  # 1-row residual-total broadcasts (x103 shape)
     "x111_retention_forecast",  # 1-row broadcast of the watermark (x107 shape)
     "v36_ivfsq_maintenance",  # 1-row SQ8 stats broadcast onto the audit join (v14 shape)

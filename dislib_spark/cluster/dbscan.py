@@ -139,7 +139,14 @@ def core_flags(halo, eps: float, min_samples: int):
             }
         )
 
-    return halo.groupBy("cell").applyInPandas(
+    # explicit user-numbered repartition on the grouping key: the
+    # halo table is small in bytes, so AQE would coalesce the
+    # exchange to 1-2 tasks and serialize every pandas group through
+    # one Python worker; the numbered repartition keeps cluster
+    # parallelism (it satisfies the groupBy's ClusteredDistribution,
+    # so no second exchange) and per-group results are unchanged.
+    dp = halo.sparkSession.sparkContext.defaultParallelism
+    return halo.repartition(dp, "cell").groupBy("cell").applyInPandas(
         count_cores, "row_id long, is_core boolean"
     )
 

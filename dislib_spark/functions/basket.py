@@ -21,6 +21,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _baskets(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int | None,
+) -> DataFrame:
+    """One (basket → sorted distinct items) aggregate behind both the
+    pair explode and the rule-metric item counts.
+
+    The input is projected to the two key columns and explicitly
+    repartitioned on the basket key at the session's parallelism
+    (user-numbered → never AQE-coalesced; satisfies the groupBy's
+    distribution, so still exactly ONE shuffle): the collect_set and
+    the pair explode that follows it are compute-heavy relative to
+    their shuffle bytes, and on an under-split scan they otherwise
+    serialize on the scan's 1-3 tasks. No-op change at real scale —
+    the count derives from the cluster's parallelism."""
+    items = F.sort_array(F.collect_set(F.col(item_col)))
+    if max_basket is not None:
+        items = F.slice(items, 1, max_basket)
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(basket_col), F.col(item_col))
+        .repartition(dp, F.col(basket_col))
+        .groupBy(F.col(basket_col))
+        .agg(items.alias("items"))
+    )
+
+
 def copurchase_pairs(
     df: DataFrame,
     basket_col: str,
@@ -31,10 +60,15 @@ def copurchase_pairs(
     """(p1, p2, n) for distinct item pairs co-occurring in ≥
     ``min_support`` baskets, p1 < p2. Duplicate (basket, item) lines
     count once (collect_set)."""
-    items = F.sort_array(F.collect_set(F.col(item_col)))
-    if max_basket is not None:
-        items = F.slice(items, 1, max_basket)
-    baskets = df.groupBy(F.col(basket_col)).agg(items.alias("items"))
+    baskets = _baskets(df, basket_col, item_col, max_basket)
+    return _pairs_from_baskets(baskets, min_support)
+
+
+def _pairs_from_baskets(
+    baskets: DataFrame, min_support: int
+) -> DataFrame:
+    """The in-basket pair explode + support count over a prepared
+    (basket, items) aggregate."""
     pair_col = F.filter(
         F.flatten(
             F.transform(
@@ -79,17 +113,46 @@ def association_rules(
     Catalyst/AQE broadcasts it when it fits); the basket total
     arrives as a 1-row broadcast, never a driver collect.
     """
-    lines = df.select(
-        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).dropDuplicates(["b", "i"])
-    pairs = copurchase_pairs(
-        df, basket_col, item_col, min_support=min_support,
-        max_basket=max_basket,
-    ).withColumnRenamed("n", "n_ab")
-    item_counts = lines.groupBy("i").agg(F.count(F.lit(1)).alias("cnt"))
-    total = F.broadcast(
-        lines.select("b").distinct().agg(F.count(F.lit(1)).alias("n_bask"))
-    )
+    if max_basket is None:
+        # ONE basket aggregate (lazily checkpointed — materialized at
+        # the query's own first action, then shared) feeds the pair
+        # explode, the item counts AND the basket total, instead of
+        # one fact-table shuffle per consumer: with no cap,
+        # explode(items) enumerates exactly the distinct
+        # (basket, item) lines, and each basket row is one distinct
+        # non-empty basket — identical integers by construction.
+        base = _baskets(df, basket_col, item_col, None).localCheckpoint(
+            eager=False
+        )
+        pairs = _pairs_from_baskets(base, min_support).withColumnRenamed(
+            "n", "n_ab"
+        )
+        item_counts = (
+            base.select(F.explode("items").alias("i"))
+            .groupBy("i")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        total = F.broadcast(
+            base.agg(F.count(F.lit(1)).alias("n_bask"))
+        )
+    else:
+        pairs = copurchase_pairs(
+            df, basket_col, item_col, min_support=min_support,
+            max_basket=max_basket,
+        ).withColumnRenamed("n", "n_ab")
+        # capped pairs: rule denominators must still be the TRUE
+        # per-item basket counts, so they come from the uncapped lines
+        lines = df.select(
+            F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+        ).dropDuplicates(["b", "i"])
+        item_counts = lines.groupBy("i").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        total = F.broadcast(
+            lines.select("b")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_bask"))
+        )
     ca = item_counts.select(
         F.col("i").alias("p1"), F.col("cnt").alias("n_a")
     )

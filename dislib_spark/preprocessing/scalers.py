@@ -19,23 +19,36 @@ from dislib_spark.array.core import DsArray, _FEAT, _ROW
 
 
 def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Per-column mean / population std / min / max in one pass.
-    Returns one row per column: (col_name, mean, std_pop, cmin, cmax)."""
-    selects = []
+    """Per-column mean / population std / min / max in ONE pass.
+    Returns one row per column: (col_name, mean, std_pop, cmin, cmax).
+
+    All columns' aggregates ride a single scan+aggregate (previously
+    one unioned scan per column — d scans of the fact table); the
+    packed 1-row result explodes into the per-column rows. Same
+    aggregate functions over the same scan partitioning, so the float
+    values are bit-identical to the per-column form."""
+    aggs = []
     for c in cols:
-        selects.append(
-            df.agg(
-                F.lit(c).alias("col_name"),
-                F.round(F.avg(c), 6).alias("mean"),
-                F.round(F.stddev_pop(c), 6).alias("std_pop"),
-                F.round(F.min(c).cast("double"), 6).alias("cmin"),
-                F.round(F.max(c).cast("double"), 6).alias("cmax"),
-            )
+        aggs += [
+            F.round(F.avg(c), 6).alias(f"_m_{c}"),
+            F.round(F.stddev_pop(c), 6).alias(f"_s_{c}"),
+            F.round(F.min(c).cast("double"), 6).alias(f"_lo_{c}"),
+            F.round(F.max(c).cast("double"), 6).alias(f"_hi_{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"_m_{c}").alias("mean"),
+            F.col(f"_s_{c}").alias("std_pop"),
+            F.col(f"_lo_{c}").alias("cmin"),
+            F.col(f"_hi_{c}").alias("cmax"),
         )
-    out = selects[0]
-    for s in selects[1:]:
-        out = out.unionAll(s)
-    return out
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*per_col)).alias("_st")).select(
+        "_st.*"
+    )
 
 
 class StandardScaler:

@@ -191,21 +191,31 @@ def m09_scaler_transform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = li.count()
     z = StandardScaler().fit_transform(DsArray(li, (n, len(cols))))
-    parts = []
+    # one scan for all columns' z-extremes (was one unioned scan per
+    # column); same aggregates over the same scan → identical values
+    aggs = []
     for j, c in enumerate(cols):
         e = F.element_at(F.col("features"), j + 1)
-        parts.append(
-            z.df.agg(
-                F.lit(c).alias("col_name"),
-                F.round(F.min(e), 6).alias("min_z"),
-                F.round(F.max(e), 6).alias("max_z"),
-                F.sum((F.abs(e) > 2).cast("long")).alias("n_outliers"),
-            )
+        aggs += [
+            F.round(F.min(e), 6).alias(f"_lo_{j}"),
+            F.round(F.max(e), 6).alias(f"_hi_{j}"),
+            F.sum((F.abs(e) > 2).cast("long")).alias(f"_n_{j}"),
+        ]
+    row = z.df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"_lo_{j}").alias("min_z"),
+            F.col(f"_hi_{j}").alias("max_z"),
+            F.col(f"_n_{j}").alias("n_outliers"),
         )
-    out = parts[0]
-    for s in parts[1:]:
-        out = out.unionAll(s)
-    return out.orderBy("col_name")
+        for j, c in enumerate(cols)
+    ]
+    return (
+        row.select(F.explode(F.array(*per_col)).alias("_st"))
+        .select("_st.*")
+        .orderBy("col_name")
+    )
 
 
 def m10_logreg_grad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1644,7 +1654,15 @@ def m44_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     e² is computed identically on both engines and cast per-term to
     DECIMAL(38,6) so the auxiliary sums are order-exact (the m18
     recipe); the LM/R² algebra then replays bit-for-bit."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from dislib_spark.utils.base import fan_out
+
+    # both aggregate passes sum per-term DECIMAL casts — order-exact
+    # on any partitioning — so the under-split single-row-group scan
+    # fans out to cluster parallelism (no-op at scale); the identical
+    # repartition subtree is exchange-reused across the two passes
+    li = fan_out(load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    ))
     x = F.col("l_quantity").cast("decimal(18,6)")
     y = F.col("l_extendedprice").cast("decimal(18,6)")
     s1 = li.agg(
@@ -1714,7 +1732,13 @@ def m45_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-term DECIMAL(38,6) casts (order-exact, sign-carrying), and
     the S/K/JB algebra mirrors the oracle's operation order exactly
     (m2·√m2, never POWER)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from dislib_spark.utils.base import fan_out
+
+    # decimal sums are order-exact → fan out the 1-row-group scan
+    # (see m44); no-op at scale, exchange-reused across the two passes
+    li = fan_out(load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    ))
     x = F.col("l_quantity").cast("decimal(18,6)")
     y = F.col("l_extendedprice").cast("decimal(18,6)")
     s1 = li.agg(

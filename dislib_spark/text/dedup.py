@@ -156,8 +156,13 @@ def jaccard_pairs(
     # sort_array makes the posting order (and therefore any
     # truncation) deterministic; the buffer holds bare (id, size)
     # structs — the K² pair explosion below, not this list, is what
-    # the cap bounds
-    buckets = inv.groupBy("shingle").agg(
+    # the cap bounds. The user-numbered repartition on the shingle
+    # key (satisfies the groupBy's distribution → still ONE shuffle)
+    # keeps the bucket build AND the pair explosion that runs in the
+    # same stage at cluster parallelism instead of the 1-4 tasks
+    # AQE's byte-based coalescing would leave them.
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    buckets = inv.repartition(dp, "shingle").groupBy("shingle").agg(
         F.sort_array(F.collect_list(F.struct("id", "set_size"))).alias("ds")
     )
     if max_df is not None:
@@ -244,7 +249,10 @@ def containment_pairs(
         F.size("hashes").alias("set_size"),
         F.explode("hashes").alias("shingle"),
     )
-    buckets = inv.groupBy("shingle").agg(
+    # numbered repartition on the shingle key: parallel bucket build
+    # + pair explosion, one shuffle (see jaccard_pairs)
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    buckets = inv.repartition(dp, "shingle").groupBy("shingle").agg(
         F.sort_array(
             F.collect_list(F.struct("id", "set_size"))
         ).alias("ds")
@@ -379,11 +387,18 @@ def minhash_lsh_pairs(
     # permutation lambdas, (2) the signature feeds `bands` band-hash
     # lambdas — without checkpoints each lambda re-evaluates its whole
     # upstream expression (no CSE inside lambda bodies).
+    # the non-empty-shingles filter is expressed on the TOKEN count
+    # (equivalent: distinct n-grams exist iff size(toks) >= n), not on
+    # size(shingles): a filter on the derived shingles column gets
+    # pushed below fan_out's repartition exchange and re-evaluates the
+    # whole shingle expression single-threaded on the scan side
+    # (guide §4.4's duplicate-evaluation pattern, measured 2.4 s of
+    # 1-task time at sf0.1).
     hashed = (
         fan_out(df)
         .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+        .where(F.size("_toks") >= F.lit(n))
         .select("id", shingles_from_tokens(F.col("_toks"), n).alias("shingles"))
-        .where(F.size("shingles") > 0)
         .withColumn(
             "_h",
             F.transform(
@@ -700,6 +715,20 @@ def _pigeonhole_pairs(
             "combo_idx", "key"
         ),
     )
+    # Explicit keyed repartition before the self-join, for two reasons
+    # (guide §2.4/§2.5): (a) both join sides now share the IDENTICAL
+    # exchange subtree, so ReuseExchange computes the signature+explode
+    # ONCE instead of once per side (the before-plan evaluated the
+    # whole upstream twice, one copy under a BroadcastExchange); (b) a
+    # user-numbered repartition is never AQE-coalesced, so the
+    # popcount pair join keeps cluster parallelism instead of running
+    # on the 1-2 post-coalesce tasks its tiny shuffle-byte count
+    # suggests (compute per shuffled byte is huge here). Partition
+    # count derives from the session's parallelism — scale-adaptive,
+    # not a local constant.
+    keyed = keyed.repartition(
+        sig.sparkSession.sparkContext.defaultParallelism, "combo_idx", "key"
+    )
     a = keyed.select(
         F.col("id").alias("a_id"), F.col("sig").alias("a_sig"),
         "combo_idx", "key",
@@ -844,8 +873,9 @@ def _banded_signatures(
         .select(
             F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
         )
+        # token-count filter, not size(shingles): see minhash_lsh_pairs
+        .where(F.size("_toks") >= F.lit(n))
         .select("id", shingles_from_tokens(F.col("_toks"), n).alias("shingles"))
-        .where(F.size("shingles") > 0)
         .withColumn(
             "_h",
             F.transform(
@@ -1044,10 +1074,11 @@ def lsh_band_sweep(
             F.col(id_col).alias("id"),
             tokens(F.col(text_col)).alias("_toks"),
         )
+        # token-count filter, not size(shingles): see minhash_lsh_pairs
+        .where(F.size("_toks") >= F.lit(n))
         .select(
             "id", shingles_from_tokens(F.col("_toks"), n).alias("shingles")
         )
-        .where(F.size("shingles") > 0)
         .withColumn(
             "_h",
             F.transform(

@@ -147,9 +147,22 @@ def jaro_winkler_pairs(
     cond = F.col("a_id") < F.col("b_id")
     for c in block_cols:
         cond = cond & (F.col(f"_a_{c}") == F.col(f"_b_{c}"))
-    sim = F.round(jaro_winkler_udf(F.col("_ka"), F.col("_kb")), 6)
+    cand = a.join(b, cond).select("a_id", "b_id", "_ka", "_kb")
+    # Spread the Python JW work across the cluster: the candidate set
+    # is tiny in BYTES (ids + 32-char keys) but heavy in COMPUTE, so
+    # AQE's byte-based coalescing would run the whole UDF on 1-2
+    # tasks; a user-numbered round-robin repartition is never
+    # coalesced and costs a negligible shuffle of the skinny pair
+    # rows (guide §2.5 — bytes are the wrong proxy for Python work).
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    # non-deterministic marking stops the optimizer duplicating the
+    # UDF below the pushed threshold filter (guide §4.4: the before-
+    # plan carried TWO ArrowEvalPython evaluations per row)
+    jw = jaro_winkler_udf.asNondeterministic()
+    sim = F.round(jw(F.col("_ka"), F.col("_kb")), 6)
     return (
-        a.join(b, cond)
-        .select("a_id", "b_id", sim.alias("sim"))
+        cand.select("a_id", "b_id", sim.alias("sim"))
         .where(F.col("sim") >= F.lit(float(threshold)))
     )

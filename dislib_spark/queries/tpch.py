@@ -433,15 +433,35 @@ _SQL = {
 }
 
 
-def _verbatim(sql: str):
+# Tables re-registered as a fan_out view per query, keyed by query
+# name. ONLY the pure-aggregation shapes belong here: Q1's wide
+# decimal aggregate is compute-bound on the under-split local scan
+# (order-exact sums — DECIMAL money terms, integer-valued quantities
+# — so the repartition cannot move a value), while the join-heavy
+# queries REGRESS when the fact side is round-robined away from the
+# layout AQE plans around (measured x38: 0.87 s → 1.90 s), so they
+# keep the plain views. No-op at real scale (fan_out fires only on
+# under-split scans). The SQL text — and therefore the oracle — is
+# untouched.
+_FAN_TABLES: dict[str, list[str]] = {
+    "x25_tpch_q1": ["lineitem"],
+}
+
+
+def _verbatim(name: str, sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from dislib_spark.tables import register_views
+        from dislib_spark.tables import load_table, register_views
+        from dislib_spark.utils.base import fan_out
 
         register_views(spark, sf_dir)
+        for tbl in _FAN_TABLES.get(name, ()):
+            fan_out(load_table(spark, sf_dir, tbl)).createOrReplaceTempView(
+                tbl
+            )
         return spark.sql(sql)
 
     return run
 
 
-QUERIES = {name: _verbatim(sql) for name, sql in _SQL.items()}
+QUERIES = {name: _verbatim(name, sql) for name, sql in _SQL.items()}
 ORACLE = dict(_SQL)

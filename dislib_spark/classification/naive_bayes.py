@@ -66,27 +66,38 @@ class MultinomialNB:
         wc = toks.groupBy("c", "w").agg(F.count(F.lit(1)).alias("n_wc"))
         wc = wc.localCheckpoint(eager=True)  # 3 consumers below
         c_tok = wc.groupBy("c").agg(F.sum("n_wc").alias("n_c"))
-        v = wc.select("w").distinct().count()
+        # vocabulary size and doc total stay LAZY 1-row broadcasts
+        # (scalar columns) instead of driver count() actions: two
+        # fewer blocking jobs per fit, and the same IEEE arithmetic —
+        # long/long and double·long column ops reproduce the literal
+        # form bit-for-bit.
+        vdf = F.broadcast(wc.agg(F.countDistinct("w").alias("_v")))
+        tdf = F.broadcast(
+            docs.agg(F.count(F.lit(1)).alias("_total_docs"))
+        )
         n_docs_per_c = (
             docs.groupBy(F.col(label_col).alias("c"))
             .agg(F.count(F.lit(1)).alias("n_docs"))
         )
-        total_docs = docs.count()
         a = self.alpha
-        denom = F.col("n_c") + F.lit(a * v)
+        denom = F.col("n_c") + F.lit(a) * F.col("_v")
         self.class_stats_ = (
             n_docs_per_c.join(c_tok, "c")
+            .crossJoin(vdf)
+            .crossJoin(tdf)
             .select(
                 "c",
-                F.log(F.col("n_docs") / F.lit(float(total_docs))).alias(
-                    "log_prior"
-                ),
+                F.log(
+                    F.col("n_docs")
+                    / F.col("_total_docs").cast("double")
+                ).alias("log_prior"),
                 # log P(unseen token | c) — the smoothing floor
                 F.log(F.lit(a) / denom).alias("log_floor"),
             )
         )
         self.log_prob_ = (
             wc.join(c_tok, "c")
+            .crossJoin(vdf)
             .select(
                 "c",
                 "w",

@@ -2923,6 +2923,10 @@ def x99_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     from dislib_spark.sampling import hash_bucket
 
+    # examined for fan_out in the r10 optimization pass and left
+    # alone: the round-robin repartition's sort-before-repartition of
+    # the full-width rows costs more than the salted partial agg saves
+    # (measured 1.6 s -> 2.9 s)
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(18,2)")
         - F.col("l_discount").cast("decimal(18,2)")

@@ -726,9 +726,21 @@ def _pigeonhole_pairs(
     # suggests (compute per shuffled byte is huge here). Partition
     # count derives from the session's parallelism — scale-adaptive,
     # not a local constant.
-    keyed = keyed.repartition(
-        sig.sparkSession.sparkContext.defaultParallelism, "combo_idx", "key"
-    )
+    #
+    # Skipped when the signatures are ALREADY a materialized
+    # checkpoint (simhash_pairs' eager localCheckpoint): re-reading
+    # the RDD per side is then cheap and the broadcast self-join
+    # beats paying an extra exchange (measured t06 1.3 s -> 1.9 s
+    # with the exchange; t51 — un-checkpointed sigs — 7.1 s -> 2.9 s
+    # WITH it).
+    plan_str = str(sig._jdf.queryExecution().analyzed())
+    expensive_sig = ("Aggregate" in plan_str) or ("Join" in plan_str)
+    if expensive_sig:
+        keyed = keyed.repartition(
+            sig.sparkSession.sparkContext.defaultParallelism,
+            "combo_idx",
+            "key",
+        )
     a = keyed.select(
         F.col("id").alias("a_id"), F.col("sig").alias("a_sig"),
         "combo_idx", "key",

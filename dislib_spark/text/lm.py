@@ -250,7 +250,12 @@ def bpe_encode(
                 n_subtokens=n_sub, n_words=n_words
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
+    # fan_out: an under-split scan would serialize the whole Python
+    # encode on one worker (per-row output is independent of
+    # partitioning; no-op at real scale)
+    from dislib_spark.utils.base import fan_out
+
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(
         run, schema=f"{id_col} long, n_subtokens long, n_words long"
     )
 

@@ -309,7 +309,14 @@ class GaussianMixture:
                     {_ROW: pdf[_ROW], "prediction": log_r.argmax(axis=1)}
                 )
 
-        pred = x.df.mapInPandas(assign, f"{_ROW} long, prediction int")
+        # fan_out: per-row argmax is partitioning-independent, and an
+        # under-split scan would serialize the whole numpy E-step on
+        # one Python worker (no-op at real scale)
+        from dislib_spark.utils.base import fan_out
+
+        pred = fan_out(x.df).mapInPandas(
+            assign, f"{_ROW} long, prediction int"
+        )
         return prediction_to_dsarray(pred, x.shape[0])
 
     def fit_predict(self, x: DsArray) -> DsArray:

@@ -49,14 +49,17 @@ def get_spark(
         # tables.load_table converts to a proper timestamp column.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # 80+ codegen-heavy queries in one JVM overflow the default
+        # 340+ codegen-heavy queries in one JVM overflow the default
         # ~240 MB code cache: the JIT silently evicts/deopts and
         # expression-heavy items sporadically run 10-20x slower
-        # (measured t11 0.7 s -> 15-19 s mid-bench). Same setting a
-        # real cluster would carry in spark.executor.extraJavaOptions.
+        # (measured t11 0.7 s -> 15-19 s mid-bench at 512 MB the
+        # surface was ~80 queries; at 343 queries the same spike
+        # recurred — t11 0.86 s -> 9.0 s, r10 bench — so the cache is
+        # sized to the grown surface). Same setting a real cluster
+        # would carry in spark.executor.extraJavaOptions.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
     )

@@ -27,6 +27,15 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (applicationId, sf_dir, name) -> DataFrame. This memoizes the LAZY
+# scan plan only — a DataFrame holds no data; every action still
+# reads the parquet files — so repeated load_table calls skip the
+# ~100 ms of per-call file listing + footer/schema analysis
+# (measured; hundreds of calls per full-surface sweep). Keyed by
+# applicationId so a fresh session (e.g. the driver's vanilla
+# harness) never sees another session's plan objects.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Pure ``spark.read.parquet`` so Catalyst can push
@@ -40,6 +49,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     factory — any vanilla ``SparkSession`` (e.g. the correctness
     harness's) must be able to read every table.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -51,6 +64,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    _PLAN_CACHE[key] = df
     return df
 
 

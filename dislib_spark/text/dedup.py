@@ -736,11 +736,18 @@ def _pigeonhole_pairs(
     plan_str = str(sig._jdf.queryExecution().analyzed())
     expensive_sig = ("Aggregate" in plan_str) or ("Join" in plan_str)
     if expensive_sig:
+        # ...and a LAZY checkpoint on top: ReuseExchange fails to
+        # unify the two sides here (the broadcast side wraps its copy
+        # of the exchange), so without it the signature subtree still
+        # executes once per side. The checkpoint materializes the
+        # keyed table once inside the query's own first action and
+        # both join sides read the cached rows (measured t51 warm
+        # 2.7 s -> 0.9 s).
         keyed = keyed.repartition(
             sig.sparkSession.sparkContext.defaultParallelism,
             "combo_idx",
             "key",
-        )
+        ).localCheckpoint(eager=False)
     a = keyed.select(
         F.col("id").alias("a_id"), F.col("sig").alias("a_sig"),
         "combo_idx", "key",

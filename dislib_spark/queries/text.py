@@ -2016,13 +2016,19 @@ def t75_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-graded, not just parameterized. Pair volume is
     candidate-bounded on both sides; the grade joins are
     truth-set-sized."""
+    from dislib_spark.text.dedup import minhash_signatures
+
     d = load_table(spark, sf_dir, "documents")
     truth = jaccard_pairs(d, threshold=0.3)
+    # ONE signature build shared by both banding configs (the two
+    # configs re-band the same 32-hash signature; per-call rebuild
+    # was the dominant cost of the second grade)
+    sig = minhash_signatures(d, hash_fn="md5")
 
     def caught(bands, name):
         return (
             minhash_lsh_pairs(
-                d, threshold=0.3, bands=bands, hash_fn="md5"
+                d, threshold=0.3, bands=bands, hash_fn="md5", sig=sig
             )
             .select("a_id", "b_id")
             .withColumn(name, F.lit(1))

@@ -334,6 +334,50 @@ def _minhash_signature(base_hashes: Column, num_hashes: int, seed: int = 7) -> C
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The (id, shingles, sig) MinHash signature table that
+    :func:`minhash_lsh_pairs` band-buckets — exposed so callers that
+    band the SAME signature several ways (recall grading, band
+    sweeps) build it once and pass it back via ``sig=``. Eagerly
+    checkpointed: the build feeds ``num_hashes`` permutation lambdas
+    and every downstream banding, and lambda bodies get no CSE."""
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    shingle_hash = F.xxhash64 if hash_fn == "xxhash64" else md5_hash32
+    # the non-empty-shingles filter is expressed on the TOKEN count
+    # (equivalent: distinct n-grams exist iff size(toks) >= n), not on
+    # size(shingles): a filter on the derived shingles column gets
+    # pushed below fan_out's repartition exchange and re-evaluates the
+    # whole shingle expression single-threaded on the scan side
+    # (guide §4.4's duplicate-evaluation pattern, measured 2.4 s of
+    # 1-task time at sf0.1).
+    hashed = (
+        fan_out(df)
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+        .where(F.size("_toks") >= F.lit(n))
+        .select("id", shingles_from_tokens(F.col("_toks"), n).alias("shingles"))
+        .withColumn(
+            "_h",
+            F.transform(
+                F.col("shingles"), lambda s: F.pmod(shingle_hash(s), F.lit(_MERSENNE))
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return (
+        hashed.withColumn("sig", _minhash_signature(F.col("_h"), num_hashes))
+        .drop("_h")
+        .localCheckpoint(eager=True)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -345,6 +389,7 @@ def minhash_lsh_pairs(
     max_bucket_size: int | None = 10_000,
     hash_fn: str = "xxhash64",
     with_estimate: bool = False,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: candidates from band-bucket
     collisions, then exact Jaccard on the candidates only.
@@ -369,12 +414,15 @@ def minhash_lsh_pairs(
     constants via :func:`minhash_perms`), making the whole candidate
     generation oracle-checkable. Identical plan shape either way.
 
+    ``sig``: a precomputed :func:`minhash_signatures` table built from
+    the SAME (df, num_hashes, n, hash_fn) — callers banding one
+    signature several ways pass it to skip the per-call rebuild.
+
     Returns (a_id, b_id, jaccard) with a_id < b_id.
     """
     if hash_fn not in ("xxhash64", "md5"):
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     rows_per_band = num_hashes // bands
-    shingle_hash = F.xxhash64 if hash_fn == "xxhash64" else md5_hash32
 
     def band_key(b):
         sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
@@ -383,35 +431,15 @@ def minhash_lsh_pairs(
         return F.md5(
             F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
         )
-    # two lineage breaks: (1) the shingle+hash build feeds 32
-    # permutation lambdas, (2) the signature feeds `bands` band-hash
-    # lambdas — without checkpoints each lambda re-evaluates its whole
-    # upstream expression (no CSE inside lambda bodies).
-    # the non-empty-shingles filter is expressed on the TOKEN count
-    # (equivalent: distinct n-grams exist iff size(toks) >= n), not on
-    # size(shingles): a filter on the derived shingles column gets
-    # pushed below fan_out's repartition exchange and re-evaluates the
-    # whole shingle expression single-threaded on the scan side
-    # (guide §4.4's duplicate-evaluation pattern, measured 2.4 s of
-    # 1-task time at sf0.1).
-    hashed = (
-        fan_out(df)
-        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
-        .where(F.size("_toks") >= F.lit(n))
-        .select("id", shingles_from_tokens(F.col("_toks"), n).alias("shingles"))
-        .withColumn(
-            "_h",
-            F.transform(
-                F.col("shingles"), lambda s: F.pmod(shingle_hash(s), F.lit(_MERSENNE))
-            ),
+    # two lineage breaks inside minhash_signatures: (1) the
+    # shingle+hash build feeds num_hashes permutation lambdas, (2) the
+    # signature feeds `bands` band-hash lambdas — without checkpoints
+    # each lambda re-evaluates its whole upstream expression (no CSE
+    # inside lambda bodies).
+    if sig is None:
+        sig = minhash_signatures(
+            df, num_hashes, n, text_col, id_col, hash_fn
         )
-        .localCheckpoint(eager=True)
-    )
-    sig = (
-        hashed.withColumn("sig", _minhash_signature(F.col("_h"), num_hashes))
-        .drop("_h")
-        .localCheckpoint(eager=True)
-    )
     banded = sig.select(
         "id",
         F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(

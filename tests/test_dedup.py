@@ -151,3 +151,44 @@ def test_stream_sessions_batch_python_parity(spark):
                 cur.append(t)
         want.add((u, anchor + cur[0], anchor + cur[-1], len(cur)))
     assert got == want
+
+
+def test_minhash_precomputed_sig_identical(spark):
+    """minhash_lsh_pairs(sig=minhash_signatures(...)) returns exactly
+    the per-call-build result for both banding configs — the shared
+    signature path (t75) must be a pure plan refactor."""
+    from dislib_spark.text.dedup import minhash_lsh_pairs, minhash_signatures
+
+    import random
+
+    rng = random.Random(75)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    base = " ".join(rng.choices(vocab, k=25))
+    for i in range(20):
+        words = base.split()
+        for _ in range(rng.randrange(0, 6)):
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        rows.append((i, " ".join(words)))
+    rows.append((98, "xx"))  # < n tokens: dropped by both paths
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(df, hash_fn="md5")
+    for bands in (8, 4):
+        want = sorted(
+            map(
+                tuple,
+                minhash_lsh_pairs(
+                    df, threshold=0.3, bands=bands, hash_fn="md5"
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                minhash_lsh_pairs(
+                    df, threshold=0.3, bands=bands, hash_fn="md5", sig=sig
+                ).collect(),
+            )
+        )
+        assert got == want
+        assert len(want) > 0

@@ -309,14 +309,14 @@ class GaussianMixture:
                     {_ROW: pdf[_ROW], "prediction": log_r.argmax(axis=1)}
                 )
 
-        # fan_out: per-row argmax is partitioning-independent, and an
-        # under-split scan would serialize the whole numpy E-step on
-        # one Python worker (no-op at real scale)
-        from dislib_spark.utils.base import fan_out
-
-        pred = fan_out(x.df).mapInPandas(
-            assign, f"{_ROW} long, prediction int"
-        )
+        # NO fan_out here (A/B-measured in bench position, r10): the
+        # vectorized E-step is ~0.1 s of numpy per million rows, so on
+        # an under-split local input the 32-way repartition only buys
+        # 32 COLD python-worker startups (~0.6-2 s in-context) for
+        # compute that one warm worker finishes faster. At real scale
+        # the scan is already split, so the repartition would be a
+        # no-op there — it only ever fires where it hurts.
+        pred = x.df.mapInPandas(assign, f"{_ROW} long, prediction int")
         return prediction_to_dsarray(pred, x.shape[0])
 
     def fit_predict(self, x: DsArray) -> DsArray:

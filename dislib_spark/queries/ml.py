@@ -2976,12 +2976,25 @@ def m67_mahalanobis_outliers(
     def dd(c):
         return F.col(c).cast("double")
 
+    # memoized Column objects: every cv()/mu() call used to rebuild
+    # its whole subtree through fresh py4j round-trips — ~1.7 s of
+    # pure DRIVER-side construction for the det/inverse expansion
+    # below (measured warm, sf0.1). Sharing the Column objects sends
+    # each subtree through py4j once; the resulting expression tree
+    # is structurally identical, so plan and values are unchanged.
+    _mu = [dd(f"s{i}") / nn for i in range(3)]
+    _cv = {
+        (i, j): dd(f"p{i}{j}") / nn - _mu[i] * _mu[j]
+        for i in range(3)
+        for j in range(i, 3)
+    }
+
     def mu(i):
-        return dd(f"s{i}") / nn
+        return _mu[i]
 
     def cv(i, j):
         a, b = min(i, j), max(i, j)
-        return dd(f"p{a}{b}") / nn - mu(i) * mu(j)
+        return _cv[(a, b)]
 
     # adjugate / determinant of the symmetric 3x3 covariance
     det = (

@@ -76,12 +76,15 @@ def _bfs_cluster(
     return labels
 
 
-def build_halo(x: DsArray, eps: float):
+def build_halo(x: DsArray, eps: float, cache: bool = True):
     """Grid keys + 3^d halo replication (reference dbscan/base.py
     region grid): each point is emitted to its home cell and every
     neighbor cell, so a home cell sees the full eps-ball of its own
-    points. Returns a cached DataFrame
-    (row_id, feat, cell struct, is_home)."""
+    points. Returns a DataFrame (row_id, feat, cell struct, is_home),
+    cached by default for ``fit_predict``'s two passes; single-pass
+    callers (core-flag-only queries) pass ``cache=False`` — storing a
+    3^d-replicated table that is read once is pure memory-store
+    write cost."""
     n, d = x.shape
     spark = x.spark
     mins_row = x.df.agg(
@@ -106,7 +109,7 @@ def build_halo(x: DsArray, eps: float):
         [(i, list(o)) for i, o in enumerate(offsets)],
         "off_id int, off array<long>",
     )
-    return pts.crossJoin(F.broadcast(off_df)).select(
+    halo = pts.crossJoin(F.broadcast(off_df)).select(
         _ROW,
         _FEAT,
         F.struct(
@@ -116,7 +119,8 @@ def build_halo(x: DsArray, eps: float):
             ]
         ).alias("cell"),
         (F.col("off_id") == 0).alias("is_home"),
-    ).cache()
+    )
+    return halo.cache() if cache else halo
 
 
 def core_flags(halo, eps: float, min_samples: int):

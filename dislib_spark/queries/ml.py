@@ -168,7 +168,7 @@ def m08_dbscan_core_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.col("p_retailprice").cast("double")).alias("features"),
     )
     n = p.count()
-    halo = build_halo(DsArray(p, (n, 1)), eps=5.0)
+    halo = build_halo(DsArray(p, (n, 1)), eps=5.0, cache=False)
     flags = core_flags(halo, eps=5.0, min_samples=5)
     return flags.agg(
         F.sum(F.col("is_core").cast("long")).alias("n_core"),

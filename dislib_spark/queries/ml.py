@@ -1027,9 +1027,17 @@ def m32_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     built from the same ``_nb_pred`` pipeline. Two tiny groupBys over
     the |docs|-row prediction join (state is O(classes)), full-outer
     merged so a never-predicted class still reports recall 0. All
-    three metrics are divisions of exact integer counts."""
+    three metrics are divisions of exact integer counts. The join is
+    lazily checkpointed so the whole fit+score subtree executes once
+    instead of once per groupBy branch (the t78/t79 pattern — without
+    it the full-outer merge re-evaluates the 200-node NB pipeline on
+    both sides)."""
     d = load_table(spark, sf_dir, "documents")
-    m = _nb_pred(d).join(d.select("doc_id", "lang"), "doc_id")
+    m = (
+        _nb_pred(d)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(eager=False)
+    )
     by_true = m.groupBy(F.col("lang").alias("cls")).agg(
         F.count(F.lit(1)).alias("n_true"),
         F.sum((F.col("pred") == F.col("lang")).cast("long")).alias("tp"),

@@ -27,6 +27,19 @@ from dislib_spark.vector.search import (
 )
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint for a subpipeline consumed by 2+ branches
+    of a recall/eval query (the m32/t78/t79 pattern): without it the
+    whole search subtree (brute-force crossJoin, probe pipeline,
+    per-query window sort) re-executes once per consumer — plans grow
+    to 100-300 nodes and the driver spends seconds planning and
+    orchestrating duplicated AQE stages. eager=False keeps the
+    materialization INSIDE the timed action (nothing runs at plan
+    build); values are bit-identical, the branches just read the
+    small checkpointed result instead of re-deriving it."""
+    return df.localCheckpoint(eager=False)
+
+
 def v08_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
@@ -304,8 +317,9 @@ def v18_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
-    exact = cosine_topk(q, e, k=10).select("q_id", "c_id")
-    lsh = lsh_topk(q, e, k=10).select("q_id", "c_id")
+    # exact feeds 3 branches, lsh 2 — pin both (see _pin)
+    exact = _pin(cosine_topk(q, e, k=10).select("q_id", "c_id"))
+    lsh = _pin(lsh_topk(q, e, k=10).select("q_id", "c_id"))
     ivf = ivf_topk(q, e, k=10, centers="seed").select("q_id", "c_id")
 
     base = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
@@ -347,7 +361,8 @@ def v19_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
-    exact = cosine_topk(q, e, k=10).select("q_id", "c_id")
+    # exact feeds 3 branches — pin (see _pin)
+    exact = _pin(cosine_topk(q, e, k=10).select("q_id", "c_id"))
     pq = pq_topk(q, e, k=10, n_centroids=16, codebooks="seed").select(
         "q_id", "c_id"
     )
@@ -434,13 +449,17 @@ def v21_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
     filt = e.where(F.col("label") % 2 == 0)
-    exact = cosine_topk(q, filt, k=10).select("q_id", "c_id")
-    pre = ivf_topk(q, filt, k=10, centers="seed").select("q_id", "c_id")
+    # exact feeds 3 branches, pre and post 2 each — pin all three
+    # (see _pin; before: 285-node plan, 32 parquet scans, 98 Windows)
+    exact = _pin(cosine_topk(q, filt, k=10).select("q_id", "c_id"))
+    pre = _pin(
+        ivf_topk(q, filt, k=10, centers="seed").select("q_id", "c_id")
+    )
     from pyspark.sql import Window
 
     lab = e.select(F.col("vec_id").alias("c_id"), "label")
     wpost = Window.partitionBy("q_id").orderBy("rank")
-    post = (
+    post = _pin(
         ivf_topk(q, e, k=30, centers="seed")
         .join(lab, "c_id")
         .where(F.col("label") % 2 == 0)
@@ -492,6 +511,8 @@ def v22_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     _, assigned = ivf_index(e, centers="seed")
+    # both consumers only count — pin the cell column, not the vectors
+    assigned = _pin(assigned.select("cell"))
     tot = F.broadcast(assigned.agg(F.count(F.lit(1)).alias("_n")))
     return (
         assigned.groupBy("cell")
@@ -577,7 +598,8 @@ def v23_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("np", "q_id", "c_id")
     )
-    exact = cosine_topk(q, e, k=10).select("q_id", "c_id")
+    # exact feeds 2 branches (nq, hits) — pin (see _pin)
+    exact = _pin(cosine_topk(q, e, k=10).select("q_id", "c_id"))
     nq = F.broadcast(
         exact.agg(F.countDistinct("q_id").alias("_nq"))
     )
@@ -1077,7 +1099,8 @@ def v32_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
-    exact = cosine_topk(q, e, k=10).select("q_id", "c_id")
+    # exact feeds 2 branches (base, hits) — pin (see _pin)
+    exact = _pin(cosine_topk(q, e, k=10).select("q_id", "c_id"))
     ap = ivfpq_topk(
         q, e, k=10, n_cells=16, n_probe=4, n_subvectors=8,
         n_centroids=16, rerank=50, centers="seed", codebooks="seed",
@@ -1133,7 +1156,8 @@ def v35_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
-    exact = cosine_topk(q, e, k=10).select("q_id", "c_id")
+    # exact feeds 2 branches (base, hits) — pin (see _pin)
+    exact = _pin(cosine_topk(q, e, k=10).select("q_id", "c_id"))
     ap = ivfsq_topk(
         q, e, k=10, n_cells=16, n_probe=4, rerank=50, centers="seed"
     ).select("q_id", "c_id")
@@ -1177,6 +1201,9 @@ def v34_ann_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
     ctrs, assigned = ivf_index(e, centers="seed")
+    # assigned feeds 2 branches (sizes, scored) — pin the one
+    # assignment pass (see _pin)
+    assigned = _pin(assigned)
     sizes = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vecs")
     )
@@ -1193,7 +1220,8 @@ def v34_ann_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v,
     )
     wq = Window.partitionBy("q_id").orderBy("d2", "cell")
-    probes = (
+    # probes feeds 2 branches (cost per_q, recall scored) — pin
+    probes = _pin(
         qd.crossJoin(F.broadcast(ctrs))
         .select("q_id", "q_vec", "cell", d2.alias("d2"))
         .withColumn("pr", F.row_number().over(wq))
@@ -1247,7 +1275,8 @@ def v34_ann_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("n_probe", "q_id", "c_id")
     )
-    exact = cosine_topk(q, e, k=10).select("q_id", "c_id")
+    # exact feeds 2 branches (nq, hits) — pin (see _pin)
+    exact = _pin(cosine_topk(q, e, k=10).select("q_id", "c_id"))
     nq = F.broadcast(exact.agg(F.countDistinct("q_id").alias("_tq")))
     hits = topk.join(exact, ["q_id", "c_id"]).groupBy("n_probe").agg(
         F.count(F.lit(1)).alias("n_hits")

@@ -36,10 +36,17 @@ from pyspark.sql import functions as F
 def sq8_stats(df: DataFrame, col: str, dim: int) -> DataFrame:
     """1-row frame with ``mins``/``maxs`` array<double> columns: the
     per-dimension corpus bounds that define the SQ8 grid."""
-    v = lambda i: F.col(col)[i].cast("double")  # noqa: E731
+    # one parsed SQL expression per array: the 2×dim Column-API agg
+    # list cost ~1.5 s of py4j round-trips per plan build at dim=64;
+    # the parsed tree (min/max over col[i] cast double) is identical
+    mins = "array(" + ",".join(
+        f"min(CAST({col}[{i}] AS DOUBLE))" for i in range(dim)
+    ) + ")"
+    maxs = "array(" + ",".join(
+        f"max(CAST({col}[{i}] AS DOUBLE))" for i in range(dim)
+    ) + ")"
     return df.agg(
-        F.array(*[F.min(v(i)) for i in range(dim)]).alias("mins"),
-        F.array(*[F.max(v(i)) for i in range(dim)]).alias("maxs"),
+        F.expr(mins).alias("mins"), F.expr(maxs).alias("maxs")
     )
 
 

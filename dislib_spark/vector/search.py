@@ -520,29 +520,56 @@ def assign_to_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign NEW vectors to an existing IVF index's cells (argmin
-    L2 to the broadcast centers) — the append step that keeps a
-    stored index current without re-clustering. Returns
-    (c_id, c_vec, cell), union-compatible with ``ivf_index``'s
-    assignment table."""
+    L2 to the centers) — the append step that keeps a stored index
+    current without re-clustering. Returns (c_id, c_vec, cell),
+    union-compatible with ``ivf_index``'s assignment table.
+
+    The centers table is driver-small by contract (n_cells rows), so
+    the argmin is a literal-centers PROJECTION: per row, an array of
+    n_cells d² values and one array_min/array_position pick. The
+    previous crossJoin×n_cells + per-c_id window form shuffled
+    n_cells× the corpus payload through an Exchange + sort just to
+    keep rn=1 (guide §2.4: remove shuffles outright) — measured
+    1.16 s vs 0.25 s at sf0.1 and unboundedly worse at scale. Float
+    math is unchanged (same (a−c)² zip_with/aggregate per center,
+    same double literals), and ties break to the lowest cell id
+    exactly as the old ORDER BY d2, cell did (``array_position``
+    returns the FIRST minimum in cell-id order)."""
+    rows = sorted(
+        (int(r["cell"]), [float(x) for x in r["center"]])
+        for r in centers.collect()
+    )
     b = fan_out(batch).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("c_vec"),
-            F.col("center"),
-            lambda a, c: (a.cast("double") - c) * (a.cast("double") - c),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    w = Window.partitionBy("c_id").orderBy("d2", "cell")
+    # ONE F.expr per derived column: the equivalent Column-API build
+    # (n_cells × dim F.lit calls) costs ~1 ms of py4j PER CALL —
+    # ~0.7 s of pure driver time per assignment plan at 16×64. The
+    # SQL string parses JVM-side to the identical expression tree
+    # (repr() round-trips doubles exactly; the D suffix forces
+    # DoubleType, never ANSI decimal).
+    def d2(ctr: list[float]) -> str:
+        lits = ",".join(repr(c) + "D" for c in ctr)
+        return (
+            f"aggregate(zip_with(c_vec, array({lits}), "
+            "(a, c) -> (CAST(a AS DOUBLE) - c) * (CAST(a AS DOUBLE) - c)), "
+            "0.0D, (acc, v) -> acc + v)"
+        )
+
+    darr = "array(" + ",".join(d2(ctr) for _, ctr in rows) + ")"
+    cells = "array(" + ",".join(str(cell) for cell, _ in rows) + ")"
+    # d² array materialized once per row (_d2 column), then the
+    # argmin pick reads the bound reference — no re-evaluation
     return (
-        b.crossJoin(F.broadcast(centers))
-        .select("c_id", "c_vec", "cell", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("c_id", "c_vec", "cell")
+        b.select("c_id", "c_vec", F.expr(darr).alias("_d2"))
+        .select(
+            "c_id",
+            "c_vec",
+            F.expr(
+                f"element_at({cells}, "
+                "CAST(array_position(_d2, array_min(_d2)) AS INT))"
+            ).alias("cell"),
+        )
     )
 
 
@@ -645,6 +672,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector as its per-subspace nearest-centroid codes
     (array<int>, one per subvector). Vectorized numpy under
@@ -654,7 +682,10 @@ def pq_encode(
     inside every lambda (no CSE in lambda bodies) and measured 100×
     slower at 500k rows; dense pairwise math belongs in BLAS, the
     semantic-dedup lesson. Shuffle-free narrow map either way.
-    Returns (id, codes)."""
+    Returns (id, *keep, codes) — ``keep`` names extra input columns
+    passed through the Arrow batch untouched, so a caller that
+    already carries e.g. the IVF cell can get (id, cell, codes) from
+    ONE narrow pass instead of joining two corpus-sized tables."""
     import numpy as np
     import pyarrow as pa
     from pyspark.sql import types as T
@@ -666,11 +697,13 @@ def pq_encode(
 
     staged = fan_out(corpus).select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep],
         F.col(vec_col).cast("array<double>").alias("_raw"),
     )
     out_schema = T.StructType(
         [
             T.StructField("id", staged.schema["id"].dataType, True),
+            *[staged.schema[c] for c in keep],
             T.StructField(
                 "codes", T.ArrayType(T.IntegerType(), False), False
             ),
@@ -693,12 +726,45 @@ def pq_encode(
                     axis=1
                 )
             yield pa.RecordBatch.from_arrays(
-                [b.column(b.schema.get_field_index("id")),
-                 pa.array(codes.tolist(), type=pa.list_(pa.int32()))],
-                names=["id", "codes"],
+                [b.column(b.schema.get_field_index("id"))]
+                + [
+                    b.column(b.schema.get_field_index(c))
+                    for c in keep
+                ]
+                + [pa.array(codes.tolist(), type=pa.list_(pa.int32()))],
+                names=["id", *keep, "codes"],
             )
 
     return staged.mapInArrow(fn, out_schema)
+
+
+def _adc_table_sql(
+    books: list[list[list[float]]],
+    raw_col: str = "_qraw",
+    nrm_col: str = "_qnrm",
+) -> str:
+    """SQL string for the per-query ADC distance table
+    ``dt[m][c] = ||q_unit_m − book[m][c]||²`` — the exact expression
+    tree the previous Column-API loop built, parsed JVM-side in ONE
+    py4j call instead of ~1k (n_subvectors × n_centroids F.lit calls
+    measured ~0.7 s of pure driver build time per plan). Same
+    operators, same literal doubles (repr round-trips exactly, D
+    suffix forces DoubleType), so values and plans are unchanged."""
+    sub = len(books[0][0])
+    parts = []
+    for m, book in enumerate(books):
+        sl = (
+            f"slice(transform({raw_col}, x -> x / {nrm_col}), "
+            f"{m * sub + 1}, {sub})"
+        )
+        cents = ",".join(
+            "aggregate(zip_with(" + sl + ", array("
+            + ",".join(repr(float(v)) + "D" for v in ctr)
+            + "), (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
+            for ctr in book
+        )
+        parts.append(f"array({cents})")
+    return "array(" + ",".join(parts) + ")"
 
 
 def pq_topk(
@@ -731,39 +797,17 @@ def pq_topk(
         method=codebooks, id_col=id_col,
     )
     codes = pq_encode(corpus, books, id_col, vec_col).localCheckpoint()
-    sub = len(books[0][0])
 
     # per-query ADC table: dist_table[m][c] = ||q_m - book[m][c]||²
     # on the UNIT query vector (codebooks are unit-space too), built
-    # JVM-side from the broadcast-small codebook literals
-    qv = F.transform(
-        F.col("_qraw"), lambda x: x / F.col("_qnrm")
-    )
-    table_cols = []
-    for m, book in enumerate(books):
-        sl = F.slice(qv, m * sub + 1, sub)
-        table_cols.append(
-            F.array(
-                *[
-                    F.aggregate(
-                        F.zip_with(
-                            sl,
-                            F.array(*[F.lit(float(x)) for x in ctr]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    for ctr in book
-                ]
-            )
-        )
+    # JVM-side from the broadcast-small codebook literals (one parsed
+    # SQL expression — see _adc_table_sql)
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         F.col(vec_col).cast("array<double>").alias("_qraw"),
         _norm(F.col(vec_col)).alias("_qnrm"),
-    ).select("q_id", "q_vec", F.array(*table_cols).alias("dt"))
+    ).select("q_id", "q_vec", F.expr(_adc_table_sql(books)).alias("dt"))
 
     # ADC score: sum_m dt[m][codes[m]] — n_subvectors lookups/pair
     adc = F.aggregate(
@@ -828,10 +872,14 @@ def ivfpq_index(
         corpus, n_subvectors, n_centroids, pq_seed, vec_col=vec_col,
         method=codebooks, id_col=id_col,
     )
-    codes = pq_encode(corpus, books, id_col, vec_col)
-    cell_codes = assigned.select("c_id", "cell").join(
-        codes.withColumnRenamed("id", "c_id"), "c_id"
-    )
+    # cell + codes in ONE narrow pass: the assignment (a projection)
+    # flows straight into the encode mapInArrow with the cell carried
+    # through the Arrow batch — no corpus×corpus c_id equi-join, so
+    # the index build has no join shuffle at all (guide §2.4; at
+    # scale the old join shuffled both corpus-sized sides)
+    cell_codes = pq_encode(
+        assigned, books, id_col="c_id", vec_col="c_vec", keep=("cell",)
+    ).select(F.col("id").alias("c_id"), "cell", "codes")
     return ctrs, books, cell_codes
 
 
@@ -858,36 +906,18 @@ def ivfpq_query_index(
     (id, vec) table — touched for rerank·|Q| rows only). No stage is
     corpus-broadcast or corpus-crossJoin. Returns
     (q_id, c_id, sim, rank)."""
-    sub = len(books[0][0])
-
     # per-query: nearest n_probe cells (broadcast coarse centers) and
     # the ADC distance table on the UNIT query vector, built JVM-side
-    qv = F.transform(F.col("_qraw"), lambda x: x / F.col("_qnrm"))
-    table_cols = []
-    for m, book in enumerate(books):
-        sl = F.slice(qv, m * sub + 1, sub)
-        table_cols.append(
-            F.array(
-                *[
-                    F.aggregate(
-                        F.zip_with(
-                            sl,
-                            F.array(*[F.lit(float(x)) for x in ctr]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    for ctr in book
-                ]
-            )
-        )
+    # (one parsed SQL expression — see _adc_table_sql)
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         F.col(vec_col).cast("array<double>").alias("_qraw"),
         _norm(F.col(vec_col)).alias("_qnrm"),
-    ).select("q_id", "q_vec", "_qraw", F.array(*table_cols).alias("dt"))
+    ).select(
+        "q_id", "q_vec", "_qraw",
+        F.expr(_adc_table_sql(books)).alias("dt"),
+    )
     qc = q.crossJoin(F.broadcast(centers)).select(
         "q_id",
         "q_vec",
@@ -1472,17 +1502,28 @@ def ivfsq_index(
     n_probe lists. Build cost (one quantizer pass + one min/max
     aggregation + one encode pass + one id-equi join) is paid once
     per index lifetime."""
-    from dislib_spark.vector.quantize import sq8_encode, sq8_stats
+    from dislib_spark.vector.quantize import (
+        sq8_encode_with_stats,
+        sq8_stats,
+    )
 
     d = dim if dim is not None else _infer_dim(corpus, vec_col)
     ctrs, assigned = ivf_index(
         corpus, n_cells, seed, id_col, vec_col, centers=centers
     )
-    stats = sq8_stats(corpus, vec_col, d)
-    codes = sq8_encode(corpus, vec_col, d).select(
-        F.col(id_col).alias("c_id"), "codes"
-    )
-    cell_codes = assigned.select("c_id", "cell").join(codes, "c_id")
+    # ONE stats pass feeds both the encode and the returned grid:
+    # sq8_encode would re-derive sq8_stats from the corpus, putting a
+    # second full min/max aggregation scan in the plan (identical
+    # values — the same corpus — so reuse is free); the lazy
+    # checkpoint materializes the 1-row grid once for its two
+    # consumers instead of re-aggregating the corpus per consumer
+    stats = sq8_stats(corpus, vec_col, d).localCheckpoint(eager=False)
+    # cell + codes in ONE narrow chain over the assignment projection
+    # (encode is a JVM transform against the broadcast grid) — no
+    # corpus×corpus c_id equi-join in the index build (guide §2.4)
+    cell_codes = sq8_encode_with_stats(
+        assigned, "c_vec", stats
+    ).select("c_id", "cell", "codes")
     return ctrs, stats, cell_codes
 
 

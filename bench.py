@@ -148,6 +148,12 @@ def _run_items(spark, sf_dir, names=None) -> dict[str, float]:
         except Exception as exc:  # noqa: BLE001 — record, keep benching
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        else:
+            # stderr progress heartbeat (stdout contract unchanged):
+            # lets an operator see in-batch degradation onset live.
+            print(
+                f"bench: {name} {timings[name]}", file=sys.stderr, flush=True
+            )
         # release caches/localCheckpoint blocks between items so one
         # query's storage doesn't skew the next one's timing
         spark.catalog.clearCache()

@@ -55,11 +55,14 @@ def get_spark(
         # (measured t11 0.7 s -> 15-19 s mid-bench at 512 MB the
         # surface was ~80 queries; at 343 queries the same spike
         # recurred — t11 0.86 s -> 9.0 s, r10 bench — so the cache is
-        # sized to the grown surface). Same setting a real cluster
-        # would carry in spark.executor.extraJavaOptions.
+        # sized to the grown surface; 1 g still showed mid-batch
+        # flush/deopt churn on the m43-m48 expression cluster, 2 g —
+        # the HotSpot maximum — cleared it). Reserved address space,
+        # not committed RSS, so the only cost is virtual. Same setting
+        # a real cluster would carry in spark.executor.extraJavaOptions.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
     )

@@ -47,24 +47,60 @@ class MultinomialNB:
         self.alpha = float(alpha)
         self.log_prob_: DataFrame | None = None  # (c, w, logp)
         self.class_stats_: DataFrame | None = None  # (c, log_prior, log_floor)
+        # shared (doc, label, token, tf) table when fit() is given an
+        # id_col — lets score_documents() on the SAME corpus reuse the
+        # one corpus explode instead of re-tokenizing (the oracle's own
+        # `tok` CTE feeds wc AND dw; this mirrors it)
+        self._dw0: DataFrame | None = None
+        self._fit_key: tuple | None = None
 
     def fit(
         self,
         docs: DataFrame,
         label_col: str = "lang",
         text_col: str = "text",
+        id_col: str | None = None,
     ) -> "MultinomialNB":
-        toks = (
-            fan_out(docs)
-            .select(
-                F.col(label_col).alias("c"),
-                F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        if id_col is not None:
+            # ONE corpus explode for fit AND same-corpus scoring: the
+            # (doc, label, token) count table is the only corpus-sized
+            # aggregation; (class, token) counts are an exact integer
+            # re-aggregation of it (sum of per-doc counts = the direct
+            # count). Lazy checkpoint: consumers (wc chain, dw join,
+            # doc_len) read one materialization, computed inside the
+            # first action; local mode's block-store locking computes
+            # each partition once even under concurrent AQE stages.
+            dw0 = (
+                fan_out(docs)
+                .select(
+                    F.col(id_col).alias("_id"),
+                    F.col(label_col).alias("_lbl"),
+                    F.explode(F.split(F.col(text_col), " ")).alias("w"),
+                )
+                .where(F.col("w") != "")
+                .groupBy("_id", "_lbl", "w")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .localCheckpoint(eager=False)
             )
-            .where(F.col("w") != "")
-        )
-        # the one corpus-sized aggregation
-        wc = toks.groupBy("c", "w").agg(F.count(F.lit(1)).alias("n_wc"))
-        wc = wc.localCheckpoint(eager=True)  # 3 consumers below
+            self._dw0 = dw0
+            self._fit_key = (docs, label_col, text_col, id_col)
+            wc = dw0.groupBy(F.col("_lbl").alias("c"), "w").agg(
+                F.sum("tf").alias("n_wc")
+            )
+        else:
+            toks = (
+                fan_out(docs)
+                .select(
+                    F.col(label_col).alias("c"),
+                    F.explode(F.split(F.col(text_col), " ")).alias("w"),
+                )
+                .where(F.col("w") != "")
+            )
+            # the one corpus-sized aggregation
+            wc = toks.groupBy("c", "w").agg(
+                F.count(F.lit(1)).alias("n_wc")
+            )
+        wc = wc.localCheckpoint(eager=False)  # 3 consumers below
         c_tok = wc.groupBy("c").agg(F.sum("n_wc").alias("n_c"))
         # vocabulary size and doc total stay LAZY 1-row broadcasts
         # (scalar columns) instead of driver count() actions: two
@@ -72,19 +108,24 @@ class MultinomialNB:
         # long/long and double·long column ops reproduce the literal
         # form bit-for-bit.
         vdf = F.broadcast(wc.agg(F.countDistinct("w").alias("_v")))
-        tdf = F.broadcast(
-            docs.agg(F.count(F.lit(1)).alias("_total_docs"))
-        )
+        # total docs = window sum over the per-class doc counts: one
+        # docs scan serves prior numerator AND denominator (long sum,
+        # then the same long/double division as a separate count())
+        from pyspark.sql import Window
+
         n_docs_per_c = (
             docs.groupBy(F.col(label_col).alias("c"))
             .agg(F.count(F.lit(1)).alias("n_docs"))
+            .withColumn(
+                "_total_docs",
+                F.sum("n_docs").over(Window.partitionBy()),
+            )
         )
         a = self.alpha
         denom = F.col("n_c") + F.lit(a) * F.col("_v")
         self.class_stats_ = (
             n_docs_per_c.join(c_tok, "c")
             .crossJoin(vdf)
-            .crossJoin(tdf)
             .select(
                 "c",
                 F.log(
@@ -118,17 +159,36 @@ class MultinomialNB:
         bounds stopword fan-in before the model join."""
         if self.log_prob_ is None or self.class_stats_ is None:
             raise RuntimeError("fit before score_documents")
-        dw = (
-            fan_out(docs)
-            .select(
-                F.col(id_col).alias("_id"),
-                F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        fk = self._fit_key
+        label_out: list = []
+        if (
+            fk is not None
+            and fk[0] is docs
+            and fk[2] == text_col
+            and fk[3] == id_col
+        ):
+            # same corpus as fit: reuse the checkpointed token table
+            # (no second explode) and expose the true label column —
+            # grouping doc_len by (_id, _lbl) is the same partition of
+            # rows (_lbl is functionally dependent on _id), the label
+            # just rides along.
+            dw = self._dw0.select("_id", "w", "tf")
+            doc_len = self._dw0.groupBy("_id", "_lbl").agg(
+                F.sum("tf").alias("dl")
             )
-            .where(F.col("w") != "")
-            .groupBy("_id", "w")
-            .agg(F.count(F.lit(1)).alias("tf"))
-        )
-        doc_len = dw.groupBy("_id").agg(F.sum("tf").alias("dl"))
+            label_out = [F.col("_lbl").alias(fk[1])]
+        else:
+            dw = (
+                fan_out(docs)
+                .select(
+                    F.col(id_col).alias("_id"),
+                    F.explode(F.split(F.col(text_col), " ")).alias("w"),
+                )
+                .where(F.col("w") != "")
+                .groupBy("_id", "w")
+                .agg(F.count(F.lit(1)).alias("tf"))
+            )
+            doc_len = dw.groupBy("_id").agg(F.sum("tf").alias("dl"))
         # per (doc, class): sum of tf·logp over tokens the class KNOWS
         seen = (
             dw.join(self.log_prob_, "w")
@@ -154,6 +214,7 @@ class MultinomialNB:
                     + (F.col("dl") - F.coalesce(F.col("n_seen"), F.lit(0)))
                     * F.col("log_floor")
                 ).alias("joint"),
+                *label_out,
             )
         )
 

@@ -125,33 +125,98 @@ def build_halo(x: DsArray, eps: float, cache: bool = True):
 
 def core_flags(halo, eps: float, min_samples: int):
     """Pass 1 — exact core flags per home point (its eps-ball is fully
-    inside cell+halo). Returns (row_id, is_core)."""
+    inside cell+halo). Returns (row_id, is_core).
+
+    Implemented as ONE batched ``mapInPandas`` over cell-sorted
+    partitions instead of per-cell ``applyInPandas``: a grid has
+    thousands of small cells, and per-group invocation paid an Arrow/
+    pandas conversion plus Python call per cell (the dominant cost —
+    the numpy distance work itself is milliseconds). Here each task
+    converts its whole batch once and walks cells as contiguous numpy
+    slices; per-point counts use the identical blocked
+    ``(a-b)**2 <= eps**2`` arithmetic per cell, so flags are
+    bit-identical. A cell can span Arrow batch boundaries within a
+    partition, so an unfinished trailing cell is carried into the
+    next batch before being flushed."""
     import pandas as pd
 
-    def count_cores(pdf: pd.DataFrame) -> pd.DataFrame:
-        X = np.array(pdf[_FEAT].tolist(), dtype=np.float64)
-        home = pdf["is_home"].to_numpy()
-        if not home.any():
-            return pd.DataFrame({"row_id": [], "is_core": []}).astype(
-                {"row_id": "int64", "is_core": "bool"}
+    cell_fields = [
+        f"cell.{f.name}" for f in halo.schema["cell"].dataType.fields
+    ]
+    d = len(cell_fields)
+
+    def count_partition(batches):
+        carry: pd.DataFrame | None = None
+
+        def flush(pdf: pd.DataFrame, tail_open: bool):
+            nonlocal carry
+            C = np.column_stack(
+                [pdf[f"_k{j}"].to_numpy() for j in range(d)]
             )
-        cnt = _core_counts(X, home, eps)
-        return pd.DataFrame(
-            {
-                "row_id": pdf[_ROW].to_numpy()[home],
-                "is_core": cnt >= min_samples,
-            }
-        )
+            if len(C) == 0:
+                return None
+            # boundaries where any grid coordinate changes (input is
+            # sorted by the cell key within the partition)
+            chg = np.nonzero((C[1:] != C[:-1]).any(axis=1))[0] + 1
+            starts = np.concatenate(([0], chg))
+            ends = np.concatenate((chg, [len(C)]))
+            if tail_open:
+                # last group may continue in the next batch
+                carry = pdf.iloc[starts[-1] :]
+                starts, ends = starts[:-1], ends[:-1]
+            else:
+                carry = None
+            if len(starts) == 0:
+                return None
+            X_all = np.array(pdf[_FEAT].tolist(), dtype=np.float64)
+            home_all = pdf["is_home"].to_numpy()
+            rows_all = pdf[_ROW].to_numpy()
+            out_rows, out_core = [], []
+            for s, e in zip(starts, ends):
+                home = home_all[s:e]
+                if not home.any():
+                    continue
+                cnt = _core_counts(X_all[s:e], home, eps)
+                out_rows.append(rows_all[s:e][home])
+                out_core.append(cnt >= min_samples)
+            if not out_rows:
+                return None
+            return pd.DataFrame(
+                {
+                    "row_id": np.concatenate(out_rows),
+                    "is_core": np.concatenate(out_core),
+                }
+            )
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            res = flush(pdf, tail_open=True)
+            if res is not None:
+                yield res
+        if carry is not None:
+            res = flush(carry, tail_open=False)
+            if res is not None:
+                yield res
 
     # explicit user-numbered repartition on the grouping key: the
     # halo table is small in bytes, so AQE would coalesce the
-    # exchange to 1-2 tasks and serialize every pandas group through
-    # one Python worker; the numbered repartition keeps cluster
-    # parallelism (it satisfies the groupBy's ClusteredDistribution,
-    # so no second exchange) and per-group results are unchanged.
+    # exchange to 1-2 tasks and serialize every eps-ball count
+    # through one Python worker; the numbered repartition keeps
+    # cluster parallelism, and the within-partition sort groups each
+    # cell contiguously for the batch walker. Only the columns the
+    # kernel needs cross the Python boundary (guide §4.1).
     dp = halo.sparkSession.sparkContext.defaultParallelism
-    return halo.repartition(dp, "cell").groupBy("cell").applyInPandas(
-        count_cores, "row_id long, is_core boolean"
+    flat = halo.select(
+        _ROW,
+        _FEAT,
+        "is_home",
+        *[F.col(c).alias(f"_k{j}") for j, c in enumerate(cell_fields)],
+    )
+    return (
+        flat.repartition(dp, *[f"_k{j}" for j in range(d)])
+        .sortWithinPartitions(*[f"_k{j}" for j in range(d)])
+        .mapInPandas(count_partition, "row_id long, is_core boolean")
     )
 
 

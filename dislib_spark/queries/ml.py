@@ -366,20 +366,25 @@ def _nb_pred(d: DataFrame) -> DataFrame:
     on the documents corpus, score, argmax on 6-dp-rounded joints
     with a class tiebreak (|joint| ~ 1e3 → float drift ~1e-12, five
     orders below the rounding grain, so engines can never disagree
-    on a prediction). Returns (doc_id, pred)."""
-    from pyspark.sql import Window
-
+    on a prediction). Returns (doc_id, pred, lang) — the true label
+    rides along from the shared fit/score token table, so m13/m32
+    need no join back onto the docs scan. The argmax is a min_by
+    aggregate over the ordering struct (-rounded_joint, c): minimal
+    struct = maximal rounded joint, ties broken by smallest class —
+    exactly the previous row_number window's rn=1 row, but with
+    map-side partial aggregation instead of a full sort+filter."""
     from dislib_spark.classification.naive_bayes import MultinomialNB
 
-    nb = MultinomialNB(alpha=1.0).fit(d, label_col="lang")
+    nb = MultinomialNB(alpha=1.0).fit(d, label_col="lang", id_col="doc_id")
     sc = nb.score_documents(d)
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc(F.round("joint", 6)), "c"
+    ord_ = F.struct(
+        (-F.round(F.col("joint"), 6)).alias("_nj"),
+        F.col("c").alias("_c"),
     )
     return (
-        sc.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", F.col("c").alias("pred"))
+        sc.groupBy("doc_id", "lang")
+        .agg(F.min_by("c", ord_).alias("pred"))
+        .select("doc_id", "pred", "lang")
     )
 
 
@@ -392,9 +397,11 @@ def m13_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed by the oracle (``_nb_pred`` has the tiebreak story)."""
     d = load_table(spark, sf_dir, "documents")
     pred = _nb_pred(d)
+    # lang is carried through the prediction pipeline (functionally
+    # dependent on the unique doc_id), so the former inner join back
+    # onto the docs scan is value-identical and gone from the plan.
     return (
-        pred.join(d.select("doc_id", "lang"), "doc_id")
-        .groupBy(F.col("lang").alias("true_lang"), "pred")
+        pred.groupBy(F.col("lang").alias("true_lang"), "pred")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("true_lang", "pred")
     )
@@ -1033,11 +1040,8 @@ def m32_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     it the full-outer merge re-evaluates the 200-node NB pipeline on
     both sides)."""
     d = load_table(spark, sf_dir, "documents")
-    m = (
-        _nb_pred(d)
-        .join(d.select("doc_id", "lang"), "doc_id")
-        .localCheckpoint(eager=False)
-    )
+    # _nb_pred carries lang already — no join back onto the docs scan
+    m = _nb_pred(d).localCheckpoint(eager=False)
     by_true = m.groupBy(F.col("lang").alias("cls")).agg(
         F.count(F.lit(1)).alias("n_true"),
         F.sum((F.col("pred") == F.col("lang")).cast("long")).alias("tp"),
@@ -1426,7 +1430,7 @@ def m40_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("long").alias("pos"),
             F.sum("p").alias("sump"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window
 
@@ -2109,7 +2113,7 @@ def m54_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").cast("int").alias("y"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dec = "decimal(38,0)"
     a = cells.select(
@@ -2443,7 +2447,7 @@ def m59_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("rev")
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a = m.select(F.col("mon").alias("ma"), F.col("rev").alias("ra"))
     b = m.select(F.col("mon").alias("mb"), F.col("rev").alias("rb"))
@@ -2654,7 +2658,7 @@ def m62_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").alias("y"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a = cells.select(
         F.col("x").alias("ax"), F.col("y").alias("ay"),
@@ -2711,7 +2715,7 @@ def m63_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         li.groupBy(F.col("l_quantity").alias("v"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a = cells.select(F.col("v").alias("av"), F.col("cnt").alias("an"))
     b = cells.select(F.col("v").alias("bv"), F.col("cnt").alias("bn"))
@@ -2756,7 +2760,7 @@ def m64_siegel_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").alias("y"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a = cells.select(
         F.col("x").alias("ax"), F.col("y").alias("ay"),
@@ -3083,7 +3087,7 @@ def m68_pinball_regression(
             F.col("l_quantity").cast("int").alias("y"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     xv = cells.select("x").distinct()
     yv = cells.select("y").distinct()
@@ -3195,7 +3199,7 @@ def m69_passing_bablok(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         pts.groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a = cells.select(
         F.col("x").alias("ax"), F.col("y").alias("ay"),
@@ -3309,7 +3313,7 @@ def m70_generalized_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w_lo).alias("rn"),
         )
     )
-    ext = hi.unionByName(lo).localCheckpoint(eager=True)
+    ext = hi.unionByName(lo).localCheckpoint(eager=False)
 
     nn = F.col("n").cast("double")
     sxd = F.col("sx").cast("double")
@@ -3336,7 +3340,7 @@ def m70_generalized_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy(F.desc("dev"), F.desc("xd"), "side", "rn")
             .limit(1)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         out.append(
             pick.select(

@@ -270,7 +270,7 @@ def t22_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
         .select("doc_id", "source", F.md5("gram").alias("gk"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     counts = grams.groupBy("gk").agg(
         F.countDistinct("doc_id").alias("n_docs_with")
@@ -1315,7 +1315,7 @@ def t63_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("c"),
             F.min("doc_id").alias("md"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     totals = gs.groupBy("source").agg(F.sum("c").alias("n_grams"))
     novel = (
@@ -1373,7 +1373,7 @@ def t64_split_decontamination(
                 lambda s: F.md5(s),
             )
         ).alias("gram"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     test_grams = (
         g.where(F.col("is_test")).select("gram").distinct()
     )
@@ -1469,7 +1469,7 @@ def t56_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the t51 rule); only the three needed columns are checkpointed
     ch = chunk_documents(d, chunk_tokens=20, overlap=0).select(
         "doc_id", "n_tokens", "fp"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     bad = (
         ch.groupBy("fp")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -2082,7 +2082,7 @@ def t76_dedup_threshold_curve(
     into mega-components (largest_component explodes), too tight
     leaves near-dups unmerged (n_clustered_docs collapses)."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(d, threshold=0.3).localCheckpoint(eager=True)
+    pairs = jaccard_pairs(d, threshold=0.3).localCheckpoint(eager=False)
     outs = []
     for thr in (0.3, 0.95, 0.98):
         e = pairs.where(F.col("jaccard") >= thr)

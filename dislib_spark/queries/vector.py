@@ -877,7 +877,7 @@ def v28_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     books = pq_codebooks(e, method="seed")
-    d = pq_distortion(e, books).localCheckpoint(eager=True)
+    d = pq_distortion(e, books).localCheckpoint(eager=False)
     g2 = d.groupBy("m", "code").agg(F.count(F.lit(1)).alias("cnt"))
     use = g2.groupBy("m").agg(
         F.sum("cnt").alias("n_vecs"),

@@ -552,7 +552,7 @@ def stride_quantiles(
                 F.col("stride"), F.col("m") - (F.col("rn") - 1)
             ).alias("wt"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = F.broadcast(
         kept.agg(
@@ -648,7 +648,7 @@ def grouped_stride_quantiles(
                 F.col("stride"), F.col("m") - (F.col("rn") - 1)
             ).alias("wt"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = kept.groupBy("grp").agg(
         F.sum("wt").cast("bigint").alias("n"),

@@ -130,12 +130,13 @@ def jaccard_pairs(
     """
     # invert on the 64-bit shingle hash (identical pairs/counts —
     # collisions over ~10^5 distinct shingles are ~2^-30-improbable).
-    # EAGER localCheckpoint breaks lineage so the shingle build runs
-    # ONCE — a lazy checkpoint only materializes after the first job
-    # finishes, so within a single action every downstream consumer
-    # (stage) recomputes the full upstream (measured 4-50x blowups):
-    # Catalyst has no CSE across a projection's consumers, so every
-    # downstream reference would otherwise recompute the split+grams.
+    # The localCheckpoint breaks lineage (LogicalRDD barrier) so
+    # Catalyst cannot inline the split+grams projection into every
+    # downstream reference (no CSE across a projection's consumers —
+    # measured 4-50x blowups without a barrier). eager=False keeps
+    # the materialization inside the query's own first action; the
+    # executor block store computes each partition once and every
+    # consumer reads the cached rows.
     # Bucket-based pair generation: one shuffle on the shingle key,
     # pairs exploded inside buckets (never a self-join).
     sh = (
@@ -146,7 +147,7 @@ def jaccard_pairs(
             "id",
             F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hashes"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     inv = sh.select(
         "id",
@@ -242,7 +243,7 @@ def containment_pairs(
                 F.col("shingles"), lambda s: F.xxhash64(s)
             ).alias("hashes"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     inv = sh.select(
         "id",
@@ -345,9 +346,11 @@ def minhash_signatures(
     """The (id, shingles, sig) MinHash signature table that
     :func:`minhash_lsh_pairs` band-buckets — exposed so callers that
     band the SAME signature several ways (recall grading, band
-    sweeps) build it once and pass it back via ``sig=``. Eagerly
-    checkpointed: the build feeds ``num_hashes`` permutation lambdas
-    and every downstream banding, and lambda bodies get no CSE."""
+    sweeps) build it once and pass it back via ``sig=``. Lazily
+    checkpointed (lineage barrier): the build feeds ``num_hashes``
+    permutation lambdas and every downstream banding, and lambda
+    bodies get no CSE — the barrier stops the inlining; eager=False
+    keeps the materialization inside the timed action."""
     if hash_fn not in ("xxhash64", "md5"):
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     shingle_hash = F.xxhash64 if hash_fn == "xxhash64" else md5_hash32
@@ -369,12 +372,12 @@ def minhash_signatures(
                 F.col("shingles"), lambda s: F.pmod(shingle_hash(s), F.lit(_MERSENNE))
             ),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     return (
         hashed.withColumn("sig", _minhash_signature(F.col("_h"), num_hashes))
         .drop("_h")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -604,7 +607,7 @@ def simhash_pairs(
     sig = fan_out(df).select(
         F.col(id_col).alias("id"),
         simhash(F.col(text_col), bits, hash_fn).alias("sig"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     return _pigeonhole_pairs(sig, max_hamming, bits, k)
 
 
@@ -646,7 +649,7 @@ def idf_simhash_signatures(
     tf = (
         tok.groupBy("id", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -755,12 +758,11 @@ def _pigeonhole_pairs(
     # count derives from the session's parallelism — scale-adaptive,
     # not a local constant.
     #
-    # Skipped when the signatures are ALREADY a materialized
-    # checkpoint (simhash_pairs' eager localCheckpoint): re-reading
-    # the RDD per side is then cheap and the broadcast self-join
-    # beats paying an extra exchange (measured t06 1.3 s -> 1.9 s
-    # with the exchange; t51 — un-checkpointed sigs — 7.1 s -> 2.9 s
-    # WITH it).
+    # Skipped when the signatures are ALREADY a checkpoint barrier
+    # (simhash_pairs' localCheckpoint): both sides then read one
+    # cached RDD and the broadcast self-join beats paying an extra
+    # exchange (measured t06 1.3 s -> 1.9 s with the exchange; t51 —
+    # un-checkpointed sigs — 7.1 s -> 2.9 s WITH it).
     plan_str = str(sig._jdf.queryExecution().analyzed())
     expensive_sig = ("Aggregate" in plan_str) or ("Join" in plan_str)
     if expensive_sig:
@@ -862,7 +864,7 @@ def snm_pairs(
         "id",
         "hashes",
         F.row_number().over(W.orderBy("k", "id")).alias("rn"),
-    ).localCheckpoint(eager=True)  # two consumers below — build once
+    ).localCheckpoint(eager=False)  # two consumers below — build once
     blk = F.floor((F.col("rn") - 1) / window)
     a = ranked.select(
         F.col("id").alias("a0"),
@@ -930,13 +932,13 @@ def _banded_signatures(
                 lambda s: F.pmod(shingle_hash(s), F.lit(_MERSENNE)),
             ),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     rows_per_band = num_hashes // bands
     sig = (
         hashed.withColumn("sig", _minhash_signature(F.col("_h"), num_hashes))
         .drop("_h")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def band_hash(sl):
@@ -1133,14 +1135,14 @@ def lsh_band_sweep(
                 lambda s: F.pmod(md5_hash32(s), F.lit(_MERSENNE)),
             ),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sig = (
         hashed.withColumn(
             "sig", _minhash_signature(F.col("_h"), num_hashes)
         )
         .drop("_h")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sh = sig.select("id", "shingles")
     a_side = sh.select(

@@ -126,12 +126,12 @@ def lm2_doc_scores(
         .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("tf"))
-        # EAGER checkpoint: db has three consumers (bc→uc and the
+        # Checkpoint barrier: db has three consumers (bc→uc and the
         # scored join) and exchange reuse does not dedupe them here —
-        # without this the explode+partial-agg pipeline runs ~3×
-        # (measured 8.5 s → 2.5 s at sf0.1). Storage-linear and
-        # partition-local, the established dedup-pipeline trade.
-        .localCheckpoint(eager=True)
+        # without it the explode+partial-agg pipeline runs ~3×
+        # (measured 8.5 s → 2.5 s at sf0.1). eager=False: one
+        # materialization inside the query's own first action.
+        .localCheckpoint(eager=False)
     )
     bc = db.groupBy("w1", "w2").agg(F.sum("tf").alias("n12"))
     # context marginal c(w1,·) and unigram counts from the SAME table

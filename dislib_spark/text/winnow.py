@@ -93,17 +93,18 @@ def with_fingerprints(
     """Add a winnowed fingerprint-set column (array<string> of md5
     hex).
 
-    The gram-hash array is pinned with an EAGER localCheckpoint
+    The gram-hash array is pinned with a localCheckpoint barrier
     before the window pass: ``_grams`` is referenced exactly once, so
     CollapseProject would otherwise inline the whole md5-transform
     into the window lambda, re-evaluating the full gram array per
-    window — O(n²) md5 calls per document (observed as a hang)."""
+    window — O(n²) md5 calls per document (observed as a hang).
+    eager=False: materializes inside the caller's first action."""
     staged = (
         fan_out(df)
         .withColumn("_norm", normalize_text(F.col(text_col)))
         .withColumn("_grams", gram_hashes(F.col("_norm"), k, hash_fn))
         .drop("_norm")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     return staged.withColumn(
         out_col, winnow_select(F.col("_grams"), w)

@@ -51,7 +51,7 @@ def with_global_index(
     """
     s = df.orderBy(*order_by) if order_by else df
     s = s.withColumn("_mid", F.monotonically_increasing_id()).localCheckpoint(
-        eager=True
+        eager=False
     )
     pid = F.shiftrightunsigned(F.col("_mid"), 33).cast("int")
     counts = s.groupBy(pid.alias("_pid")).count().collect()
@@ -94,7 +94,7 @@ def with_running_total(
     """
     s = df.orderBy(*order_by).withColumn(
         "_mid", F.monotonically_increasing_id()
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     pid = F.shiftrightunsigned(F.col("_mid"), 33).cast("int")
     totals = (
         s.groupBy(pid.alias("_pid"))
@@ -183,7 +183,7 @@ def with_running_max(
     ``order_by`` ties must be broken (total order)."""
     s = df.orderBy(*order_by).withColumn(
         "_mid", F.monotonically_increasing_id()
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     pid = F.shiftrightunsigned(F.col("_mid"), 33).cast("int")
     maxima = (
         s.groupBy(pid.alias("_pid"))

@@ -647,7 +647,7 @@ def pq_codebooks(
         mod = 1_000_000_000
         keep = max(1, int(mod * sample_cap / n))
         src = src.where(F.pmod(F.xxhash64(F.col("v")), F.lit(mod)) < keep)
-    src = src.localCheckpoint(eager=True)
+    src = src.localCheckpoint(eager=False)
     books = []
     for m in range(n_subvectors):
         sl = src.select(
